@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's default tuning.
+  *
+  * Mirrors the reference's bootstrap (Sales_forecast_pyspark.py:47-53: local
+  * master, small fixed shuffle-partition count, quiet UI) but sized for this
+  * harness (local[32]) and with AQE on — at cluster scale AQE subsumes manual
+  * shuffle-partition tuning via runtime coalescing and skew-join splitting.
+  */
+object GraftSession {
+  def local(
+      cores: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt,
+      appName: String = "graft"): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // The reference ran Spark 3.5 (pre-ANSI default): APE = abs_err/actual
+      // yields Infinity on actual=0 rather than erroring
+      // (Sales_forecast_pyspark.py:1343-1344). Queries themselves guard
+      // divisions, but keep parity for library users.
+      .config("spark.sql.ansi.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-provided parquet tables (TESTDATA.md) plus the
+  * retail-shaped projection that feeds the forecast operators.
+  *
+  * The reference's data model is invoice lines keyed by
+  * (Country, StockCode, InvoiceDate) (Sales_forecast_pyspark.py:69-74,147-164).
+  * We project the TPC-H-ish testdata onto that shape:
+  * Country = supplier's nation, StockCode = part key, InvoiceDate = ship date,
+  * Quantity = l_quantity, UnitPrice = l_extendedprice,
+  * LineRevenue = l_extendedprice * (1 - l_discount).
+  *
+  * Scale notes: supplier and nation are tiny dimensions — both joins are
+  * explicit `broadcast`s, so the projection adds no shuffle over the lineitem
+  * scan even at 100 TB. Column pruning pushes the 6-column read schema down to
+  * the parquet scan.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
+  def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read as a
+    * timestamp. Read it as raw long nanos (legacy conf) and rebuild a
+    * microsecond timestamp with an exact integer division — `ts / 1000` in
+    * double would lose precision at epoch-nanos magnitude (~1.7e18 > 2^53). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** Invoice-line-shaped view of lineitem (see object doc). */
+  def salesLines(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir)
+    val sup = supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val nat = nation(spark, dir).select("n_nationkey", "n_name")
+    li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+      .select(
+        nat("n_name").as("Country"),
+        li("l_partkey").cast("string").as("StockCode"),
+        to_date(li("l_shipdate")).as("InvoiceDate"),
+        li("l_quantity").cast("long").as("Quantity"),
+        li("l_extendedprice").as("UnitPrice"),
+        (li("l_extendedprice") * (lit(1.0) - li("l_discount"))).as("LineRevenue"))
+  }
+}

@@ -1,0 +1,207 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.text.TextFunctions
+
+/** Deduplication operators for training-data pipelines: exact (hash-group),
+  * n-gram Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+  *
+  * Scale design: nothing here ever materializes an all-pairs cross join.
+  * Candidates come from equi-join-able keys (fingerprints, shingles, LSH
+  * band hashes, hyperplane buckets), so every stage is a shuffle hash join
+  * that partitions by key. Pathological buckets (a shingle or band shared by
+  * thousands of docs) are dropped with an explicit frequency cap — the
+  * standard LSH skew guard — before the pair expansion can go quadratic.
+  */
+object Dedup {
+
+  /** Exact dedup via canonical-text fingerprint: one row per distinct
+    * content with the kept (minimum) id and the duplicate count.
+    * Extends the reference's dropDuplicates (D2,
+    * Sales_forecast_pyspark.py:99) to content-hash grouping. */
+  def exactGroups(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
+      .groupBy(TextFunctions.fingerprintMd5(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Adds a `shingles` column: distinct word k-shingles of the canonical
+    * text (the unit of Jaccard similarity). */
+  def withShingles(docs: DataFrame, textCol: String, k: Int = 3): DataFrame =
+    docs.withColumn(
+      "shingles",
+      TextFunctions.wordShingles(
+        TextFunctions.tokens(TextFunctions.normText(col(textCol))), k))
+
+  /** Exact n-gram Jaccard over shingle-inverted-index candidates: pairs of
+    * docs sharing at least one shingle, scored |A∩B| / |A∪B|. `maxShingleDf`
+    * drops shingles more frequent than the cap (stopword-like shingles would
+    * otherwise create quadratic buckets). */
+  def jaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      maxShingleDf: Int = 1000): DataFrame = {
+    val sh = withShingles(docs, textCol, k)
+      .select(col(idCol).as("doc"), explode(col("shingles")).as("shingle"))
+    val hot = sh.groupBy("shingle").count().filter(col("count") > maxShingleDf)
+      .select("shingle")
+    val pruned = sh.join(hot, Seq("shingle"), "left_anti")
+    val counts = sh.groupBy("doc").agg(count(lit(1)).as("n_shingles"))
+    val inter = pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("id1"), col("b.doc").as("id2"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(counts.withColumnRenamed("doc", "id1").withColumnRenamed("n_shingles", "n1"), "id1")
+      .join(counts.withColumnRenamed("doc", "id2").withColumnRenamed("n_shingles", "n2"), "id2")
+      .withColumn(
+        "jaccard",
+        col("n_common").cast("double") / (col("n1") + col("n2") - col("n_common")).cast("double"))
+      .select("id1", "id2", "n_common", "jaccard")
+  }
+
+  /** MinHash signature: for hash family i, min over shingles of
+    * murmur3(shingle, i). All expression-level (codegen'd), no UDF. */
+  def withMinhash(shingled: DataFrame, numHashes: Int = 16): DataFrame =
+    shingled.withColumn(
+      "minhash",
+      transform(
+        sequence(lit(0), lit(numHashes - 1)),
+        i => array_min(transform(col("shingles"), s => hash(s, i)))))
+
+  /** LSH banding: split the signature into `bands` bands of `rowsPerBand`,
+    * hash each band, explode to (id, band, band_hash) bucket keys. */
+  def minhashBands(
+      withSig: DataFrame,
+      idCol: String,
+      numHashes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    val r = numHashes / bands
+    withSig.select(
+      col(idCol).as("doc"),
+      posexplode(
+        transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("minhash"), b * r + 1, lit(r))))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+  }
+
+  /** Candidate pairs from MinHash LSH buckets, with a bucket-size skew cap,
+    * verified with exact Jaccard over the shingle sets. */
+  def minhashNearDups(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      maxBucket: Int = 200,
+      threshold: Double = 0.5): DataFrame = {
+    val shingled = withShingles(docs, textCol, k)
+    val buckets = minhashBands(withMinhash(shingled, numHashes), idCol, numHashes, bands)
+    val hot = buckets.groupBy("band", "band_hash").count()
+      .filter(col("count") > maxBucket).select("band", "band_hash")
+    val pruned = buckets.join(hot, Seq("band", "band_hash"), "left_anti")
+    val cand = pruned.as("x")
+      .join(pruned.as("y"),
+        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("id1"), col("y.doc").as("id2"))
+      .distinct()
+    val sets = shingled.select(col(idCol), col("shingles"))
+    cand
+      .join(sets.select(col(idCol).as("id1"), col("shingles").as("sh1")), "id1")
+      .join(sets.select(col(idCol).as("id2"), col("shingles").as("sh2")), "id2")
+      .withColumn(
+        "jaccard",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** SimHash sketch per document (custom codegen'd expression); near-dups =
+    * sketches within a small Hamming distance, candidates via identical
+    * 16-bit sub-blocks (pigeonhole: hamming ≤ 3 ⇒ ≥1 of 4 blocks equal). */
+  def withSimhash(spark: SparkSession, docs: DataFrame, textCol: String): DataFrame =
+    docs.withColumn(
+      "simhash",
+      GraftFunctions.simHash(
+        spark,
+        TextFunctions.tokens(TextFunctions.normText(col(textCol)))))
+
+  def simhashNearDups(
+      spark: SparkSession,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sketched = withSimhash(spark, docs, textCol).select(col(idCol).as("doc"), col("simhash"))
+    val blocks = sketched.select(
+      col("doc"), col("simhash"),
+      posexplode(transform(
+        sequence(lit(0), lit(3)),
+        b => call_function("shiftrightunsigned", col("simhash"), b * lit(16))
+          .bitwiseAND(lit(0xffffL)))))
+      .withColumnsRenamed(Map("pos" -> "block", "col" -> "block_val"))
+    blocks.as("x")
+      .join(blocks.as("y"),
+        col("x.block") === col("y.block") && col("x.block_val") === col("y.block_val") &&
+          col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("id1"), col("y.doc").as("id2"),
+        col("x.simhash").as("sh1"), col("y.simhash").as("sh2"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sh1").bitwiseXOR(col("sh2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id1", "id2", "hamming")
+  }
+
+  /** Embedding-cosine near-dup pairs via random-hyperplane LSH buckets +
+    * exact cosine verification (single fused-loop expression). Deterministic:
+    * hyperplanes come from a fixed-seed RNG. Two independent 8-bit tables
+    * give recall; the AND-of-bits within a table gives precision. */
+  def embeddingNearDups(
+      spark: SparkSession,
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.95,
+      bitsPerTable: Int = 8,
+      tables: Int = 2,
+      seed: Long = 42L,
+      dim: Int = 64): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val planes: Array[Array[Double]] =
+      Array.fill(tables * bitsPerTable)(Array.fill(dim)(rnd.nextGaussian()))
+    def bit(p: Array[Double]): Column = {
+      val dot = aggregate(
+        zip_with(col(vecCol).cast("array<double>"), typedLit(p.toSeq), (x, w) => x * w),
+        lit(0.0), (acc, z) => acc + z)
+      when(dot >= 0, 1L).otherwise(0L)
+    }
+    def tableKey(t: Int): Column =
+      (0 until bitsPerTable)
+        .map(b => bit(planes(t * bitsPerTable + b)) * lit(1L << b))
+        .reduce(_ + _)
+    val keyed = emb.select(
+      col(idCol).as("doc"), col(vecCol).as("vec"),
+      posexplode(array((0 until tables).map(tableKey): _*)))
+      .withColumnsRenamed(Map("pos" -> "table", "col" -> "bucket"))
+    val cand = keyed.as("x")
+      .join(keyed.as("y"),
+        col("x.table") === col("y.table") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("id1"), col("y.doc").as("id2"),
+        col("x.vec").as("v1"), col("y.vec").as("v2"))
+      .distinct()
+    cand
+      .withColumn("cosine", GraftFunctions.cosine(spark, col("v1"), col("v2")))
+      .filter(col("cosine") >= threshold)
+      .select("id1", "id2", "cosine")
+  }
+}

@@ -1,0 +1,182 @@
+package graft.forecast
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.functions.Exact
+
+/** The reference's time-series feature/KPI operators, re-expressed as
+  * composable DataFrame transforms.
+  *
+  * A "series" is the rows of one (Country, StockCode) partition ordered by
+  * InvoiceDate (Sales_forecast_pyspark.py:607-608). The calendar is irregular:
+  * lag 1 means the previous *observed* day, not the previous calendar day
+  * (Sales_forecast_pyspark.py:613-625).
+  *
+  * Scale notes:
+  *  - every window family with a distinct partitionBy forces one
+  *    shuffle+sort; we use exactly two partitionings (series, series+DayOfWeek)
+  *    and generate all columns of a family in ONE select so the plan stays
+  *    flat (the reference does the same for its 72 lag columns,
+  *    Sales_forecast_pyspark.py:610-647);
+  *  - window partitions are (Country, StockCode) — fine-grained keys, so the
+  *    shuffle spreads evenly and no single partition can exceed one series;
+  *    country-level skew (the reference's UK ≈ 86% hazard, SURVEY §4.3) does
+  *    not concentrate on one task because StockCode is part of the key.
+  */
+object Forecast {
+
+  val SeriesKeys: Seq[String] = Seq("Country", "StockCode")
+
+  def seriesW: WindowSpec =
+    Window.partitionBy(SeriesKeys.map(col): _*).orderBy(col("InvoiceDate"))
+
+  def dowW: WindowSpec =
+    Window.partitionBy((SeriesKeys :+ "DayOfWeek").map(col): _*).orderBy(col("InvoiceDate"))
+
+  /** Calendar features (Sales_forecast_pyspark.py:107-114). Spark's dayofweek
+    * is 1=Sunday..7=Saturday. */
+  def withCalendar(df: DataFrame): DataFrame =
+    df.select(
+      col("*"),
+      year(col("InvoiceDate")).as("Year"),
+      month(col("InvoiceDate")).as("Month"),
+      dayofmonth(col("InvoiceDate")).as("Day"),
+      weekofyear(col("InvoiceDate")).as("Week"),
+      dayofweek(col("InvoiceDate")).as("DayOfWeek"))
+
+  /** The defining daily aggregation (A3, Sales_forecast_pyspark.py:147-164):
+    * one row per (Country, StockCode, day) with net quantity, revenue and mean
+    * unit price. Grouping keys include the calendar columns (functionally
+    * dependent on InvoiceDate, kept for downstream feature use). */
+  def dailySales(sales: DataFrame): DataFrame = {
+    val keys = Seq("Country", "StockCode", "InvoiceDate",
+      "Year", "Month", "Day", "Week", "DayOfWeek")
+    withCalendar(sales)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        sum(col("Quantity")).as("NetDailyQuantity"),
+        Exact.dsum(col("LineRevenue")).as("NetDailyRevenue"),
+        Exact.davg(col("UnitPrice")).as("AvgUnitPrice"))
+  }
+
+  /** Lag features (W1, Sales_forecast_pyspark.py:605-647): for each lag i,
+    * quantity and price lags over the plain series order, the 6-day cycle
+    * (offset 6i), and the same-weekday series. Nulls (insufficient history)
+    * are coalesced to 0 as in the reference. All columns in ONE select. */
+  def lagFeatures(daily: DataFrame, lags: Seq[Int] = 1 to 6): DataFrame = {
+    val qty = col("NetDailyQuantity")
+    val price = col("AvgUnitPrice")
+    val lagCols = lags.flatMap { i =>
+      Seq(
+        coalesce(lag(qty, i).over(seriesW), lit(0L)).as(s"lag_qty_${i}_day"),
+        coalesce(lag(price, i).over(seriesW), lit(0.0)).as(s"lag_price_${i}_day"),
+        coalesce(lag(qty, 6 * i).over(seriesW), lit(0L)).as(s"lag_qty_${i}_6cycle"),
+        coalesce(lag(price, 6 * i).over(seriesW), lit(0.0)).as(s"lag_price_${i}_6cycle"),
+        coalesce(lag(qty, i).over(dowW), lit(0L)).as(s"lag_qty_${i}_dow"),
+        coalesce(lag(price, i).over(dowW), lit(0.0)).as(s"lag_price_${i}_dow"))
+    }
+    daily.select(daily.columns.map(col).toSeq ++ lagCols: _*)
+  }
+
+  /** Rolling mean/std/median over the trailing frame [-n, -1] (current row
+    * excluded), per W2/W3/W4 (Sales_forecast_pyspark.py:900-946).
+    *
+    * std uses the explicit sample formula over exact integer sums rather than
+    * stddev_samp so the result is bit-reproducible regardless of partition
+    * merge order (quantities are longs: sum and sum-of-squares are exact).
+    * median uses exact `percentile` — on integer inputs interpolation is
+    * exact in double, unlike percentile_approx which the reference used
+    * (Sales_forecast_pyspark.py:922) and which we expose separately. */
+  def rollStats(w: WindowSpec, frame: Int, suffix: String): Seq[Column] = {
+    val qty = col("NetDailyQuantity")
+    val f = w.rowsBetween(-frame, -1)
+    val n = count(qty).over(f).cast(DoubleType)
+    val s1 = sum(qty).over(f).cast(DoubleType)
+    val s2 = sum(qty * qty).over(f).cast(DoubleType)
+    val mean = s1 / n
+    val std = when(n >= 2, sqrt((s2 - s1 * s1 / n) / (n - lit(1.0))))
+    val med = percentile(qty, lit(0.5)).over(f)
+    Seq(mean.as(s"roll_mean_$suffix"), std.as(s"roll_std_$suffix"), med.as(s"roll_median_$suffix"))
+  }
+
+  def rollingFeatures(
+      daily: DataFrame,
+      dayFrames: Seq[Int] = Seq(3, 6, 12),
+      dowFrames: Seq[Int] = Seq(3, 4, 5)): DataFrame = {
+    val cols = daily.columns.map(col).toSeq ++
+      dayFrames.flatMap(n => rollStats(seriesW, n, s"${n}d")) ++
+      dowFrames.flatMap(n => rollStats(dowW, n, s"${n}_dow"))
+    daily.select(cols: _*)
+  }
+
+  /** Diff-vs-rolling features (W5, Sales_forecast_pyspark.py:948-966). */
+  def diffFeatures(rolled: DataFrame, dayFrames: Seq[Int] = Seq(3, 6, 12)): DataFrame = {
+    val qty = col("NetDailyQuantity").cast(DoubleType)
+    val diffs = dayFrames.flatMap { n =>
+      Seq(
+        (qty - col(s"roll_mean_${n}d")).as(s"diff_qty_mean_${n}d"),
+        (qty - col(s"roll_median_${n}d")).as(s"diff_qty_median_${n}d"))
+    }
+    rolled.select(rolled.columns.map(col).toSeq ++ diffs: _*)
+  }
+
+  /** 6-day moving-average baseline with last-value fallback (W6,
+    * Sales_forecast_pyspark.py:1270-1294) — the forecast every model is
+    * judged against. */
+  def maBaseline(daily: DataFrame, window: Int = 6): DataFrame = {
+    val qty = col("NetDailyQuantity")
+    val f = seriesW.rowsBetween(-window, -1)
+    val ma = sum(qty).over(f).cast(DoubleType) / count(qty).over(f).cast(DoubleType)
+    daily.withColumn(
+      "baseline_qty",
+      coalesce(ma, lag(qty, 1).over(seriesW).cast(DoubleType)))
+  }
+
+  /** Evaluation frame (Sales_forecast_pyspark.py:1296-1345): a prediction
+    * column, the MA baseline, and the six error columns. `prediction`
+    * defaults to the naive last-value forecast so the frame is fully
+    * deterministic; ML models plug their own prediction column in. */
+  def evalFrame(daily: DataFrame): DataFrame = {
+    val actual = col("NetDailyQuantity").cast(DoubleType)
+    val safeActual = when(col("NetDailyQuantity") === 0, lit(null)).otherwise(actual)
+    maBaseline(daily)
+      .withColumn("prediction", lag(col("NetDailyQuantity"), 1).over(seriesW).cast(DoubleType))
+      .withColumn("err_model", col("prediction") - actual)
+      .withColumn("err_baseline", col("baseline_qty") - actual)
+      .withColumn("abs_err_model", abs(col("err_model")))
+      .withColumn("abs_err_baseline", abs(col("err_baseline")))
+      .withColumn("ape_model", abs(col("err_model")) / safeActual)
+      .withColumn("ape_baseline", abs(col("err_baseline")) / safeActual)
+  }
+
+  private def kpiAggs: Seq[Column] = Seq(
+    Exact.floorAvg(col("abs_err_model"), 9).as("mae_model"),
+    Exact.floorAvg(col("abs_err_baseline"), 9).as("mae_baseline"),
+    Exact.floorAvg(col("ape_model"), 9).as("mape_model"),
+    Exact.floorAvg(col("ape_baseline"), 9).as("mape_baseline"),
+    Exact.floorAvg(col("err_model"), 9).as("bias_model"),
+    Exact.floorAvg(col("err_baseline"), 9).as("bias_baseline"))
+
+  /** Global KPI aggregate (A8, Sales_forecast_pyspark.py:1347-1359). */
+  def kpiGlobal(eval_ : DataFrame): DataFrame =
+    eval_.agg(kpiAggs.head, kpiAggs.tail: _*)
+
+  /** Per-country KPI (A9, Sales_forecast_pyspark.py:1363-1375). */
+  def kpiByCountry(eval_ : DataFrame): DataFrame =
+    eval_.groupBy(col("Country")).agg(kpiAggs.head, kpiAggs.tail: _*)
+
+  /** Value-weighted error totals (A10, Sales_forecast_pyspark.py:1792-1838):
+    * abs error weighted by unit value, plus % reduction of model vs baseline. */
+  def valueWeighted(eval_ : DataFrame): DataFrame =
+    eval_
+      .agg(
+        Exact.floorSum(col("abs_err_model") * col("AvgUnitPrice"), 4).as("total_err_value_model"),
+        Exact.floorSum(col("abs_err_baseline") * col("AvgUnitPrice"), 4).as("total_err_value_baseline"),
+        count(lit(1)).as("n_rows"))
+      .withColumn(
+        "pct_reduction",
+        (lit(1.0) - col("total_err_value_model") / col("total_err_value_baseline")) * lit(100.0))
+}

@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+
+/** Custom Catalyst expressions for the operators where a single-pass native
+  * kernel beats composing built-ins: content fingerprints, SimHash sketches,
+  * and dense-vector cosine. All three participate in whole-stage codegen
+  * (`defineCodeGen` emits a static call into [[HashUtil]], so interpreted and
+  * generated paths share one implementation).
+  *
+  * These go beyond the reference surface (it needed no custom expressions,
+  * SURVEY §2.12); they exist for the training-data-pipeline extensions.
+  */
+case class RollingHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.rollingHash(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.rollingHash($c)")
+  override protected def withNewChildInternal(newChild: Expression): RollingHash64 =
+    copy(child = newChild)
+  override def prettyName: String = "graft_rolling_hash"
+}
+
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.simHash(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.simHash($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+  override def prettyName: String = "graft_simhash"
+}
+
+/** Cosine similarity over two array<float> columns (single fused pass: dot
+  * and both norms in one loop — no intermediate arrays, codegen-friendly). */
+case class CosineSimilarity(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashUtil.cosineFF(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashUtil.cosineFF($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_cosine"
+}
+
+/** Session registration + Column-level API for the custom expressions. */
+object GraftFunctions {
+  private val registered =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+
+  def register(spark: SparkSession): Unit = if (registered.add(spark)) {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "graft_rolling_hash", exprs => RollingHash64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_simhash", exprs => SimHash64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+  }
+
+  def rollingHash(spark: SparkSession, c: Column): Column = {
+    register(spark); call_function("graft_rolling_hash", c)
+  }
+  def simHash(spark: SparkSession, tokens: Column): Column = {
+    register(spark); call_function("graft_simhash", tokens)
+  }
+  def cosine(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark); call_function("graft_cosine", a, b)
+  }
+}

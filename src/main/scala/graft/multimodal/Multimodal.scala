@@ -1,0 +1,57 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media payloads as opaque `binary` columns with
+  * typed metadata structs, plus a partition-wise decode/feature-extract stage.
+  *
+  * The decode step is a STUB (this container ships no image/audio codecs): it
+  * derives deterministic fake dimensions from the payload bytes. Everything
+  * around it — the blob schema, the typed Dataset boundary, the
+  * mapPartitions batch shape (decoder state initialized once per partition,
+  * exactly how a real codec or model handle would be held) — is real.
+  */
+object Multimodal {
+
+  case class Blob(doc_id: Long, content: Array[Byte], mime: String)
+
+  case class MediaMeta(
+      doc_id: Long,
+      n_bytes: Long,
+      width: Int,
+      height: Int,
+      channels: Int)
+
+  /** Projects a text table into a blob table (payload = UTF-8 bytes). With
+    * real media the payload column would come straight from parquet/object
+    * storage; downstream plumbing is identical. */
+  def toBlobs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      col(textCol).cast("binary").as("content"),
+      lit("text/plain").as("mime"))
+
+  /** STUB decoder: a real implementation would call an image codec here
+    * (e.g. libjpeg via JNI) inside the per-partition loop. Deterministic
+    * fake: dimensions derived from payload length and first byte. */
+  private def decodeOne(b: Blob): MediaMeta = {
+    val first = if (b.content.nonEmpty) b.content(0) & 0xff else 0
+    MediaMeta(
+      doc_id = b.doc_id,
+      n_bytes = b.content.length.toLong,
+      width = 64 + (first * 7) % 512,
+      height = 64 + ((b.content.length % 512) * 3) % 512,
+      channels = 3)
+  }
+
+  /** Partition-wise decode: one "codec handle" per partition, streamed rows.
+    * This is the Scala analogue of a pandas-UDF/mapInPandas batch stage. */
+  def decodeStub(spark: SparkSession, blobs: DataFrame): Dataset[MediaMeta] = {
+    import spark.implicits._
+    blobs.as[Blob].mapPartitions { it =>
+      // real code: val codec = Codec.open(); closed via task-completion listener
+      it.map(decodeOne)
+    }
+  }
+}

@@ -1,0 +1,368 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+
+import scala.collection.concurrent.TrieMap
+
+import graft.Tables
+import graft.forecast.Forecast
+import graft.functions.Exact
+
+/** The operator corpus: one named query per implemented operator from
+  * SURVEY.md §2, each runnable on a testdata scale-factor directory and (for
+  * the SQL-expressible ones) hash-checked against DuckDB via
+  * [[graft.queries.Oracle]].
+  *
+  * Every query ends in a deterministic total order so results are
+  * reproducible row-for-row across engines and partitionings.
+  */
+object Corpus {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** The daily grain is the shared input of ~half the corpus; cache it per
+    * (session, sfDir) so a Verify/Bench sweep materializes the
+    * scan→join→aggregate lineage once — the same cache()+count() idiom the
+    * reference uses for its feature frame (Sales_forecast_pyspark.py:649-651). */
+  private val dailyCache = TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def daily(s: SparkSession, d: String): DataFrame =
+    dailyCache.getOrElseUpdate((s, d), {
+      val df = Forecast.dailySales(Tables.salesLines(s, d)).cache()
+      df.count()
+      df
+    })
+
+  private val dailyKeys = Seq("Country", "StockCode", "InvoiceDate")
+
+  private def keyCols: Seq[Column] = dailyKeys.map(col)
+
+  // ---- scans / aggregations -------------------------------------------------
+
+  /** A1: global count. */
+  def scanCount(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).agg(count(lit(1)).as("n"))
+
+  /** A2: (Year, Month) date-range profile of orders. */
+  def dateProfile(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        year(col("o_orderdate")).as("Year"),
+        month(col("o_orderdate")).as("Month"),
+        col("o_orderkey"),
+        to_date(col("o_orderdate")).as("odate"))
+      .groupBy("Year", "Month")
+      .agg(
+        min("o_orderkey").as("min_orderkey"),
+        max("o_orderkey").as("max_orderkey"),
+        min("odate").as("min_date"),
+        max("odate").as("max_date"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("Year", "Month")
+
+  /** A3: the core daily aggregation (flagship). */
+  def dailySales(s: SparkSession, d: String): DataFrame =
+    daily(s, d).orderBy(keyCols: _*)
+
+  /** A4: monthly rollup over the daily grain. */
+  def monthlyRollup(s: SparkSession, d: String): DataFrame =
+    daily(s, d)
+      .groupBy("Year", "Month")
+      .agg(
+        sum("NetDailyQuantity").as("total_qty"),
+        Exact.dsum(col("NetDailyRevenue")).as("total_revenue"))
+      .orderBy("Year", "Month")
+
+  /** A5 + O2/O3: country rollup, top-15 by quantity (TakeOrderedAndProject). */
+  def countryTopK(s: SparkSession, d: String): DataFrame =
+    daily(s, d)
+      .groupBy("Country")
+      .agg(sum("NetDailyQuantity").as("total_qty"))
+      .orderBy(col("total_qty").desc, col("Country").asc)
+      .limit(15)
+
+  /** A6: day-of-week rollup. */
+  def dowRollup(s: SparkSession, d: String): DataFrame =
+    daily(s, d)
+      .groupBy("DayOfWeek")
+      .agg(sum("NetDailyQuantity").as("total_qty"), count(lit(1)).as("n_days"))
+      .orderBy("DayOfWeek")
+
+  /** A7: daily totals across all series. */
+  def dailyTotals(s: SparkSession, d: String): DataFrame =
+    daily(s, d)
+      .groupBy("InvoiceDate")
+      .agg(sum("NetDailyQuantity").as("total_qty"))
+      .orderBy("InvoiceDate")
+
+  /** A11: exact median per group (grouped percentile). */
+  def percentileByPart(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_partkey")
+      .agg(percentile(col("l_quantity"), lit(0.5)).as("med_qty"), count(lit(1)).as("n"))
+      .orderBy("l_partkey")
+
+  // ---- projections / filters ------------------------------------------------
+
+  /** P1 + P3: projection with a pushed-down ship-date range predicate. */
+  def projFilter(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(
+        col("l_shipdate") >= to_timestamp(lit("1998-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-04-01 00:00:00")))
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_quantity"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** P4: string equality filter. */
+  def segmentFilter(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+
+  /** P5: boolean train/test split flag cast to int. */
+  def splitFlag(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        (col("o_orderdate") <= to_timestamp(lit("1998-06-30 00:00:00"))).cast("int").as("is_train"))
+      .orderBy("o_orderkey")
+
+  /** P8: seeded Bernoulli sample (no SQL oracle — engine-specific RNG). */
+  def sampleCount(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).sample(withReplacement = false, 0.2, 42).agg(count(lit(1)).as("n"))
+
+  // ---- dedup ----------------------------------------------------------------
+
+  /** D1: distinct full-row count. */
+  def distinctCount(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).distinct().agg(count(lit(1)).as("n"))
+
+  /** D2: exact dedup of documents — keep min doc_id per identical text. */
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy("text")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+      .orderBy("keep_id")
+
+  // ---- joins ----------------------------------------------------------------
+
+  /** J1: left join on a single key with null repair (P7). */
+  def joinLeft(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d).select("c_custkey", "c_name")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+      .select(
+        col("o_orderkey"), col("o_totalprice"),
+        coalesce(col("c_name"), lit("UNKNOWN")).as("cust_name"))
+      .orderBy("o_orderkey")
+  }
+
+  /** J2: 3-column composite-key left join — daily grain joined to its MA
+    * baseline frame (the evaluation-join shape). */
+  def joinComposite(s: SparkSession, d: String): DataFrame = {
+    val dl = daily(s, d)
+    val base = Forecast.maBaseline(dl).select(
+      col("Country"), col("StockCode"), col("InvoiceDate"), col("baseline_qty"))
+    dl.select(keyCols :+ col("NetDailyQuantity"): _*)
+      .join(base, dailyKeys, "left")
+      .orderBy(keyCols: _*)
+  }
+
+  /** J3: inner join rollup. */
+  def joinInner(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_nations"))
+      .orderBy("r_name")
+  }
+
+  /** Left-semi join (EXISTS). */
+  def joinSemi(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).select("o_custkey")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Left-anti join (NOT EXISTS). */
+  def joinAnti(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).select("o_custkey")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  // ---- set ops --------------------------------------------------------------
+
+  /** U1: segment split recombined with unionByName. */
+  def unionSegments(s: SparkSession, d: String): DataFrame = {
+    val dl = daily(s, d)
+    def seg(p: Column, label: String): DataFrame =
+      dl.filter(p)
+        .groupBy("Country")
+        .agg(sum("NetDailyQuantity").as("total_qty"))
+        .withColumn("segment", lit(label))
+    seg(col("Country") === "NATION_0", "uk")
+      .unionByName(seg(col("Country") =!= "NATION_0", "others"))
+      .orderBy("segment", "Country")
+  }
+
+  // ---- sorts ----------------------------------------------------------------
+
+  /** O1: multi-column sort + limit. */
+  def sortLimit(s: SparkSession, d: String): DataFrame =
+    daily(s, d)
+      .select(keyCols :+ col("NetDailyQuantity"): _*)
+      .orderBy(keyCols: _*)
+      .limit(500)
+
+  // ---- scalar functions -----------------------------------------------------
+
+  /** F4/F7/F8/F9 + conditional: per-row scalar math. */
+  def scalarMath(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") < to_timestamp(lit("1995-07-01 00:00:00")))
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(log1p(col("l_quantity")), 6).as("log_qty"),
+        abs(col("l_extendedprice") - lit(50000.0)).as("abs_dev"),
+        (col("l_quantity") * lit(2.0) + lit(1.0)).as("qty_affine"),
+        when(col("l_discount") > 0.05, lit("H")).otherwise(lit("L")).as("disc_band"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** JSON field extraction from the events props column. */
+  def jsonExtract(s: SparkSession, d: String): DataFrame = {
+    val k = regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
+    Tables.events(s, d)
+      .select(col("event_id"), when(k =!= "", k).cast("int").as("k_val"))
+      .orderBy("event_id")
+  }
+
+  /** Tumbling-window (hourly) event aggregation — the batch shape of the
+    * streaming query in graft.streaming. */
+  def hourlyEvents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), Exact.dsum(col("value")).as("total_value"))
+      .orderBy("hour", "event_type")
+
+  // ---- windows --------------------------------------------------------------
+
+  /** W1: lag features over series / 6-cycle / same-weekday windows. */
+  def lagFeatures(s: SparkSession, d: String): DataFrame =
+    Forecast.lagFeatures(daily(s, d), 1 to 3)
+      .select(keyCols ++ Seq(
+        col("lag_qty_1_day"), col("lag_qty_2_day"), col("lag_qty_3_day"),
+        col("lag_price_1_day"), col("lag_qty_1_6cycle"), col("lag_qty_1_dow")): _*)
+      .orderBy(keyCols: _*)
+
+  private def rolled(s: SparkSession, d: String): DataFrame =
+    Forecast.rollingFeatures(daily(s, d), Seq(3, 6), Seq(3))
+
+  /** W2/W3: rolling mean/std over trailing frames, both window families. */
+  def rollingStats(s: SparkSession, d: String): DataFrame =
+    rolled(s, d)
+      .select(keyCols ++ Seq(
+        col("roll_mean_3d"), col("roll_std_3d"),
+        col("roll_mean_6d"), col("roll_std_6d"),
+        col("roll_mean_3_dow")): _*)
+      .orderBy(keyCols: _*)
+
+  /** W4: rolling exact median over trailing frames. */
+  def rollingMedian(s: SparkSession, d: String): DataFrame =
+    rolled(s, d)
+      .select(keyCols ++ Seq(
+        col("roll_median_3d"), col("roll_median_6d"), col("roll_median_3_dow")): _*)
+      .orderBy(keyCols: _*)
+
+  /** W5: diff-vs-rolling features. */
+  def diffFeatures(s: SparkSession, d: String): DataFrame =
+    Forecast.diffFeatures(Forecast.rollingFeatures(daily(s, d), Seq(3), Seq()), Seq(3))
+      .select(keyCols ++ Seq(col("diff_qty_mean_3d"), col("diff_qty_median_3d")): _*)
+      .orderBy(keyCols: _*)
+
+  /** W6: the 6-day moving-average baseline. */
+  def maBaseline(s: SparkSession, d: String): DataFrame =
+    Forecast.maBaseline(daily(s, d))
+      .select(keyCols ++ Seq(col("NetDailyQuantity"), col("baseline_qty")): _*)
+      .orderBy(keyCols: _*)
+
+  // ---- KPIs -----------------------------------------------------------------
+
+  /** A8: global KPI aggregate (MAE/MAPE/bias, model vs baseline). */
+  def kpiGlobal(s: SparkSession, d: String): DataFrame =
+    Forecast.kpiGlobal(Forecast.evalFrame(daily(s, d)))
+
+  /** A9: per-country KPI. */
+  def kpiByCountry(s: SparkSession, d: String): DataFrame =
+    Forecast.kpiByCountry(Forecast.evalFrame(daily(s, d))).orderBy("Country")
+
+  /** A10: value-weighted error totals + % reduction. */
+  def valueWeighted(s: SparkSession, d: String): DataFrame =
+    Forecast.valueWeighted(Forecast.evalFrame(daily(s, d)))
+
+  // ---- registry -------------------------------------------------------------
+
+  /** Output-boundary normalization: date and (instant) timestamp columns are
+    * cast to TIMESTAMP_NTZ so the parquet the driver reads back carries the
+    * same tz-naive physical type DuckDB produces for its result frame —
+    * otherwise tz-aware µs timestamps vs naive dates can't hash-compare.
+    * Session tz is UTC everywhere, so values are unchanged wall-clock. */
+  private def normalizeTemporal(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case DateType | TimestampType => col(f.name).cast(TimestampNTZType).as(f.name)
+        case _ => col(f.name)
+      }
+    }
+    df.select(cols.toSeq: _*)
+  }
+
+  private val raw: Map[String, Q] = Map(
+    "q_a1_scan_count" -> (scanCount _),
+    "q_a2_date_profile" -> (dateProfile _),
+    "q_a3_daily_sales" -> (dailySales _),
+    "q_a4_monthly_rollup" -> (monthlyRollup _),
+    "q_a5_country_topk" -> (countryTopK _),
+    "q_a6_dow_rollup" -> (dowRollup _),
+    "q_a7_daily_totals" -> (dailyTotals _),
+    "q_a8_kpi_global" -> (kpiGlobal _),
+    "q_a9_kpi_by_country" -> (kpiByCountry _),
+    "q_a10_value_weighted" -> (valueWeighted _),
+    "q_a11_percentile" -> (percentileByPart _),
+    "q_p1_proj_filter" -> (projFilter _),
+    "q_p4_segment_filter" -> (segmentFilter _),
+    "q_p5_split_flag" -> (splitFlag _),
+    "q_p8_sample" -> (sampleCount _),
+    "q_d1_distinct_count" -> (distinctCount _),
+    "q_d2_dedup_exact" -> (dedupExact _),
+    "q_j1_join_left" -> (joinLeft _),
+    "q_j2_join_composite" -> (joinComposite _),
+    "q_j3_join_inner" -> (joinInner _),
+    "q_j4_join_semi" -> (joinSemi _),
+    "q_j5_join_anti" -> (joinAnti _),
+    "q_u1_union_segments" -> (unionSegments _),
+    "q_o1_sort_limit" -> (sortLimit _),
+    "q_f1_scalar_math" -> (scalarMath _),
+    "q_f2_json_extract" -> (jsonExtract _),
+    "q_e1_hourly_events" -> (hourlyEvents _),
+    "q_w1_lag_features" -> (lagFeatures _),
+    "q_w2_rolling_stats" -> (rollingStats _),
+    "q_w4_rolling_median" -> (rollingMedian _),
+    "q_w5_diff_features" -> (diffFeatures _),
+    "q_w6_ma_baseline" -> (maBaseline _)
+  )
+
+  val all: Map[String, Q] = raw.map { case (name, fn) =>
+    name -> ((s: SparkSession, d: String) => normalizeTemporal(fn(s, d)))
+  }
+}

@@ -1,0 +1,320 @@
+package graft.queries
+
+/** DuckDB-dialect oracle SQL for each SQL-expressible query in [[Corpus]].
+  *
+  * Conventions that keep the cross-engine hash compare exact:
+  *  - aggregates over doubles go through a fixed-scale DECIMAL
+  *    (order-independent exact sum) and are cast back to DOUBLE, mirroring
+  *    [[graft.functions.Exact]];
+  *  - DuckDB's widened aggregate types (SUM(BIGINT) → HUGEINT,
+  *    year() → BIGINT) are cast back to the Spark result types;
+  *  - DuckDB dayofweek is 0=Sunday; Spark's is 1=Sunday — normalized with +1;
+  *  - every query has a deterministic total ORDER BY.
+  */
+object Oracle {
+
+  private val salesCte =
+    """sales AS (
+      |  SELECT n_name AS Country,
+      |         CAST(l_partkey AS VARCHAR) AS StockCode,
+      |         CAST(l_shipdate AS DATE) AS InvoiceDate,
+      |         CAST(l_quantity AS BIGINT) AS Quantity,
+      |         l_extendedprice AS UnitPrice,
+      |         l_extendedprice * (1.0 - l_discount) AS LineRevenue
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey)""".stripMargin
+
+  private val dailyCte =
+    """daily AS (
+      |  SELECT Country, StockCode, InvoiceDate,
+      |         CAST(year(InvoiceDate) AS INTEGER) AS Year,
+      |         CAST(month(InvoiceDate) AS INTEGER) AS Month,
+      |         CAST(day(InvoiceDate) AS INTEGER) AS Day,
+      |         CAST(weekofyear(InvoiceDate) AS INTEGER) AS Week,
+      |         CAST(dayofweek(InvoiceDate) + 1 AS INTEGER) AS DayOfWeek,
+      |         CAST(SUM(Quantity) AS BIGINT) AS NetDailyQuantity,
+      |         CAST(SUM(CAST(LineRevenue AS DECIMAL(30,6))) AS DOUBLE) AS NetDailyRevenue,
+      |         CAST(SUM(CAST(UnitPrice AS DECIMAL(30,6))) AS DOUBLE) / CAST(COUNT(UnitPrice) AS DOUBLE) AS AvgUnitPrice
+      |  FROM sales
+      |  GROUP BY 1,2,3,4,5,6,7,8)""".stripMargin
+
+  private def withDaily(body: String): String =
+    s"WITH $salesCte,\n$dailyCte\n$body"
+
+  /** Spark results normalize temporal outputs to TIMESTAMP_NTZ (see
+    * Corpus.normalizeTemporal); DATE outputs get the matching cast here. */
+  private val tsDate = "CAST(InvoiceDate AS TIMESTAMP) AS InvoiceDate"
+
+  /** Bit-reproducible mean via IEEE-only ops — mirrors Exact.floorAvg(c, 9). */
+  private def floorAvg9(x: String, alias: String): String =
+    s"CAST(SUM(CAST(floor(($x) * 1.0E9) AS BIGINT)) AS DOUBLE) / 1.0E9 / CAST(COUNT($x) AS DOUBLE) AS $alias"
+
+  /** Bit-reproducible sum — mirrors Exact.floorSum(c, 4). */
+  private def floorSum4(x: String, alias: String): String =
+    s"CAST(SUM(CAST(floor(($x) * 1.0E4) AS BIGINT)) AS DOUBLE) / 1.0E4 AS $alias"
+
+  private val seriesWin =
+    "w AS (PARTITION BY Country, StockCode ORDER BY InvoiceDate)"
+  private val dowWin =
+    "wd AS (PARTITION BY Country, StockCode, DayOfWeek ORDER BY InvoiceDate)"
+  private def frameWin(name: String, n: Int, dow: Boolean = false): String = {
+    val keys = if (dow) "Country, StockCode, DayOfWeek" else "Country, StockCode"
+    s"$name AS (PARTITION BY $keys ORDER BY InvoiceDate ROWS BETWEEN $n PRECEDING AND 1 PRECEDING)"
+  }
+
+  /** Eval-frame CTE: MA(6) baseline with last-value fallback + naive lag-1
+    * prediction + error columns (mirrors Forecast.evalFrame). */
+  private val evalCte =
+    s"""ev AS (
+       |  SELECT Country, AvgUnitPrice, NetDailyQuantity,
+       |         COALESCE(
+       |           CAST(SUM(NetDailyQuantity) OVER f6 AS DOUBLE) / CAST(COUNT(NetDailyQuantity) OVER f6 AS DOUBLE),
+       |           CAST(lag(NetDailyQuantity, 1) OVER w AS DOUBLE)) AS baseline_qty,
+       |         CAST(lag(NetDailyQuantity, 1) OVER w AS DOUBLE) AS prediction
+       |  FROM daily
+       |  WINDOW $seriesWin, ${frameWin("f6", 6)}),
+       |err AS (
+       |  SELECT Country, AvgUnitPrice,
+       |         prediction - CAST(NetDailyQuantity AS DOUBLE) AS err_model,
+       |         baseline_qty - CAST(NetDailyQuantity AS DOUBLE) AS err_baseline,
+       |         abs(prediction - CAST(NetDailyQuantity AS DOUBLE)) AS abs_err_model,
+       |         abs(baseline_qty - CAST(NetDailyQuantity AS DOUBLE)) AS abs_err_baseline,
+       |         abs(prediction - CAST(NetDailyQuantity AS DOUBLE))
+       |           / (CASE WHEN NetDailyQuantity = 0 THEN NULL ELSE CAST(NetDailyQuantity AS DOUBLE) END) AS ape_model,
+       |         abs(baseline_qty - CAST(NetDailyQuantity AS DOUBLE))
+       |           / (CASE WHEN NetDailyQuantity = 0 THEN NULL ELSE CAST(NetDailyQuantity AS DOUBLE) END) AS ape_baseline
+       |  FROM ev)""".stripMargin
+
+  private val kpiAggs = Seq(
+    floorAvg9("abs_err_model", "mae_model"),
+    floorAvg9("abs_err_baseline", "mae_baseline"),
+    floorAvg9("ape_model", "mape_model"),
+    floorAvg9("ape_baseline", "mape_baseline"),
+    floorAvg9("err_model", "bias_model"),
+    floorAvg9("err_baseline", "bias_baseline")).mkString(",\n       ")
+
+  val sql: Map[String, String] = Map(
+    "q_a1_scan_count" ->
+      "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem",
+
+    "q_a2_date_profile" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS Year,
+        |       CAST(month(o_orderdate) AS INTEGER) AS Month,
+        |       MIN(o_orderkey) AS min_orderkey,
+        |       MAX(o_orderkey) AS max_orderkey,
+        |       CAST(MIN(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS min_date,
+        |       CAST(MAX(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS max_date,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_a3_daily_sales" -> withDaily(
+      s"""SELECT Country, StockCode, $tsDate, Year, Month, Day, Week, DayOfWeek,
+         |       NetDailyQuantity, NetDailyRevenue, AvgUnitPrice
+         |FROM daily ORDER BY Country, StockCode, InvoiceDate""".stripMargin),
+
+    "q_a4_monthly_rollup" -> withDaily(
+      """SELECT Year, Month,
+        |       CAST(SUM(NetDailyQuantity) AS BIGINT) AS total_qty,
+        |       CAST(SUM(CAST(NetDailyRevenue AS DECIMAL(30,6))) AS DOUBLE) AS total_revenue
+        |FROM daily GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    "q_a5_country_topk" -> withDaily(
+      """SELECT Country, CAST(SUM(NetDailyQuantity) AS BIGINT) AS total_qty
+        |FROM daily GROUP BY 1
+        |ORDER BY total_qty DESC, Country ASC LIMIT 15""".stripMargin),
+
+    "q_a6_dow_rollup" -> withDaily(
+      """SELECT DayOfWeek,
+        |       CAST(SUM(NetDailyQuantity) AS BIGINT) AS total_qty,
+        |       CAST(COUNT(*) AS BIGINT) AS n_days
+        |FROM daily GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "q_a7_daily_totals" -> withDaily(
+      s"""SELECT $tsDate, CAST(SUM(NetDailyQuantity) AS BIGINT) AS total_qty
+         |FROM daily GROUP BY InvoiceDate ORDER BY InvoiceDate""".stripMargin),
+
+    "q_a8_kpi_global" -> withDaily(
+      s""",$evalCte
+         |SELECT $kpiAggs
+         |FROM err""".stripMargin),
+
+    "q_a9_kpi_by_country" -> withDaily(
+      s""",$evalCte
+         |SELECT Country,
+         |       $kpiAggs
+         |FROM err GROUP BY Country ORDER BY Country""".stripMargin),
+
+    "q_a10_value_weighted" -> withDaily(
+      s""",$evalCte
+         |SELECT *,
+         |       (1.0 - total_err_value_model / total_err_value_baseline) * 100.0 AS pct_reduction
+         |FROM (
+         |  SELECT ${floorSum4("abs_err_model * AvgUnitPrice", "total_err_value_model")},
+         |         ${floorSum4("abs_err_baseline * AvgUnitPrice", "total_err_value_baseline")},
+         |         CAST(COUNT(*) AS BIGINT) AS n_rows
+         |  FROM err) t""".stripMargin),
+
+    "q_a11_percentile" ->
+      """SELECT l_partkey,
+        |       quantile_cont(l_quantity, 0.5) AS med_qty,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_p1_proj_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+        |       l_extendedprice * (1.0 - l_discount) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1998-04-01 00:00:00'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_p4_segment_filter" ->
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM customer WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_p5_split_flag" ->
+      """SELECT o_orderkey,
+        |       CAST(o_orderdate <= TIMESTAMP '1998-06-30 00:00:00' AS INTEGER) AS is_train
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_d1_distinct_count" ->
+      "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT DISTINCT * FROM lineitem) t",
+
+    "q_d2_dedup_exact" ->
+      """SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "q_j1_join_left" ->
+      """SELECT o_orderkey, o_totalprice,
+        |       COALESCE(c_name, 'UNKNOWN') AS cust_name
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_j2_join_composite" -> withDaily(
+      s"""SELECT d.Country, d.StockCode, CAST(d.InvoiceDate AS TIMESTAMP) AS InvoiceDate, d.NetDailyQuantity, b.baseline_qty
+         |FROM daily d
+         |LEFT JOIN (
+         |  SELECT Country, StockCode, InvoiceDate,
+         |         COALESCE(
+         |           CAST(SUM(NetDailyQuantity) OVER f6 AS DOUBLE) / CAST(COUNT(NetDailyQuantity) OVER f6 AS DOUBLE),
+         |           CAST(lag(NetDailyQuantity, 1) OVER w AS DOUBLE)) AS baseline_qty
+         |  FROM daily
+         |  WINDOW $seriesWin, ${frameWin("f6", 6)}) b
+         |  ON d.Country = b.Country AND d.StockCode = b.StockCode AND d.InvoiceDate = b.InvoiceDate
+         |ORDER BY d.Country, d.StockCode, d.InvoiceDate""".stripMargin),
+
+    "q_j3_join_inner" ->
+      """SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_j4_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_j5_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_u1_union_segments" -> withDaily(
+      """SELECT * FROM (
+        |  SELECT Country, CAST(SUM(NetDailyQuantity) AS BIGINT) AS total_qty, 'uk' AS segment
+        |  FROM daily WHERE Country = 'NATION_0' GROUP BY Country
+        |  UNION ALL
+        |  SELECT Country, CAST(SUM(NetDailyQuantity) AS BIGINT) AS total_qty, 'others' AS segment
+        |  FROM daily WHERE Country <> 'NATION_0' GROUP BY Country) t
+        |ORDER BY segment, Country""".stripMargin),
+
+    "q_o1_sort_limit" -> withDaily(
+      s"""SELECT Country, StockCode, $tsDate, NetDailyQuantity
+         |FROM daily ORDER BY Country, StockCode, InvoiceDate LIMIT 500""".stripMargin),
+
+    "q_f1_scalar_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       round(ln(1.0 + CAST(l_quantity AS DOUBLE)), 6) AS log_qty,
+        |       abs(l_extendedprice - 50000.0) AS abs_dev,
+        |       l_quantity * 2.0 + 1.0 AS qty_affine,
+        |       CASE WHEN l_discount > 0.05 THEN 'H' ELSE 'L' END AS disc_band
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1995-07-01 00:00:00'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_f2_json_extract" ->
+      """SELECT event_id,
+        |       CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS INTEGER) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_e1_hourly_events" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_w1_lag_features" -> withDaily(
+      s"""SELECT Country, StockCode, $tsDate,
+         |       COALESCE(lag(NetDailyQuantity, 1) OVER w, 0) AS lag_qty_1_day,
+         |       COALESCE(lag(NetDailyQuantity, 2) OVER w, 0) AS lag_qty_2_day,
+         |       COALESCE(lag(NetDailyQuantity, 3) OVER w, 0) AS lag_qty_3_day,
+         |       COALESCE(lag(AvgUnitPrice, 1) OVER w, CAST(0 AS DOUBLE)) AS lag_price_1_day,
+         |       COALESCE(lag(NetDailyQuantity, 6) OVER w, 0) AS lag_qty_1_6cycle,
+         |       COALESCE(lag(NetDailyQuantity, 1) OVER wd, 0) AS lag_qty_1_dow
+         |FROM daily
+         |WINDOW $seriesWin, $dowWin
+         |ORDER BY Country, StockCode, InvoiceDate""".stripMargin),
+
+    "q_w2_rolling_stats" -> withDaily(
+      s""",roll AS (
+         |  SELECT Country, StockCode, InvoiceDate,
+         |         CAST(COUNT(NetDailyQuantity) OVER f3 AS DOUBLE) AS n3,
+         |         CAST(SUM(NetDailyQuantity) OVER f3 AS DOUBLE) AS a3,
+         |         CAST(SUM(NetDailyQuantity * NetDailyQuantity) OVER f3 AS DOUBLE) AS b3,
+         |         CAST(COUNT(NetDailyQuantity) OVER f6 AS DOUBLE) AS n6,
+         |         CAST(SUM(NetDailyQuantity) OVER f6 AS DOUBLE) AS a6,
+         |         CAST(SUM(NetDailyQuantity * NetDailyQuantity) OVER f6 AS DOUBLE) AS b6,
+         |         CAST(COUNT(NetDailyQuantity) OVER fd3 AS DOUBLE) AS nd3,
+         |         CAST(SUM(NetDailyQuantity) OVER fd3 AS DOUBLE) AS ad3
+         |  FROM daily
+         |  WINDOW ${frameWin("f3", 3)}, ${frameWin("f6", 6)}, ${frameWin("fd3", 3, dow = true)})
+         |SELECT Country, StockCode, $tsDate,
+         |       a3 / n3 AS roll_mean_3d,
+         |       CASE WHEN n3 >= 2 THEN sqrt((b3 - a3 * a3 / n3) / (n3 - 1.0)) END AS roll_std_3d,
+         |       a6 / n6 AS roll_mean_6d,
+         |       CASE WHEN n6 >= 2 THEN sqrt((b6 - a6 * a6 / n6) / (n6 - 1.0)) END AS roll_std_6d,
+         |       ad3 / nd3 AS roll_mean_3_dow
+         |FROM roll
+         |ORDER BY Country, StockCode, InvoiceDate""".stripMargin),
+
+    "q_w4_rolling_median" -> withDaily(
+      s"""SELECT Country, StockCode, $tsDate,
+         |       quantile_cont(NetDailyQuantity, 0.5) OVER f3 AS roll_median_3d,
+         |       quantile_cont(NetDailyQuantity, 0.5) OVER f6 AS roll_median_6d,
+         |       quantile_cont(NetDailyQuantity, 0.5) OVER fd3 AS roll_median_3_dow
+         |FROM daily
+         |WINDOW ${frameWin("f3", 3)}, ${frameWin("f6", 6)}, ${frameWin("fd3", 3, dow = true)}
+         |ORDER BY Country, StockCode, InvoiceDate""".stripMargin),
+
+    "q_w5_diff_features" -> withDaily(
+      s"""SELECT Country, StockCode, $tsDate,
+         |       CAST(NetDailyQuantity AS DOUBLE)
+         |         - CAST(SUM(NetDailyQuantity) OVER f3 AS DOUBLE) / CAST(COUNT(NetDailyQuantity) OVER f3 AS DOUBLE) AS diff_qty_mean_3d,
+         |       CAST(NetDailyQuantity AS DOUBLE)
+         |         - quantile_cont(NetDailyQuantity, 0.5) OVER f3 AS diff_qty_median_3d
+         |FROM daily
+         |WINDOW ${frameWin("f3", 3)}
+         |ORDER BY Country, StockCode, InvoiceDate""".stripMargin),
+
+    "q_w6_ma_baseline" -> withDaily(
+      s"""SELECT Country, StockCode, $tsDate, NetDailyQuantity,
+         |       COALESCE(
+         |         CAST(SUM(NetDailyQuantity) OVER f6 AS DOUBLE) / CAST(COUNT(NetDailyQuantity) OVER f6 AS DOUBLE),
+         |         CAST(lag(NetDailyQuantity, 1) OVER w AS DOUBLE)) AS baseline_qty
+         |FROM daily
+         |WINDOW $seriesWin, ${frameWin("f6", 6)}
+         |ORDER BY Country, StockCode, InvoiceDate""".stripMargin)
+  )
+}
