@@ -51,10 +51,15 @@ object Dedup {
       .select("shingle")
     val pruned = sh.join(hot, Seq("shingle"), "left_anti")
     val counts = sh.groupBy("doc").agg(count(lit(1)).as("n_shingles"))
-    val inter = pruned.as("a")
-      .join(pruned.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("id1"), col("b.doc").as("id2"))
+    // Self-join via structurally renamed frames: with a shared lineage and
+    // .as() aliases Spark can fail to treat `shingle = shingle` as an
+    // equi-key and degrade to a near-cartesian nested-loop join.
+    val base = pruned.select("doc", "shingle")
+    val left = base.toDF("id1", "shingle")
+    val right = base.toDF("id2", "shingle_r")
+    val inter = left
+      .join(right, col("shingle") === col("shingle_r") && col("id1") < col("id2"))
+      .groupBy("id1", "id2")
       .agg(count(lit(1)).as("n_common"))
     inter
       .join(counts.withColumnRenamed("doc", "id1").withColumnRenamed("n_shingles", "n1"), "id1")
@@ -107,11 +112,14 @@ object Dedup {
     val hot = buckets.groupBy("band", "band_hash").count()
       .filter(col("count") > maxBucket).select("band", "band_hash")
     val pruned = buckets.join(hot, Seq("band", "band_hash"), "left_anti")
-    val cand = pruned.as("x")
-      .join(pruned.as("y"),
-        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
-          col("x.doc") < col("y.doc"))
-      .select(col("x.doc").as("id1"), col("y.doc").as("id2"))
+    val base = pruned.select("doc", "band", "band_hash")
+    val left = base.toDF("id1", "band", "band_hash")
+    val right = base.toDF("id2", "band_r", "hash_r")
+    val cand = left
+      .join(right,
+        col("band") === col("band_r") && col("band_hash") === col("hash_r") &&
+          col("id1") < col("id2"))
+      .select("id1", "id2")
       .distinct()
     val sets = shingled.select(col(idCol), col("shingles"))
     cand
@@ -149,12 +157,14 @@ object Dedup {
         b => call_function("shiftrightunsigned", col("simhash"), b * lit(16))
           .bitwiseAND(lit(0xffffL)))))
       .withColumnsRenamed(Map("pos" -> "block", "col" -> "block_val"))
-    blocks.as("x")
-      .join(blocks.as("y"),
-        col("x.block") === col("y.block") && col("x.block_val") === col("y.block_val") &&
-          col("x.doc") < col("y.doc"))
-      .select(col("x.doc").as("id1"), col("y.doc").as("id2"),
-        col("x.simhash").as("sh1"), col("y.simhash").as("sh2"))
+    val base = blocks.select("doc", "simhash", "block", "block_val")
+    val left = base.toDF("id1", "sh1", "block", "block_val")
+    val right = base.toDF("id2", "sh2", "block_r", "val_r")
+    left
+      .join(right,
+        col("block") === col("block_r") && col("block_val") === col("val_r") &&
+          col("id1") < col("id2"))
+      .select("id1", "id2", "sh1", "sh2")
       .distinct()
       .withColumn("hamming", bit_count(col("sh1").bitwiseXOR(col("sh2"))))
       .filter(col("hamming") <= maxHamming)
@@ -192,12 +202,14 @@ object Dedup {
       col(idCol).as("doc"), col(vecCol).as("vec"),
       posexplode(array((0 until tables).map(tableKey): _*)))
       .withColumnsRenamed(Map("pos" -> "table", "col" -> "bucket"))
-    val cand = keyed.as("x")
-      .join(keyed.as("y"),
-        col("x.table") === col("y.table") && col("x.bucket") === col("y.bucket") &&
-          col("x.doc") < col("y.doc"))
-      .select(col("x.doc").as("id1"), col("y.doc").as("id2"),
-        col("x.vec").as("v1"), col("y.vec").as("v2"))
+    val base = keyed.select("doc", "vec", "table", "bucket")
+    val left = base.toDF("id1", "v1", "table", "bucket")
+    val right = base.toDF("id2", "v2", "table_r", "bucket_r")
+    val cand = left
+      .join(right,
+        col("table") === col("table_r") && col("bucket") === col("bucket_r") &&
+          col("id1") < col("id2"))
+      .select("id1", "id2", "v1", "v2")
       .distinct()
     cand
       .withColumn("cosine", GraftFunctions.cosine(spark, col("v1"), col("v2")))

@@ -1,0 +1,132 @@
+package graft.ml
+
+import org.apache.spark.ml.{Estimator, Model, Pipeline, PipelineModel}
+import org.apache.spark.ml.evaluation.RegressionEvaluator
+import org.apache.spark.ml.feature.{StringIndexer, VectorAssembler}
+import org.apache.spark.ml.regression.{
+  GBTRegressor, LinearRegression, LinearRegressionModel, RandomForestRegressor}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference's ML surface (SURVEY §2.11, M1-M9) with its exact
+  * hyperparameter presets: categorical indexing, vector assembly, the seven
+  * regressor variants, three-metric evaluation, segmented training, and
+  * coefficient introspection.
+  *
+  * PySpark's pyspark.ml is a thin wrapper over these same Scala classes, so
+  * this module IS the reference implementation, minus the Py4J hop.
+  */
+object ForecastModels {
+
+  val LabelCol = "NetDailyQuantity"
+
+  case class RegMetrics(name: String, mae: Double, rmse: Double, r2: Double)
+
+  /** M1+M2: Country/StockCode indexers (handleInvalid=keep maps unseen
+    * categories to an extra index, Sales_forecast_pyspark.py:389-400) +
+    * assembler (handleInvalid=skip silently DROPS rows with null/NaN
+    * features — row counts downstream shrink; reference behavior,
+    * Sales_forecast_pyspark.py:417). */
+  def featurePipeline(featureCols: Seq[String]): Pipeline = {
+    val countryIdx = new StringIndexer()
+      .setInputCol("Country").setOutputCol("CountryIndex")
+      .setHandleInvalid("keep").setStringOrderType("frequencyDesc")
+    val stockIdx = new StringIndexer()
+      .setInputCol("StockCode").setOutputCol("StockCodeIndex")
+      .setHandleInvalid("keep").setStringOrderType("frequencyDesc")
+    val assembler = new VectorAssembler()
+      .setInputCols((featureCols ++ Seq("CountryIndex", "StockCodeIndex")).toArray)
+      .setOutputCol("features")
+      .setHandleInvalid("skip")
+    new Pipeline().setStages(Array(countryIdx, stockIdx, assembler))
+  }
+
+  /** Numeric feature columns present in a feature frame: calendar + lag +
+    * rolling + diff (SURVEY §2.6 families). */
+  def numericFeatureCols(df: DataFrame): Seq[String] = {
+    val calendar = Seq("Year", "Month", "Day", "Week", "DayOfWeek")
+    calendar.filter(df.columns.contains) ++
+      df.columns.filter(c =>
+        c.startsWith("lag_") || c.startsWith("roll_") || c.startsWith("diff_"))
+  }
+
+  // ---- reference model presets (BASELINE.md hyperparameters) ----------------
+
+  /** M4: Lasso LR — v1 regParam 0.1, v2/segmented regParam 0.05
+    * (Sales_forecast_pyspark.py:774-785, 1159-1169). */
+  def lasso(regParam: Double): LinearRegression =
+    new LinearRegression()
+      .setLabelCol(LabelCol).setFeaturesCol("features")
+      .setMaxIter(20).setRegParam(regParam).setElasticNetParam(1.0)
+      .setStandardization(true).setFitIntercept(true)
+
+  /** M3: RF — v1/v2 50 trees, v3 100 trees; depth 5, maxBins 10000, seed 42
+    * (Sales_forecast_pyspark.py:420-429, 1094-1103). */
+  def randomForest(numTrees: Int): RandomForestRegressor =
+    new RandomForestRegressor()
+      .setLabelCol(LabelCol).setFeaturesCol("features")
+      .setNumTrees(numTrees).setMaxDepth(5).setMaxBins(10000).setSeed(42)
+
+  /** M5: GBT with absolute loss — v1 20 iters step 0.01, v2 100 iters step
+    * 0.05; depth 3, seed 42 (Sales_forecast_pyspark.py:838-849, 1223-1234). */
+  def gbt(maxIter: Int, stepSize: Double): GBTRegressor =
+    new GBTRegressor()
+      .setLabelCol(LabelCol).setFeaturesCol("features")
+      .setMaxDepth(3).setMaxBins(10000).setLossType("absolute")
+      .setMaxIter(maxIter).setStepSize(stepSize).setSeed(42)
+
+  /** M7: mae/rmse/r2 on (label, prediction). */
+  def evaluate(name: String, predictions: DataFrame): RegMetrics = {
+    def metric(m: String): Double =
+      new RegressionEvaluator()
+        .setLabelCol(LabelCol).setPredictionCol("prediction").setMetricName(m)
+        .evaluate(predictions)
+    RegMetrics(name, metric("mae"), metric("rmse"), metric("r2"))
+  }
+
+  /** M6+M8: fit the feature pipeline on train, fit the estimator, transform
+    * test. The feature pipeline is fitted ONCE and reused (the reference
+    * redundantly refits it per model — SURVEY §4.1 flags that as waste). */
+  def trainAndEval(
+      name: String,
+      estimator: Estimator[_ <: Model[_]],
+      features: PipelineModel,
+      train: DataFrame,
+      test: DataFrame): (DataFrame, RegMetrics) = {
+    val model: Model[_] = estimator.fit(features.transform(train))
+    val predictions = model.transform(features.transform(test))
+    (predictions, evaluate(name, predictions))
+  }
+
+  /** M8: segmented harness — train one model per segment predicate, evaluate
+    * each, recombine predictions with unionByName (U1,
+    * Sales_forecast_pyspark.py:1457-1539, 1594). */
+  def segmented(
+      segments: Seq[(String, DataFrame => DataFrame)],
+      mkEstimator: () => Estimator[_ <: Model[_]],
+      featureCols: Seq[String],
+      train: DataFrame,
+      test: DataFrame): (DataFrame, Seq[RegMetrics]) = {
+    val results = segments.map { case (name, filterFn) =>
+      val trainSeg = filterFn(train)
+      val features = featurePipeline(featureCols).fit(trainSeg)
+      trainAndEval(name, mkEstimator(), features, trainSeg, filterFn(test))
+    }
+    val combined = results.map(_._1).reduce(_ unionByName _)
+    (combined, results.map(_._2))
+  }
+
+  /** M9: LR introspection — coefficients ranked by |weight|. */
+  def coefficientRanking(
+      model: LinearRegressionModel,
+      featureNames: Seq[String]): Seq[(String, Double)] =
+    featureNames.zip(model.coefficients.toArray)
+      .sortBy { case (_, w) => -math.abs(w) }
+
+  /** Time-based train/test split at a cutoff date (P3/P5,
+    * Sales_forecast_pyspark.py:366-377). */
+  def timeSplit(df: DataFrame, cutoff: String): (DataFrame, DataFrame) = {
+    val c = to_date(lit(cutoff))
+    (df.filter(col("InvoiceDate") <= c), df.filter(col("InvoiceDate") > c))
+  }
+}

@@ -7,8 +7,12 @@ import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
 import scala.collection.concurrent.TrieMap
 
 import graft.Tables
+import graft.dedup.Dedup
 import graft.forecast.Forecast
-import graft.functions.Exact
+import graft.functions.{Exact, GraftFunctions}
+import graft.multimodal.Multimodal
+import graft.similarity.Ann
+import graft.text.TextFunctions
 
 /** The operator corpus: one named query per implemented operator from
   * SURVEY.md §2, each runnable on a testdata scale-factor directory and (for
@@ -310,6 +314,127 @@ object Corpus {
   def valueWeighted(s: SparkSession, d: String): DataFrame =
     Forecast.valueWeighted(Forecast.evalFrame(daily(s, d)))
 
+  // ---- text analysis --------------------------------------------------------
+
+  /** Token counting + content fingerprint per document. */
+  def textTokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        size(array_distinct(TextFunctions.tokens(col("text")))).as("n_distinct_tokens"),
+        TextFunctions.fingerprintMd5(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  /** Quality scoring: length/punctuation/stopword signals + composite. */
+  def textQuality(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        TextFunctions.punctCount(col("text")).as("n_punct"),
+        TextFunctions.stopwordRatio(TextFunctions.tokens(col("text"))).as("stop_ratio"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  /** Stopword-heuristic language ID. */
+  def textLangId(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        TextFunctions.stopwordRatio(TextFunctions.tokens(col("text"))).as("stop_ratio"),
+        TextFunctions.langId(TextFunctions.tokens(col("text"))).as("lang_pred"))
+      .orderBy("doc_id")
+
+  /** Shingling: distinct char-5-gram and word-3-shingle counts. */
+  def textShingles(s: SparkSession, d: String): DataFrame = {
+    val norm = TextFunctions.normText(col("text"))
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        TextFunctions.charShingleCount(norm, 5).as("n_char5"),
+        size(TextFunctions.wordShingles(TextFunctions.tokens(norm), 3)).as("n_word3"))
+      .orderBy("doc_id")
+  }
+
+  /** Custom codegen'd fingerprints (rolling hash + simhash) — no SQL oracle
+    * (engine-specific hash functions); rows-only check. */
+  def textFingerprints(s: SparkSession, d: String): DataFrame = {
+    val norm = TextFunctions.normText(col("text"))
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        GraftFunctions.rollingHash(s, norm).as("rolling_hash"),
+        GraftFunctions.simHash(s, TextFunctions.tokens(norm)).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  // ---- dedup (training-data pipeline) --------------------------------------
+
+  /** Exact dedup groups keyed by content fingerprint. */
+  def dedupFingerprint(s: SparkSession, d: String): DataFrame =
+    Dedup.exactGroups(Tables.documents(s, d), "text", "doc_id").orderBy("keep_id")
+
+  /** Top-50 most similar doc pairs by exact word-3-shingle Jaccard over the
+    * shingle inverted index (no frequency pruning so the SQL oracle is an
+    * exact mirror). */
+  def jaccardTop(s: SparkSession, d: String): DataFrame =
+    Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, Int.MaxValue)
+      .orderBy(col("jaccard").desc, col("id1"), col("id2"))
+      .limit(50)
+
+  /** MinHash+LSH near-dup pairs (murmur3 signatures — rows-only check). */
+  def minhashPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
+      k = 3, numHashes = 16, bands = 4, maxBucket = 200, threshold = 0.3)
+      .orderBy("id1", "id2")
+
+  /** SimHash near-dup pairs within Hamming 16 (rows-only check). */
+  def simhashPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashNearDups(s, Tables.documents(s, d), "doc_id", "text", maxHamming = 16)
+      .orderBy("id1", "id2")
+
+  /** Embedding-cosine near-dup pairs via hyperplane LSH (rows-only check). */
+  def embedNearDup(s: SparkSession, d: String): DataFrame =
+    Dedup.embeddingNearDups(s, Tables.embeddings(s, d), "vec_id", "embedding",
+      threshold = 0.9)
+      .orderBy("id1", "id2")
+
+  // ---- similarity search ----------------------------------------------------
+
+  private def queryVector(s: SparkSession, d: String): Array[Float] =
+    Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select("embedding").head.getSeq[Float](0).toArray
+
+  /** Exact cosine top-20 against the vec_id=0 query vector, reproducible
+    * scoring (oracle-checked). */
+  def annCosineTopK(s: SparkSession, d: String): DataFrame =
+    Ann.exactTopKReproducible(
+      Tables.embeddings(s, d), "vec_id", "embedding",
+      queryVector(s, d).map(_.toDouble), 20)
+
+  /** LSH-bucketed ANN top-20 (fused-loop cosine rerank — rows-only check). */
+  def annLshTopK(s: SparkSession, d: String): DataFrame =
+    Ann.lshTopK(s, Tables.embeddings(s, d), "vec_id", "embedding",
+      queryVector(s, d), 20, bits = 16, probes = 5)
+
+  // ---- multimodal -----------------------------------------------------------
+
+  /** Binary-column plumbing: blob table + partition-wise stub decode. */
+  def blobMeta(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodeStub(s, Multimodal.toBlobs(Tables.documents(s, d)))
+      .orderBy("doc_id").toDF()
+
+  /** W4-faithful percentile_approx (reference used it as its rolling median;
+    * approx sketch — rows-only check). */
+  def percentileApprox(s: SparkSession, d: String): DataFrame =
+    daily(s, d)
+      .groupBy("Country")
+      .agg(
+        percentile_approx(col("NetDailyQuantity"), lit(0.5), lit(10000)).as("approx_median_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("Country")
+
   // ---- registry -------------------------------------------------------------
 
   /** Output-boundary normalization: date and (instant) timestamp columns are
@@ -359,7 +484,21 @@ object Corpus {
     "q_w2_rolling_stats" -> (rollingStats _),
     "q_w4_rolling_median" -> (rollingMedian _),
     "q_w5_diff_features" -> (diffFeatures _),
-    "q_w6_ma_baseline" -> (maBaseline _)
+    "q_w6_ma_baseline" -> (maBaseline _),
+    "q_w4b_percentile_approx" -> (percentileApprox _),
+    "q_t1_tokens" -> (textTokens _),
+    "q_t2_quality" -> (textQuality _),
+    "q_t3_langid" -> (textLangId _),
+    "q_t4_shingles" -> (textShingles _),
+    "q_t5_fingerprints" -> (textFingerprints _),
+    "q_d3_dedup_fingerprint" -> (dedupFingerprint _),
+    "q_dd1_jaccard_top" -> (jaccardTop _),
+    "q_dd2_minhash_pairs" -> (minhashPairs _),
+    "q_dd3_simhash_pairs" -> (simhashPairs _),
+    "q_dd4_embed_neardup" -> (embedNearDup _),
+    "q_ann1_cosine_topk" -> (annCosineTopK _),
+    "q_ann2_lsh_topk" -> (annLshTopK _),
+    "q_mm1_blob_meta" -> (blobMeta _)
   )
 
   val all: Map[String, Q] = raw.map { case (name, fn) =>

@@ -46,6 +46,10 @@ object Oracle {
     * Corpus.normalizeTemporal); DATE outputs get the matching cast here. */
   private val tsDate = "CAST(InvoiceDate AS TIMESTAMP) AS InvoiceDate"
 
+  /** Mirrors TextFunctions.Stopwords as a DuckDB list literal. */
+  private val stopList: String =
+    graft.text.TextFunctions.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
   /** Bit-reproducible mean via IEEE-only ops — mirrors Exact.floorAvg(c, 9). */
   private def floorAvg9(x: String, alias: String): String =
     s"CAST(SUM(CAST(floor(($x) * 1.0E9) AS BIGINT)) AS DOUBLE) / 1.0E9 / CAST(COUNT($x) AS DOUBLE) AS $alias"
@@ -307,6 +311,133 @@ object Oracle {
          |FROM daily
          |WINDOW ${frameWin("f3", 3)}
          |ORDER BY Country, StockCode, InvoiceDate""".stripMargin),
+
+    "q_w4b_percentile_approx" -> withDaily(
+      """SELECT Country,
+        |       quantile_disc(NetDailyQuantity, 0.5) AS approx_median_qty,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM daily GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "q_t1_tokens" ->
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_tokens,
+        |       CAST(len(list_distinct(regexp_extract_all(text, '\S+'))) AS INTEGER) AS n_distinct_tokens,
+        |       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_t2_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, regexp_extract_all(text, '\\S+') AS toks FROM documents),
+         |c AS (
+         |  SELECT doc_id, text,
+         |         CAST(len(toks) AS DOUBLE) AS n_tok,
+         |         CASE WHEN len(toks) > 0
+         |              THEN CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE)
+         |                   / CAST(len(toks) AS DOUBLE)
+         |              ELSE CAST(0.0 AS DOUBLE) END AS stop_ratio,
+         |         CASE WHEN len(toks) > 0
+         |              THEN CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE)
+         |                   / CAST(len(toks) AS DOUBLE)
+         |              ELSE CAST(0.0 AS DOUBLE) END AS mean_tok_len
+         |  FROM t)
+         |SELECT doc_id,
+         |       CAST(length(text) AS INTEGER) AS n_chars,
+         |       CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS INTEGER) AS n_punct,
+         |       stop_ratio,
+         |       least(CAST(1.0 AS DOUBLE), n_tok / 100.0) * 0.5
+         |         + stop_ratio * 0.3
+         |         + least(CAST(1.0 AS DOUBLE), mean_tok_len / 8.0) * 0.2 AS quality
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_t3_langid" ->
+      s"""WITH t AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents),
+         |c AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(toks) > 0
+         |              THEN CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE)
+         |                   / CAST(len(toks) AS DOUBLE)
+         |              ELSE CAST(0.0 AS DOUBLE) END AS stop_ratio
+         |  FROM t)
+         |SELECT doc_id, stop_ratio,
+         |       CASE WHEN stop_ratio >= CAST(0.05 AS DOUBLE) THEN 'en' ELSE 'other' END AS lang_pred
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_t4_shingles" ->
+      """WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),
+        |cp AS (
+        |  SELECT doc_id, norm, unnest(generate_series(1, length(norm) - 4)) AS i
+        |  FROM n WHERE length(norm) >= 5),
+        |cg AS (
+        |  SELECT doc_id, COUNT(DISTINCT substr(norm, CAST(i AS INTEGER), 5)) AS n5
+        |  FROM cp GROUP BY 1),
+        |tk AS (SELECT doc_id, regexp_extract_all(norm, '\S+') AS toks FROM n),
+        |wp AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+        |  FROM tk WHERE len(toks) >= 3),
+        |wg AS (
+        |  SELECT doc_id,
+        |         COUNT(DISTINCT array_to_string(toks[CAST(i AS INTEGER):CAST(i AS INTEGER)+2], ' ')) AS w3
+        |  FROM wp GROUP BY 1)
+        |SELECT n.doc_id,
+        |       CAST(COALESCE(cg.n5, 0) AS INTEGER) AS n_char5,
+        |       CAST(COALESCE(wg.w3, 0) AS INTEGER) AS n_word3
+        |FROM n LEFT JOIN cg ON n.doc_id = cg.doc_id LEFT JOIN wg ON wg.doc_id = n.doc_id
+        |ORDER BY n.doc_id""".stripMargin,
+
+    "q_d3_dedup_fingerprint" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+        |       MIN(doc_id) AS keep_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    "q_dd1_jaccard_top" ->
+      """WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),
+        |tk AS (SELECT doc_id, regexp_extract_all(norm, '\S+') AS toks FROM n),
+        |wp AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+        |  FROM tk WHERE len(toks) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         array_to_string(toks[CAST(i AS INTEGER):CAST(i AS INTEGER)+2], ' ') AS shingle
+        |  FROM wp),
+        |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id1, id2, n_common,
+        |       CAST(n_common AS DOUBLE) / CAST(ca.n + cb.n - n_common AS DOUBLE) AS jaccard
+        |FROM inter
+        |JOIN cnt ca ON ca.doc_id = id1
+        |JOIN cnt cb ON cb.doc_id = id2
+        |ORDER BY jaccard DESC, id1, id2 LIMIT 50""".stripMargin,
+
+    "q_ann1_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |pos AS (
+        |  SELECT e.vec_id, e.embedding, q.qv,
+        |         unnest(generate_series(1, len(e.embedding))) AS i
+        |  FROM embeddings e, q),
+        |terms AS (
+        |  SELECT vec_id,
+        |         CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x,
+        |         CAST(qv[CAST(i AS INTEGER)] AS DOUBLE) AS y
+        |  FROM pos),
+        |s AS (
+        |  SELECT vec_id,
+        |         CAST(SUM(CAST(floor(x * y * 1.0E15) AS BIGINT)) AS DOUBLE) / 1.0E15 AS dot,
+        |         CAST(SUM(CAST(floor(x * x * 1.0E15) AS BIGINT)) AS DOUBLE) / 1.0E15 AS nx,
+        |         CAST(SUM(CAST(floor(y * y * 1.0E15) AS BIGINT)) AS DOUBLE) / 1.0E15 AS nq
+        |  FROM terms GROUP BY 1)
+        |SELECT vec_id, dot / (sqrt(nx) * sqrt(nq)) AS cosine
+        |FROM s ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin,
+
+    "q_mm1_blob_meta" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |       CAST(64 + ((ascii(substr(text, 1, 1)) * 7) % 512) AS INTEGER) AS width,
+        |       CAST(64 + (((octet_length(CAST(text AS BLOB)) % 512) * 3) % 512) AS INTEGER) AS height,
+        |       CAST(3 AS INTEGER) AS channels
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_w6_ma_baseline" -> withDaily(
       s"""SELECT Country, StockCode, $tsDate, NetDailyQuantity,

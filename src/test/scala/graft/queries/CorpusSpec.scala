@@ -1,0 +1,26 @@
+package graft.queries
+
+import graft.SparkSpec
+
+class CorpusSpec extends SparkSpec {
+
+  test("every oracle SQL entry has a matching query") {
+    val missing = Oracle.sql.keySet -- Corpus.all.keySet
+    assert(missing.isEmpty, s"oracle entries without queries: $missing")
+  }
+
+  test("rows-only queries (no oracle) are the documented non-SQL-expressible set") {
+    val rowsOnly = Corpus.all.keySet -- Oracle.sql.keySet
+    val expected = Set(
+      "q_p8_sample",            // engine-specific RNG
+      "q_t5_fingerprints",      // custom hash exprs
+      "q_dd2_minhash_pairs", "q_dd3_simhash_pairs", "q_dd4_embed_neardup",
+      "q_ann2_lsh_topk")        // murmur3 / LSH internals
+    assert(rowsOnly === expected, s"unexpected rows-only set: $rowsOnly")
+  }
+
+  test("flagship entry query returns rows on sf0.001") {
+    val df = graft.SparkEntry.entry(spark)
+    assert(df.count() > 0)
+  }
+}

@@ -1,0 +1,61 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.dedup.Dedup
+
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+
+  private lazy val emb = Seq(
+    (0L, vec(1, 0, 0, 0)),
+    (1L, vec(0.9, 0.1, 0, 0)),  // close to 0
+    (2L, vec(0, 1, 0, 0)),      // orthogonal
+    (3L, vec(-1, 0, 0, 0)),     // opposite
+    (4L, vec(1, 0, 0, 0))       // identical to 0
+  ).toDF("vec_id", "embedding")
+    .withColumn("embedding", col("embedding").cast("array<float>"))
+
+  private val query = vec(1, 0, 0, 0)
+
+  test("brute-force cosine top-k ranks identical > close > orthogonal > opposite") {
+    val ids = Ann.bruteForceTopK(spark, emb, "vec_id", "embedding", query, 5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(ids.take(2).toSet === Set(0L, 4L))
+    assert(ids(2) === 1L)
+    assert(ids.last === 3L)
+  }
+
+  test("fused cosine expression matches naive scala computation") {
+    val c = Ann.bruteForceTopK(spark, emb, "vec_id", "embedding", query, 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(c(1L) - 0.9 / math.sqrt(0.9 * 0.9 + 0.1 * 0.1)) < 1e-6)
+    assert(c(3L) === -1.0)
+  }
+
+  test("reproducible cosine agrees with fused cosine to float tolerance") {
+    val repro = Ann.exactTopKReproducible(
+      emb, "vec_id", "embedding", query.map(_.toDouble), 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val fast = Ann.bruteForceTopK(spark, emb, "vec_id", "embedding", query, 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    repro.foreach { case (id, c) => assert(math.abs(c - fast(id)) < 1e-9) }
+  }
+
+  test("LSH top-k finds the identical vector (same bucket) and reranks exactly") {
+    val ids = Ann.lshTopK(spark, emb, "vec_id", "embedding", query, 3,
+      bits = 8, probes = 2)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(ids.take(2).toSet === Set(0L, 4L))
+  }
+
+  test("embedding near-dup LSH finds the identical pair above threshold") {
+    val pairs = Dedup.embeddingNearDups(spark, emb, "vec_id", "embedding",
+      threshold = 0.99, bitsPerTable = 4, tables = 2, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 4L)))
+  }
+}

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.streaming.EventStreams.Event
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("hourly tumbling aggregation over a MemoryStream emits finalized windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.hourlyCounts(input.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("hourly_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(1, ts(5), "click", 1.0),
+        Event(1, ts(20), "click", 2.0),
+        Event(2, ts(30), "view", 5.0))
+      q.processAllAvailable()
+      // advance watermark past hour 0 so its windows finalize
+      input.addData(Event(3, ts(135), "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("hourly_test")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(rows.contains((ts(0), "click", 2L, 3.0)))
+      assert(rows.contains((ts(0), "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization closes a session after the gap and on timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionize(spark, input.toDS(), gapMinutes = 30, watermark = "5 minutes")
+      .writeStream.format("memory").queryName("session_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: two events 10m apart (one session), then 40m silence → new session
+      input.addData(
+        Event(1, ts(0), "click", 1.0),
+        Event(1, ts(10), "click", 2.0),
+        Event(1, ts(50), "view", 3.0))
+      q.processAllAvailable()
+      // push the watermark far ahead so open sessions time out
+      input.addData(Event(99, ts(600), "click", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(98, ts(1200), "click", 0.0))
+      q.processAllAvailable()
+      val sessions = spark.table("session_test")
+        .filter($"user_id" === 1L)
+        .collect()
+        .map(r => (r.getAs[Timestamp]("session_start"), r.getAs[Int]("n_events"),
+          r.getAs[Double]("total_value")))
+        .sortBy(_._1.getTime)
+      assert(sessions.length === 2)
+      assert(sessions(0) === ((ts(0), 2, 3.0)))
+      assert(sessions(1) === ((ts(50), 1, 3.0)))
+    } finally q.stop()
+  }
+
+  test("batch session_window agrees with the stateful operator's grouping") {
+    val batch = Seq(
+      Event(1, ts(0), "click", 1.0),
+      Event(1, ts(10), "click", 2.0),
+      Event(1, ts(50), "view", 3.0)).toDF()
+    val sessions = EventStreams.sessionizeBatch(batch, 30)
+      .orderBy("session_start")
+      .collect().map(r => (r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))
+    assert(sessions.toSeq === Seq((2L, 3.0), (1L, 3.0)))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.dedup.Dedup
+import graft.functions.{GraftFunctions, HashUtil}
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "The quick brown fox jumps over the lazy dog"),
+    (1L, "the  quick Brown fox jumps over the lazy dog"), // same after normalization
+    (2L, "The quick brown fox jumps over the lazy cat"),  // near-dup of 0
+    (3L, "completely different words entirely here now"),
+    (4L, "")
+  ).toDF("doc_id", "text")
+
+  test("normText canonicalizes case and whitespace; fingerprints of dups collide") {
+    val fps = docs.select($"doc_id", TextFunctions.fingerprintMd5($"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(0L) === fps(1L))
+    assert(fps(0L) !== fps(2L))
+  }
+
+  test("tokenCount counts \\S+ runs; empty string has 0 tokens") {
+    val counts = docs.select($"doc_id", TextFunctions.tokenCount($"text").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(counts(0L) === 9)
+    assert(counts(4L) === 0)
+  }
+
+  test("stopword ratio and language heuristic") {
+    val r = docs.select(
+      $"doc_id",
+      TextFunctions.stopwordRatio(TextFunctions.tokens(lower($"text"))).as("ratio"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r(0L) - 2.0 / 9.0) < 1e-12) // "the" twice
+    assert(r(3L) === 0.0)
+    assert(r(4L) === 0.0) // guarded division
+  }
+
+  test("char shingles: distinct k-gram count; short strings yield 0") {
+    val r = docs.select(
+      $"doc_id", TextFunctions.charShingleCount(lit("abcabc"), 3).as("n")).head()
+    assert(r.getInt(1) === 3) // abc, bca, cab, abc → 3 distinct
+    val short = docs.sparkSession.range(1)
+      .select(TextFunctions.charShingleCount(lit("ab"), 3).as("n")).head()
+    assert(short.getInt(0) === 0)
+  }
+
+  test("exact dedup groups identical canonical content") {
+    val groups = Dedup.exactGroups(docs, "text", "doc_id")
+      .orderBy("keep_id").collect()
+    assert(groups.length === 4) // 0+1 merge
+    val merged = groups.find(_.getAs[Long]("keep_id") == 0L).get
+    assert(merged.getAs[Long]("n_copies") === 2L)
+  }
+
+  test("jaccard pairs rank the near-dup pair first") {
+    val top = Dedup.jaccardPairs(docs, "doc_id", "text", 3, Int.MaxValue)
+      .orderBy(desc("jaccard")).head()
+    assert(Set(top.getAs[Long]("id1"), top.getAs[Long]("id2")) === Set(0L, 1L))
+    assert(top.getAs[Double]("jaccard") === 1.0)
+  }
+
+  test("minhash LSH surfaces the planted near-dups and verifies with exact jaccard") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+      k = 3, numHashes = 16, bands = 8, maxBucket = 100, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical-after-norm texts share a sketch; near-dups are close") {
+    val sk = Dedup.withSimhash(spark, docs, "text")
+      .select("doc_id", "simhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sk(0L) === sk(1L))
+    assert(HashUtil.hamming64(sk(0L), sk(2L)) < HashUtil.hamming64(sk(0L), sk(3L)))
+  }
+
+  test("custom expressions: codegen result equals direct scala computation") {
+    val row = docs.filter($"doc_id" === 0L).select(
+      GraftFunctions.rollingHash(spark, $"text").as("rh"),
+      GraftFunctions.simHash(spark, TextFunctions.tokens($"text")).as("sh"))
+      .head()
+    val text = "The quick brown fox jumps over the lazy dog"
+    val expectedRh = HashUtil.rollingHash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(text))
+    assert(row.getLong(0) === expectedRh)
+  }
+}
