@@ -70,14 +70,11 @@ object Dedup {
       .select("id1", "id2", "n_common", "jaccard")
   }
 
-  /** MinHash signature: for hash family i, min over shingles of
-    * murmur3(shingle, i). All expression-level (codegen'd), no UDF. */
+  /** MinHash signature: numHashes min-hash slots computed in one fused pass
+    * over the shingle array (codegen'd custom expression). */
   def withMinhash(shingled: DataFrame, numHashes: Int = 16): DataFrame =
     shingled.withColumn(
-      "minhash",
-      transform(
-        sequence(lit(0), lit(numHashes - 1)),
-        i => array_min(transform(col("shingles"), s => hash(s, i)))))
+      "minhash", GraftFunctions.minHash(col("shingles"), numHashes))
 
   /** LSH banding: split the signature into `bands` bands of `rowsPerBand`,
     * hash each band, explode to (id, band, band_hash) bucket keys. */

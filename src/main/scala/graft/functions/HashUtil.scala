@@ -64,6 +64,76 @@ object HashUtil {
   /** Hamming distance between two 64-bit sketches. */
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  private val Space = UTF8String.fromString(" ")
+
+  /** Distinct word k-shingles (space-joined k-token windows), first-occurrence
+    * order — fused single-pass replacement for
+    * transform+slice+array_join+array_distinct (whose interpreted lambdas cost
+    * ~ms/row and get re-evaluated per exploded output row). */
+  def wordShingles(tokens: org.apache.spark.sql.catalyst.util.ArrayData, k: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = tokens.numElements()
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i + k <= n) {
+      var sh = if (tokens.isNullAt(i)) UTF8String.EMPTY_UTF8 else tokens.getUTF8String(i)
+      var j = 1
+      while (j < k) {
+        val t = if (tokens.isNullAt(i + j)) UTF8String.EMPTY_UTF8 else tokens.getUTF8String(i + j)
+        sh = UTF8String.concat(sh, Space, t)
+        j += 1
+      }
+      seen.add(sh)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      seen.toArray.asInstanceOf[Array[Any]])
+  }
+
+  /** Distinct char k-gram count — fused replacement for
+    * transform(sequence)+substr+array_distinct+size. */
+  def charShingleCount(s: UTF8String, k: Int): Int = {
+    val len = s.numChars()
+    if (len < k) return 0
+    val seen = new java.util.HashSet[UTF8String]()
+    var i = 1
+    while (i + k - 1 <= len) {
+      seen.add(s.substringSQL(i, k))
+      i += 1
+    }
+    seen.size
+  }
+
+  private def mix64(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** MinHash signature: numHashes independent min-hash values in ONE pass over
+    * the shingle array (hash family = splitmix64 over a per-slot offset of the
+    * shingle's FNV-1a hash). Empty input → all Long.MaxValue. */
+  def minHash(shingles: org.apache.spark.sql.catalyst.util.ArrayData, numHashes: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        val h0 = fnv1a64(shingles.getUTF8String(i).getBytes)
+        var j = 0
+        while (j < numHashes) {
+          val h = mix64(h0 + 0x9e3779b97f4a7c15L * (j + 1))
+          if (h < sig(j)) sig(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+  }
+
   /** Cosine similarity between two float vectors with double accumulation.
     * Returns NaN when either norm is zero (propagates deterministically). */
   def cosineFF(a: ArrayData, b: ArrayData): Double = {

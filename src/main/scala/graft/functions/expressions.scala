@@ -1,10 +1,10 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, GraftColumn, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
 
 /** Custom Catalyst expressions for the operators where a single-pass native
   * kernel beats composing built-ins: content fingerprints, SimHash sketches,
@@ -52,6 +52,47 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryE
   override def prettyName: String = "graft_cosine"
 }
 
+/** Distinct word k-shingles of a token array — fused single pass (see
+  * HashUtil.wordShingles for why this beats the lambda composition). */
+case class WordShinglesExpr(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.wordShingles(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.wordShingles($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): WordShinglesExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_word_shingles"
+}
+
+/** Distinct char k-gram count of a string — fused single pass. */
+case class CharShingleCountExpr(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.charShingleCount(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.charShingleCount($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): CharShingleCountExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_char_shingles"
+}
+
+/** MinHash signature (array<long>) over a shingle array — all hash slots in
+  * one pass. */
+case class MinHashExpr(child: Expression, numHashes: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.minHash(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.minHash($c, $numHashes)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_minhash"
+}
+
 /** Session registration + Column-level API for the custom expressions. */
 object GraftFunctions {
   private val registered =
@@ -77,4 +118,14 @@ object GraftFunctions {
   def cosine(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark); call_function("graft_cosine", a, b)
   }
+
+  // Session-free Column constructors (via the Expression→Column bridge).
+  def wordShingles(tokens: Column, k: Int): Column =
+    GraftColumn(WordShinglesExpr(expression(tokens), k))
+  def charShingleCount(c: Column, k: Int): Column =
+    GraftColumn(CharShingleCountExpr(expression(c), k))
+  def minHash(shingles: Column, numHashes: Int): Column =
+    GraftColumn(MinHashExpr(expression(shingles), numHashes))
+
+  private def expression(c: Column): Expression = GraftColumn.expr(c)
 }

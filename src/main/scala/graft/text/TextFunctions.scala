@@ -63,21 +63,14 @@ object TextFunctions {
     lenScore * lit(0.5) + stopwordRatio(toks) * lit(0.3) + tokLenScore * lit(0.2)
   }
 
-  /** Distinct character k-grams of a string (shingle count). Guarded so
-    * short strings yield 0 (sequence() would run descending otherwise). */
-  def charShingleCount(c: Column, k: Int): Column = {
-    val grams = transform(
-      sequence(lit(1), length(c) - lit(k - 1)),
-      i => c.substr(i, lit(k)))
-    when(length(c) >= k, size(array_distinct(grams))).otherwise(lit(0))
-  }
+  /** Distinct character k-grams of a string (shingle count); 0 for strings
+    * shorter than k. Fused codegen'd expression — the lambda composition
+    * (transform+substr+array_distinct) runs interpreted at ~ms/row. */
+  def charShingleCount(c: Column, k: Int): Column =
+    graft.functions.GraftFunctions.charShingleCount(c, k)
 
-  /** Distinct word k-shingles (space-joined token windows). */
-  def wordShingles(toks: Column, k: Int): Column = {
-    val grams = transform(
-      sequence(lit(1), size(toks) - lit(k - 1)),
-      i => array_join(slice(toks, i, lit(k)), " "))
-    when(size(toks) >= k, array_distinct(grams))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Distinct word k-shingles (space-joined token windows), first-occurrence
+    * order; empty for fewer than k tokens. Fused codegen'd expression. */
+  def wordShingles(toks: Column, k: Int): Column =
+    graft.functions.GraftFunctions.wordShingles(toks, k)
 }
