@@ -45,9 +45,20 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
+  /** Local-bench parallelism guard: the testdata parquet is one row group,
+    * so the scan (and everything before the first shuffle — broadcast joins,
+    * partial aggregation) would run as a single task. When the scan yields
+    * far fewer splits than cores, round-robin repartition the (small) input
+    * once. At production scale scans have >> cores splits and this is a
+    * no-op — the check is on actual partition count, not data size. */
+  private def parallelized(spark: SparkSession, df: DataFrame): DataFrame = {
+    val cores = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores / 2) df.repartition(cores) else df
+  }
+
   /** Invoice-line-shaped view of lineitem (see object doc). */
   def salesLines(spark: SparkSession, dir: String): DataFrame = {
-    val li = lineitem(spark, dir)
+    val li = parallelized(spark, lineitem(spark, dir))
     val sup = supplier(spark, dir).select("s_suppkey", "s_nationkey")
     val nat = nation(spark, dir).select("n_nationkey", "n_name")
     li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))

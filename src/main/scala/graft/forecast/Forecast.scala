@@ -135,21 +135,43 @@ object Forecast {
       coalesce(ma, lag(qty, 1).over(seriesW).cast(DoubleType)))
   }
 
-  /** Evaluation frame (Sales_forecast_pyspark.py:1296-1345): a prediction
-    * column, the MA baseline, and the six error columns. `prediction`
-    * defaults to the naive last-value forecast so the frame is fully
-    * deterministic; ML models plug their own prediction column in. */
-  def evalFrame(daily: DataFrame): DataFrame = {
+  /** The six error columns over a frame that already carries `prediction`,
+    * `baseline_qty` and the actual (Sales_forecast_pyspark.py:1339-1345).
+    * APE divides by the actual — null-guarded at zero (the reference's
+    * non-ANSI run yields Infinity there; we exclude instead, SURVEY §5.3). */
+  def withErrorColumns(df: DataFrame): DataFrame = {
     val actual = col("NetDailyQuantity").cast(DoubleType)
     val safeActual = when(col("NetDailyQuantity") === 0, lit(null)).otherwise(actual)
-    maBaseline(daily)
-      .withColumn("prediction", lag(col("NetDailyQuantity"), 1).over(seriesW).cast(DoubleType))
+    df
       .withColumn("err_model", col("prediction") - actual)
       .withColumn("err_baseline", col("baseline_qty") - actual)
       .withColumn("abs_err_model", abs(col("err_model")))
       .withColumn("abs_err_baseline", abs(col("err_baseline")))
       .withColumn("ape_model", abs(col("err_model")) / safeActual)
       .withColumn("ape_baseline", abs(col("err_baseline")) / safeActual)
+  }
+
+  /** Evaluation frame (Sales_forecast_pyspark.py:1296-1345): a prediction
+    * column, the MA baseline, and the six error columns. `prediction`
+    * defaults to the naive last-value forecast so the frame is fully
+    * deterministic; ML models plug their own prediction column in via
+    * [[evalAgainstBaseline]]. */
+  def evalFrame(daily: DataFrame): DataFrame =
+    withErrorColumns(
+      maBaseline(daily)
+        .withColumn("prediction", lag(col("NetDailyQuantity"), 1).over(seriesW).cast(DoubleType)))
+
+  /** Evaluation join (J2 + error columns): model predictions ⟕ the MA
+    * baseline on the composite (Country, StockCode, InvoiceDate) key, over
+    * the full history (a test row's trailing baseline window legitimately
+    * reaches into train days, as in the reference). */
+  def evalAgainstBaseline(dailyAll: DataFrame, predictions: DataFrame): DataFrame = {
+    val keys = Seq("Country", "StockCode", "InvoiceDate")
+    val base = maBaseline(dailyAll)
+      .select((keys :+ "baseline_qty").map(col): _*)
+    val pred = predictions.select(
+      (keys ++ Seq("NetDailyQuantity", "AvgUnitPrice", "prediction")).map(col): _*)
+    withErrorColumns(pred.join(base, keys, "left"))
   }
 
   private def kpiAggs: Seq[Column] = Seq(
