@@ -26,6 +26,8 @@ object GraftSession {
       // (Sales_forecast_pyspark.py:1343-1344). Queries themselves guard
       // divisions, but keep parity for library users.
       .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

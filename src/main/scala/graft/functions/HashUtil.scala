@@ -66,6 +66,30 @@ object HashUtil {
 
   private val Space = UTF8String.fromString(" ")
 
+  /** \S+ tokenization as a single byte scan — semantics identical to
+    * regexp_extract_all(s, '\S+') for ASCII whitespace (which is all that
+    * Java regex \s and RE2 \s match by default): runs of bytes outside
+    * { space, \t, \n, \x0B, \f, \r }. UTF-8 multi-byte sequences never
+    * contain these bytes, so byte-level splitting is exact. */
+  def tokenize(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = s.getBytes
+    val out = new java.util.ArrayList[UTF8String]()
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      val start = i
+      while (i < n && !isWs(bytes(i))) i += 1
+      if (i > start)
+        out.add(UTF8String.fromBytes(bytes, start, i - start))
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray.asInstanceOf[Array[AnyRef]].asInstanceOf[Array[Any]])
+  }
+
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+
   /** Distinct word k-shingles (space-joined k-token windows), first-occurrence
     * order — fused single-pass replacement for
     * transform+slice+array_join+array_distinct (whose interpreted lambdas cost
@@ -132,6 +156,28 @@ object HashUtil {
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+  }
+
+  /** Index of the centroid with maximum dot product against a float vector
+    * (centroids pre-normalized ⇒ max-dot = nearest-by-cosine). Kernel for the
+    * IVF coarse quantizer. */
+  def nearestCentroid(vec: ArrayData, centroids: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      val n = math.min(vec.numElements(), cent.length)
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        dot += vec.getFloat(i).toDouble * cent(i)
+        i += 1
+      }
+      if (dot > bestDot) { bestDot = dot; best = c }
+      c += 1
+    }
+    best
   }
 
   /** Cosine similarity between two float vectors with double accumulation.

@@ -93,6 +93,37 @@ case class MinHashExpr(child: Expression, numHashes: Int) extends UnaryExpressio
   override def prettyName: String = "graft_minhash"
 }
 
+/** \S+ tokenization as one byte scan (see HashUtil.tokenize) — replaces
+  * regexp_extract_all in the hot text paths. */
+case class TokenizeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.tokenize(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.tokenize($c)")
+  override protected def withNewChildInternal(newChild: Expression): TokenizeExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_tokenize"
+}
+
+/** IVF coarse-quantizer assignment: index of the nearest (max-dot) centroid.
+  * The centroid matrix is a driver-held reference object injected into the
+  * generated code (ctx.addReferenceObj), so codegen still applies. */
+case class NearestCentroidExpr(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.nearestCentroid(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], centroids)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.nearestCentroid($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_nearest_centroid"
+}
+
 /** Session registration + Column-level API for the custom expressions. */
 object GraftFunctions {
   private val registered =
@@ -126,6 +157,10 @@ object GraftFunctions {
     GraftColumn(CharShingleCountExpr(expression(c), k))
   def minHash(shingles: Column, numHashes: Int): Column =
     GraftColumn(MinHashExpr(expression(shingles), numHashes))
+  def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
+    GraftColumn(NearestCentroidExpr(expression(vec), centroids))
+  def tokenize(c: Column): Column =
+    GraftColumn(TokenizeExpr(expression(c)))
 
   private def expression(c: Column): Expression = GraftColumn.expr(c)
 }

@@ -11,7 +11,7 @@ import graft.dedup.Dedup
 import graft.forecast.Forecast
 import graft.functions.{Exact, GraftFunctions}
 import graft.multimodal.Multimodal
-import graft.similarity.Ann
+import graft.similarity.{Ann, Ivf}
 import graft.text.TextFunctions
 
 /** The operator corpus: one named query per implemented operator from
@@ -418,6 +418,13 @@ object Corpus {
     Ann.lshTopK(s, Tables.embeddings(s, d), "vec_id", "embedding",
       queryVector(s, d), 20, bits = 16, probes = 5)
 
+  /** IVF-cell ANN top-20 (coarse quantizer + probe — rows-only check). */
+  def annIvfTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val index = Ivf.fit(emb, "embedding", nlist = 16)
+    Ivf.topK(s, emb, "vec_id", "embedding", index, queryVector(s, d), 20, nprobe = 6)
+  }
+
   // ---- multimodal -----------------------------------------------------------
 
   /** Binary-column plumbing: blob table + partition-wise stub decode. */
@@ -498,6 +505,7 @@ object Corpus {
     "q_dd4_embed_neardup" -> (embedNearDup _),
     "q_ann1_cosine_topk" -> (annCosineTopK _),
     "q_ann2_lsh_topk" -> (annLshTopK _),
+    "q_ann3_ivf_topk" -> (annIvfTopK _),
     "q_mm1_blob_meta" -> (blobMeta _)
   )
 

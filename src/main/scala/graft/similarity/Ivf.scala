@@ -1,0 +1,91 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** IVF (inverted-file) ANN index: a small coarse quantizer partitions the
+  * corpus into nlist cells; a query probes only its nprobe nearest cells and
+  * reranks exactly.
+  *
+  * Scale shape: the quantizer is tiny driver state (nlist × dim doubles)
+  * shipped into codegen as a reference object; cell assignment is one fused
+  * map-side expression; the probe is a partition-prunable filter (persist the
+  * assigned table partitioned by `cell` and a query touches nprobe/nlist of
+  * the data). Centroids come from seeded Lloyd iterations on a driver-side
+  * sample — deterministic across runs.
+  */
+object Ivf {
+
+  case class Index(centroids: Array[Array[Double]])
+
+  private def l2normalize(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n == 0) v else v.map(_ / n)
+  }
+
+  /** Deterministic coarse quantizer: seeded sample → Lloyd iterations on the
+    * driver (sample ≤ maxSample vectors; the quantizer needs only rough
+    * cell shapes). Centroids are L2-normalized so max-dot = cosine-nearest. */
+  def fit(
+      emb: DataFrame,
+      vecCol: String,
+      nlist: Int,
+      iters: Int = 3,
+      seed: Long = 42L,
+      maxSample: Int = 4096): Index = {
+    val rows = emb.select(vecCol).limit(maxSample).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(rows.nonEmpty, "empty embedding table")
+    val rnd = new scala.util.Random(seed)
+    val sample = rnd.shuffle(rows.toVector)
+    var centroids = sample.take(nlist).map(l2normalize).toArray
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](rows.head.length))
+      val counts = new Array[Int](centroids.length)
+      sample.foreach { v =>
+        var best = 0; var bestDot = Double.NegativeInfinity
+        for (c <- centroids.indices) {
+          var dot = 0.0
+          for (i <- v.indices) dot += v(i) * centroids(c)(i)
+          if (dot > bestDot) { bestDot = dot; best = c }
+        }
+        counts(best) += 1
+        for (i <- v.indices) sums(best)(i) += v(i)
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else l2normalize(sums(c).map(_ / counts(c)))
+      }.toArray
+    }
+    Index(centroids)
+  }
+
+  /** Adds the `cell` assignment column (fused codegen'd argmax-dot). */
+  def assign(emb: DataFrame, vecCol: String, index: Index): DataFrame =
+    emb.withColumn("cell",
+      GraftFunctions.nearestCentroid(col(vecCol), index.centroids))
+
+  /** Query: probe the nprobe cells nearest the query vector, exact-rerank
+    * survivors with the fused cosine. */
+  def topK(
+      spark: SparkSession,
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      index: Index,
+      query: Array[Float],
+      k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val q = query.map(_.toDouble)
+    val probeCells = index.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.zip(q).map { case (a, b) => a * b }.sum) }
+      .sortBy(-_._2).take(nprobe).map(_._1)
+    assign(emb, vecCol, index)
+      .filter(col("cell").isin(probeCells.toSeq: _*))
+      .select(col(idCol), Ann.cosineCol(spark, col(vecCol), query).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -50,6 +50,17 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("win_start"), col("n_events"))
 
+  /** Streaming exact dedup: drops events whose key was already seen within
+    * the watermark horizon — state is bounded by the watermark, so a
+    * perpetual stream holds only the recent-id set (the streaming face of
+    * the batch dedup family in graft.dedup). */
+  def dedupStream(
+      events: DataFrame,
+      idCols: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
   /** Gap-based sessionization with custom state
     * (flatMapGroupsWithState + event-time timeout): a session closes when no
     * event arrives within `gapMinutes` of the previous one. State per key is

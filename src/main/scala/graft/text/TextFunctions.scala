@@ -21,8 +21,10 @@ object TextFunctions {
   /** Content fingerprint: md5 of the canonical form (exact-dup key). */
   def fingerprintMd5(c: Column): Column = md5(normText(c))
 
-  /** Whitespace-delimited tokens (\\S+ runs — stable across engines). */
-  def tokens(c: Column): Column = regexp_extract_all(c, lit("\\S+"), lit(0))
+  /** Whitespace-delimited tokens (\\S+ runs — stable across engines).
+    * Fused byte-scan expression with exactly regexp_extract_all(c,'\\S+')
+    * semantics (the regex path costs ~0.5ms/row on long docs). */
+  def tokens(c: Column): Column = graft.functions.GraftFunctions.tokenize(c)
 
   def tokenCount(c: Column): Column = size(tokens(c))
 

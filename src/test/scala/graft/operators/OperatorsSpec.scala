@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.Exact
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted two-phase aggregation equals single-phase on skewed keys") {
+    // 90% of rows on one key — the reference's UK-style skew
+    val rows = (1 to 9000).map(i => ("HOT", i.toLong)) ++
+      (1 to 1000).map(i => (s"k${i % 50}", i.toLong))
+    val df = rows.toDF("key", "v")
+    val plain = df.groupBy("key")
+      .agg(sum($"v").as("s"), count(lit(1)).as("n"), min($"v").as("mn"), max($"v").as("mx"))
+      .orderBy("key").collect().map(_.toSeq)
+    val salted = Skew.saltedAgg(df, Seq("key"), Seq(
+      Skew.sumLong("v", "s"), Skew.countAll("n"),
+      Skew.minOf("v", "mn"), Skew.maxOf("v", "mx")), salts = 8)
+      .orderBy("key").collect().map(_.toSeq)
+    assert(salted.toSeq === plain.toSeq)
+  }
+
+  test("bucketed co-located join runs without a shuffle exchange") {
+    val facts = (1L to 5000L).map(k => (k % 97, k, k * 2.0)).toDF("key", "id", "v")
+    val dims = (0L until 97L).map(k => (k, s"name_$k")).toDF("key", "name")
+    // unique names: the managed-table location in /tmp survives across JVMs
+    // while the in-memory catalog does not
+    val run = java.util.UUID.randomUUID().toString.take(8)
+    val (tf, td) = (s"graft_facts_$run", s"graft_dims_$run")
+    Bucketing.writeBucketed(facts, tf, "key", 8)
+    Bucketing.writeBucketed(dims, td, "key", 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Bucketing.colocatedJoin(spark, tf, td, "key")
+      assert(joined.count() === 5000L)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected shuffle-free plan, got:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      Seq(tf, td).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  test("salted aggregation composes with Exact decimal sums (order-independent)") {
+    val df = (1 to 5000).map(i => ("HOT", i * 0.01)).toDF("key", "v")
+    val plain = df.groupBy("key").agg(Exact.dsum($"v").as("s")).head.getDouble(1)
+    val salted = Skew.saltedAgg(df, Seq("key"),
+      Seq((Exact.dsum($"v").as("s"), Exact.dsum(col("s")).as("s"))), salts = 8)
+      .head.getDouble(1)
+    assert(salted === plain)
+  }
+}

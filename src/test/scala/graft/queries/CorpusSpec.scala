@@ -15,7 +15,7 @@ class CorpusSpec extends SparkSpec {
       "q_p8_sample",            // engine-specific RNG
       "q_t5_fingerprints",      // custom hash exprs
       "q_dd2_minhash_pairs", "q_dd3_simhash_pairs", "q_dd4_embed_neardup",
-      "q_ann2_lsh_topk")        // murmur3 / LSH internals
+      "q_ann2_lsh_topk", "q_ann3_ivf_topk") // hash/LSH/quantizer internals
     assert(rowsOnly === expected, s"unexpected rows-only set: $rowsOnly")
   }
 

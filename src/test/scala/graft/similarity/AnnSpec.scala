@@ -52,6 +52,20 @@ class AnnSpec extends SparkSpec {
     assert(ids.take(2).toSet === Set(0L, 4L))
   }
 
+  test("IVF: cell assignment + probe finds the identical vector; high recall vs brute force") {
+    val emb500 = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb500.filter($"vec_id" === 0).select("embedding").head.getSeq[Float](0).toArray
+    val index = Ivf.fit(emb500, "embedding", nlist = 16)
+    assert(index.centroids.length === 16)
+    val ivfIds = Ivf.topK(spark, emb500, "vec_id", "embedding", index, q, 10, nprobe = 6)
+      .select("vec_id").as[Long].collect().toSet
+    val exactIds = Ann.bruteForceTopK(spark, emb500, "vec_id", "embedding", q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ivfIds.contains(0L)) // the query vector itself always survives
+    val recall = (ivfIds intersect exactIds).size.toDouble / exactIds.size
+    assert(recall >= 0.5, s"recall $recall too low: ivf=$ivfIds exact=$exactIds")
+  }
+
   test("embedding near-dup LSH finds the identical pair above threshold") {
     val pairs = Dedup.embeddingNearDups(spark, emb, "vec_id", "embedding",
       threshold = 0.99, bitsPerTable = 4, tables = 2, dim = 4)

@@ -66,6 +66,22 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops repeated ids within the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val df = input.toDF().toDF("event_id", "ts", "value")
+    val q = EventStreams.dedupStream(df, Seq("event_id"), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, ts(0), 1.0), (1L, ts(1), 1.0), (2L, ts(2), 2.0), (1L, ts(3), 9.9))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test").select("event_id")
+        .as[Long].collect().sorted.toSeq
+      assert(ids === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("batch session_window agrees with the stateful operator's grouping") {
     val batch = Seq(
       Event(1, ts(0), "click", 1.0),
