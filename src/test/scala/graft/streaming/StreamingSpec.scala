@@ -82,6 +82,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source stream: hourly aggregation over the events parquet directory") {
+    // real readStream path: parquet file source with explicit schema
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    import org.apache.spark.sql.functions._
+    val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val q = EventStreams.hourlyCounts(stream, watermark = "1 hour")
+      .writeStream.format("memory").queryName("file_hourly")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      q.processAllAvailable()
+      val n = spark.table("file_hourly").count()
+      assert(n > 0, "expected hourly rows from the file stream")
+    } finally q.stop()
+  }
+
   test("batch session_window agrees with the stateful operator's grouping") {
     val batch = Seq(
       Event(1, ts(0), "click", 1.0),
