@@ -168,6 +168,22 @@ object Dedup {
       .select("id1", "id2", "hamming")
   }
 
+  /** Exact all-pairs embedding similarity (the verification tier beneath the
+    * LSH path): every id1<id2 pair scored with the bit-reproducible fused
+    * cosine. O(n²) by design — use for corpus slices / ground truth; the
+    * LSH variant below is the full-corpus path. */
+  def embeddingPairsExact(
+      spark: SparkSession,
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String): DataFrame = {
+    val left = emb.select(col(idCol).as("id1"), col(vecCol).as("v1"))
+    val right = emb.select(col(idCol).as("id2"), col(vecCol).as("v2"))
+    left.join(right, col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        GraftFunctions.cosineFloor(col("v1"), col("v2")).as("cosine"))
+  }
+
   /** Embedding-cosine near-dup pairs via random-hyperplane LSH buckets +
     * exact cosine verification (single fused-loop expression). Deterministic:
     * hyperplanes come from a fixed-seed RNG. Two independent 8-bit tables

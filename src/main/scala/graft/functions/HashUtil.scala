@@ -180,6 +180,28 @@ object HashUtil {
     best
   }
 
+  /** Bit-reproducible cosine: the floor-scaled integer-sum construction of
+    * Exact.floorAvg applied element-wise (floor(term*1e15) summed as longs,
+    * divided back in double) — IEEE-only ops, so any engine computes the
+    * same bits in any order. Fused loop; mirrors the oracle SQL exactly. */
+  def cosineFloor(a: ArrayData, b: ArrayData): Double = {
+    val unit = 1e15
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0L
+    var na = 0L
+    var nb = 0L
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += math.floor(x * y * unit).toLong
+      na += math.floor(x * x * unit).toLong
+      nb += math.floor(y * y * unit).toLong
+      i += 1
+    }
+    (dot.toDouble / unit) / (math.sqrt(na.toDouble / unit) * math.sqrt(nb.toDouble / unit))
+  }
+
   /** Cosine similarity between two float vectors with double accumulation.
     * Returns NaN when either norm is zero (propagates deterministically). */
   def cosineFF(a: ArrayData, b: ArrayData): Double = {

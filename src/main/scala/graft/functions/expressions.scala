@@ -93,6 +93,21 @@ case class MinHashExpr(child: Expression, numHashes: Int) extends UnaryExpressio
   override def prettyName: String = "graft_minhash"
 }
 
+/** Bit-reproducible cosine (floor-scaled integer sums — see
+  * HashUtil.cosineFloor): same value in any engine, fused loop. */
+case class CosineFloorSimilarity(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashUtil.cosineFloor(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashUtil.cosineFloor($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineFloorSimilarity =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_cosine_floor"
+}
+
 /** \S+ tokenization as one byte scan (see HashUtil.tokenize) — replaces
   * regexp_extract_all in the hot text paths. */
 case class TokenizeExpr(child: Expression) extends UnaryExpression {
@@ -161,6 +176,8 @@ object GraftFunctions {
     GraftColumn(NearestCentroidExpr(expression(vec), centroids))
   def tokenize(c: Column): Column =
     GraftColumn(TokenizeExpr(expression(c)))
+  def cosineFloor(a: Column, b: Column): Column =
+    GraftColumn(CosineFloorSimilarity(expression(a), expression(b)))
 
   private def expression(c: Column): Expression = GraftColumn.expr(c)
 }

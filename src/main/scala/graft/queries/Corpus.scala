@@ -107,6 +107,40 @@ object Corpus {
       .agg(percentile(col("l_quantity"), lit(0.5)).as("med_qty"), count(lit(1)).as("n"))
       .orderBy("l_partkey")
 
+  /** Distinct-count aggregation (exact). */
+  def countDistinctParts(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  /** Approximate distinct (HLL sketch — engine-specific, rows-only check). */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .orderBy("l_returnflag")
+
+  /** Ranking / navigation / cumulative windows over the daily series:
+    * row_number, lead, running sum (beyond the reference surface, which used
+    * only lag + trailing frames). */
+  def rankingWindows(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("Country", "StockCode").orderBy("InvoiceDate")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily(s, d)
+      .select(
+        keyCols ++ Seq(
+          row_number().over(w).as("rn"),
+          lead(col("NetDailyQuantity"), 1).over(w).as("next_qty"),
+          sum(col("NetDailyQuantity")).over(cum).as("cum_qty"),
+          rank().over(Window.partitionBy("Country").orderBy(col("InvoiceDate"))).as("date_rank")): _*)
+      .orderBy(keyCols: _*)
+  }
+
   // ---- projections / filters ------------------------------------------------
 
   /** P1 + P3: projection with a pushed-down ship-date range predicate. */
@@ -400,6 +434,13 @@ object Corpus {
       threshold = 0.9)
       .orderBy("id1", "id2")
 
+  /** Exact all-pairs embedding similarity, top-100 most similar pairs
+    * (bit-reproducible fused cosine — oracle-checked). */
+  def embedPairsTop(s: SparkSession, d: String): DataFrame =
+    Dedup.embeddingPairsExact(s, Tables.embeddings(s, d), "vec_id", "embedding")
+      .orderBy(col("cosine").desc, col("id1"), col("id2"))
+      .limit(100)
+
   // ---- similarity search ----------------------------------------------------
 
   private def queryVector(s: SparkSession, d: String): Array[Float] =
@@ -471,6 +512,9 @@ object Corpus {
     "q_a9_kpi_by_country" -> (kpiByCountry _),
     "q_a10_value_weighted" -> (valueWeighted _),
     "q_a11_percentile" -> (percentileByPart _),
+    "q_a12_count_distinct" -> (countDistinctParts _),
+    "q_a13_approx_distinct" -> (approxDistinct _),
+    "q_w7_ranking" -> (rankingWindows _),
     "q_p1_proj_filter" -> (projFilter _),
     "q_p4_segment_filter" -> (segmentFilter _),
     "q_p5_split_flag" -> (splitFlag _),
@@ -503,6 +547,7 @@ object Corpus {
     "q_dd2_minhash_pairs" -> (minhashPairs _),
     "q_dd3_simhash_pairs" -> (simhashPairs _),
     "q_dd4_embed_neardup" -> (embedNearDup _),
+    "q_dd5_embed_pairs_top" -> (embedPairsTop _),
     "q_ann1_cosine_topk" -> (annCosineTopK _),
     "q_ann2_lsh_topk" -> (annLshTopK _),
     "q_ann3_ivf_topk" -> (annIvfTopK _),

@@ -165,6 +165,26 @@ object Oracle {
         |       CAST(COUNT(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q_a12_count_distinct" ->
+      """SELECT l_returnflag,
+        |       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_w7_ranking" -> withDaily(
+      s"""SELECT Country, StockCode, $tsDate,
+         |       CAST(row_number() OVER w AS INTEGER) AS rn,
+         |       lead(NetDailyQuantity, 1) OVER w AS next_qty,
+         |       CAST(SUM(NetDailyQuantity) OVER cum AS BIGINT) AS cum_qty,
+         |       CAST(rank() OVER cw AS INTEGER) AS date_rank
+         |FROM daily
+         |WINDOW $seriesWin,
+         |       cum AS (PARTITION BY Country, StockCode ORDER BY InvoiceDate
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |       cw AS (PARTITION BY Country ORDER BY InvoiceDate)
+         |ORDER BY Country, StockCode, InvoiceDate""".stripMargin),
+
     "q_p1_proj_filter" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
         |       l_extendedprice * (1.0 - l_discount) AS revenue
@@ -430,6 +450,26 @@ object Oracle {
         |  FROM terms GROUP BY 1)
         |SELECT vec_id, dot / (sqrt(nx) * sqrt(nq)) AS cosine
         |FROM s ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin,
+
+    "q_dd5_embed_pairs_top" ->
+      """WITH pairs AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2, a.embedding AS ea, b.embedding AS eb
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+        |pos AS (
+        |  SELECT id1, id2, ea, eb, unnest(generate_series(1, len(ea))) AS i FROM pairs),
+        |terms AS (
+        |  SELECT id1, id2,
+        |         CAST(ea[CAST(i AS INTEGER)] AS DOUBLE) AS x,
+        |         CAST(eb[CAST(i AS INTEGER)] AS DOUBLE) AS y
+        |  FROM pos),
+        |s AS (
+        |  SELECT id1, id2,
+        |         CAST(SUM(CAST(floor(x * y * 1.0E15) AS BIGINT)) AS DOUBLE) / 1.0E15 AS dot,
+        |         CAST(SUM(CAST(floor(x * x * 1.0E15) AS BIGINT)) AS DOUBLE) / 1.0E15 AS nx,
+        |         CAST(SUM(CAST(floor(y * y * 1.0E15) AS BIGINT)) AS DOUBLE) / 1.0E15 AS ny
+        |  FROM terms GROUP BY 1, 2)
+        |SELECT id1, id2, dot / (sqrt(nx) * sqrt(ny)) AS cosine
+        |FROM s ORDER BY cosine DESC, id1, id2 LIMIT 100""".stripMargin,
 
     "q_mm1_blob_meta" ->
       """SELECT doc_id,

@@ -2,8 +2,6 @@ package graft.similarity
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
-
 import graft.functions.GraftFunctions
 
 /** Similarity search over an embedding column (array<float>).
@@ -37,19 +35,10 @@ object Ann {
   /** Exact-reproducible scoring: per-element double products floored at
     * scale 15 and summed as exact longs (order-independent, IEEE-only ops —
     * see Exact.floorAvg for the rationale), so two engines compute identical
-    * score bits. Slower than [[cosineCol]]; used for oracle-checked queries. */
-  def reproducibleCosine(vec: Column, query: Array[Double]): Column = {
-    val q = typedLit(query.toSeq)
-    val unit = 1e15
-    def fsum(terms: Column): Column =
-      aggregate(terms, lit(0L), (acc, z) => acc + floor(z * lit(unit)))
-        .cast("double") / lit(unit)
-    val v = vec.cast("array<double>")
-    val dot = fsum(zip_with(v, q, (x, y) => x * y))
-    val nv = fsum(transform(v, x => x * x))
-    val nq = fsum(transform(q, y => y * y))
-    dot / (sqrt(nv) * sqrt(nq))
-  }
+    * score bits. Fused codegen'd kernel (CosineFloorSimilarity). */
+  def reproducibleCosine(vec: Column, query: Array[Double]): Column =
+    GraftFunctions.cosineFloor(
+      vec, typedLit(query.map(_.toFloat).toSeq).cast("array<float>"))
 
   def exactTopKReproducible(
       emb: DataFrame,

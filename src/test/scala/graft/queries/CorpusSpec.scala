@@ -13,6 +13,7 @@ class CorpusSpec extends SparkSpec {
     val rowsOnly = Corpus.all.keySet -- Oracle.sql.keySet
     val expected = Set(
       "q_p8_sample",            // engine-specific RNG
+      "q_a13_approx_distinct",  // HLL sketch
       "q_t5_fingerprints",      // custom hash exprs
       "q_dd2_minhash_pairs", "q_dd3_simhash_pairs", "q_dd4_embed_neardup",
       "q_ann2_lsh_topk", "q_ann3_ivf_topk") // hash/LSH/quantizer internals
