@@ -168,6 +168,39 @@ object Dedup {
       .select("id1", "id2", "hamming")
   }
 
+  /** Duplicate-cluster resolution: connected components over a near-dup pair
+    * graph via min-label propagation — every doc converges to the minimum id
+    * reachable through pair edges, i.e. the canonical keeper of its cluster.
+    * Each iteration is one equi-join + aggregate (shuffle on id), and the
+    * iteration count is the cluster-graph diameter (tiny for dup clusters);
+    * the classic large-star/small-star refinement drops in unchanged if
+    * clusters ever get deep. */
+  def dupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).cache()
+    var iters = 0
+    var changed = 1L
+    while (changed > 0 && iters < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("nlabel")), "dst")
+        .groupBy("src").agg(min("nlabel").as("nmin"))
+      val next = labels
+        .join(nbrMin.select(col("src").as("id"), col("nmin")), Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .cache()
+      changed = next.join(labels.select(col("id"), col("label").as("old")), "id")
+        .filter(col("label") < col("old")).count()
+      labels.unpersist()
+      labels = next
+      iters += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Exact all-pairs embedding similarity (the verification tier beneath the
     * LSH path): every id1<id2 pair scored with the bit-reproducible fused
     * cosine. O(n²) by design — use for corpus slices / ground truth; the

@@ -1,0 +1,77 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.text.TextFunctions
+
+/** Composed training-data cleaning pipeline: the shape every large-scale
+  * corpus build runs — quality gate → exact dedup → near-dup removal —
+  * expressed as one declarative DataFrame flow so Catalyst fuses the scan,
+  * and each stage's survivors feed the next without materialization.
+  *
+  * Near-dup removal rule (deterministic and SQL-mirrorable): among each
+  * qualifying pair (id1 < id2, Jaccard ≥ threshold) the larger id is
+  * dropped. For transitive canonical keepers over deep clusters, use
+  * [[Dedup.dupClusters]] on the pair set instead.
+  */
+object CorpusCleaner {
+
+  case class Config(
+      minQuality: Double = 0.35,
+      shingleK: Int = 3,
+      jaccardThreshold: Double = 0.1)
+
+  /** Survivors (id + quality score), smallest-id-wins at every stage. */
+  def clean(
+      spark: SparkSession,
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      config: Config = Config()): DataFrame = {
+    // stage 1: quality gate
+    val scored = docs.select(
+      col(idCol), col(textCol),
+      TextFunctions.qualityScore(col(textCol)).as("quality"))
+    val qualified = scored.filter(col("quality") >= config.minQuality)
+
+    // stage 2: exact dedup — keep the minimum id per canonical fingerprint
+    val keepers = qualified
+      .groupBy(TextFunctions.fingerprintMd5(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    val exact = qualified.join(keepers, Seq(idCol), "left_semi")
+
+    // stage 3: near-dup removal — drop the larger id of each high-Jaccard pair
+    val pairs = Dedup.jaccardPairs(exact, idCol, textCol, config.shingleK, Int.MaxValue)
+      .filter(col("jaccard") >= config.jaccardThreshold)
+    val removed = pairs.select(col("id2").as(idCol)).distinct()
+    exact.join(removed, Seq(idCol), "left_anti")
+      .select(col(idCol), col("quality"))
+      .orderBy(idCol)
+  }
+
+  /** Per-stage survivor counts (single row). */
+  def stats(
+      spark: SparkSession,
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      config: Config = Config()): DataFrame = {
+    import spark.implicits._
+    val nInput = docs.count()
+    val scored = docs.select(
+      col(idCol), col(textCol),
+      TextFunctions.qualityScore(col(textCol)).as("quality"))
+    val qualified = scored.filter(col("quality") >= config.minQuality).cache()
+    val nQuality = qualified.count()
+    val nExact = qualified
+      .groupBy(TextFunctions.fingerprintMd5(col(textCol))).agg(min(col(idCol)))
+      .count()
+    val nFinal = clean(spark, docs, idCol, textCol, config).count()
+    qualified.unpersist()
+    Seq((nInput, nQuality, nExact, nFinal))
+      .toDF("n_input", "n_quality", "n_exact_dedup", "n_final")
+  }
+}

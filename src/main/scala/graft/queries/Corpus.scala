@@ -441,6 +441,11 @@ object Corpus {
       .orderBy(col("cosine").desc, col("id1"), col("id2"))
       .limit(100)
 
+  /** Composed cleaning pipeline: quality gate → exact dedup → near-dup
+    * removal (full SQL oracle). */
+  def cleanCorpus(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.CorpusCleaner.clean(s, Tables.documents(s, d))
+
   // ---- similarity search ----------------------------------------------------
 
   private def queryVector(s: SparkSession, d: String): Array[Float] =
@@ -548,6 +553,7 @@ object Corpus {
     "q_dd3_simhash_pairs" -> (simhashPairs _),
     "q_dd4_embed_neardup" -> (embedNearDup _),
     "q_dd5_embed_pairs_top" -> (embedPairsTop _),
+    "q_tp1_clean_corpus" -> (cleanCorpus _),
     "q_ann1_cosine_topk" -> (annCosineTopK _),
     "q_ann2_lsh_topk" -> (annLshTopK _),
     "q_ann3_ivf_topk" -> (annIvfTopK _),

@@ -451,6 +451,56 @@ object Oracle {
         |SELECT vec_id, dot / (sqrt(nx) * sqrt(nq)) AS cosine
         |FROM s ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin,
 
+    "q_tp1_clean_corpus" ->
+      s"""WITH t AS (SELECT doc_id, text, regexp_extract_all(text, '\\S+') AS toks FROM documents),
+         |c AS (
+         |  SELECT doc_id, text,
+         |         CAST(len(toks) AS DOUBLE) AS n_tok,
+         |         CASE WHEN len(toks) > 0
+         |              THEN CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE)
+         |                   / CAST(len(toks) AS DOUBLE)
+         |              ELSE CAST(0.0 AS DOUBLE) END AS stop_ratio,
+         |         CASE WHEN len(toks) > 0
+         |              THEN CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE)
+         |                   / CAST(len(toks) AS DOUBLE)
+         |              ELSE CAST(0.0 AS DOUBLE) END AS mean_tok_len
+         |  FROM t),
+         |q AS (
+         |  SELECT doc_id, text,
+         |         least(CAST(1.0 AS DOUBLE), n_tok / 100.0) * 0.5
+         |           + stop_ratio * 0.3
+         |           + least(CAST(1.0 AS DOUBLE), mean_tok_len / 8.0) * 0.2 AS quality
+         |  FROM c),
+         |qf AS (SELECT * FROM q WHERE quality >= CAST(0.35 AS DOUBLE)),
+         |keep AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM qf
+         |  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
+         |ex AS (SELECT qf.* FROM qf JOIN keep USING (doc_id)),
+         |n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm FROM ex),
+         |tk AS (SELECT doc_id, regexp_extract_all(norm, '\\S+') AS toks FROM n),
+         |wp AS (
+         |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+         |  FROM tk WHERE len(toks) >= 3),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |         array_to_string(toks[CAST(i AS INTEGER):CAST(i AS INTEGER)+2], ' ') AS shingle
+         |  FROM wp),
+         |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nsh FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(COUNT(*) AS BIGINT) AS n_common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pr AS (
+         |  SELECT id1, id2,
+         |         CAST(n_common AS DOUBLE) / CAST(ca.nsh + cb.nsh - n_common AS DOUBLE) AS jaccard
+         |  FROM inter JOIN cnt ca ON ca.doc_id = id1 JOIN cnt cb ON cb.doc_id = id2),
+         |removed AS (SELECT DISTINCT id2 AS doc_id FROM pr WHERE jaccard >= CAST(0.1 AS DOUBLE))
+         |SELECT ex.doc_id, q2.quality
+         |FROM ex
+         |JOIN q q2 ON q2.doc_id = ex.doc_id
+         |WHERE ex.doc_id NOT IN (SELECT doc_id FROM removed)
+         |ORDER BY ex.doc_id""".stripMargin,
+
     "q_dd5_embed_pairs_top" ->
       """WITH pairs AS (
         |  SELECT a.vec_id AS id1, b.vec_id AS id2, a.embedding AS ea, b.embedding AS eb

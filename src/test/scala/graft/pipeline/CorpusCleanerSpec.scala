@@ -1,0 +1,48 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.dedup.Dedup
+
+class CorpusCleanerSpec extends SparkSpec {
+  import spark.implicits._
+
+  // > 100 tokens each so the length term of the quality score saturates and
+  // the gate decision isn't threshold-marginal
+  private val longText =
+    ("the quick brown fox jumps over the lazy dog and then runs far away " * 8).trim
+
+  private lazy val docs = Seq(
+    (0L, longText),                                   // survives
+    (1L, longText.toUpperCase),                       // exact dup after norm → dropped
+    (2L, longText.replace("dog", "cat")),             // near-dup of 0 → dropped
+    (3L, "short"),                                    // fails quality gate
+    (4L, ("entirely different content about completely other topics " +
+      "with many unique individual words appearing throughout this document " * 8).trim)
+  ).toDF("doc_id", "text")
+
+  test("cleaning pipeline: quality gate, exact dedup, near-dup removal compose") {
+    val survivors = CorpusCleaner.clean(spark, docs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors.contains(0L), "canonical doc must survive")
+    assert(!survivors.contains(1L), "exact dup (case/whitespace) must drop")
+    assert(!survivors.contains(2L), "near-dup must drop")
+    assert(!survivors.contains(3L), "low-quality doc must drop")
+    assert(survivors.contains(4L), "distinct doc must survive")
+  }
+
+  test("stage stats are monotonically decreasing") {
+    val s = CorpusCleaner.stats(spark, docs).head()
+    val (nIn, nQ, nEx, nF) = (s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3))
+    assert(nIn === 5L)
+    assert(nIn >= nQ && nQ >= nEx && nEx >= nF)
+    assert(nF === 2L)
+  }
+
+  test("dup clusters: min-label propagation finds transitive keepers") {
+    val pairs = Seq((1L, 0L), (1L, 2L), (5L, 6L), (6L, 7L)).toDF("id1", "id2")
+    val labels = Dedup.dupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(0L) === 0L && labels(1L) === 0L && labels(2L) === 0L)
+    assert(labels(5L) === 5L && labels(6L) === 5L && labels(7L) === 5L)
+  }
+}
