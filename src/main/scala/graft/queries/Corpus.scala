@@ -107,6 +107,21 @@ object Corpus {
       .agg(percentile(col("l_quantity"), lit(0.5)).as("med_qty"), count(lit(1)).as("n"))
       .orderBy("l_partkey")
 
+  /** Hierarchical ROLLUP totals (grouping-sets family; beyond the reference
+    * surface, which used flat groupBy only). Uses the spark.sql surface: the
+    * Dataset rollup() API trips Spark 4's ambiguous-self-join detector when
+    * the child's lineage contains a join (grouping sets duplicate the
+    * grouping attributes); SQL-path resolution is unaffected. */
+  def rollupTotals(s: SparkSession, d: String): DataFrame = {
+    daily(s, d).createOrReplaceTempView("graft_daily")
+    s.sql(
+      """SELECT Year, Month,
+        |       SUM(NetDailyQuantity) AS total_qty,
+        |       COUNT(1) AS n_days
+        |FROM graft_daily GROUP BY ROLLUP(Year, Month)
+        |ORDER BY Year ASC NULLS FIRST, Month ASC NULLS FIRST""".stripMargin)
+  }
+
   /** Distinct-count aggregation (exact). */
   def countDistinctParts(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -519,6 +534,7 @@ object Corpus {
     "q_a11_percentile" -> (percentileByPart _),
     "q_a12_count_distinct" -> (countDistinctParts _),
     "q_a13_approx_distinct" -> (approxDistinct _),
+    "q_a14_rollup" -> (rollupTotals _),
     "q_w7_ranking" -> (rankingWindows _),
     "q_p1_proj_filter" -> (projFilter _),
     "q_p4_segment_filter" -> (segmentFilter _),

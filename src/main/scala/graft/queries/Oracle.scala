@@ -185,6 +185,13 @@ object Oracle {
          |       cw AS (PARTITION BY Country ORDER BY InvoiceDate)
          |ORDER BY Country, StockCode, InvoiceDate""".stripMargin),
 
+    "q_a14_rollup" -> withDaily(
+      """SELECT Year, Month,
+        |       CAST(SUM(NetDailyQuantity) AS BIGINT) AS total_qty,
+        |       CAST(COUNT(*) AS BIGINT) AS n_days
+        |FROM daily GROUP BY ROLLUP(Year, Month)
+        |ORDER BY Year ASC NULLS FIRST, Month ASC NULLS FIRST""".stripMargin),
+
     "q_p1_proj_filter" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
         |       l_extendedprice * (1.0 - l_discount) AS revenue

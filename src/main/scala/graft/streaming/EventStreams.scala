@@ -50,6 +50,28 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("win_start"), col("n_events"))
 
+  /** Stream-stream interval join: for each purchase, the clicks by the same
+    * user within the preceding `gapMinutes`. Both sides watermark so the
+    * join state expires (unbounded state is the classic stream-join failure
+    * at scale — the time-range predicate is what lets Spark GC it). */
+  def purchasesWithRecentClicks(
+      events: DataFrame,
+      gapMinutes: Int = 30,
+      watermark: String = "1 hour"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", watermark)
+    purchases.join(
+      clicks,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $gapMinutes MINUTES"))
+      .select(col("p_user").as("user_id"), col("purchase_ts"), col("click_ts"), col("value"))
+  }
+
   /** Streaming exact dedup: drops events whose key was already seen within
     * the watermark horizon — state is bounded by the watermark, so a
     * perpetual stream holds only the recent-id set (the streaming face of

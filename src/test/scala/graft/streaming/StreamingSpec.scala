@@ -66,6 +66,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs purchases with preceding clicks only") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val withType = input.toDF()
+    val q = EventStreams.purchasesWithRecentClicks(withType, gapMinutes = 30)
+      .writeStream.format("memory").queryName("ssjoin_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(1, ts(0), "click", 0.0),
+        Event(1, ts(10), "purchase", 5.0),  // joins with click at :00
+        Event(1, ts(50), "purchase", 7.0),  // click at :00 is 50m old → no join
+        Event(2, ts(5), "purchase", 9.0))   // user 2 never clicked → no join
+      q.processAllAvailable()
+      input.addData(Event(99, ts(600), "click", 0.0)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin_test")
+        .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("purchase_ts"),
+          r.getAs[Double]("value")))
+      assert(rows.toSet === Set((1L, ts(10), 5.0)))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeated ids within the watermark horizon") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Double)]
