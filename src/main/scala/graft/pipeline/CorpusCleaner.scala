@@ -41,7 +41,10 @@ object CorpusCleaner {
       .groupBy(TextFunctions.fingerprintMd5(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as(idCol))
       .select(idCol)
-    val exact = qualified.join(keepers, Seq(idCol), "left_semi")
+    // persist the stage boundary: the exact-dedup survivors feed the pair
+    // index (4 plan references) AND both sides of the final anti-join —
+    // without it the scan+score+dedup lineage re-executes ~6x
+    val exact = qualified.join(keepers, Seq(idCol), "left_semi").persist()
 
     // stage 3: near-dup removal — drop the larger id of each high-Jaccard pair
     val pairs = Dedup.jaccardPairs(exact, idCol, textCol, config.shingleK, Int.MaxValue)
