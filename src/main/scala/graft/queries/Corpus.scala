@@ -503,6 +503,23 @@ object Corpus {
         count(lit(1)).as("n"))
       .orderBy("Country")
 
+  // ---- ML surface -----------------------------------------------------------
+
+  /** Lasso forecast trained on lag features, evaluated per country against
+    * the MA baseline (M1-M9 end-to-end on the driver surface; model fits are
+    * seed-fixed but solver-dependent → rows-only check). */
+  def mlForecastKpi(s: SparkSession, d: String): DataFrame = {
+    import graft.ml.ForecastModels
+    val dl = daily(s, d)
+    val features = Forecast.lagFeatures(dl, 1 to 3)
+    val (train, test) = ForecastModels.timeSplit(features, "1999-09-01")
+    val featureCols = ForecastModels.numericFeatureCols(features)
+    val fp = ForecastModels.featurePipeline(featureCols).fit(train)
+    val (pred, _) = ForecastModels.trainAndEval(
+      "lr", ForecastModels.lasso(0.05), fp, train, test)
+    Forecast.kpiByCountry(Forecast.evalAgainstBaseline(dl, pred)).orderBy("Country")
+  }
+
   // ---- registry -------------------------------------------------------------
 
   /** Output-boundary normalization: date and (instant) timestamp columns are
@@ -570,6 +587,7 @@ object Corpus {
     "q_dd4_embed_neardup" -> (embedNearDup _),
     "q_dd5_embed_pairs_top" -> (embedPairsTop _),
     "q_tp1_clean_corpus" -> (cleanCorpus _),
+    "q_ml1_forecast_kpi" -> (mlForecastKpi _),
     "q_ann1_cosine_topk" -> (annCosineTopK _),
     "q_ann2_lsh_topk" -> (annLshTopK _),
     "q_ann3_ivf_topk" -> (annIvfTopK _),

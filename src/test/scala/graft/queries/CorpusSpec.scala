@@ -14,6 +14,7 @@ class CorpusSpec extends SparkSpec {
     val expected = Set(
       "q_p8_sample",            // engine-specific RNG
       "q_a13_approx_distinct",  // HLL sketch
+      "q_ml1_forecast_kpi",     // model fit (solver-dependent floats)
       "q_t5_fingerprints",      // custom hash exprs
       "q_dd2_minhash_pairs", "q_dd3_simhash_pairs", "q_dd4_embed_neardup",
       "q_ann2_lsh_topk", "q_ann3_ivf_topk") // hash/LSH/quantizer internals
