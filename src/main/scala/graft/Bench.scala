@@ -21,24 +21,31 @@ object Bench {
     // Two passes per query, min taken: pass 1 absorbs one-time costs
     // (codegen, shared-cache materialization) and either pass rides out a
     // transient external load spike — the min is the query's sustained cost.
+    // A failed pass returns NaN (never a timing), so a broken query surfaces
+    // as -1 in the JSON instead of masquerading as a fast run.
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch {
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          Double.NaN
       }
-      (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> math.min(once(name, fn), once(name, fn))
+      val (a, b) = (once(name, fn), once(name, fn))
+      name -> (if (a.isNaN || b.isNaN) Double.NaN else math.min(a, b))
     }
+    val failed = results.collect { case (k, v) if v.isNaN => k }
     val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v) => "\"" + k + "\":" + (if (v.isNaN) "-1" else f"$v%.3f") }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.map(_._2).filterNot(_.isNaN).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -35,38 +35,52 @@ object Dedup {
       TextFunctions.wordShingles(
         TextFunctions.tokens(TextFunctions.normText(col(textCol))), k))
 
-  /** Exact n-gram Jaccard over shingle-inverted-index candidates: pairs of
-    * docs sharing at least one shingle, scored |A∩B| / |A∪B|. `maxShingleDf`
-    * drops shingles more frequent than the cap (stopword-like shingles would
-    * otherwise create quadratic buckets). */
+  /** Exact n-gram Jaccard over shingle-inverted-index candidates. Candidate
+    * pairs are docs sharing at least one *unpruned* shingle; `maxShingleDf`
+    * drops shingles more frequent than the cap from candidate generation
+    * (stopword-like shingles would otherwise create quadratic buckets — the
+    * standard LSH skew guard). The cap costs only recall: every surviving
+    * pair is scored exactly, |A∩B| / |A∪B| over the FULL shingle sets, so the
+    * reported Jaccard is never an approximation (the same verify-exactly
+    * shape as [[minhashNearDups]]).
+    *
+    * The shingled frame feeds candidate generation and both sides of the
+    * scoring join; it is local-checkpointed so tokenize+shingle runs once,
+    * and the blocks are released by the ContextCleaner when the result frame
+    * is garbage-collected (an explicit persist would pin them in the
+    * CacheManager for the session lifetime). */
   def jaccardPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       k: Int = 3,
       maxShingleDf: Int = 1000): DataFrame = {
-    val sh = withShingles(docs, textCol, k)
-      .select(col(idCol).as("doc"), explode(col("shingles")).as("shingle"))
+    val shingled = withShingles(docs, textCol, k)
+      .select(col(idCol).as("doc"), col("shingles"))
+      .localCheckpoint(true)
+    val sh = shingled.select(col("doc"), explode(col("shingles")).as("shingle"))
     val hot = sh.groupBy("shingle").count().filter(col("count") > maxShingleDf)
       .select("shingle")
     val pruned = sh.join(hot, Seq("shingle"), "left_anti")
-    val counts = sh.groupBy("doc").agg(count(lit(1)).as("n_shingles"))
     // Self-join via structurally renamed frames: with a shared lineage and
     // .as() aliases Spark can fail to treat `shingle = shingle` as an
     // equi-key and degrade to a near-cartesian nested-loop join.
     val base = pruned.select("doc", "shingle")
     val left = base.toDF("id1", "shingle")
     val right = base.toDF("id2", "shingle_r")
-    val inter = left
+    val cand = left
       .join(right, col("shingle") === col("shingle_r") && col("id1") < col("id2"))
-      .groupBy("id1", "id2")
-      .agg(count(lit(1)).as("n_common"))
-    inter
-      .join(counts.withColumnRenamed("doc", "id1").withColumnRenamed("n_shingles", "n1"), "id1")
-      .join(counts.withColumnRenamed("doc", "id2").withColumnRenamed("n_shingles", "n2"), "id2")
+      .select("id1", "id2")
+      .distinct()
+    val sets = shingled.toDF("doc", "sh_set")
+    cand
+      .join(sets.select(col("doc").as("id1"), col("sh_set").as("sh1")), "id1")
+      .join(sets.select(col("doc").as("id2"), col("sh_set").as("sh2")), "id2")
+      .withColumn("n_common", size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
       .withColumn(
         "jaccard",
-        col("n_common").cast("double") / (col("n1") + col("n2") - col("n_common")).cast("double"))
+        col("n_common").cast("double") /
+          (size(col("sh1")) + size(col("sh2")) - col("n_common")).cast("double"))
       .select("id1", "id2", "n_common", "jaccard")
   }
 
@@ -234,16 +248,12 @@ object Dedup {
     val rnd = new scala.util.Random(seed)
     val planes: Array[Array[Double]] =
       Array.fill(tables * bitsPerTable)(Array.fill(dim)(rnd.nextGaussian()))
-    def bit(p: Array[Double]): Column = {
-      val dot = aggregate(
-        zip_with(col(vecCol).cast("array<double>"), typedLit(p.toSeq), (x, w) => x * w),
-        lit(0.0), (acc, z) => acc + z)
-      when(dot >= 0, 1L).otherwise(0L)
-    }
+    // One fused codegen'd pass per table (HyperplaneSigExpr) — bit b of the
+    // key is sign(dot(vec, plane_b)), identical to the former per-bit
+    // aggregate/zip_with composition but inside whole-stage codegen.
     def tableKey(t: Int): Column =
-      (0 until bitsPerTable)
-        .map(b => bit(planes(t * bitsPerTable + b)) * lit(1L << b))
-        .reduce(_ + _)
+      GraftFunctions.hyperplaneSig(
+        col(vecCol), planes.slice(t * bitsPerTable, (t + 1) * bitsPerTable))
     val keyed = emb.select(
       col(idCol).as("doc"), col(vecCol).as("vec"),
       posexplode(array((0 until tables).map(tableKey): _*)))

@@ -202,6 +202,30 @@ object HashUtil {
     (dot.toDouble / unit) / (math.sqrt(na.toDouble / unit) * math.sqrt(nb.toDouble / unit))
   }
 
+  /** Random-hyperplane LSH signature over a float vector: bit b is set iff
+    * dot(vec, planes(b)) >= 0. One fused pass (planes × dim) per row —
+    * replaces the per-bit aggregate/zip_with lambda chains, which Spark
+    * evaluates interpreted (higher-order functions never enter codegen).
+    * Accumulation order is ascending i, matching the driver-side query
+    * signature in [[graft.similarity.Ann.lshTopK]] bit-for-bit. */
+  def hyperplaneSig(vec: ArrayData, planes: Array[Array[Double]]): Long = {
+    var sig = 0L
+    var b = 0
+    while (b < planes.length) {
+      val p = planes(b)
+      val n = math.min(vec.numElements(), p.length)
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        dot += vec.getFloat(i).toDouble * p(i)
+        i += 1
+      }
+      if (dot >= 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
   /** Cosine similarity between two float vectors with double accumulation.
     * Returns NaN when either norm is zero (propagates deterministically). */
   def cosineFF(a: ArrayData, b: ArrayData): Double = {

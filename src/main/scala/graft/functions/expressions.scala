@@ -139,6 +139,26 @@ case class NearestCentroidExpr(child: Expression, centroids: Array[Array[Double]
   override def prettyName: String = "graft_nearest_centroid"
 }
 
+/** Random-hyperplane LSH signature: bit b set iff dot(vec, planes(b)) >= 0.
+  * The plane matrix is driver state injected into generated code
+  * (ctx.addReferenceObj), so the whole signature stays inside whole-stage
+  * codegen — one fused planes × dim loop per row instead of bits × dims of
+  * interpreted aggregate/zip_with closures. */
+case class HyperplaneSigExpr(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.hyperplaneSig(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], planes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.hyperplaneSig($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSigExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_hyperplane_sig"
+}
+
 /** Session registration + Column-level API for the custom expressions. */
 object GraftFunctions {
   private val registered =
@@ -174,6 +194,8 @@ object GraftFunctions {
     GraftColumn(MinHashExpr(expression(shingles), numHashes))
   def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
     GraftColumn(NearestCentroidExpr(expression(vec), centroids))
+  def hyperplaneSig(vec: Column, planes: Array[Array[Double]]): Column =
+    GraftColumn(HyperplaneSigExpr(expression(vec), planes))
   def tokenize(c: Column): Column =
     GraftColumn(TokenizeExpr(expression(c)))
   def cosineFloor(a: Column, b: Column): Column =

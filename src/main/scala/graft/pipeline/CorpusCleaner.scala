@@ -21,7 +21,8 @@ object CorpusCleaner {
   case class Config(
       minQuality: Double = 0.35,
       shingleK: Int = 3,
-      jaccardThreshold: Double = 0.1)
+      jaccardThreshold: Double = 0.1,
+      maxShingleDf: Int = 1000)
 
   /** Survivors (id + quality score), smallest-id-wins at every stage. */
   def clean(
@@ -41,13 +42,19 @@ object CorpusCleaner {
       .groupBy(TextFunctions.fingerprintMd5(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as(idCol))
       .select(idCol)
-    // persist the stage boundary: the exact-dedup survivors feed the pair
-    // index (4 plan references) AND both sides of the final anti-join —
-    // without it the scan+score+dedup lineage re-executes ~6x
-    val exact = qualified.join(keepers, Seq(idCol), "left_semi").persist()
+    // Materialize the stage boundary: the exact-dedup survivors feed the pair
+    // index AND both sides of the final anti-join — without it the
+    // scan+score+dedup lineage re-executes per reference. localCheckpoint
+    // (not persist) so the blocks are released by the ContextCleaner once the
+    // result frame is garbage-collected; a persist would pin a copy in the
+    // CacheManager on every invocation for the session lifetime.
+    val exact = qualified.join(keepers, Seq(idCol), "left_semi").localCheckpoint(true)
 
-    // stage 3: near-dup removal — drop the larger id of each high-Jaccard pair
-    val pairs = Dedup.jaccardPairs(exact, idCol, textCol, config.shingleK, Int.MaxValue)
+    // stage 3: near-dup removal — drop the larger id of each high-Jaccard
+    // pair. The shingle-frequency cap is live here (it only affects candidate
+    // recall — scores are exact over full shingle sets) and is mirrored
+    // deterministically in the DuckDB oracle (Oracle.q_tp1).
+    val pairs = Dedup.jaccardPairs(exact, idCol, textCol, config.shingleK, config.maxShingleDf)
       .filter(col("jaccard") >= config.jaccardThreshold)
     val removed = pairs.select(col("id2").as(idCol)).distinct()
     exact.join(removed, Seq(idCol), "left_anti")

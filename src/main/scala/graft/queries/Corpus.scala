@@ -424,11 +424,22 @@ object Corpus {
   def dedupFingerprint(s: SparkSession, d: String): DataFrame =
     Dedup.exactGroups(Tables.documents(s, d), "text", "doc_id").orderBy("keep_id")
 
-  /** Top-50 most similar doc pairs by exact word-3-shingle Jaccard over the
-    * shingle inverted index (no frequency pruning so the SQL oracle is an
-    * exact mirror). */
+  /** Top-50 most similar doc pairs by word-3-shingle Jaccard: candidates
+    * from the frequency-capped shingle inverted index (default cap — the
+    * 100 TB skew guard stays ON), scored exactly over the full shingle sets.
+    * The cap is a deterministic filter mirrored verbatim in the DuckDB
+    * oracle, so the query stays hash-exact with pruning enabled. */
   def jaccardTop(s: SparkSession, d: String): DataFrame =
-    Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, Int.MaxValue)
+    Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", 3)
+      .orderBy(col("jaccard").desc, col("id1"), col("id2"))
+      .limit(50)
+
+  /** Same query with an aggressively low cap (5) that actually prunes at
+    * test scale (max shingle df is 7 at sf0.01 / 25 at sf0.1), so the capped
+    * candidate path itself — not just the cap-inactive plan — is
+    * oracle-verified end to end. */
+  def jaccardTopCapped(s: SparkSession, d: String): DataFrame =
+    Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, maxShingleDf = 5)
       .orderBy(col("jaccard").desc, col("id1"), col("id2"))
       .limit(50)
 
@@ -582,6 +593,7 @@ object Corpus {
     "q_t5_fingerprints" -> (textFingerprints _),
     "q_d3_dedup_fingerprint" -> (dedupFingerprint _),
     "q_dd1_jaccard_top" -> (jaccardTop _),
+    "q_dd1b_jaccard_capped" -> (jaccardTopCapped _),
     "q_dd2_minhash_pairs" -> (minhashPairs _),
     "q_dd3_simhash_pairs" -> (simhashPairs _),
     "q_dd4_embed_neardup" -> (embedNearDup _),

@@ -90,6 +90,39 @@ object Oracle {
        |           / (CASE WHEN NetDailyQuantity = 0 THEN NULL ELSE CAST(NetDailyQuantity AS DOUBLE) END) AS ape_baseline
        |  FROM ev)""".stripMargin
 
+  /** Mirrors Dedup.jaccardPairs with the shingle-frequency cap live:
+    * candidates from the pruned inverted index (shingle df <= cap — a
+    * deterministic filter, identical across engines), scored exactly over the
+    * FULL shingle sets so the score is cap-independent. */
+  private def jaccardTopSql(maxShingleDf: Int): String =
+    s"""WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm FROM documents),
+       |tk AS (SELECT doc_id, regexp_extract_all(norm, '\\S+') AS toks FROM n),
+       |wp AS (
+       |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+       |  FROM tk WHERE len(toks) >= 3),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |         array_to_string(toks[CAST(i AS INTEGER):CAST(i AS INTEGER)+2], ' ') AS shingle
+       |  FROM wp),
+       |hot AS (SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) > $maxShingleDf),
+       |pr AS (SELECT doc_id, shingle FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM pr a JOIN pr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+       |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT c.id1, c.id2, CAST(COUNT(*) AS BIGINT) AS n_common
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.id1
+       |  JOIN sh b ON b.doc_id = c.id2 AND b.shingle = a.shingle
+       |  GROUP BY 1, 2)
+       |SELECT id1, id2, n_common,
+       |       CAST(n_common AS DOUBLE) / CAST(ca.n + cb.n - n_common AS DOUBLE) AS jaccard
+       |FROM inter
+       |JOIN cnt ca ON ca.doc_id = id1
+       |JOIN cnt cb ON cb.doc_id = id2
+       |ORDER BY jaccard DESC, id1, id2 LIMIT 50""".stripMargin
+
   private val kpiAggs = Seq(
     floorAvg9("abs_err_model", "mae_model"),
     floorAvg9("abs_err_baseline", "mae_baseline"),
@@ -416,27 +449,8 @@ object Oracle {
         |       CAST(COUNT(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
 
-    "q_dd1_jaccard_top" ->
-      """WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),
-        |tk AS (SELECT doc_id, regexp_extract_all(norm, '\S+') AS toks FROM n),
-        |wp AS (
-        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
-        |  FROM tk WHERE len(toks) >= 3),
-        |sh AS (
-        |  SELECT DISTINCT doc_id,
-        |         array_to_string(toks[CAST(i AS INTEGER):CAST(i AS INTEGER)+2], ' ') AS shingle
-        |  FROM wp),
-        |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
-        |inter AS (
-        |  SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(COUNT(*) AS BIGINT) AS n_common
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT id1, id2, n_common,
-        |       CAST(n_common AS DOUBLE) / CAST(ca.n + cb.n - n_common AS DOUBLE) AS jaccard
-        |FROM inter
-        |JOIN cnt ca ON ca.doc_id = id1
-        |JOIN cnt cb ON cb.doc_id = id2
-        |ORDER BY jaccard DESC, id1, id2 LIMIT 50""".stripMargin,
+    "q_dd1_jaccard_top" -> jaccardTopSql(1000),
+    "q_dd1b_jaccard_capped" -> jaccardTopSql(5),
 
     "q_ann1_cosine_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
@@ -492,10 +506,17 @@ object Oracle {
          |  SELECT DISTINCT doc_id,
          |         array_to_string(toks[CAST(i AS INTEGER):CAST(i AS INTEGER)+2], ' ') AS shingle
          |  FROM wp),
+         |hot AS (SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) > 1000),
+         |pru AS (SELECT doc_id, shingle FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM pru a JOIN pru b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
          |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nsh FROM sh GROUP BY 1),
          |inter AS (
-         |  SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(COUNT(*) AS BIGINT) AS n_common
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  SELECT c.id1, c.id2, CAST(COUNT(*) AS BIGINT) AS n_common
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.id1
+         |  JOIN sh b ON b.doc_id = c.id2 AND b.shingle = a.shingle
          |  GROUP BY 1, 2),
          |pr AS (
          |  SELECT id1, id2,

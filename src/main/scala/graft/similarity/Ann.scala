@@ -56,13 +56,13 @@ object Ann {
     Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Fused codegen'd signature (HyperplaneSigExpr): one planes × dim loop per
+    * row. The previous per-bit aggregate(zip_with(...)) composition ran
+    * interpreted — higher-order functions never enter codegen — and cost
+    * bits × dim closure calls per row. Bit semantics and accumulation order
+    * are identical (ascending i, dot >= 0 sets bit b). */
   def signature(vec: Column, planes: Array[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (p, b) =>
-      val dot = aggregate(
-        zip_with(vec.cast("array<double>"), typedLit(p.toSeq), (x, w) => x * w),
-        lit(0.0), (acc, z) => acc + z)
-      when(dot >= 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    GraftFunctions.hyperplaneSig(vec, planes)
 
   /** ANN top-k: candidates within `probes` signature bits of the query,
     * reranked by exact cosine. At scale the signature is computed once per
