@@ -34,7 +34,13 @@ object Bench {
           Double.NaN
       }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Builder-side isolation runs: SPARK_GRAFT_BENCH_ONLY=q_a,q_b limits the
+    // sweep (the driver never sets it, so the contract output is unchanged).
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val (a, b) = (once(name, fn), once(name, fn))
       name -> (if (a.isNaN || b.isNaN) Double.NaN else math.min(a, b))
     }

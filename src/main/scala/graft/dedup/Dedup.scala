@@ -35,20 +35,26 @@ object Dedup {
       TextFunctions.wordShingles(
         TextFunctions.tokens(TextFunctions.normText(col(textCol))), k))
 
-  /** Exact n-gram Jaccard over shingle-inverted-index candidates. Candidate
-    * pairs are docs sharing at least one *unpruned* shingle; `maxShingleDf`
-    * drops shingles more frequent than the cap from candidate generation
-    * (stopword-like shingles would otherwise create quadratic buckets — the
-    * standard LSH skew guard). The cap costs only recall: every surviving
-    * pair is scored exactly, |A∩B| / |A∪B| over the FULL shingle sets, so the
-    * reported Jaccard is never an approximation (the same verify-exactly
-    * shape as [[minhashNearDups]]).
+  /** n-gram Jaccard over the frequency-capped shingle inverted index.
+    * `maxShingleDf` drops shingles more frequent than the cap BEFORE the
+    * pair expansion (stopword-like shingles would otherwise create quadratic
+    * buckets — the standard LSH skew guard), and the score is the Jaccard of
+    * the PRUNED shingle universe: dropped shingles vanish from numerator and
+    * denominator alike, so the score is self-consistent (never the
+    * underestimate a mixed pruned-intersection / full-union computation
+    * yields). With the cap inactive this IS the exact full-set Jaccard; with
+    * it active it is the Jaccard of the informative (non-stopword) shingles —
+    * for exact full-set scores at any cap, [[minhashNearDups]] verifies its
+    * candidates against complete shingle sets.
     *
-    * The shingled frame feeds candidate generation and both sides of the
-    * scoring join; it is local-checkpointed so tokenize+shingle runs once,
-    * and the blocks are released by the ContextCleaner when the result frame
-    * is garbage-collected (an explicit persist would pin them in the
-    * CacheManager for the session lifetime). */
+    * Scale shape: everything after shingling is skinny (doc, shingle) rows —
+    * candidate counts and per-doc sizes both come from the same pruned index
+    * via equi-joins, no shingle-array ever crosses a shuffle. (The previous
+    * exact-set variant shuffled two ~100-string arrays per candidate pair:
+    * 90 of its 155 seconds at sf0.1 was that scoring join.) The shingled
+    * frame and the pruned index are local-checkpointed (one tokenize pass,
+    * one index build; blocks are ContextCleaner-released on GC, unlike a
+    * session-lifetime persist). */
   def jaccardPairs(
       docs: DataFrame,
       idCol: String,
@@ -61,26 +67,24 @@ object Dedup {
     val sh = shingled.select(col("doc"), explode(col("shingles")).as("shingle"))
     val hot = sh.groupBy("shingle").count().filter(col("count") > maxShingleDf)
       .select("shingle")
-    val pruned = sh.join(hot, Seq("shingle"), "left_anti")
+    val pruned = sh.join(hot, Seq("shingle"), "left_anti").localCheckpoint(true)
+    val counts = pruned.groupBy("doc").agg(count(lit(1)).as("n_shingles"))
     // Self-join via structurally renamed frames: with a shared lineage and
     // .as() aliases Spark can fail to treat `shingle = shingle` as an
     // equi-key and degrade to a near-cartesian nested-loop join.
     val base = pruned.select("doc", "shingle")
     val left = base.toDF("id1", "shingle")
     val right = base.toDF("id2", "shingle_r")
-    val cand = left
+    val inter = left
       .join(right, col("shingle") === col("shingle_r") && col("id1") < col("id2"))
-      .select("id1", "id2")
-      .distinct()
-    val sets = shingled.toDF("doc", "sh_set")
-    cand
-      .join(sets.select(col("doc").as("id1"), col("sh_set").as("sh1")), "id1")
-      .join(sets.select(col("doc").as("id2"), col("sh_set").as("sh2")), "id2")
-      .withColumn("n_common", size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
+      .groupBy("id1", "id2")
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(counts.toDF("id1", "n1"), "id1")
+      .join(counts.toDF("id2", "n2"), "id2")
       .withColumn(
         "jaccard",
-        col("n_common").cast("double") /
-          (size(col("sh1")) + size(col("sh2")) - col("n_common")).cast("double"))
+        col("n_common").cast("double") / (col("n1") + col("n2") - col("n_common")).cast("double"))
       .select("id1", "id2", "n_common", "jaccard")
   }
 
@@ -146,7 +150,7 @@ object Dedup {
 
   /** SimHash sketch per document (custom codegen'd expression); near-dups =
     * sketches within a small Hamming distance, candidates via identical
-    * 16-bit sub-blocks (pigeonhole: hamming ≤ 3 ⇒ ≥1 of 4 blocks equal). */
+    * sub-blocks of the sketch. */
   def withSimhash(spark: SparkSession, docs: DataFrame, textCol: String): DataFrame =
     docs.withColumn(
       "simhash",
@@ -154,19 +158,31 @@ object Dedup {
         spark,
         TextFunctions.tokens(TextFunctions.normText(col(textCol)))))
 
+  /** Block count is sized to the radius: maxHamming differing bits spread
+    * over maxHamming+1 disjoint blocks leave ≥ 1 block equal (pigeonhole),
+    * so banding on maxHamming+1 blocks guarantees FULL recall at the
+    * requested radius — the classic 4×16-bit scheme at radius 3 (fixed
+    * 4-block banding at a larger radius silently drops pairs whose
+    * differing bits straddle all four blocks). Wider radii trade candidate
+    * volume (narrower blocks match more often), not correctness. */
   def simhashNearDups(
       spark: SparkSession,
       docs: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming $maxHamming out of [0, 64)")
     val sketched = withSimhash(spark, docs, textCol).select(col(idCol).as("doc"), col("simhash"))
+    val nBlocks = maxHamming + 1
+    val starts = (0 to nBlocks).map(i => i * 64 / nBlocks)
+    val blockCols = (0 until nBlocks).map { i =>
+      val width = starts(i + 1) - starts(i)
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      call_function("shiftrightunsigned", col("simhash"), lit(starts(i)))
+        .bitwiseAND(lit(mask))
+    }
     val blocks = sketched.select(
-      col("doc"), col("simhash"),
-      posexplode(transform(
-        sequence(lit(0), lit(3)),
-        b => call_function("shiftrightunsigned", col("simhash"), b * lit(16))
-          .bitwiseAND(lit(0xffffL)))))
+      col("doc"), col("simhash"), posexplode(array(blockCols: _*)))
       .withColumnsRenamed(Map("pos" -> "block", "col" -> "block_val"))
     val base = blocks.select("doc", "simhash", "block", "block_val")
     val left = base.toDF("id1", "sh1", "block", "block_val")

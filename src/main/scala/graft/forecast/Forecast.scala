@@ -112,15 +112,89 @@ object Forecast {
     daily.select(cols: _*)
   }
 
-  /** Diff-vs-rolling features (W5, Sales_forecast_pyspark.py:948-966). */
-  def diffFeatures(rolled: DataFrame, dayFrames: Seq[Int] = Seq(3, 6, 12)): DataFrame = {
+  /** Diff-vs-rolling features (W5, Sales_forecast_pyspark.py:948-966):
+    * current value minus the rolling mean/median, for the series frames and
+    * (py:961-966) the same-weekday frames. */
+  def diffFeatures(
+      rolled: DataFrame,
+      dayFrames: Seq[Int] = Seq(3, 6, 12),
+      dowFrames: Seq[Int] = Seq()): DataFrame = {
     val qty = col("NetDailyQuantity").cast(DoubleType)
     val diffs = dayFrames.flatMap { n =>
       Seq(
         (qty - col(s"roll_mean_${n}d")).as(s"diff_qty_mean_${n}d"),
         (qty - col(s"roll_median_${n}d")).as(s"diff_qty_median_${n}d"))
+    } ++ dowFrames.flatMap { n =>
+      Seq(
+        (qty - col(s"roll_mean_${n}_dow")).as(s"diff_qty_mean_${n}_dow"),
+        (qty - col(s"roll_median_${n}_dow")).as(s"diff_qty_median_${n}_dow"))
     }
     rolled.select(rolled.columns.map(col).toSeq ++ diffs: _*)
+  }
+
+  // ---- referenceCompat: the reference's literal numeric surface -------------
+  //
+  // The default operators above substitute bit-reproducible constructions
+  // (exact decimal sums, explicit sample-std, exact percentile) for oracle
+  // parity. These compat variants reproduce the reference's LITERAL
+  // arithmetic instead — its roundings, stddev_samp, percentile_approx and
+  // column names — so the end-to-end replay is faithful to what a reference
+  // user's frame actually contains.
+
+  /** A3 with the reference's 2-decimal rounding of revenue and mean price in
+    * the aggregate (round(sum(...), 2) / round(avg(...), 2),
+    * Sales_forecast_pyspark.py:161-163). */
+  def dailySalesCompat(sales: DataFrame): DataFrame = {
+    val keys = Seq("Country", "StockCode", "InvoiceDate",
+      "Year", "Month", "Day", "Week", "DayOfWeek")
+    withCalendar(sales)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        sum(col("Quantity")).as("NetDailyQuantity"),
+        round(sum(col("LineRevenue")), 2).as("NetDailyRevenue"),
+        round(avg(col("UnitPrice")), 2).as("AvgUnitPrice"))
+  }
+
+  /** The reference's complete 36-column lag batch with its literal
+    * round(coalesce(lag(...), 0), 0) wrap and column names
+    * (lag_quantity_N and lag_price_N over day/6daycycle/dow families,
+    * Sales_forecast_pyspark.py:611-647). All 36 columns in one select —
+    * still exactly two window partitionings. */
+  def lagFeaturesCompat(daily: DataFrame): DataFrame = {
+    val qty = col("NetDailyQuantity")
+    val price = col("AvgUnitPrice")
+    val lagCols = (1 to 6).flatMap { i =>
+      Seq(
+        round(coalesce(lag(qty, i).over(seriesW), lit(0)), 0).as(s"lag_quantity_${i}_day"),
+        round(coalesce(lag(price, i).over(seriesW), lit(0)), 0).as(s"lag_price_${i}_day"),
+        round(coalesce(lag(qty, 6 * i).over(seriesW), lit(0)), 0).as(s"lag_quantity_${i}_6daycycle"),
+        round(coalesce(lag(price, 6 * i).over(seriesW), lit(0)), 0).as(s"lag_price_${i}_6daycycle"),
+        round(coalesce(lag(qty, i).over(dowW), lit(0)), 0).as(s"lag_quantity_${i}_dow"),
+        round(coalesce(lag(price, i).over(dowW), lit(0)), 0).as(s"lag_price_${i}_dow"))
+    }
+    daily.select(daily.columns.map(col).toSeq ++ lagCols: _*)
+  }
+
+  /** The reference's literal rolling stats: avg / stddev_samp /
+    * percentile_approx(0.5) over the trailing frame
+    * (Sales_forecast_pyspark.py:900-946). */
+  def rollStatsCompat(w: WindowSpec, frame: Int, suffix: String): Seq[Column] = {
+    val qty = col("NetDailyQuantity")
+    val f = w.rowsBetween(-frame, -1)
+    Seq(
+      avg(qty).over(f).as(s"roll_mean_$suffix"),
+      stddev_samp(qty).over(f).as(s"roll_std_$suffix"),
+      percentile_approx(qty, lit(0.5), lit(10000)).over(f).as(s"roll_median_$suffix"))
+  }
+
+  def rollingFeaturesCompat(
+      daily: DataFrame,
+      dayFrames: Seq[Int] = Seq(3, 6, 12),
+      dowFrames: Seq[Int] = Seq(3, 4, 5)): DataFrame = {
+    val cols = daily.columns.map(col).toSeq ++
+      dayFrames.flatMap(n => rollStatsCompat(seriesW, n, s"${n}d")) ++
+      dowFrames.flatMap(n => rollStatsCompat(dowW, n, s"${n}_dow"))
+    daily.select(cols: _*)
   }
 
   /** 6-day moving-average baseline with last-value fallback (W6,

@@ -35,13 +35,32 @@ object ReferencePipeline {
     built.na.fill(0.0, fillCols)
   }
 
+  /** The reference's LITERAL full-width frame: its 36 rounded lag columns,
+    * avg/stddev_samp/percentile_approx rolling stats over both window
+    * families, and diffs against both families (12 diff cols) — 71 numeric
+    * features which, with the two category indexers, form exactly the
+    * 73-column assembler set of feature_columns_v3
+    * (Sales_forecast_pyspark.py:611-647, 900-982, 1006-1061). */
+  def featureFrameCompat(daily: DataFrame): DataFrame = {
+    val built = Forecast.diffFeatures(
+      Forecast.rollingFeaturesCompat(Forecast.lagFeaturesCompat(daily)),
+      dayFrames = Seq(3, 6, 12),
+      dowFrames = Seq(3, 4, 5))
+    val fillCols = built.columns.filter(c => c.startsWith("roll_") || c.startsWith("diff_"))
+    built.na.fill(0.0, fillCols)
+  }
+
   def run(
       spark: SparkSession,
       dir: String,
       cutoff: String,
-      models: Seq[String]): Report = {
-    val daily = Forecast.dailySales(Tables.salesLines(spark, dir))
-    val features = featureFrame(daily).cache()
+      models: Seq[String],
+      referenceCompat: Boolean = false): Report = {
+    val daily =
+      if (referenceCompat) Forecast.dailySalesCompat(Tables.salesLines(spark, dir))
+      else Forecast.dailySales(Tables.salesLines(spark, dir))
+    val features =
+      (if (referenceCompat) featureFrameCompat(daily) else featureFrame(daily)).cache()
     features.count() // cache barrier before the model fits (C1)
 
     val (train, test) = ForecastModels.timeSplit(features, cutoff)
@@ -61,6 +80,7 @@ object ReferencePipeline {
     val evalDf = Forecast.evalAgainstBaseline(daily, fitted.head._1)
     val kpi = Forecast.kpiGlobal(evalDf).head()
     val vw = Forecast.valueWeighted(evalDf).head()
+    features.unpersist() // every consumer above has materialized
 
     Report(
       trainRows, testRows,

@@ -51,8 +51,8 @@ object CorpusCleaner {
     val exact = qualified.join(keepers, Seq(idCol), "left_semi").localCheckpoint(true)
 
     // stage 3: near-dup removal — drop the larger id of each high-Jaccard
-    // pair. The shingle-frequency cap is live here (it only affects candidate
-    // recall — scores are exact over full shingle sets) and is mirrored
+    // pair. The shingle-frequency cap is live here (self-consistent
+    // pruned-universe scores, see Dedup.jaccardPairs) and is mirrored
     // deterministically in the DuckDB oracle (Oracle.q_tp1).
     val pairs = Dedup.jaccardPairs(exact, idCol, textCol, config.shingleK, config.maxShingleDf)
       .filter(col("jaccard") >= config.jaccardThreshold)

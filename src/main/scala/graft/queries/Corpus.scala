@@ -349,6 +349,27 @@ object Corpus {
       .select(keyCols ++ Seq(col("NetDailyQuantity"), col("baseline_qty")): _*)
       .orderBy(keyCols: _*)
 
+  /** W4-literal: percentile_approx(qty, 0.5, 10000) as a WINDOW aggregate
+    * over the trailing frames — the reference's exact rolling-median form
+    * (Sales_forecast_pyspark.py:920-922, 943-945), both window families.
+    * Every frame holds ≤ 6 values ≪ accuracy, so ApproximatePercentile runs
+    * its exact path and DuckDB's quantile_disc OVER the same frame is an
+    * exact mirror (the repo's percentile_approx exactness rule). */
+  def percentileApproxWindow(s: SparkSession, d: String): DataFrame = {
+    val qty = col("NetDailyQuantity")
+    val f3 = Forecast.seriesW.rowsBetween(-3, -1)
+    val f6 = Forecast.seriesW.rowsBetween(-6, -1)
+    val fd3 = Forecast.dowW.rowsBetween(-3, -1)
+    val pa = (f: org.apache.spark.sql.expressions.WindowSpec) =>
+      percentile_approx(qty, lit(0.5), lit(10000)).over(f)
+    daily(s, d)
+      .select(keyCols ++ Seq(
+        pa(f3).as("approx_median_3d"),
+        pa(f6).as("approx_median_6d"),
+        pa(fd3).as("approx_median_3_dow")): _*)
+      .orderBy(keyCols: _*)
+  }
+
   // ---- KPIs -----------------------------------------------------------------
 
   /** A8: global KPI aggregate (MAE/MAPE/bias, model vs baseline). */
@@ -424,11 +445,12 @@ object Corpus {
   def dedupFingerprint(s: SparkSession, d: String): DataFrame =
     Dedup.exactGroups(Tables.documents(s, d), "text", "doc_id").orderBy("keep_id")
 
-  /** Top-50 most similar doc pairs by word-3-shingle Jaccard: candidates
-    * from the frequency-capped shingle inverted index (default cap — the
-    * 100 TB skew guard stays ON), scored exactly over the full shingle sets.
-    * The cap is a deterministic filter mirrored verbatim in the DuckDB
-    * oracle, so the query stays hash-exact with pruning enabled. */
+  /** Top-50 most similar doc pairs by word-3-shingle Jaccard over the
+    * frequency-capped shingle inverted index (default cap — the 100 TB skew
+    * guard stays ON; scores are the self-consistent pruned-universe Jaccard,
+    * see Dedup.jaccardPairs). The cap is a deterministic filter mirrored
+    * verbatim in the DuckDB oracle, so the query stays hash-exact with
+    * pruning enabled. */
   def jaccardTop(s: SparkSession, d: String): DataFrame =
     Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", 3)
       .orderBy(col("jaccard").desc, col("id1"), col("id2"))
@@ -449,9 +471,11 @@ object Corpus {
       k = 3, numHashes = 16, bands = 4, maxBucket = 200, threshold = 0.3)
       .orderBy("id1", "id2")
 
-  /** SimHash near-dup pairs within Hamming 16 (rows-only check). */
+  /** SimHash near-dup pairs within Hamming 7 — banded on 8 disjoint 8-bit
+    * blocks, which pigeonhole-guarantees full recall at this radius
+    * (rows-only check). */
   def simhashPairs(s: SparkSession, d: String): DataFrame =
-    Dedup.simhashNearDups(s, Tables.documents(s, d), "doc_id", "text", maxHamming = 16)
+    Dedup.simhashNearDups(s, Tables.documents(s, d), "doc_id", "text", maxHamming = 7)
       .orderBy("id1", "id2")
 
   /** Embedding-cosine near-dup pairs via hyperplane LSH (rows-only check). */
@@ -586,6 +610,7 @@ object Corpus {
     "q_w5_diff_features" -> (diffFeatures _),
     "q_w6_ma_baseline" -> (maBaseline _),
     "q_w4b_percentile_approx" -> (percentileApprox _),
+    "q_w4c_papprox_window" -> (percentileApproxWindow _),
     "q_t1_tokens" -> (textTokens _),
     "q_t2_quality" -> (textQuality _),
     "q_t3_langid" -> (textLangId _),

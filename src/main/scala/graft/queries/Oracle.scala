@@ -90,10 +90,12 @@ object Oracle {
        |           / (CASE WHEN NetDailyQuantity = 0 THEN NULL ELSE CAST(NetDailyQuantity AS DOUBLE) END) AS ape_baseline
        |  FROM ev)""".stripMargin
 
-  /** Mirrors Dedup.jaccardPairs with the shingle-frequency cap live:
-    * candidates from the pruned inverted index (shingle df <= cap — a
-    * deterministic filter, identical across engines), scored exactly over the
-    * FULL shingle sets so the score is cap-independent. */
+  /** Mirrors Dedup.jaccardPairs with the shingle-frequency cap live: the
+    * inverted index is pruned of shingles with df > cap (a deterministic
+    * filter, identical across engines) and BOTH the pair intersections and
+    * the per-doc set sizes are computed over that pruned universe, so the
+    * score is self-consistent at any cap (and the exact full-set Jaccard
+    * whenever the cap prunes nothing). */
   private def jaccardTopSql(maxShingleDf: Int): String =
     s"""WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm FROM documents),
        |tk AS (SELECT doc_id, regexp_extract_all(norm, '\\S+') AS toks FROM n),
@@ -106,15 +108,10 @@ object Oracle {
        |  FROM wp),
        |hot AS (SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) > $maxShingleDf),
        |pr AS (SELECT doc_id, shingle FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-       |  FROM pr a JOIN pr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
-       |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+       |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM pr GROUP BY 1),
        |inter AS (
-       |  SELECT c.id1, c.id2, CAST(COUNT(*) AS BIGINT) AS n_common
-       |  FROM cand c
-       |  JOIN sh a ON a.doc_id = c.id1
-       |  JOIN sh b ON b.doc_id = c.id2 AND b.shingle = a.shingle
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(COUNT(*) AS BIGINT) AS n_common
+       |  FROM pr a JOIN pr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT id1, id2, n_common,
        |       CAST(n_common AS DOUBLE) / CAST(ca.n + cb.n - n_common AS DOUBLE) AS jaccard
@@ -372,6 +369,15 @@ object Oracle {
          |WINDOW ${frameWin("f3", 3)}
          |ORDER BY Country, StockCode, InvoiceDate""".stripMargin),
 
+    "q_w4c_papprox_window" -> withDaily(
+      s"""SELECT Country, StockCode, $tsDate,
+         |       quantile_disc(NetDailyQuantity, 0.5) OVER f3 AS approx_median_3d,
+         |       quantile_disc(NetDailyQuantity, 0.5) OVER f6 AS approx_median_6d,
+         |       quantile_disc(NetDailyQuantity, 0.5) OVER fd3 AS approx_median_3_dow
+         |FROM daily
+         |WINDOW ${frameWin("f3", 3)}, ${frameWin("f6", 6)}, ${frameWin("fd3", 3, dow = true)}
+         |ORDER BY Country, StockCode, InvoiceDate""".stripMargin),
+
     "q_w4b_percentile_approx" -> withDaily(
       """SELECT Country,
         |       quantile_disc(NetDailyQuantity, 0.5) AS approx_median_qty,
@@ -508,15 +514,10 @@ object Oracle {
          |  FROM wp),
          |hot AS (SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) > 1000),
          |pru AS (SELECT doc_id, shingle FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-         |  FROM pru a JOIN pru b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
-         |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nsh FROM sh GROUP BY 1),
+         |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nsh FROM pru GROUP BY 1),
          |inter AS (
-         |  SELECT c.id1, c.id2, CAST(COUNT(*) AS BIGINT) AS n_common
-         |  FROM cand c
-         |  JOIN sh a ON a.doc_id = c.id1
-         |  JOIN sh b ON b.doc_id = c.id2 AND b.shingle = a.shingle
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(COUNT(*) AS BIGINT) AS n_common
+         |  FROM pru a JOIN pru b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2),
          |pr AS (
          |  SELECT id1, id2,

@@ -27,7 +27,13 @@ object Ivf {
 
   /** Deterministic coarse quantizer: seeded sample → Lloyd iterations on the
     * driver (sample ≤ maxSample vectors; the quantizer needs only rough
-    * cell shapes). Centroids are L2-normalized so max-dot = cosine-nearest. */
+    * cell shapes). Centroids are L2-normalized so max-dot = cosine-nearest.
+    *
+    * The sample is the maxSample vectors with the smallest content hash —
+    * a keyed order, so the result is identical under any partitioning or
+    * file layout (a bare `limit(n)` is partition-order-dependent). The
+    * orderBy+limit compiles to TakeOrderedAndProject: a per-partition
+    * bounded heap + driver merge, no full sort at corpus scale. */
   def fit(
       emb: DataFrame,
       vecCol: String,
@@ -35,7 +41,11 @@ object Ivf {
       iters: Int = 3,
       seed: Long = 42L,
       maxSample: Int = 4096): Index = {
-    val rows = emb.select(vecCol).limit(maxSample).collect()
+    val rows = emb.select(col(vecCol), xxhash64(col(vecCol)).as("__h"))
+      .orderBy("__h")
+      .limit(maxSample)
+      .select(vecCol)
+      .collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     require(rows.nonEmpty, "empty embedding table")
     val rnd = new scala.util.Random(seed)
@@ -67,6 +77,14 @@ object Ivf {
     emb.withColumn("cell",
       GraftFunctions.nearestCentroid(col(vecCol), index.centroids))
 
+  /** The nprobe cell ids whose centroids are nearest (max-dot) the query. */
+  def probeCells(index: Index, query: Array[Float], nprobe: Int): Seq[Int] = {
+    val q = query.map(_.toDouble)
+    index.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.zip(q).map { case (a, b) => a * b }.sum) }
+      .sortBy(-_._2).take(nprobe).map(_._1).toSeq
+  }
+
   /** Query: probe the nprobe cells nearest the query vector, exact-rerank
     * survivors with the fused cosine. */
   def topK(
@@ -77,15 +95,48 @@ object Ivf {
       index: Index,
       query: Array[Float],
       k: Int,
-      nprobe: Int = 4): DataFrame = {
-    val q = query.map(_.toDouble)
-    val probeCells = index.centroids.zipWithIndex
-      .map { case (c, i) => (i, c.zip(q).map { case (a, b) => a * b }.sum) }
-      .sortBy(-_._2).take(nprobe).map(_._1)
-    assign(emb, vecCol, index)
-      .filter(col("cell").isin(probeCells.toSeq: _*))
+      nprobe: Int = 4): DataFrame =
+    rerank(spark,
+      assign(emb, vecCol, index).filter(col("cell").isin(probeCells(index, query, nprobe): _*)),
+      idCol, vecCol, query, k)
+
+  private def rerank(
+      spark: SparkSession,
+      cands: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Array[Float],
+      k: Int): DataFrame =
+    cands
       .select(col(idCol), Ann.cosineCol(spark, col(vecCol), query).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
-  }
+
+  /** Materialize the inverted file: the cell-assigned corpus written as a
+    * `cell`-partitioned parquet layout. This is the 100 TB serving shape —
+    * a probe against it reads only its nprobe/nlist directories because the
+    * cell predicate becomes a partition filter, pruned at planning time
+    * (never scanning the other cells' files). Plan-asserted in AnnSpec. */
+  def writePartitioned(
+      emb: DataFrame,
+      vecCol: String,
+      index: Index,
+      path: String): Unit =
+    assign(emb, vecCol, index)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Probe a [[writePartitioned]] layout: partition-pruned scan + exact
+    * rerank. */
+  def topKPartitioned(
+      spark: SparkSession,
+      path: String,
+      idCol: String,
+      vecCol: String,
+      index: Index,
+      query: Array[Float],
+      k: Int,
+      nprobe: Int = 4): DataFrame =
+    rerank(spark,
+      spark.read.parquet(path).filter(col("cell").isin(probeCells(index, query, nprobe): _*)),
+      idCol, vecCol, query, k)
 }

@@ -1,0 +1,87 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.{GraftSession, Tables}
+import graft.dedup.Dedup
+import graft.text.TextFunctions
+
+/** Builder-side phase profiler for slow-query diagnosis (not part of the
+  * library surface; the driver never runs it). */
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val what = if (args.length > 1) args(1) else "dd1"
+    val spark = GraftSession.local(appName = "graft-scratch")
+
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+
+    what match {
+      case "dd1" =>
+        val docs = Tables.documents(spark, d)
+        val shingled = time("shingle+checkpoint") {
+          Dedup.withShingles(docs, "text", 3)
+            .select(col("doc_id").as("doc"), col("shingles"))
+            .localCheckpoint(true)
+        }
+        val sh = shingled.select(col("doc"), explode(col("shingles")).as("shingle"))
+        val hot = sh.groupBy("shingle").count().filter(col("count") > 1000).select("shingle")
+        val pruned = sh.join(hot, Seq("shingle"), "left_anti")
+        val base = pruned.select("doc", "shingle")
+        val left = base.toDF("id1", "shingle")
+        val right = base.toDF("id2", "shingle_r")
+        val cand = left
+          .join(right, col("shingle") === col("shingle_r") && col("id1") < col("id2"))
+          .select("id1", "id2").distinct()
+        val nCand = time("candidate join+distinct")(cand.count())
+        println(s"[scratch] candidates: $nCand")
+        val sets = shingled.toDF("doc", "sh_set")
+        val scored = cand
+          .join(sets.select(col("doc").as("id1"), col("sh_set").as("sh1")), "id1")
+          .join(sets.select(col("doc").as("id2"), col("sh_set").as("sh2")), "id2")
+          .withColumn("n_common", size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
+          .withColumn("jaccard",
+            col("n_common").cast("double") /
+              (size(col("sh1")) + size(col("sh2")) - col("n_common")).cast("double"))
+          .select("id1", "id2", "n_common", "jaccard")
+        time("score join")(scored.write.format("noop").mode("overwrite").save())
+        val top = scored.orderBy(col("jaccard").desc, col("id1"), col("id2")).limit(50)
+        time("full with top-50")(top.write.format("noop").mode("overwrite").save())
+        top.explain("formatted")
+
+      case "w4b" =>
+        val daily = time("daily materialize") {
+          val df = graft.forecast.Forecast.dailySales(Tables.salesLines(spark, d)).cache()
+          df.count()
+          df
+        }
+        time("groupBy count only") {
+          daily.groupBy("Country").agg(count(lit(1)).as("n"))
+            .write.format("noop").mode("overwrite").save()
+        }
+        time("percentile exact") {
+          daily.groupBy("Country")
+            .agg(percentile(col("NetDailyQuantity"), lit(0.5)).as("m"), count(lit(1)).as("n"))
+            .write.format("noop").mode("overwrite").save()
+        }
+        time("percentile_approx acc=100") {
+          daily.groupBy("Country")
+            .agg(percentile_approx(col("NetDailyQuantity"), lit(0.5), lit(100)).as("m"),
+              count(lit(1)).as("n"))
+            .write.format("noop").mode("overwrite").save()
+        }
+        time("percentile_approx acc=10000") {
+          daily.groupBy("Country")
+            .agg(percentile_approx(col("NetDailyQuantity"), lit(0.5), lit(10000)).as("m"),
+              count(lit(1)).as("n"))
+            .write.format("noop").mode("overwrite").save()
+        }
+    }
+    spark.stop()
+  }
+}

@@ -6,6 +6,45 @@ import graft.SparkSpec
   * coherent scorecard (finite metrics, sensible split, KPI columns). */
 class ReferencePipelineSpec extends SparkSpec {
 
+  test("referenceCompat frame carries the reference's full feature width") {
+    val daily = Forecast.dailySalesCompat(
+      graft.Tables.salesLines(spark, "/root/testdata/sf0.001"))
+    val frame = ReferencePipeline.featureFrameCompat(daily)
+    val lagCols = frame.columns.filter(_.startsWith("lag_"))
+    val rollCols = frame.columns.filter(_.startsWith("roll_"))
+    val diffCols = frame.columns.filter(_.startsWith("diff_"))
+    assert(lagCols.length === 36) // 6 lags × {qty,price} × {day,6daycycle,dow}
+    assert(rollCols.length === 18) // {3,6,12}d + {3,4,5}_dow × mean/std/median
+    assert(diffCols.length === 12) // mean+median diffs vs both families
+    // the reference's literal column names (py:617-646)
+    assert(lagCols.contains("lag_quantity_4_6daycycle"))
+    assert(diffCols.contains("diff_qty_median_5_dow"))
+    // assembler width = 5 calendar + 71 numeric-derived + 2 indexers = 73,
+    // exactly the feature_columns_v3 set (py:1006-1061)
+    val numeric = graft.ml.ForecastModels.numericFeatureCols(frame)
+    assert(numeric.length + 2 === 73, s"got ${numeric.length} numeric cols")
+    // lag columns are the reference's rounded integers (round(...,0))
+    val row = frame
+      .filter(frame("lag_price_1_day").isNotNull)
+      .select("lag_price_1_day").limit(200)
+      .collect()
+    assert(row.nonEmpty)
+    row.foreach { r =>
+      val v = r.getDouble(0)
+      assert(v === math.rint(v), s"lag price $v not integer-rounded")
+    }
+  }
+
+  test("referenceCompat pipeline runs end-to-end and still beats nothing-burger metrics") {
+    val r = ReferencePipeline.run(
+      spark, "/root/testdata/sf0.001", cutoff = "1999-09-01", models = Seq("lr"),
+      referenceCompat = true)
+    assert(r.trainRows > 0 && r.testRows > 0)
+    val lr = r.scorecards.head
+    assert(!lr.mae.isNaN && lr.mae > 0)
+    assert(!r.maeModel.isNaN && !r.maeBaseline.isNaN)
+  }
+
   test("full pipeline replays end-to-end on sf0.001 with LR") {
     val r = ReferencePipeline.run(
       spark, "/root/testdata/sf0.001", cutoff = "1999-09-01", models = Seq("lr"))

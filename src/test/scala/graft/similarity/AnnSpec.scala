@@ -66,6 +66,47 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall too low: ivf=$ivfIds exact=$exactIds")
   }
 
+  test("IVF fit is deterministic under repartitioning (keyed sample order)") {
+    val emb500 = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val a = Ivf.fit(emb500, "embedding", nlist = 8)
+    val b = Ivf.fit(emb500.repartition(7), "embedding", nlist = 8)
+    val c = Ivf.fit(emb500.repartition(3, $"vec_id"), "embedding", nlist = 8)
+    assert(a.centroids.map(_.toSeq).toSeq === b.centroids.map(_.toSeq).toSeq)
+    assert(a.centroids.map(_.toSeq).toSeq === c.centroids.map(_.toSeq).toSeq)
+  }
+
+  test("partitioned IVF probe prunes the scan to nprobe cells and matches the in-memory probe") {
+    val emb500 = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb500.filter($"vec_id" === 0).select("embedding").head.getSeq[Float](0).toArray
+    val index = Ivf.fit(emb500, "embedding", nlist = 16)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_part").toString
+    try {
+      Ivf.writePartitioned(emb500, "embedding", index, dir)
+      val nprobe = 4
+      val probed = Ivf.topKPartitioned(spark, dir, "vec_id", "embedding", index, q, 10, nprobe)
+      // the cell predicate must be a planning-time partition filter: the
+      // scan's selected partitions are exactly the probed cells, not nlist
+      val plan = probed.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+        case p => p
+      }
+      val scans = plan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty, "expected a FileSourceScanExec")
+      assert(scans.head.partitionFilters.nonEmpty, "cell predicate did not become a partition filter")
+      val selected = scans.head.selectedPartitions.partitionCount
+      assert(selected === nprobe, s"scan read $selected partitions, expected $nprobe")
+      // and the result set matches the non-materialized probe
+      val mem = Ivf.topK(spark, emb500, "vec_id", "embedding", index, q, 10, nprobe)
+        .select("vec_id").as[Long].collect().toSeq
+      val disk = probed.select("vec_id").as[Long].collect().toSeq
+      assert(disk === mem)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("embedding near-dup LSH finds the identical pair above threshold") {
     val pairs = Dedup.embeddingNearDups(spark, emb, "vec_id", "embedding",
       threshold = 0.99, bitsPerTable = 4, tables = 2, dim = 4)
