@@ -55,10 +55,21 @@ object ReferencePipeline {
       dir: String,
       cutoff: String,
       models: Seq[String],
+      referenceCompat: Boolean = false): Report =
+    runOnSales(Tables.salesLines(spark, dir), cutoff, models, referenceCompat)
+
+  /** Same replay on an already-ingested invoice-line frame (columns Country,
+    * StockCode, InvoiceDate, Quantity, UnitPrice, LineRevenue) — the entry
+    * point for the Online-Retail-shaped fixture (CsvSource → here is exactly
+    * the reference's flow). */
+  def runOnSales(
+      sales: DataFrame,
+      cutoff: String,
+      models: Seq[String],
       referenceCompat: Boolean = false): Report = {
     val daily =
-      if (referenceCompat) Forecast.dailySalesCompat(Tables.salesLines(spark, dir))
-      else Forecast.dailySales(Tables.salesLines(spark, dir))
+      if (referenceCompat) Forecast.dailySalesCompat(sales)
+      else Forecast.dailySales(sales)
     val features =
       (if (referenceCompat) featureFrameCompat(daily) else featureFrame(daily)).cache()
     features.count() // cache barrier before the model fits (C1)

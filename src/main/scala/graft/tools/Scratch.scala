@@ -54,6 +54,30 @@ object Scratch {
         time("full with top-50")(top.write.format("noop").mode("overwrite").save())
         top.explain("formatted")
 
+      case "dates" =>
+        val df = spark.createDataFrame(Seq(
+          Tuple1("12/1/10 8:26"), Tuple1("12/3/10 8:5"), Tuple1("1/9/11 17:3"),
+          Tuple1("12/5/10 14:55"))).toDF("raw")
+        df.select(col("raw"),
+          to_timestamp(col("raw"), "M/d/yy H:mm").as("ts"),
+          to_date(to_timestamp(col("raw"), "M/d/yy H:mm")).as("d"),
+          dayofweek(to_date(to_timestamp(col("raw"), "M/d/yy H:mm"))).as("dow"))
+          .show(false)
+
+      case "seq" =>
+        // Replays the bench sequence with per-pass timings + storage stats to
+        // find what session state accumulates between queries.
+        def pass(label: String)(df: => org.apache.spark.sql.DataFrame): Unit =
+          (1 to 3).foreach { i =>
+            time(s"$label pass$i")(df.write.format("noop").mode("overwrite").save())
+            val sc = spark.sparkContext
+            val rddBlocks = sc.getPersistentRDDs.size
+            val mem = sc.getExecutorMemoryStatus.values.map { case (max, free) => (max - free) / 1e6 }.sum
+            println(f"[scratch]   persistentRDDs=$rddBlocks storageUsedMB=$mem%.0f")
+          }
+        pass("dd1")(graft.queries.Corpus.jaccardTop(spark, d))
+        pass("w4b")(graft.queries.Corpus.percentileApprox(spark, d))
+
       case "w4b" =>
         val daily = time("daily materialize") {
           val df = graft.forecast.Forecast.dailySales(Tables.salesLines(spark, d)).cache()

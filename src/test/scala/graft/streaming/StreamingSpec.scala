@@ -36,6 +36,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source stream of the real events table matches the batch hourly aggregation") {
+    // Stream-batch parity: the SAME hourlyCounts plan, run once as a batch
+    // query and once incrementally over a multi-file parquet source
+    // (maxFilesPerTrigger=1 → one micro-batch per file), must agree — the
+    // guarantee that lets one declarative aggregation serve both paths.
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"ts", $"event_type", $"value")
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    val src = dir.resolve("src").toString
+    try {
+      events.repartition(8).write.mode("overwrite").parquet(src)
+      val schema = spark.read.parquet(src).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val q = EventStreams.hourlyCounts(stream)
+        .writeStream.format("memory").queryName("hourly_parity")
+        .outputMode(OutputMode.Complete()).start()
+      try {
+        q.processAllAvailable()
+        assert(q.recentProgress.map(_.numInputRows).count(_ > 0) > 1,
+          "expected multiple micro-batches")
+        def canon(rows: Array[org.apache.spark.sql.Row]) = rows
+          .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+          .sortBy(t => (t._1.getTime, t._2))
+        val streamed = canon(spark.table("hourly_parity").collect())
+        val batch = canon(EventStreams.hourlyCounts(events).collect())
+        assert(streamed.length === batch.length && streamed.nonEmpty)
+        streamed.zip(batch).foreach { case ((h1, e1, n1, v1), (h2, e2, n2, v2)) =>
+          assert(h1 === h2 && e1 === e2 && n1 === n2)
+          // double sums accumulate in different orders batch vs incremental
+          assert(math.abs(v1 - v2) <= 1e-9 * math.max(1.0, math.abs(v2)),
+            s"total_value drift at ($h2,$e2): $v1 vs $v2")
+        }
+      } finally q.stop()
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
   test("stateful sessionization closes a session after the gap and on timeout") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
