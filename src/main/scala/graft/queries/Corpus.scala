@@ -269,6 +269,48 @@ object Corpus {
       .orderBy("segment", "Country")
   }
 
+  // ---- training-data curation ----------------------------------------------
+
+  /** P9: deterministic stratified sampling — the reproducible 100 TB
+    * alternative to seeded RNG `sample()` (whose output depends on partition
+    * layout): keep a doc iff the first hex byte of md5(doc_id) clears a
+    * per-stratum threshold (en ≈ 50%, other languages ≈ 12.5%). The
+    * decision is a pure per-row function of the key, so the sample is
+    * identical on any cluster, any partitioning, any engine — which is what
+    * makes it oracle-checkable, and what makes training mixes reproducible. */
+  def hashSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(
+        substring(md5(col("doc_id").cast("string")), 1, 2) <
+          when(col("lang") === "en", lit("80")).otherwise(lit("20")))
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+
+  /** W8: group-wise top-k curation — keep the 3 largest docs per source
+    * (row_number over a per-source window; one hash-shuffle on source, no
+    * global sort — the "best k per domain" selection every corpus-quality
+    * pipeline runs). */
+  def groupTopK(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(s, d)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))))
+      .filter(col("rk") <= 3)
+      .select("source", "doc_id", "n_chars", "rk")
+      .orderBy("source", "rk")
+  }
+
+  /** O5: deterministic corpus shuffle — a content-derived shuffle key
+    * (md5 of the id) instead of an RNG, so the "randomized" training order
+    * is reproducible and resumable. At scale the key feeds
+    * repartitionByRange + write (shard files in shuffled order, no global
+    * sort bottleneck — asserted in OperatorsSpec); here the key mapping
+    * itself is the verified output. */
+  def detShuffle(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("shuffle_key"))
+      .orderBy("shuffle_key", "doc_id")
+
   // ---- sorts ----------------------------------------------------------------
 
   /** O1: multi-column sort + limit. */
@@ -479,10 +521,25 @@ object Corpus {
       .orderBy("id1", "id2")
 
   /** Embedding-cosine near-dup pairs via hyperplane LSH (rows-only check). */
-  def embedNearDup(s: SparkSession, d: String): DataFrame =
-    Dedup.embeddingNearDups(s, Tables.embeddings(s, d), "vec_id", "embedding",
+  /** Embedding near-dup detection against injected ground truth. The
+    * synthetic corpus has NO natural near-dups (max pairwise cosine ≈ 0.51
+    * at sf0.01 / 0.60 at sf0.1), so the operator alone would emit zero rows
+    * at any sane threshold; instead the first 50 vectors are cloned under
+    * shifted ids and the LSH must recover exactly those pairs — identical
+    * vectors hash to identical signatures (guaranteed candidate) and cosine
+    * ≈ 1 clears the threshold, while every natural pair is far below it.
+    * That makes the result SQL-mirrorable: the expected pairs are just
+    * (vec_id, vec_id + 1000000) for vec_id < 50 — a real oracle for an LSH
+    * query (recall proof), not a rows-only smoke check. */
+  def embedNearDup(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val clones = emb.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    Dedup.embeddingNearDups(s, emb.unionByName(clones), "vec_id", "embedding",
       threshold = 0.9)
+      .select("id1", "id2") // cosine ≈ 1 ± ulp is engine-internal → dropped
       .orderBy("id1", "id2")
+  }
 
   /** Exact all-pairs embedding similarity, top-100 most similar pairs
     * (bit-reproducible fused cosine — oracle-checked). */
@@ -622,6 +679,9 @@ object Corpus {
     "q_dd2_minhash_pairs" -> (minhashPairs _),
     "q_dd3_simhash_pairs" -> (simhashPairs _),
     "q_dd4_embed_neardup" -> (embedNearDup _),
+    "q_p9_hash_sample" -> (hashSample _),
+    "q_w8_group_topk" -> (groupTopK _),
+    "q_o5_det_shuffle" -> (detShuffle _),
     "q_dd5_embed_pairs_top" -> (embedPairsTop _),
     "q_tp1_clean_corpus" -> (cleanCorpus _),
     "q_ml1_forecast_kpi" -> (mlForecastKpi _),

@@ -530,6 +530,34 @@ object Oracle {
          |WHERE ex.doc_id NOT IN (SELECT doc_id FROM removed)
          |ORDER BY ex.doc_id""".stripMargin,
 
+    // Mirrors Corpus.embedNearDup's injected ground truth: the corpus has no
+    // natural pair near cosine 0.9 (max ≈ 0.51/0.60), identical clones hash
+    // to identical LSH signatures and cosine ≈ 1, so the result is exactly
+    // the clone pairs — an actual recall oracle for the LSH operator.
+    "q_dd4_embed_neardup" ->
+      """SELECT vec_id AS id1, vec_id + 1000000 AS id2
+        |FROM embeddings WHERE vec_id < 50 ORDER BY id1, id2""".stripMargin,
+
+    // Deterministic stratified sample: md5-prefix threshold per language
+    // stratum — a pure function of the key, identical across engines.
+    "q_p9_hash_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+        |      CASE WHEN lang = 'en' THEN '80' ELSE '20' END
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_w8_group_topk" ->
+      """SELECT source, doc_id, n_chars, rk FROM (
+        |  SELECT source, doc_id, n_chars,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |                                 ORDER BY n_chars DESC, doc_id) AS INTEGER) AS rk
+        |  FROM documents)
+        |WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
+
+    "q_o5_det_shuffle" ->
+      """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+        |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin,
+
     "q_dd5_embed_pairs_top" ->
       """WITH pairs AS (
         |  SELECT a.vec_id AS id1, b.vec_id AS id2, a.embedding AS ea, b.embedding AS eb

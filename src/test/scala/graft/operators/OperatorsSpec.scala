@@ -45,6 +45,30 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("deterministic shuffle shards via range partitioning, not a global sort") {
+    // The 100 TB shape of Corpus.detShuffle: hash-keyed rows range-partitioned
+    // into shards, each shard locally sorted — a sampled RangePartitioning
+    // exchange + per-partition sort, never a single-partition global sort.
+    val docs = (1L to 10000L).map(i => (i, s"text_$i")).toDF("doc_id", "text")
+    val sharded = docs
+      .withColumn("shuffle_key", md5($"doc_id".cast("string")))
+      .repartitionByRange(8, $"shuffle_key")
+      .sortWithinPartitions("shuffle_key")
+    val plan = sharded.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), s"expected range exchange:\n$plan")
+    val globalSorts = sharded.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s
+    }
+    assert(globalSorts.isEmpty, s"expected no global sort:\n$plan")
+    // shards are disjoint, ordered ranges: max(shard i) < min(shard i+1)
+    val bounds = sharded
+      .mapPartitions(it => { val s = it.map(_.getAs[String]("shuffle_key")).toSeq
+        if (s.isEmpty) Iterator.empty else Iterator((s.min, s.max, s.size)) })
+      .collect().sortBy(_._1)
+    assert(bounds.map(_._3).sum === 10000)
+    bounds.sliding(2).foreach { case Array((_, hi, _), (lo, _, _)) => assert(hi < lo); case _ => }
+  }
+
   test("salted aggregation composes with Exact decimal sums (order-independent)") {
     val df = (1 to 5000).map(i => ("HOT", i * 0.01)).toDF("key", "v")
     val plain = df.groupBy("key").agg(Exact.dsum($"v").as("s")).head.getDouble(1)
