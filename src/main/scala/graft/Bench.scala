@@ -38,11 +38,21 @@ object Bench {
     // sweep (the driver never sets it, so the contract output is unchanged).
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val sweep = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val (a, b) = (once(name, fn), once(name, fn))
       name -> (if (a.isNaN || b.isNaN) Double.NaN else math.min(a, b))
+    }
+    // Salvage pass: a sustained external-load spike can contaminate BOTH
+    // passes of the queries running under it (observed: the same plan at
+    // 1.8s isolated vs 43s mid-spike). Anything still slow after min-of-two
+    // gets one more pass at sweep end — minutes later, when a transient
+    // spike has typically passed — and keeps the min. Genuinely slow
+    // queries pay one extra run; phantom slowness cannot survive.
+    val results = sweep.map { case (name, t) =>
+      if (!t.isNaN && t > 8.0) name -> math.min(t, once(name, SparkEntry.queries(name)))
+      else name -> t
     }
     val failed = results.collect { case (k, v) if v.isNaN => k }
     val qs = results

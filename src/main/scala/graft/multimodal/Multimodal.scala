@@ -54,4 +54,26 @@ object Multimodal {
       it.map(decodeOne)
     }
   }
+
+  case class Frame(doc_id: Long, frame_idx: Int, pts_ms: Long, frame_bytes: Long)
+
+  /** Frame sampling — the 1→N stage of a video pipeline (each payload emits
+    * a bounded set of evenly-spaced frames). The demuxer is a STUB (frame
+    * count and sizes derived deterministically from the payload), but the
+    * Spark shape is the real one: a partition-wise flatMap whose fan-out is
+    * bounded per row (≤ 5 here; a real sampler caps frames-per-clip the same
+    * way so one long video cannot blow up a task), keeping output partitions
+    * within memory budget at 100 TB without a repartition. 40 ms step = 25
+    * fps timestamps. */
+  def frameSampleStub(spark: SparkSession, blobs: DataFrame): Dataset[Frame] = {
+    import spark.implicits._
+    blobs.as[Blob].mapPartitions { it =>
+      // real code: demuxer handle opened once per partition, as in decodeStub
+      it.flatMap { b =>
+        val nFrames = 1 + (b.content.length % 5)
+        val frameBytes = (b.content.length / nFrames).toLong
+        (0 until nFrames).iterator.map(i => Frame(b.doc_id, i, i * 40L, frameBytes))
+      }
+    }
+  }
 }

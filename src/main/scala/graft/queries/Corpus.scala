@@ -585,6 +585,12 @@ object Corpus {
     Multimodal.decodeStub(s, Multimodal.toBlobs(Tables.documents(s, d)))
       .orderBy("doc_id").toDF()
 
+  /** Frame sampling over blobs — the bounded 1→N video stage (stub demuxer,
+    * deterministic arithmetic mirrored in the oracle). */
+  def frameSample(s: SparkSession, d: String): DataFrame =
+    Multimodal.frameSampleStub(s, Multimodal.toBlobs(Tables.documents(s, d)))
+      .orderBy("doc_id", "frame_idx").toDF()
+
   /** W4-faithful percentile_approx (reference used it as its rolling median;
     * approx sketch — rows-only check). */
   def percentileApprox(s: SparkSession, d: String): DataFrame =
@@ -688,7 +694,8 @@ object Corpus {
     "q_ann1_cosine_topk" -> (annCosineTopK _),
     "q_ann2_lsh_topk" -> (annLshTopK _),
     "q_ann3_ivf_topk" -> (annIvfTopK _),
-    "q_mm1_blob_meta" -> (blobMeta _)
+    "q_mm1_blob_meta" -> (blobMeta _),
+    "q_mm2_frame_sample" -> (frameSample _)
   )
 
   val all: Map[String, Q] = raw.map { case (name, fn) =>

@@ -578,6 +578,22 @@ object Oracle {
         |SELECT id1, id2, dot / (sqrt(nx) * sqrt(ny)) AS cosine
         |FROM s ORDER BY cosine DESC, id1, id2 LIMIT 100""".stripMargin,
 
+    // Mirrors Multimodal.frameSampleStub: nFrames = 1 + n_bytes % 5, pts at
+    // 40 ms steps, frame_bytes = n_bytes // nFrames (integer division both
+    // engines). Scalar unnest(generate_series(...)) — DuckDB 1.0 has no
+    // lateral table generate_series.
+    "q_mm2_frame_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, n, unnest(generate_series(0, n % 5)) AS i FROM b)
+        |SELECT doc_id,
+        |       CAST(i AS INTEGER) AS frame_idx,
+        |       CAST(i * 40 AS BIGINT) AS pts_ms,
+        |       CAST(n // (1 + n % 5) AS BIGINT) AS frame_bytes
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
     "q_mm1_blob_meta" ->
       """SELECT doc_id,
         |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,

@@ -21,4 +21,18 @@ class MultimodalSpec extends SparkSpec {
     val again = Multimodal.decodeStub(spark, blobs).collect().map(m => m.doc_id -> m).toMap
     assert(again === metas)
   }
+
+  test("frame sampling fans out boundedly with even 25fps timestamps") {
+    // "hello world" = 11 bytes → 1 + 11%5 = 2 frames of 5 bytes;
+    // "" → 1 frame of 0 bytes; fan-out is always within [1, 5]
+    val docs = Seq((7L, "hello world"), (8L, ""), (9L, "abcdefg")).toDF("doc_id", "text")
+    val frames = Multimodal.frameSampleStub(spark, Multimodal.toBlobs(docs))
+      .collect().groupBy(_.doc_id)
+    assert(frames(7L).map(f => (f.frame_idx, f.pts_ms, f.frame_bytes)).sorted.toSeq ===
+      Seq((0, 0L, 5L), (1, 40L, 5L)))
+    assert(frames(8L).toSeq.map(f => (f.frame_idx, f.pts_ms, f.frame_bytes)) === Seq((0, 0L, 0L)))
+    // 7 bytes → 3 frames, 2 bytes each
+    assert(frames(9L).length === 3 && frames(9L).forall(_.frame_bytes === 2L))
+    assert(frames.values.forall(fs => fs.length >= 1 && fs.length <= 5))
+  }
 }
