@@ -269,6 +269,24 @@ object Corpus {
       .orderBy("segment", "Country")
   }
 
+  /** J6: as-of join (extension — Spark has no native ASOF): each purchase
+    * event paired with the same user's most recent prior-or-simultaneous
+    * click, via the union+window composition in [[AsofJoin]] (one shuffle,
+    * no range-join pair expansion). Clicks are pre-aggregated to unique
+    * (user, ts) per the operator's contract. */
+  def asofClicks(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy("user_id", "ts").agg(max("value").as("click_value"))
+    graft.operators.AsofJoin
+      .asofJoin(purchases, clicks, Seq("user_id"), "ts", "ts", Seq("click_value"))
+      .withColumnRenamed("asof_time", "click_ts")
+      .withColumnRenamed("asof_click_value", "click_value")
+      .orderBy("event_id")
+  }
+
   // ---- training-data curation ----------------------------------------------
 
   /** P9: deterministic stratified sampling — the reproducible 100 TB
@@ -685,6 +703,7 @@ object Corpus {
     "q_dd2_minhash_pairs" -> (minhashPairs _),
     "q_dd3_simhash_pairs" -> (simhashPairs _),
     "q_dd4_embed_neardup" -> (embedNearDup _),
+    "q_j6_asof_clicks" -> (asofClicks _),
     "q_p9_hash_sample" -> (hashSample _),
     "q_w8_group_topk" -> (groupTopK _),
     "q_o5_det_shuffle" -> (detShuffle _),

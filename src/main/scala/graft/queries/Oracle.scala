@@ -282,6 +282,23 @@ object Oracle {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
 
+    // Mirrors AsofJoin.asofJoin (inclusive tie semantics: click at the same
+    // instant counts) with DuckDB's native ASOF LEFT JOIN; clicks are
+    // deduped to unique (user, ts) so "the" latest row is well-defined in
+    // both engines.
+    "q_j6_asof_clicks" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, max(value) AS click_value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (
+        |  SELECT event_id, user_id, ts, value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts, p.value,
+        |       CAST(c.ts AS TIMESTAMP) AS click_ts, c.click_value
+        |FROM p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ORDER BY event_id""".stripMargin,
+
     "q_u1_union_segments" -> withDaily(
       """SELECT * FROM (
         |  SELECT Country, CAST(SUM(NetDailyQuantity) AS BIGINT) AS total_qty, 'uk' AS segment

@@ -69,6 +69,24 @@ class OperatorsSpec extends SparkSpec {
     bounds.sliding(2).foreach { case Array((_, hi, _), (lo, _, _)) => assert(hi < lo); case _ => }
   }
 
+  test("asof join: latest-wins, inclusive ties, left-outer nulls, key isolation") {
+    val trades = Seq(
+      (1L, 10L, "t10"), (1L, 20L, "t20"), (1L, 5L, "t5"),
+      (2L, 10L, "u10")).toDF("key", "t", "trade")
+    val quotes = Seq(
+      (1L, 8L, 1.0), (1L, 10L, 2.0), (1L, 15L, 3.0),
+      (2L, 99L, 9.0)).toDF("key", "qt", "px")
+    val out = AsofJoin.asofJoin(trades, quotes, Seq("key"), "t", "qt", Seq("px"))
+      .collect().map(r => r.getAs[String]("trade") ->
+        ((Option(r.getAs[Any]("asof_time")), Option(r.getAs[Any]("asof_px"))))).toMap
+    assert(out("t10") === (Some(10L), Some(2.0))) // inclusive: equal time matches
+    assert(out("t20") === (Some(15L), Some(3.0))) // latest preceding wins
+    assert(out("t5") === ((None, None))) // nothing precedes → null
+    assert(out("u10") === ((None, None))) // other key's quotes invisible
+    // exactly one output row per left row
+    assert(AsofJoin.asofJoin(trades, quotes, Seq("key"), "t", "qt", Seq("px")).count() === 4L)
+  }
+
   test("salted aggregation composes with Exact decimal sums (order-independent)") {
     val df = (1 to 5000).map(i => ("HOT", i * 0.01)).toDF("key", "v")
     val plain = df.groupBy("key").agg(Exact.dsum($"v").as("s")).head.getDouble(1)
