@@ -287,6 +287,20 @@ object Corpus {
       .orderBy("event_id")
   }
 
+  /** J7: bounded-interval range join (binned equi-join, [[graft.operators.RangeJoin]])
+    * — every click within the 30 minutes preceding each purchase; the batch
+    * twin of the watermarked stream-stream interval join in graft.streaming. */
+  def intervalClicks(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("value").as("click_value"))
+    graft.operators.RangeJoin
+      .intervalJoin(purchases, clicks, Seq("user_id"), "ts", "click_ts", 30L * 60 * 1000)
+      .orderBy("event_id", "click_ts")
+  }
+
   // ---- training-data curation ----------------------------------------------
 
   /** P9: deterministic stratified sampling — the reproducible 100 TB
@@ -704,6 +718,7 @@ object Corpus {
     "q_dd3_simhash_pairs" -> (simhashPairs _),
     "q_dd4_embed_neardup" -> (embedNearDup _),
     "q_j6_asof_clicks" -> (asofClicks _),
+    "q_j7_interval_clicks" -> (intervalClicks _),
     "q_p9_hash_sample" -> (hashSample _),
     "q_w8_group_topk" -> (groupTopK _),
     "q_o5_det_shuffle" -> (detShuffle _),

@@ -299,6 +299,19 @@ object Oracle {
         |  ON p.user_id = c.user_id AND c.ts <= p.ts
         |ORDER BY event_id""".stripMargin,
 
+    // Mirrors RangeJoin.intervalJoin's semantics with a plain inequality
+    // join (DuckDB handles small inequality joins fine; the Spark side bins
+    // to avoid the nested-loop plan).
+    "q_j7_interval_clicks" ->
+      """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+        |       CAST(c.ts AS TIMESTAMP) AS click_ts, c.value AS click_value
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts <= p.ts
+        | AND c.ts > p.ts - INTERVAL 30 MINUTE
+        |ORDER BY event_id, click_ts""".stripMargin,
+
     "q_u1_union_segments" -> withDaily(
       """SELECT * FROM (
         |  SELECT Country, CAST(SUM(NetDailyQuantity) AS BIGINT) AS total_qty, 'uk' AS segment

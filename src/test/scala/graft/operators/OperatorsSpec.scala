@@ -87,6 +87,31 @@ class OperatorsSpec extends SparkSpec {
     assert(AsofJoin.asofJoin(trades, quotes, Seq("key"), "t", "qt", Seq("px")).count() === 4L)
   }
 
+  test("interval join matches the naive inequality join and avoids nested-loop plans") {
+    import java.sql.Timestamp
+    def t(ms: Long) = new Timestamp(1700000000000L + ms)
+    val W = 1000L
+    val lefts = Seq((1L, t(0)), (1L, t(1500)), (1L, t(2000)), (2L, t(1500)))
+      .toDF("key", "lt")
+    val rights = Seq(
+      (1L, t(-1), 0.0), (1L, t(0), 1.0), (1L, t(500), 2.0), (1L, t(1000), 3.0),
+      (1L, t(1500), 4.0), (1L, t(2500), 5.0), (2L, t(700), 6.0)).toDF("key", "rt", "v")
+    val binned = RangeJoin.intervalJoin(lefts, rights, Seq("key"), "lt", "rt", W)
+    val naive = lefts.join(rights, Seq("key"))
+      .filter($"rt" <= $"lt" && $"rt" > $"lt" - expr("INTERVAL 1 SECOND"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("key", "lt", "rt", "v").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime,
+          r.getDouble(3))).sorted.toSeq
+    assert(canon(binned) === canon(naive))
+    // boundary semantics: rt == lt included, rt == lt - W excluded
+    assert(canon(binned).contains((1L, 1700000000000L, 1700000000000L, 1.0)))
+    assert(!canon(binned).exists { case (k, lt, rt, _) => k == 1L && lt == 1700000001500L && rt == 1700000000500L })
+    // the binned plan is an equi-join, not a broadcast nested loop
+    val plan = binned.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in plan:\n$plan")
+  }
+
   test("salted aggregation composes with Exact decimal sums (order-independent)") {
     val df = (1 to 5000).map(i => ("HOT", i * 0.01)).toDF("key", "v")
     val plain = df.groupBy("key").agg(Exact.dsum($"v").as("s")).head.getDouble(1)
