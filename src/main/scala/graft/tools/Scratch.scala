@@ -54,6 +54,16 @@ object Scratch {
         time("full with top-50")(top.write.format("noop").mode("overwrite").save())
         top.explain("formatted")
 
+      case "plans" =>
+        // explain("formatted") for the named queries (args(2) = csv names)
+        val names = if (args.length > 2) args(2).split(",").toSeq
+          else Seq("q_j6_asof_clicks", "q_j7_interval_clicks", "q_w8_group_topk",
+            "q_p9_hash_sample", "q_dd1_jaccard_top", "q_w4c_papprox_window")
+        names.foreach { n =>
+          println(s"===== $n =====")
+          graft.SparkEntry.queries(n)(spark, d).explain("formatted")
+        }
+
       case "dates" =>
         val df = spark.createDataFrame(Seq(
           Tuple1("12/1/10 8:26"), Tuple1("12/3/10 8:5"), Tuple1("1/9/11 17:3"),
