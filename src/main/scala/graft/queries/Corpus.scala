@@ -301,6 +301,32 @@ object Corpus {
       .orderBy("event_id", "click_ts")
   }
 
+  /** A15: single-pass column profiler, unpivoted with stack() — the data
+    * validation sweep run before any 100 TB training job (one scan computes
+    * every column's stats; stack reshapes wide→long without a join). */
+  def columnProfile(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        min(col(c)).cast("double").as(s"min_$c"),
+        max(col(c)).cast("double").as(s"max_$c"),
+        (count(lit(1)) - count(col(c))).as(s"nulls_$c"))
+    } :+ count(lit(1)).as("n_rows")
+    val stackArgs = cols
+      .map(c => s"'$c', min_$c, max_$c, nulls_$c")
+      .mkString(s"stack(${cols.size}, ", ", ", ")")
+    Tables.lineitem(s, d)
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"$stackArgs AS (column_name, min_val, max_val, n_nulls)", "n_rows")
+      .orderBy("column_name")
+  }
+
+  /** T6: BM25 retrieval top-k for a literal term query (map-side postings
+    * pruning + broadcast stats — see graft.text.Bm25). */
+  def bm25TopK(s: SparkSession, d: String): DataFrame =
+    graft.text.Bm25.topK(Tables.documents(s, d), "doc_id", "text",
+      terms = Seq("spark", "merge", "window", "stream"), k = 25)
+
   // ---- training-data curation ----------------------------------------------
 
   /** P9: deterministic stratified sampling — the reproducible 100 TB
@@ -719,6 +745,8 @@ object Corpus {
     "q_dd4_embed_neardup" -> (embedNearDup _),
     "q_j6_asof_clicks" -> (asofClicks _),
     "q_j7_interval_clicks" -> (intervalClicks _),
+    "q_a15_profile" -> (columnProfile _),
+    "q_t6_bm25" -> (bm25TopK _),
     "q_p9_hash_sample" -> (hashSample _),
     "q_w8_group_topk" -> (groupTopK _),
     "q_o5_det_shuffle" -> (detShuffle _),

@@ -414,6 +414,59 @@ object Oracle {
         |       CAST(COUNT(*) AS BIGINT) AS n
         |FROM daily GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    "q_a15_profile" ->
+      """SELECT column_name, min_val, max_val, n_nulls, n_rows FROM (
+        |  SELECT 'l_quantity' AS column_name,
+        |         CAST(MIN(l_quantity) AS DOUBLE) AS min_val,
+        |         CAST(MAX(l_quantity) AS DOUBLE) AS max_val,
+        |         CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT) AS n_nulls,
+        |         CAST(COUNT(*) AS BIGINT) AS n_rows
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice',
+        |         CAST(MIN(l_extendedprice) AS DOUBLE), CAST(MAX(l_extendedprice) AS DOUBLE),
+        |         CAST(COUNT(*) - COUNT(l_extendedprice) AS BIGINT), CAST(COUNT(*) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount',
+        |         CAST(MIN(l_discount) AS DOUBLE), CAST(MAX(l_discount) AS DOUBLE),
+        |         CAST(COUNT(*) - COUNT(l_discount) AS BIGINT), CAST(COUNT(*) AS BIGINT)
+        |  FROM lineitem)
+        |ORDER BY column_name""".stripMargin,
+
+    // Mirrors graft.text.Bm25.topK: identical tokenization to q_t1, integer
+    // tf/df/dl, exact integer-sum avgdl, Lucene idf, floor-scaled exact
+    // per-doc sum (the q_dd5 construction) — ln() is the only
+    // transcendental, on identical double inputs in both engines.
+    "q_t6_bm25" ->
+      """WITH nm AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),
+        |tk AS (SELECT doc_id, regexp_extract_all(norm, '\S+') AS toks FROM nm),
+        |d AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM tk),
+        |stats AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |         CAST(CAST(SUM(CAST(dl AS BIGINT)) AS BIGINT) AS DOUBLE)
+        |           / CAST(COUNT(*) AS DOUBLE) AS avgdl
+        |  FROM d),
+        |tf AS (
+        |  SELECT doc_id, t AS term, CAST(COUNT(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS t FROM tk)
+        |  WHERE t IN ('spark', 'merge', 'window', 'stream')
+        |  GROUP BY 1, 2),
+        |dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |w AS (
+        |  SELECT tf.doc_id,
+        |         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        |           * (tf.tf * (1.2 + 1.0))
+        |           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / avgdl)) AS w
+        |  FROM tf
+        |  JOIN dfreq ON dfreq.term = tf.term
+        |  JOIN d ON d.doc_id = tf.doc_id
+        |  CROSS JOIN stats)
+        |SELECT doc_id,
+        |       CAST(SUM(CAST(floor(w * 1.0E6) AS BIGINT)) AS DOUBLE) / 1.0E6 AS bm25
+        |FROM w GROUP BY 1
+        |ORDER BY bm25 DESC, doc_id LIMIT 25""".stripMargin,
+
     "q_t1_tokens" ->
       """SELECT doc_id,
         |       CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_tokens,
