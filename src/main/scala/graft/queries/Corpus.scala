@@ -408,6 +408,43 @@ object Corpus {
       .agg(count(lit(1)).as("n_events"), Exact.dsum(col("value")).as("total_value"))
       .orderBy("hour", "event_type")
 
+  /** E2: batch sessionization via session_window (same operator Structured
+    * Streaming incrementalizes; new session when the event-to-event gap
+    * ≥ 30 min). SQL-mirrorable as classic gaps-and-islands, so the dynamic
+    * session assignment itself is oracle-verified. */
+  def eventSessions(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), Exact.dsum(col("value")).as("total_value"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+      .orderBy("user_id", "session_start")
+
+  /** A16: fixed-bounds histogram — floor-binning into literal [0,100)/10
+    * buckets with clamp (one scan, one small agg; the profiling sweep's
+    * distribution view). */
+  def valueHistogram(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(
+        least(greatest(floor(col("value") / 10.0), lit(0.0)), lit(9.0))
+          .cast("int").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+
+  /** A17: pivot (long→wide, the inverse of A15's stack): per-country daily
+    * quantity totals spread across the 7 weekday columns. */
+  def dowPivot(s: SparkSession, d: String): DataFrame =
+    daily(s, d)
+      .groupBy("Country")
+      .pivot("DayOfWeek", 1 to 7)
+      .agg(sum("NetDailyQuantity"))
+      .toDF("Country" +: (1 to 7).map(i => s"dow_$i"): _*)
+      .orderBy("Country")
+
   // ---- windows --------------------------------------------------------------
 
   /** W1: lag features over series / 6-cycle / same-weekday windows. */
@@ -746,6 +783,9 @@ object Corpus {
     "q_j6_asof_clicks" -> (asofClicks _),
     "q_j7_interval_clicks" -> (intervalClicks _),
     "q_a15_profile" -> (columnProfile _),
+    "q_a16_histogram" -> (valueHistogram _),
+    "q_a17_pivot" -> (dowPivot _),
+    "q_e2_sessions" -> (eventSessions _),
     "q_t6_bm25" -> (bm25TopK _),
     "q_p9_hash_sample" -> (hashSample _),
     "q_w8_group_topk" -> (groupTopK _),

@@ -346,6 +346,45 @@ object Oracle {
         |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // Mirrors session_window's merge rule (strict: a new session starts when
+    // the event-to-event gap is >= the 30-minute window; Spark sessions are
+    // [start, last+gap) half-open) via gaps-and-islands.
+    "q_e2_sessions" ->
+      """WITH m AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN LAG(ts) OVER w IS NULL
+        |                OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS is_start
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (
+        |  SELECT *, SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+        |                                ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id,
+        |       CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+        |       CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "q_a16_histogram" ->
+      """SELECT CAST(least(greatest(floor(value / 10.0), 0.0), 9.0) AS INTEGER) AS bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_a17_pivot" -> withDaily(
+      """SELECT Country,
+        |       CAST(SUM(CASE WHEN DayOfWeek = 1 THEN NetDailyQuantity END) AS BIGINT) AS dow_1,
+        |       CAST(SUM(CASE WHEN DayOfWeek = 2 THEN NetDailyQuantity END) AS BIGINT) AS dow_2,
+        |       CAST(SUM(CASE WHEN DayOfWeek = 3 THEN NetDailyQuantity END) AS BIGINT) AS dow_3,
+        |       CAST(SUM(CASE WHEN DayOfWeek = 4 THEN NetDailyQuantity END) AS BIGINT) AS dow_4,
+        |       CAST(SUM(CASE WHEN DayOfWeek = 5 THEN NetDailyQuantity END) AS BIGINT) AS dow_5,
+        |       CAST(SUM(CASE WHEN DayOfWeek = 6 THEN NetDailyQuantity END) AS BIGINT) AS dow_6,
+        |       CAST(SUM(CASE WHEN DayOfWeek = 7 THEN NetDailyQuantity END) AS BIGINT) AS dow_7
+        |FROM daily GROUP BY Country ORDER BY Country""".stripMargin),
+
     "q_w1_lag_features" -> withDaily(
       s"""SELECT Country, StockCode, $tsDate,
          |       COALESCE(lag(NetDailyQuantity, 1) OVER w, 0) AS lag_qty_1_day,
