@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.SparkSpec
+
+/** The property tests SURVEY §5.2(5) declares, driven by ScalaCheck
+  * generators (plain Prop + Test.check — no scalatest bridge needed).
+  * Few-iteration parameters keep the Spark-job count sane. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val params = SCTest.Parameters.default
+    .withMinSuccessfulTests(6)
+    .withInitialSeed(org.scalacheck.rng.Seed(42L))
+
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val rowsGen: Gen[List[(String, Int, Double)]] =
+    Gen.nonEmptyListOf(for {
+      k <- Gen.oneOf("a", "b", "c")
+      t <- Gen.choose(0, 20)
+      v <- Gen.choose(-100, 100).map(_ / 4.0)
+    } yield (k, t, v))
+
+  test("lag(1) then lead(1) is the identity on interior rows of every series") {
+    check(Prop.forAll(rowsGen) { rows =>
+      // unique (key, t) grain — lag/lead need a total per-key order
+      val df = rows.distinctBy(r => (r._1, r._2)).toDF("k", "t", "v")
+      val w = Window.partitionBy("k").orderBy("t")
+      val roundTrip = df
+        .withColumn("lagged", lag($"v", 1).over(w))
+        .withColumn("back", lead($"lagged", 1).over(w))
+      // rows with both neighbours defined must round-trip exactly
+      roundTrip.filter($"back".isNotNull).filter($"back" =!= $"v").count() == 0L
+    })
+  }
+
+  test("unionByName is invariant to column permutation of the right side") {
+    check(Prop.forAll(rowsGen) { rows =>
+      val df = rows.toDF("k", "t", "v")
+      val permuted = df.select($"v", $"k", $"t") // scrambled order
+      val a = df.unionByName(permuted).collect().map(_.toSeq).sortBy(_.toString)
+      val b = df.union(df).collect().map(_.toSeq).sortBy(_.toString)
+      a.toSeq == b.toSeq
+    })
+  }
+
+  test("dropDuplicates is idempotent and reaches the distinct count") {
+    check(Prop.forAll(rowsGen) { rows =>
+      val withDups = rows ++ rows.take(rows.size / 2)
+      val df = withDups.toDF("k", "t", "v")
+      val once = df.dropDuplicates()
+      once.count() == rows.distinct.size.toLong &&
+        once.dropDuplicates().count() == once.count()
+    })
+  }
+
+  test("aggregation to the daily grain preserves the quantity total") {
+    val linesGen = Gen.nonEmptyListOf(for {
+      c <- Gen.oneOf("UK", "FR")
+      s <- Gen.oneOf("s1", "s2", "s3")
+      d <- Gen.choose(1, 9)
+      q <- Gen.choose(-5, 40)
+    } yield (c, s, f"1999-01-0$d", q.toLong))
+    check(Prop.forAll(linesGen) { rows =>
+      val lines = rows.toDF("Country", "StockCode", "d", "Quantity")
+        .withColumn("InvoiceDate", to_date($"d"))
+        .withColumn("UnitPrice", lit(1.0))
+        .withColumn("LineRevenue", $"Quantity" * 1.0)
+      val daily = graft.forecast.Forecast.dailySales(lines)
+      val lineTotal = rows.map(_._4).sum
+      val grainTotal = daily.agg(sum($"NetDailyQuantity")).head.getLong(0)
+      grainTotal == lineTotal
+    })
+  }
+}
