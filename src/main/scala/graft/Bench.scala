@@ -51,7 +51,7 @@ object Bench {
     // spike has typically passed — and keeps the min. Genuinely slow
     // queries pay one extra run; phantom slowness cannot survive.
     val results = sweep.map { case (name, t) =>
-      if (!t.isNaN && t > 8.0) name -> math.min(t, once(name, SparkEntry.queries(name)))
+      if (!t.isNaN && t > 3.0) name -> math.min(t, once(name, SparkEntry.queries(name)))
       else name -> t
     }
     val failed = results.collect { case (k, v) if v.isNaN => k }
