@@ -608,6 +608,22 @@ object Corpus {
       k = 3, numHashes = 16, bands = 4, maxBucket = 200, threshold = 0.3)
       .orderBy("id1", "id2")
 
+  /** MinHash-LSH recall oracle (the q_dd4 construction for text): clones of
+    * the first 50 docs injected under shifted ids, threshold = 1.0. At that
+    * threshold the result is EXACTLY the identical-shingle-set pairs —
+    * identical sets ⇒ identical minhash signatures ⇒ same band buckets ⇒
+    * guaranteed candidates, and the exact-Jaccard scoring keeps only
+    * jaccard = 1 — so the LSH path is SQL-mirrorable without porting any
+    * hash function. */
+  def minhashRecall(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val clones = docs.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    Dedup.minhashNearDups(docs.unionByName(clones), "doc_id", "text",
+      k = 3, numHashes = 16, bands = 4, maxBucket = 200, threshold = 1.0)
+      .orderBy("id1", "id2")
+  }
+
   /** SimHash near-dup pairs within Hamming 7 — banded on 8 disjoint 8-bit
     * blocks, which pigeonhole-guarantees full recall at this radius
     * (rows-only check). */
@@ -778,6 +794,7 @@ object Corpus {
     "q_dd1_jaccard_top" -> (jaccardTop _),
     "q_dd1b_jaccard_capped" -> (jaccardTopCapped _),
     "q_dd2_minhash_pairs" -> (minhashPairs _),
+    "q_dd2b_minhash_recall" -> (minhashRecall _),
     "q_dd3_simhash_pairs" -> (simhashPairs _),
     "q_dd4_embed_neardup" -> (embedNearDup _),
     "q_j6_asof_clicks" -> (asofClicks _),

@@ -680,6 +680,32 @@ object Oracle {
       """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
         |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin,
 
+    // Mirrors Corpus.minhashRecall at threshold 1.0: identical shingle sets
+    // ⇒ identical signatures ⇒ guaranteed band-bucket candidates, and the
+    // operator's exact-Jaccard scoring keeps only jaccard = 1 — so the
+    // expected output is precisely the identical-set pairs, computable
+    // without porting any hash function.
+    "q_dd2b_minhash_recall" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50),
+        |n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM base),
+        |tk AS (SELECT doc_id, regexp_extract_all(norm, '\S+') AS toks FROM n),
+        |wp AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+        |  FROM tk WHERE len(toks) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         array_to_string(toks[CAST(i AS INTEGER):CAST(i AS INTEGER)+2], ' ') AS shingle
+        |  FROM wp),
+        |sets AS (
+        |  SELECT doc_id, CAST(list_sort(list(shingle)) AS VARCHAR) AS sig
+        |  FROM sh GROUP BY doc_id)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(1.0 AS DOUBLE) AS jaccard
+        |FROM sets a JOIN sets b ON a.sig = b.sig AND a.doc_id < b.doc_id
+        |ORDER BY id1, id2""".stripMargin,
+
     "q_dd5_embed_pairs_top" ->
       """WITH pairs AS (
         |  SELECT a.vec_id AS id1, b.vec_id AS id2, a.embedding AS ea, b.embedding AS eb
