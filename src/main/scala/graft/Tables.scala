@@ -52,8 +52,10 @@ object Tables {
     * once. At production scale scans have >> cores splits and this is a
     * no-op — the check is on actual partition count, not data size. */
   private def parallelized(spark: SparkSession, df: DataFrame): DataFrame = {
+    // inputFiles is metadata-only; df.rdd.getNumPartitions would eagerly
+    // instantiate the RDD lineage (a second analysis pass) on every call.
     val cores = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < cores / 2) df.repartition(cores) else df
+    if (df.inputFiles.length < cores / 2) df.repartition(cores) else df
   }
 
   /** Invoice-line-shaped view of lineitem (see object doc). */

@@ -680,6 +680,67 @@ object Oracle {
       """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
         |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin,
 
+    // Mirrors Corpus.saltedCountryKpi with the plain one-phase GROUP BY:
+    // algebraic aggregates are salt-invariant (the revenue sum stays exact
+    // DECIMAL through both phases), so the two-phase salted plan must equal
+    // this query bit-for-bit.
+    "q_o6_salted_agg" -> withDaily(
+      """SELECT Country,
+        |       CAST(SUM(NetDailyQuantity) AS BIGINT) AS total_qty,
+        |       CAST(SUM(CAST(NetDailyRevenue AS DECIMAL(30,6))) AS DOUBLE) AS total_revenue,
+        |       CAST(COUNT(*) AS BIGINT) AS n_days,
+        |       MAX(NetDailyQuantity) AS max_qty
+        |FROM daily GROUP BY Country ORDER BY Country""".stripMargin),
+
+    // Mirrors Corpus.dupClusterLabels: same cloned corpus, same
+    // pruned-universe Jaccard pair graph at threshold 0.8, then connected
+    // components as a recursive-CTE transitive closure — MIN(reachable id)
+    // per node is exactly the fixpoint of min-label propagation.
+    "q_dd6_dup_clusters" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 30
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 15),
+        |n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM base),
+        |tk AS (SELECT doc_id, regexp_extract_all(norm, '\S+') AS toks FROM n),
+        |wp AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+        |  FROM tk WHERE len(toks) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         array_to_string(toks[CAST(i AS INTEGER):CAST(i AS INTEGER)+2], ' ') AS shingle
+        |  FROM wp),
+        |hot AS (SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) > 1000),
+        |pr AS (SELECT doc_id, shingle FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+        |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM pr GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM pr a JOIN pr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id1, id2
+        |  FROM inter JOIN cnt ca ON ca.doc_id = id1 JOIN cnt cb ON cb.doc_id = id2
+        |  WHERE CAST(n_common AS DOUBLE) / CAST(ca.n + cb.n - n_common AS DOUBLE)
+        |        >= CAST(0.8 AS DOUBLE)),
+        |e AS (SELECT id1 AS s, id2 AS t FROM pairs UNION SELECT id2, id1 FROM pairs),
+        |nodes AS (SELECT DISTINCT s AS id FROM e),
+        |reach AS (
+        |  SELECT id, id AS r FROM nodes
+        |  UNION
+        |  SELECT reach.id, e.t AS r FROM reach JOIN e ON e.s = reach.r)
+        |SELECT CAST(id AS BIGINT) AS id, CAST(MIN(r) AS BIGINT) AS label
+        |FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    // Mirrors Corpus.bucketedOrdersJoin: the bucketed layout changes only
+    // the physical plan (Exchange-free zip of bucket files, plan-asserted in
+    // OperatorsSpec), never the result — the oracle is the plain inner join.
+    "q_j8_bucketed_join" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, c_name
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
     // Mirrors Corpus.minhashRecall at threshold 1.0: identical shingle sets
     // ⇒ identical signatures ⇒ guaranteed band-bucket candidates, and the
     // operator's exact-Jaccard scoring keeps only jaccard = 1 — so the
