@@ -208,26 +208,32 @@ object Dedup {
   def dupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
-      .distinct().cache()
+      .distinct().localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).cache()
+      .withColumn("label", col("id")).localCheckpoint(true)
     var iters = 0
     var changed = 1L
     while (changed > 0 && iters < maxIters) {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("label").as("nlabel")), "dst")
         .groupBy("src").agg(min("nlabel").as("nmin"))
-      val next = labels
+      val step = labels
         .join(nbrMin.select(col("src").as("id"), col("nmin")), Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .cache()
+      // Truncate lineage every few iterations: a cached-only loop keeps
+      // chaining the logical plan, so explain/recovery on the result would
+      // replay the whole iteration history (and analysis cost grows per
+      // iteration). localCheckpoint cuts the plan at materialized blocks —
+      // the repo's stage-boundary pattern (CorpusCleaner.scala).
+      val next =
+        if (iters % 5 == 4) step.localCheckpoint(true)
+        else step.cache() // materialized by the `changed` count below
       changed = next.join(labels.select(col("id"), col("label").as("old")), "id")
         .filter(col("label") < col("old")).count()
       labels.unpersist()
       labels = next
       iters += 1
     }
-    edges.unpersist()
     labels
   }
 

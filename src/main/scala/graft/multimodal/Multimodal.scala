@@ -6,11 +6,12 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media payloads as opaque `binary` columns with
   * typed metadata structs, plus a partition-wise decode/feature-extract stage.
   *
-  * The decode step is a STUB (this container ships no image/audio codecs): it
-  * derives deterministic fake dimensions from the payload bytes. Everything
-  * around it — the blob schema, the typed Dataset boundary, the
-  * mapPartitions batch shape (decoder state initialized once per partition,
-  * exactly how a real codec or model handle would be held) — is real.
+  * Image decode is REAL: [[decodeImages]] parses actual PNG payloads with the
+  * JDK's javax.imageio inside the mapPartitions loop ([[toPngBlobs]] builds
+  * the deterministic PNG fixture). Only the video demuxer
+  * ([[frameSampleStub]]) remains a declared stub (no container codecs for
+  * video); its Spark shape — bounded per-row fan-out inside a partition-wise
+  * flatMap — is the real one.
   */
 object Multimodal {
 
@@ -52,6 +53,62 @@ object Multimodal {
     blobs.as[Blob].mapPartitions { it =>
       // real code: val codec = Codec.open(); closed via task-completion listener
       it.map(decodeOne)
+    }
+  }
+
+  /** Deterministic tiny-PNG fixture: REAL PNG payloads (encoded with the
+    * JDK's javax.imageio — no external dep) whose dimensions derive from the
+    * doc id, so decode results are predictable without shipping media files.
+    * Pixels are a deterministic function of (id, x, y) — every byte of the
+    * blob is reproducible across runs and partitionings. */
+  def pngBytes(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val v = (seed * 31 + y * width + x) & 0xffffff
+        img.setRGB(x, y, v.toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** One PNG blob per document: width = 8 + id % 32, height = 8 + (id/7) % 32
+    * (the formulas the decode oracle mirrors). */
+  def toPngBlobs(spark: SparkSession, docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = 8 + (id % 32).toInt
+        val h = 8 + ((id / 7) % 32).toInt
+        Blob(id, pngBytes(w, h, id), "image/png")
+      }
+    }.toDF()
+  }
+
+  /** REAL image decode: javax.imageio parses the PNG header + pixel data
+    * inside the per-partition loop (the reader is the "codec handle" a JNI
+    * codec would be). Same mapPartitions batch shape as [[decodeStub]];
+    * width/height/channels come from the actual decoded image. */
+  def decodeImages(spark: SparkSession, blobs: DataFrame): Dataset[MediaMeta] = {
+    import spark.implicits._
+    blobs.as[Blob].mapPartitions { it =>
+      it.map { b =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b.content))
+        require(img != null, s"undecodable payload for doc ${b.doc_id}")
+        MediaMeta(
+          doc_id = b.doc_id,
+          n_bytes = b.content.length.toLong,
+          width = img.getWidth,
+          height = img.getHeight,
+          channels = img.getColorModel.getNumComponents)
+      }
     }
   }
 

@@ -487,6 +487,34 @@ object Corpus {
       .agg(count(lit(1)).as("n_events"), Exact.dsum(col("value")).as("total_value"))
       .orderBy("hour", "event_type")
 
+  /** E3: the SAME hourly aggregation as q_e1, executed by Structured
+    * Streaming — a run-to-completion micro-batch file-source stream over the
+    * events parquet, Complete-mode into a memory sink. The per-hour sums go
+    * through the exact DECIMAL accumulator, which is order-independent, so
+    * the incremental result is bit-identical to the batch plan and shares
+    * q_e1's oracle — a correctness gate on the streaming execution path
+    * itself, not just its batch shape. */
+  def streamedHourlyEvents(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    // file-source streams read directories; stage the single parquet file
+    val dir = Files.createTempDirectory("graft-stream-src")
+    Files.copy(Paths.get(s"$d/events.parquet"), dir.resolve("events.parquet"))
+    // events.ts is TIMESTAMP(NANOS) — same legacy-long rebuild as Tables.events
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema =
+      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+    val stream = s.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), Exact.dsum(col("value")).as("total_value"))
+    val sink = "graft_stream_hourly_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+    val q = stream.writeStream.format("memory").queryName(sink)
+      .outputMode("complete").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(sink).orderBy("hour", "event_type")
+  }
+
   /** E2: batch sessionization via session_window (same operator Structured
     * Streaming incrementalizes; new session when the event-to-event gap
     * ≥ 30 min). SQL-mirrorable as classic gaps-and-islands, so the dynamic
@@ -623,14 +651,30 @@ object Corpus {
         TextFunctions.qualityScore(col("text")).as("quality"))
       .orderBy("doc_id")
 
-  /** Stopword-heuristic language ID. */
-  def textLangId(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+  /** Three-language ID (en/de/fr function-word + accent-char profiles,
+    * [[TextFunctions.langId3]]). The fixture's text is synthetic English-ish
+    * vocabulary regardless of its `lang` label, so genuine German/French/
+    * English sentences are injected under ids 3000000+ — the classifier must
+    * separate them by profile, and the oracle mirrors the scoring over the
+    * same union. */
+  def textLangId(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val samples = Seq(
+      (3000000L, "the quick brown fox and the lazy dog are in the garden and it is a fine day"),
+      (3000001L, "der hund und die katze sind nicht in dem haus aber ich bin mit den kindern auf den feldern"),
+      (3000002L, "ich habe das buch von dem mann mit der großen tür und es ist schön für die übung"),
+      (3000003L, "le chat est dans la maison et je ne pense pas que les enfants vont jouer avec le chien"),
+      (3000004L, "nous avons mangé le dîner à côté de la fenêtre et c est une belle journée pour les amis"))
+      .toDF("doc_id", "text")
+    val (en, de, fr) = TextFunctions.langScores(col("text"))
+    Tables.documents(s, d).select("doc_id", "text")
+      .unionByName(samples)
       .select(
         col("doc_id"),
-        TextFunctions.stopwordRatio(TextFunctions.tokens(col("text"))).as("stop_ratio"),
-        TextFunctions.langId(TextFunctions.tokens(col("text"))).as("lang_pred"))
+        en.as("score_en"), de.as("score_de"), fr.as("score_fr"),
+        TextFunctions.langId3(col("text")).as("lang_pred"))
       .orderBy("doc_id")
+  }
 
   /** Shingling: distinct char-5-gram and word-3-shingle counts. */
   def textShingles(s: SparkSession, d: String): DataFrame = {
@@ -756,24 +800,64 @@ object Corpus {
       Tables.embeddings(s, d), "vec_id", "embedding",
       queryVector(s, d).map(_.toDouble), 20)
 
-  /** LSH-bucketed ANN top-20 (fused-loop cosine rerank — rows-only check). */
-  def annLshTopK(s: SparkSession, d: String): DataFrame =
-    Ann.lshTopK(s, Tables.embeddings(s, d), "vec_id", "embedding",
-      queryVector(s, d), 20, bits = 16, probes = 5)
+  /** 25 exact clones of the query vector (vec_id 0) under ids 1000000+ — the
+    * recall ground truth for the ANN queries (the q_dd4 construction):
+    * identical vectors are guaranteed candidates on any LSH/IVF path (same
+    * signature / same cell as the query) and score cosine ≈ 1, while the
+    * corpus's best natural cosine is ≈ 0.51 (sf0.01) / 0.60 (sf0.1) — so the
+    * (cosine DESC, vec_id ASC) top-20 is exactly {0} ∪ {1000000..1000018}.
+    * The cosine value itself is engine-internal fp → dropped from outputs. */
+  private def withQueryClones(emb: DataFrame): DataFrame =
+    emb.unionByName(
+      emb.filter(col("vec_id") === 0)
+        .select(explode(sequence(lit(1000000L), lit(1000024L))).as("vec_id"),
+          col("embedding")))
 
-  /** IVF-cell ANN top-20 (coarse quantizer + probe — rows-only check). */
+  /** LSH-bucketed ANN top-20 over the clone-injected corpus (fused-loop
+    * cosine rerank) — a real recall oracle, not a rows-only check: the LSH
+    * path must surface every planted perfect match or rows go missing. */
+  def annLshTopK(s: SparkSession, d: String): DataFrame =
+    Ann.lshTopK(s,
+      withQueryClones(Tables.embeddings(s, d).select("vec_id", "embedding")),
+      "vec_id", "embedding", queryVector(s, d), 20, bits = 16, probes = 5)
+      .select("vec_id")
+
+  /** The IVF serving state per (session, sf): quantizer fit once (on the
+    * natural corpus — deterministic keyed-order sample) and the cell-
+    * partitioned layout written once; every probe after that is a
+    * partition-pruned scan + rerank (the 100 TB serving shape, and the fix
+    * for BENCH_r02's q_ann3 re-fitting the quantizer per invocation). */
+  private val ivfCache = TrieMap.empty[(SparkSession, String), (Ivf.Index, String)]
+
+  /** IVF-cell ANN top-20 served from the partitioned inverted-file layout
+    * over the clone-injected corpus — recall-oracled like q_ann2, and the
+    * probe reads only its nprobe cell directories (plan-asserted in
+    * AnnSpec). */
   def annIvfTopK(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d)
-    val index = Ivf.fit(emb, "embedding", nlist = 16)
-    Ivf.topK(s, emb, "vec_id", "embedding", index, queryVector(s, d), 20, nprobe = 6)
+    val (index, path) = ivfCache.getOrElseUpdate((s, d), {
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val idx = Ivf.fit(emb, "embedding", nlist = 16)
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+      Ivf.writePartitioned(withQueryClones(emb), "embedding", idx, dir)
+      (idx, dir)
+    })
+    Ivf.topKPartitioned(s, path, "vec_id", "embedding", index,
+      queryVector(s, d), 20, nprobe = 6)
+      .select("vec_id")
   }
 
   // ---- multimodal -----------------------------------------------------------
 
-  /** Binary-column plumbing: blob table + partition-wise stub decode. */
+  /** Binary-column pipeline with REAL image decode: deterministic tiny PNGs
+    * (one per document, dimensions derived from doc_id) are encoded and then
+    * decoded back with javax.imageio inside the mapPartitions batch stage.
+    * The oracle mirrors the fixture's dimension formulas — the decoder must
+    * actually parse the PNG bytes to reproduce them. PNG byte length is
+    * encoder-internal → dropped from the output. */
   def blobMeta(s: SparkSession, d: String): DataFrame =
-    Multimodal.decodeStub(s, Multimodal.toBlobs(Tables.documents(s, d)))
+    Multimodal.decodeImages(s, Multimodal.toPngBlobs(s, Tables.documents(s, d)))
       .orderBy("doc_id").toDF()
+      .select("doc_id", "width", "height", "channels")
 
   /** Frame sampling over blobs — the bounded 1→N video stage (stub demuxer,
     * deterministic arithmetic mirrored in the oracle). */
@@ -857,6 +941,7 @@ object Corpus {
     "q_f1_scalar_math" -> (scalarMath _),
     "q_f2_json_extract" -> (jsonExtract _),
     "q_e1_hourly_events" -> (hourlyEvents _),
+    "q_e3_stream_hourly" -> (streamedHourlyEvents _),
     "q_w1_lag_features" -> (lagFeatures _),
     "q_w2_rolling_stats" -> (rollingStats _),
     "q_w4_rolling_median" -> (rollingMedian _),

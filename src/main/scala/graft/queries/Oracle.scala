@@ -50,6 +50,12 @@ object Oracle {
   private val stopList: String =
     graft.text.TextFunctions.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  private val stopListDe: String =
+    graft.text.TextFunctions.StopwordsDe.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val stopListFr: String =
+    graft.text.TextFunctions.StopwordsFr.map(w => s"'$w'").mkString("[", ", ", "]")
+
   /** Bit-reproducible mean via IEEE-only ops — mirrors Exact.floorAvg(c, 9). */
   private def floorAvg9(x: String, alias: String): String =
     s"CAST(SUM(CAST(floor(($x) * 1.0E9) AS BIGINT)) AS DOUBLE) / 1.0E9 / CAST(COUNT($x) AS DOUBLE) AS $alias"
@@ -346,6 +352,15 @@ object Oracle {
         |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // Same oracle as q_e1: the streaming plan aggregates through the exact
+    // DECIMAL accumulator (order-independent), so incremental execution must
+    // reproduce the batch result bit-for-bit.
+    "q_e3_stream_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // Mirrors session_window's merge rule (strict: a new session starts when
     // the event-to-event gap is >= the 30-minute window; Spark sessions are
     // [start, last+gap) half-open) via gaps-and-islands.
@@ -536,18 +551,59 @@ object Oracle {
          |         + least(CAST(1.0 AS DOUBLE), mean_tok_len / 8.0) * 0.2 AS quality
          |FROM c ORDER BY doc_id""".stripMargin,
 
+    // Mirrors Corpus.textLangId / TextFunctions.langId3: same injected
+    // de/fr/en sentences, same function-word + accent-char profile scoring,
+    // same argmax with en > de > fr tie order. All score arithmetic is
+    // int/int division, 5.0 * x, and one addition — IEEE-identical in both
+    // engines.
     "q_t3_langid" ->
-      s"""WITH t AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents),
+      s"""WITH base AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT * FROM (VALUES
+         |    (CAST(3000000 AS BIGINT), 'the quick brown fox and the lazy dog are in the garden and it is a fine day'),
+         |    (CAST(3000001 AS BIGINT), 'der hund und die katze sind nicht in dem haus aber ich bin mit den kindern auf den feldern'),
+         |    (CAST(3000002 AS BIGINT), 'ich habe das buch von dem mann mit der großen tür und es ist schön für die übung'),
+         |    (CAST(3000003 AS BIGINT), 'le chat est dans la maison et je ne pense pas que les enfants vont jouer avec le chien'),
+         |    (CAST(3000004 AS BIGINT), 'nous avons mangé le dîner à côté de la fenêtre et c est une belle journée pour les amis')
+         |  ) v(doc_id, text)),
+         |n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm FROM base),
+         |t AS (SELECT doc_id, norm, regexp_extract_all(norm, '\\S+') AS toks FROM n),
          |c AS (
          |  SELECT doc_id,
          |         CASE WHEN len(toks) > 0
          |              THEN CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE)
          |                   / CAST(len(toks) AS DOUBLE)
-         |              ELSE CAST(0.0 AS DOUBLE) END AS stop_ratio
-         |  FROM t)
-         |SELECT doc_id, stop_ratio,
-         |       CASE WHEN stop_ratio >= CAST(0.05 AS DOUBLE) THEN 'en' ELSE 'other' END AS lang_pred
-         |FROM c ORDER BY doc_id""".stripMargin,
+         |              ELSE CAST(0.0 AS DOUBLE) END AS r_en,
+         |         CASE WHEN len(toks) > 0
+         |              THEN CAST(len(list_filter(toks, x -> list_contains($stopListDe, x))) AS DOUBLE)
+         |                   / CAST(len(toks) AS DOUBLE)
+         |              ELSE CAST(0.0 AS DOUBLE) END AS r_de,
+         |         CASE WHEN len(toks) > 0
+         |              THEN CAST(len(list_filter(toks, x -> list_contains($stopListFr, x))) AS DOUBLE)
+         |                   / CAST(len(toks) AS DOUBLE)
+         |              ELSE CAST(0.0 AS DOUBLE) END AS r_fr,
+         |         CASE WHEN length(norm) > 0
+         |              THEN CAST(length(norm) - length(regexp_replace(norm, '[äöüß]', '', 'g')) AS DOUBLE)
+         |                   / CAST(length(norm) AS DOUBLE)
+         |              ELSE CAST(0.0 AS DOUBLE) END AS a_de,
+         |         CASE WHEN length(norm) > 0
+         |              THEN CAST(length(norm) - length(regexp_replace(norm, '[éèêëàâçîïôùû]', '', 'g')) AS DOUBLE)
+         |                   / CAST(length(norm) AS DOUBLE)
+         |              ELSE CAST(0.0 AS DOUBLE) END AS a_fr
+         |  FROM t),
+         |s AS (
+         |  SELECT doc_id,
+         |         r_en AS score_en,
+         |         r_de + 5.0 * a_de AS score_de,
+         |         r_fr + 5.0 * a_fr AS score_fr
+         |  FROM c)
+         |SELECT doc_id, score_en, score_de, score_fr,
+         |       CASE WHEN greatest(score_en, score_de, score_fr) < CAST(0.05 AS DOUBLE) THEN 'other'
+         |            WHEN score_en >= score_de AND score_en >= score_fr THEN 'en'
+         |            WHEN score_de >= score_fr THEN 'de'
+         |            ELSE 'fr' END AS lang_pred
+         |FROM s ORDER BY doc_id""".stripMargin,
 
     "q_t4_shingles" ->
       """WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),
@@ -599,6 +655,24 @@ object Oracle {
         |  FROM terms GROUP BY 1)
         |SELECT vec_id, dot / (sqrt(nx) * sqrt(nq)) AS cosine
         |FROM s ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin,
+
+    // Recall oracles for the bucketed ANN paths (Corpus.withQueryClones): 25
+    // exact clones of the query vector are planted under ids 1000000+; they
+    // are guaranteed candidates (identical signature / cell) at cosine ≈ 1
+    // while the best natural cosine is ≈ 0.6, so the (cosine DESC, id ASC)
+    // top-20 is exactly vec 0 followed by the first 19 clone ids. Any recall
+    // loss in the LSH/IVF path surfaces as missing rows.
+    "q_ann2_lsh_topk" ->
+      """SELECT CAST(0 AS BIGINT) AS vec_id
+        |UNION ALL
+        |SELECT CAST(1000000 + unnest(generate_series(0, 18)) AS BIGINT)
+        |ORDER BY vec_id""".stripMargin,
+
+    "q_ann3_ivf_topk" ->
+      """SELECT CAST(0 AS BIGINT) AS vec_id
+        |UNION ALL
+        |SELECT CAST(1000000 + unnest(generate_series(0, 18)) AS BIGINT)
+        |ORDER BY vec_id""".stripMargin,
 
     "q_tp1_clean_corpus" ->
       s"""WITH t AS (SELECT doc_id, text, regexp_extract_all(text, '\\S+') AS toks FROM documents),
@@ -803,11 +877,13 @@ object Oracle {
         |       CAST(n // (1 + n % 5) AS BIGINT) AS frame_bytes
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
 
+    // Mirrors the PNG fixture's dimension formulas (Multimodal.toPngBlobs);
+    // the Spark side must REALLY decode the PNG bytes (javax.imageio) to
+    // recover them — a decode oracle, not an arithmetic mirror.
     "q_mm1_blob_meta" ->
       """SELECT doc_id,
-        |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-        |       CAST(64 + ((ascii(substr(text, 1, 1)) * 7) % 512) AS INTEGER) AS width,
-        |       CAST(64 + (((octet_length(CAST(text AS BLOB)) % 512) * 3) % 512) AS INTEGER) AS height,
+        |       CAST(8 + (doc_id % 32) AS INTEGER) AS width,
+        |       CAST(8 + ((doc_id // 7) % 32) AS INTEGER) AS height,
         |       CAST(3 AS INTEGER) AS channels
         |FROM documents ORDER BY doc_id""".stripMargin,
 

@@ -44,12 +44,67 @@ object TextFunctions {
   def punctCount(c: Column): Column =
     size(regexp_extract_all(c, lit("[.!?,;:]"), lit(0)))
 
-  /** n-gram-heuristic language ID: texts whose stopword ratio clears the
-    * threshold classify as "en". (A real system would score character
-    * n-gram profiles per language; the plumbing — pure-expression scoring
-    * over tokens — is identical.) */
+  /** Binary en/other heuristic (superseded by [[langId3]] for real language
+    * ID; kept as the cheap single-list gate). */
   def langId(toks: Column, threshold: Double = 0.05): Column =
     when(stopwordRatio(toks) >= threshold, lit("en")).otherwise(lit("other"))
+
+  // --- multi-language ID -----------------------------------------------------
+  // Per-language profiles: function words (word-level n-gram profile, n = 1)
+  // plus the accented-character classes that separate de/fr from en when the
+  // function-word signal is thin. Pure expressions — ANSI-SQL-mirrorable and
+  // inside whole-stage codegen.
+
+  /** German function words. */
+  val StopwordsDe: Seq[String] = Seq(
+    "der", "die", "und", "das", "ist", "nicht", "ein", "ich", "mit",
+    "auf", "den", "sich", "von", "dem", "aber")
+
+  /** French function words. */
+  val StopwordsFr: Seq[String] = Seq(
+    "le", "la", "les", "des", "et", "est", "une", "un", "je", "pas",
+    "que", "pour", "dans", "avec", "sur")
+
+  /** Characters (as a regex class body) distinctive of each language. */
+  val AccentsDe: String = "äöüß"
+  val AccentsFr: String = "éèêëàâçîïôùû"
+
+  /** Fraction of tokens found in `words` (0 when no tokens). */
+  def ratioIn(toks: Column, words: Seq[String]): Column = {
+    val hits = size(filter(toks, t => array_contains(typedLit(words), t)))
+    when(size(toks) > 0, hits.cast("double") / size(toks).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Fraction of characters in the accent class (0 for empty strings). */
+  def accentRatio(text: Column, accentClass: String): Column = {
+    val n = length(text)
+    when(n > 0,
+      (n - length(regexp_replace(text, s"[$accentClass]", ""))).cast("double")
+        / n.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Per-language scores over the canonical text: function-word hit ratio,
+    * plus 5× the accented-char ratio for de/fr (an accent char is rarer and
+    * far more discriminative than one more stopword hit). */
+  def langScores(text: Column): (Column, Column, Column) = {
+    val norm = normText(text)
+    val toks = tokens(norm)
+    (ratioIn(toks, Stopwords),
+      ratioIn(toks, StopwordsDe) + lit(5.0) * accentRatio(norm, AccentsDe),
+      ratioIn(toks, StopwordsFr) + lit(5.0) * accentRatio(norm, AccentsFr))
+  }
+
+  /** Three-language ID: argmax of the en/de/fr profile scores, "other" when
+    * no profile clears the threshold; ties break en > de > fr. */
+  def langId3(text: Column, threshold: Double = 0.05): Column = {
+    val (en, de, fr) = langScores(text)
+    when(greatest(en, de, fr) < threshold, lit("other"))
+      .when(en >= de && en >= fr, lit("en"))
+      .when(de >= fr, lit("de"))
+      .otherwise(lit("fr"))
+  }
 
   /** Composite quality score in [0,1]: length saturation, stopword share,
     * mean token length saturation. Deterministic double arithmetic. */

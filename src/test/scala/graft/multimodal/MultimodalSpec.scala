@@ -22,6 +22,29 @@ class MultimodalSpec extends SparkSpec {
     assert(again === metas)
   }
 
+  test("real PNG decode round-trips the fixture dimensions through javax.imageio") {
+    val docs = Seq((0L, "a"), (5L, "b"), (40L, "c"), (99L, "d")).toDF("doc_id", "text")
+    val blobs = Multimodal.toPngBlobs(spark, docs)
+    assert(blobs.schema("content").dataType.typeName === "binary")
+    // payloads are genuine PNGs (magic bytes), not derived arithmetic
+    val raw = blobs.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("content")).toMap
+    val pngMagic = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)
+    assert(raw.values.forall(_.take(4).sameElements(pngMagic)))
+
+    val metas = Multimodal.decodeImages(spark, blobs).collect().map(m => m.doc_id -> m).toMap
+    for (id <- Seq(0L, 5L, 40L, 99L)) {
+      assert(metas(id).width === 8 + (id % 32).toInt, s"width of $id")
+      assert(metas(id).height === 8 + ((id / 7) % 32).toInt, s"height of $id")
+      assert(metas(id).channels === 3)
+      assert(metas(id).n_bytes === raw(id).length.toLong)
+    }
+    // decoded pixels, not header tricks: decode a payload driver-side and
+    // compare one pixel against the generator formula
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(raw(5L)))
+    val w = 8 + (5 % 32)
+    assert((img.getRGB(2, 1) & 0xffffff) === ((5L * 31 + 1 * w + 2) & 0xffffff).toInt)
+  }
+
   test("frame sampling fans out boundedly with even 25fps timestamps") {
     // "hello world" = 11 bytes → 1 + 11%5 = 2 frames of 5 bytes;
     // "" → 1 frame of 0 bytes; fan-out is always within [1, 5]

@@ -112,6 +112,39 @@ class OperatorsSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in plan:\n$plan")
   }
 
+  test("AQE splits the skewed side of a sort-merge join at runtime") {
+    // The join side of the UK ≈ 86% skew hazard (SURVEY §4.3): saltedAgg
+    // covers aggregation, AQE's skew-join handles joins — demonstrated here
+    // by asserting the final adaptive plan actually split the hot partition.
+    val pad = "x" * 200
+    val hot = (1 to 60000).map(i => (0L, s"$pad$i"))
+    val cold = (1 to 2000).map(i => ((i % 50) + 1L, s"v$i"))
+    val left = spark.createDataFrame(hot ++ cold).toDF("key", "payload")
+    val right = spark.createDataFrame((0L to 50L).map(k => (k, s"dim_$k"))).toDF("key", "name")
+    val prev = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      // keep payload in the output: column pruning would otherwise strip the
+      // bytes that make the hot partition skewed
+      val joined = left.join(right, Seq("key")).select("key", "payload", "name")
+      // run THIS DataFrame's own query so its adaptive plan finalizes
+      // (count() would plan a separate aggregate query)
+      assert(joined.collect().length === 62000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"expected AQE skew-join split in plan:\n$plan")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("salted aggregation composes with Exact decimal sums (order-independent)") {
     val df = (1 to 5000).map(i => ("HOT", i * 0.01)).toDF("key", "v")
     val plain = df.groupBy("key").agg(Exact.dsum($"v").as("s")).head.getDouble(1)

@@ -45,4 +45,22 @@ class CorpusCleanerSpec extends SparkSpec {
     assert(labels(0L) === 0L && labels(1L) === 0L && labels(2L) === 0L)
     assert(labels(5L) === 5L && labels(6L) === 5L && labels(7L) === 5L)
   }
+
+  test("dup clusters: deep chains converge with bounded plan depth") {
+    // A 12-edge chain needs 12 propagation rounds (> the 5-iteration
+    // localCheckpoint cadence), plus disjoint chains as decoys. Oracle:
+    // connected components from a driver-side adjacency walk.
+    val chains = Seq(100L to 112L, 200L to 203L, 300L to 301L)
+    val pairs = chains.flatMap(c => c.sliding(2).map(p => (p(1), p.head)))
+      .toDF("id1", "id2")
+    val result = Dedup.dupClusters(pairs, maxIters = 30)
+    val labels = result.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = chains.flatMap(c => c.map(_ -> c.min)).toMap
+    assert(labels === expected)
+    // lineage truncation: the returned plan must not chain all 12 iterations
+    // of join+agg — after the last checkpoint only ≤ 5 iterations of lineage
+    // (~a few dozen nodes) may remain
+    val nNodes = result.queryExecution.optimizedPlan.collect { case p => p }.size
+    assert(nNodes < 60, s"optimized plan has $nNodes nodes — lineage not truncated")
+  }
 }

@@ -16,10 +16,10 @@ class CorpusSpec extends SparkSpec {
       "q_a13_approx_distinct",  // HLL sketch
       "q_ml1_forecast_kpi",     // model fit (solver-dependent floats)
       "q_t5_fingerprints",      // custom hash exprs
-      "q_dd2_minhash_pairs", "q_dd3_simhash_pairs",
-      "q_ann2_lsh_topk", "q_ann3_ivf_topk") // hash/LSH/quantizer internals
-    // (q_dd4_embed_neardup is oracle-checked: injected clone pairs make the
-    // LSH result exactly SQL-expressible — see Corpus.embedNearDup)
+      "q_dd2_minhash_pairs", "q_dd3_simhash_pairs") // hash/band internals
+    // (q_dd4, q_dd2b, q_ann2, q_ann3 are oracle-checked: injected clones
+    // make each LSH/IVF result exactly SQL-expressible — recall oracles, see
+    // Corpus.embedNearDup / minhashRecall / withQueryClones)
     assert(rowsOnly === expected, s"unexpected rows-only set: $rowsOnly")
   }
 

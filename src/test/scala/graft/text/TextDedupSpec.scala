@@ -81,6 +81,23 @@ class TextDedupSpec extends SparkSpec {
     assert(HashUtil.hamming64(sk(0L), sk(2L)) < HashUtil.hamming64(sk(0L), sk(3L)))
   }
 
+  test("langId3 separates genuine English, German, and French text") {
+    val samples = Seq(
+      (1L, "the cat and the dog sat on the mat in the house for a while", "en"),
+      (2L, "der mann und die frau sind nicht mit dem hund in das haus gegangen", "de"),
+      (3L, "die übung ist schön aber ich möchte größere häuser sehen", "de"), // accents carry it
+      (4L, "le garçon et la fille vont dans les rues de la ville avec un ami", "fr"),
+      (5L, "nous avons mangé à côté de la fenêtre une belle journée", "fr"), // accents carry it
+      (6L, "zzz qqq xxx www", "other") // no profile clears the threshold
+    ).toDF("doc_id", "text", "expected")
+    val got = samples
+      .select($"doc_id", $"expected", TextFunctions.langId3($"text").as("pred"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    got.foreach { case (id, expected, pred) =>
+      assert(pred === expected, s"doc $id")
+    }
+  }
+
   test("custom expressions: codegen result equals direct scala computation") {
     val row = docs.filter($"doc_id" === 0L).select(
       GraftFunctions.rollingHash(spark, $"text").as("rh"),
