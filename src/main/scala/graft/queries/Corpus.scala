@@ -754,6 +754,23 @@ object Corpus {
     Dedup.simhashNearDups(s, Tables.documents(s, d), "doc_id", "text", maxHamming = 7)
       .orderBy("id1", "id2")
 
+  /** SimHash recall oracle (the clone-injection construction): clones of the
+    * first 50 docs are planted under ids +1000000; identical text ⇒ identical
+    * 64-bit sketch ⇒ Hamming 0, and the radius-sized banding pigeonhole-
+    * guarantees every within-radius pair is a candidate — so each planted
+    * pair MUST appear. Restricting output to the planted id range makes the
+    * result SQL-expressible without porting the hash: ids ≥ 1000000 exist
+    * only as clones, so (d, d+1000000) pairs are exactly the planted set. */
+  def simhashRecall(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val clones = docs.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    Dedup.simhashNearDups(s, docs.unionByName(clones), "doc_id", "text", maxHamming = 7)
+      .filter(col("id2") === col("id1") + 1000000L && col("id1") < 50)
+      .select("id1", "id2", "hamming")
+      .orderBy("id1")
+  }
+
   /** Embedding-cosine near-dup pairs via hyperplane LSH (rows-only check). */
   /** Embedding near-dup detection against injected ground truth. The
     * synthetic corpus has NO natural near-dups (max pairwise cosine ≈ 0.51
@@ -960,6 +977,7 @@ object Corpus {
     "q_dd2_minhash_pairs" -> (minhashPairs _),
     "q_dd2b_minhash_recall" -> (minhashRecall _),
     "q_dd3_simhash_pairs" -> (simhashPairs _),
+    "q_dd3b_simhash_recall" -> (simhashRecall _),
     "q_dd4_embed_neardup" -> (embedNearDup _),
     "q_j6_asof_clicks" -> (asofClicks _),
     "q_j7_interval_clicks" -> (intervalClicks _),

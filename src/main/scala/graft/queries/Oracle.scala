@@ -841,6 +841,14 @@ object Oracle {
         |FROM sets a JOIN sets b ON a.sig = b.sig AND a.doc_id < b.doc_id
         |ORDER BY id1, id2""".stripMargin,
 
+    // Mirrors Corpus.simhashRecall: ids ≥ 1000000 exist only as planted
+    // clones of docs < 50; identical text gives an identical sketch
+    // (hamming 0) and the pigeonhole banding guarantees candidacy, so the
+    // planted pairs are exactly the expected rows — recall is the claim.
+    "q_dd3b_simhash_recall" ->
+      """SELECT doc_id AS id1, doc_id + 1000000 AS id2, CAST(0 AS INTEGER) AS hamming
+        |FROM documents WHERE doc_id < 50 ORDER BY id1""".stripMargin,
+
     "q_dd5_embed_pairs_top" ->
       """WITH pairs AS (
         |  SELECT a.vec_id AS id1, b.vec_id AS id2, a.embedding AS ea, b.embedding AS eb

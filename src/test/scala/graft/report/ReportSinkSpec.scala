@@ -16,6 +16,23 @@ class ReportSinkSpec extends SparkSpec {
     assert(Files.exists(java.nio.file.Paths.get(s"$dir/kpi/Country=UK")))
   }
 
+  test("console sink (S4): show renders rows untruncated and printSchema the schema") {
+    // the reference's console surface: show(n, truncate=False) + printSchema
+    // (Sales_forecast_pyspark.py:78, 81)
+    val df = Seq(("UK", 1234567890L), ("DE", 2L)).toDF("Country", "NetDailyQuantity")
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      df.show(1, truncate = false)
+      df.printSchema()
+    }
+    val text = out.toString("UTF-8")
+    assert(text.contains("|Country|NetDailyQuantity|"), s"header missing:\n$text")
+    assert(text.contains("1234567890"), "untruncated value missing")
+    assert(text.contains("only showing top 1 row"), "row limit not applied")
+    assert(text.contains("|-- Country: string (nullable = true)"), s"schema missing:\n$text")
+    assert(text.contains("|-- NetDailyQuantity: long (nullable = false)"))
+  }
+
   test("csv sink writes one header'd file") {
     val dir = Files.createTempDirectory("graft-report").toString
     ReportSink.csv(Seq((1, "a"), (2, "b")).toDF("id", "v"), s"$dir/out")
