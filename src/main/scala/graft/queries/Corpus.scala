@@ -530,6 +530,67 @@ object Corpus {
         col("n_events"), col("total_value"))
       .orderBy("user_id", "session_start")
 
+  /** E4: the q_e2 sessionization executed by Structured Streaming — the
+    * stateful session_window operator run incrementally (file-source
+    * micro-batches, Complete mode) with exact DECIMAL sums, sharing q_e2's
+    * gaps-and-islands oracle: the dynamic session merge itself is gated
+    * against SQL, on the streaming path. */
+  def streamedSessions(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-stream-sess")
+    Files.copy(Paths.get(s"$d/events.parquet"), dir.resolve("events.parquet"))
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema =
+      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+    val stream = s.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), Exact.dsum(col("value")).as("total_value"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+    val sink = "graft_stream_sess_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+    val q = stream.writeStream.format("memory").queryName(sink)
+      .outputMode("complete").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(sink).orderBy("user_id", "session_start")
+  }
+
+  /** A18: CUBE grouping sets over (Year, DayOfWeek) — all four aggregation
+    * granularities in one pass (beyond the reference's flat groupBy and
+    * q_a14's ROLLUP). SQL path for the same self-join-ambiguity reason as
+    * rollupTotals. */
+  def cubeTotals(s: SparkSession, d: String): DataFrame = {
+    daily(s, d).createOrReplaceTempView("graft_daily_cube")
+    s.sql(
+      """SELECT Year, DayOfWeek,
+        |       SUM(NetDailyQuantity) AS total_qty,
+        |       COUNT(1) AS n_days
+        |FROM graft_daily_cube GROUP BY CUBE(Year, DayOfWeek)
+        |ORDER BY Year ASC NULLS FIRST, DayOfWeek ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** W9: calendar-aware trailing window — a RANGE frame over epoch-day, so
+    * the trailing week is 6 *calendar* days, not 6 observed rows (the
+    * reference's ROWS frames silently span gaps in sparse series; a range
+    * frame is the honest trailing-week at 100 TB where series are sparse).
+    * Epoch-day ordering keys are exact integers in both engines. */
+  def rangeFrameWeek(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("Country", "StockCode")
+      .orderBy(datediff(col("InvoiceDate"), lit("1970-01-01")))
+      .rangeBetween(-6, -1)
+    daily(s, d)
+      .select(keyCols ++ Seq(
+        col("NetDailyQuantity"),
+        (sum("NetDailyQuantity").over(w).cast("double")
+          / count("NetDailyQuantity").over(w).cast("double")).as("week_mean_qty")): _*)
+      .orderBy(keyCols: _*)
+  }
+
   /** A16: fixed-bounds histogram — floor-binning into literal [0,100)/10
     * buckets with clamp (one scan, one small agg; the profiling sweep's
     * distribution view). */
@@ -909,6 +970,54 @@ object Corpus {
     Forecast.kpiByCountry(Forecast.evalAgainstBaseline(dl, pred)).orderBy("Country")
   }
 
+  /** ML2: closed-form per-country OLS fit (y = NetDailyQuantity on
+    * x = DayOfWeek) as ONE distributed aggregate — beta and intercept from
+    * the sufficient statistics (n, Σx, Σy, Σxy, Σx²), all exact integer
+    * sums, so the fit is deterministic at any parallelism and DuckDB-
+    * mirrorable bit-for-bit. The 100 TB story: a single-feature baseline
+    * model needs no iterative solver — sufficient statistics are one
+    * map-side-combined hash aggregate, the same shuffle cost as a GROUP BY,
+    * and the closed form is exact where L-BFGS is convergence-dependent
+    * (contrast: q_ml1's Lasso fit is rows-only for exactly that reason). */
+  def olsFit(s: SparkSession, d: String): DataFrame = {
+    val stats = daily(s, d)
+      .select(
+        col("Country"),
+        col("DayOfWeek").cast("long").as("x"),
+        col("NetDailyQuantity").as("y"))
+      .groupBy("Country")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+    val denom = col("n") * col("sxx") - col("sx") * col("sx")
+    stats
+      .withColumn("beta",
+        when(denom =!= 0,
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / denom.cast("double")))
+      .select(
+        col("Country"), col("n"), col("beta"),
+        when(col("beta").isNotNull,
+          (col("sy").cast("double") - col("beta") * col("sx").cast("double"))
+            / col("n").cast("double")).as("alpha"))
+      .orderBy("Country")
+  }
+
+  /** T5b: exact-dedup groups keyed by the custom 64-bit rolling-hash
+    * fingerprint instead of md5. The oracle groups by the canonical text
+    * itself: the query is hash-exact iff RollingHash64 partitions the corpus
+    * identically to content equality (deterministic across partitions,
+    * collision-free at corpus scale) — an oracle for the custom expression
+    * family that q_t5 could only rows-only-check. */
+  def hash64Groups(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(GraftFunctions.rollingHash(s, TextFunctions.normText(col("text"))).as("fp64"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+      .orderBy("keep_id")
+
   // ---- registry -------------------------------------------------------------
 
   /** Output-boundary normalization: date and (instant) timestamp columns are
@@ -959,6 +1068,9 @@ object Corpus {
     "q_f2_json_extract" -> (jsonExtract _),
     "q_e1_hourly_events" -> (hourlyEvents _),
     "q_e3_stream_hourly" -> (streamedHourlyEvents _),
+    "q_e4_stream_sessions" -> (streamedSessions _),
+    "q_a18_cube" -> (cubeTotals _),
+    "q_w9_range_frame" -> (rangeFrameWeek _),
     "q_w1_lag_features" -> (lagFeatures _),
     "q_w2_rolling_stats" -> (rollingStats _),
     "q_w4_rolling_median" -> (rollingMedian _),
@@ -995,6 +1107,8 @@ object Corpus {
     "q_dd5_embed_pairs_top" -> (embedPairsTop _),
     "q_tp1_clean_corpus" -> (cleanCorpus _),
     "q_ml1_forecast_kpi" -> (mlForecastKpi _),
+    "q_ml2_ols_fit" -> (olsFit _),
+    "q_t5b_hash64_groups" -> (hash64Groups _),
     "q_ann1_cosine_topk" -> (annCosineTopK _),
     "q_ann2_lsh_topk" -> (annLshTopK _),
     "q_ann3_ivf_topk" -> (annIvfTopK _),

@@ -384,6 +384,48 @@ object Oracle {
         |FROM g GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
 
+    // Same oracle as q_e2: streaming session_window aggregates through the
+    // exact DECIMAL accumulator, so the incremental session merge must
+    // reproduce the batch gaps-and-islands result bit-for-bit.
+    "q_e4_stream_sessions" ->
+      """WITH m AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN LAG(ts) OVER w IS NULL
+        |                OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS is_start
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (
+        |  SELECT *, SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+        |                                ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id,
+        |       CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+        |       CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "q_a18_cube" -> withDaily(
+      """SELECT Year, DayOfWeek,
+        |       CAST(SUM(NetDailyQuantity) AS BIGINT) AS total_qty,
+        |       CAST(COUNT(*) AS BIGINT) AS n_days
+        |FROM daily GROUP BY CUBE(Year, DayOfWeek)
+        |ORDER BY Year ASC NULLS FIRST, DayOfWeek ASC NULLS FIRST""".stripMargin),
+
+    // Mirrors Corpus.rangeFrameWeek: RANGE frame over the exact epoch-day
+    // integer key; NULL sums over empty frames propagate identically.
+    "q_w9_range_frame" -> withDaily(
+      s"""SELECT Country, StockCode, $tsDate, NetDailyQuantity,
+         |       CAST(SUM(NetDailyQuantity) OVER wr AS DOUBLE)
+         |         / CAST(COUNT(NetDailyQuantity) OVER wr AS DOUBLE) AS week_mean_qty
+         |FROM daily
+         |WINDOW wr AS (PARTITION BY Country, StockCode
+         |              ORDER BY (InvoiceDate - DATE '1970-01-01')
+         |              RANGE BETWEEN 6 PRECEDING AND 1 PRECEDING)
+         |ORDER BY Country, StockCode, InvoiceDate""".stripMargin),
+
     "q_a16_histogram" ->
       """SELECT CAST(least(greatest(floor(value / 10.0), 0.0), 9.0) AS INTEGER) AS bucket,
         |       CAST(COUNT(*) AS BIGINT) AS n
@@ -894,6 +936,39 @@ object Oracle {
         |       CAST(8 + ((doc_id // 7) % 32) AS INTEGER) AS height,
         |       CAST(3 AS INTEGER) AS channels
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Corpus.olsFit: closed-form OLS from exact-integer sufficient
+    // statistics; the only double ops are one division (beta) and the
+    // three-op intercept chain — IEEE-identical across engines. Magnitudes
+    // stay far below 2^53, so the BIGINT→DOUBLE casts are exact.
+    "q_ml2_ols_fit" -> withDaily(
+      """,a AS (
+        |  SELECT Country, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(CAST(DayOfWeek AS BIGINT)) AS BIGINT) AS sx,
+        |         CAST(SUM(NetDailyQuantity) AS BIGINT) AS sy,
+        |         CAST(SUM(CAST(DayOfWeek AS BIGINT) * NetDailyQuantity) AS BIGINT) AS sxy,
+        |         CAST(SUM(CAST(DayOfWeek AS BIGINT) * CAST(DayOfWeek AS BIGINT)) AS BIGINT) AS sxx
+        |  FROM daily GROUP BY Country),
+        |b AS (
+        |  SELECT Country, n, sx, sy,
+        |         CASE WHEN n * sxx - sx * sx <> 0
+        |              THEN CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+        |         END AS beta
+        |  FROM a)
+        |SELECT Country, n, beta,
+        |       CASE WHEN beta IS NOT NULL
+        |            THEN (CAST(sy AS DOUBLE) - beta * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+        |       END AS alpha
+        |FROM b ORDER BY Country""".stripMargin),
+
+    // Mirrors Corpus.hash64Groups by grouping on the canonical text itself:
+    // hash-exact iff the custom RollingHash64 expression partitions content
+    // identically to content equality.
+    "q_t5b_hash64_groups" ->
+      """SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+        |FROM documents
+        |GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+        |ORDER BY keep_id""".stripMargin,
 
     "q_w6_ma_baseline" -> withDaily(
       s"""SELECT Country, StockCode, $tsDate, NetDailyQuantity,
