@@ -943,15 +943,21 @@ object Corpus {
     Multimodal.frameSampleStub(s, Multimodal.toBlobs(Tables.documents(s, d)))
       .orderBy("doc_id", "frame_idx").toDF()
 
-  /** W4-faithful percentile_approx (reference used it as its rolling median;
-    * approx sketch — rows-only check). */
+  /** W4-faithful percentile_approx as a grouped aggregate, at the per-series
+    * grain. Grain matters for the oracle: the sketch's exact behavior must
+    * survive the distributed MERGE of partial summaries, whose rank error
+    * grows with group size — a Country-level grouping hash-matched
+    * quantile_disc at sf0.01 but drifted off-by-one at sf0.1 (found by the
+    * r3 sf0.1 robustness sweep). Per-(Country, StockCode) groups stay orders
+    * of magnitude below accuracy at any plausible scale factor, so the
+    * exact-path rule holds robustly, not incidentally. */
   def percentileApprox(s: SparkSession, d: String): DataFrame =
     daily(s, d)
-      .groupBy("Country")
+      .groupBy("Country", "StockCode")
       .agg(
         percentile_approx(col("NetDailyQuantity"), lit(0.5), lit(10000)).as("approx_median_qty"),
         count(lit(1)).as("n"))
-      .orderBy("Country")
+      .orderBy("Country", "StockCode")
 
   // ---- ML surface -----------------------------------------------------------
 

@@ -504,11 +504,14 @@ object Oracle {
          |WINDOW ${frameWin("f3", 3)}, ${frameWin("f6", 6)}, ${frameWin("fd3", 3, dow = true)}
          |ORDER BY Country, StockCode, InvoiceDate""".stripMargin),
 
+    // Per-series grain: group sizes stay ≪ accuracy at any sf, so the
+    // sketch's exact path survives distributed merge (see Corpus scaladoc —
+    // the Country-level form drifted off-by-one at sf0.1).
     "q_w4b_percentile_approx" -> withDaily(
-      """SELECT Country,
+      """SELECT Country, StockCode,
         |       quantile_disc(NetDailyQuantity, 0.5) AS approx_median_qty,
         |       CAST(COUNT(*) AS BIGINT) AS n
-        |FROM daily GROUP BY 1 ORDER BY 1""".stripMargin),
+        |FROM daily GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     "q_a15_profile" ->
       """SELECT column_name, min_val, max_val, n_nulls, n_rows FROM (
