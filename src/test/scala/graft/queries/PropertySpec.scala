@@ -61,6 +61,37 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("salted aggregation equals the plain aggregation for any salt count") {
+    import graft.operators.Skew
+    val saltsGen = Gen.choose(1, 64)
+    check(Prop.forAll(rowsGen, saltsGen) { (rows, salts) =>
+      val df = rows.toDF("k", "t", "v")
+      val plain = df.groupBy("k")
+        .agg(sum($"t").as("s"), count(lit(1)).as("n"), max($"t").as("mx"))
+        .collect().map(_.toSeq).sortBy(_.toString)
+      val salted = Skew.saltedAgg(df, Seq("k"), Seq(
+        Skew.sumLong("t", "s"), Skew.countAll("n"), Skew.maxOf("t", "mx")), salts)
+        .collect().map(_.toSeq).sortBy(_.toString)
+      plain.toSeq == salted.toSeq
+    })
+  }
+
+  test("langId3 is total and deterministic over arbitrary strings") {
+    import graft.text.TextFunctions
+    val textGen = Gen.listOf(Gen.oneOf(
+      "the", "der", "le", "und", "et", "zzz", "x1", "", " ", "über", "à",
+      "data!", "12.5", "\t")).map(_.mkString(" "))
+    check(Prop.forAll(Gen.nonEmptyListOf(textGen)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val out = df.select($"id", TextFunctions.langId3($"text").as("p"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val again = df.repartition(7).select($"id", TextFunctions.langId3($"text").as("p"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val valid = Set("en", "de", "fr", "other")
+      out.values.forall(valid.contains) && out == again
+    })
+  }
+
   test("aggregation to the daily grain preserves the quantity total") {
     val linesGen = Gen.nonEmptyListOf(for {
       c <- Gen.oneOf("UK", "FR")
