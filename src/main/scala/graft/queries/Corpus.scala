@@ -152,13 +152,16 @@ object Corpus {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("Country", "StockCode").orderBy("InvoiceDate")
     val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cw = Window.partitionBy("Country").orderBy(col("InvoiceDate"))
     daily(s, d)
       .select(
         keyCols ++ Seq(
           row_number().over(w).as("rn"),
           lead(col("NetDailyQuantity"), 1).over(w).as("next_qty"),
           sum(col("NetDailyQuantity")).over(cum).as("cum_qty"),
-          rank().over(Window.partitionBy("Country").orderBy(col("InvoiceDate"))).as("date_rank")): _*)
+          rank().over(cw).as("date_rank"),
+          dense_rank().over(cw).as("date_dense_rank"),
+          ntile(4).over(w).as("quartile")): _*)
       .orderBy(keyCols: _*)
   }
 
@@ -273,6 +276,20 @@ object Corpus {
     seg(col("Country") === "NATION_0", "uk")
       .unionByName(seg(col("Country") =!= "NATION_0", "others"))
       .orderBy("segment", "Country")
+  }
+
+  /** U2: INTERSECT / EXCEPT set operations (absent from the reference, which
+    * used only unionByName): countries selling part 1 vs part 2 — both ops
+    * in one result, distinct-set semantics. */
+  def setOps(s: SparkSession, d: String): DataFrame = {
+    val dl = daily(s, d)
+    def countries(stock: String) =
+      dl.filter(col("StockCode") === stock).select("Country")
+    val both = countries("1").intersect(countries("2"))
+      .withColumn("op", lit("intersect"))
+    val only1 = countries("1").except(countries("2"))
+      .withColumn("op", lit("except"))
+    both.unionByName(only1).orderBy("op", "Country")
   }
 
   /** J6: as-of join (extension — Spark has no native ASOF): each purchase
@@ -1069,6 +1086,7 @@ object Corpus {
     "q_j4_join_semi" -> (joinSemi _),
     "q_j5_join_anti" -> (joinAnti _),
     "q_u1_union_segments" -> (unionSegments _),
+    "q_u2_set_ops" -> (setOps _),
     "q_o1_sort_limit" -> (sortLimit _),
     "q_f1_scalar_math" -> (scalarMath _),
     "q_f2_json_extract" -> (jsonExtract _),

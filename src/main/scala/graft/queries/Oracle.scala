@@ -213,7 +213,9 @@ object Oracle {
          |       CAST(row_number() OVER w AS INTEGER) AS rn,
          |       lead(NetDailyQuantity, 1) OVER w AS next_qty,
          |       CAST(SUM(NetDailyQuantity) OVER cum AS BIGINT) AS cum_qty,
-         |       CAST(rank() OVER cw AS INTEGER) AS date_rank
+         |       CAST(rank() OVER cw AS INTEGER) AS date_rank,
+         |       CAST(dense_rank() OVER cw AS INTEGER) AS date_dense_rank,
+         |       CAST(ntile(4) OVER w AS INTEGER) AS quartile
          |FROM daily
          |WINDOW $seriesWin,
          |       cum AS (PARTITION BY Country, StockCode ORDER BY InvoiceDate
@@ -326,6 +328,19 @@ object Oracle {
         |  SELECT Country, CAST(SUM(NetDailyQuantity) AS BIGINT) AS total_qty, 'others' AS segment
         |  FROM daily WHERE Country <> 'NATION_0' GROUP BY Country) t
         |ORDER BY segment, Country""".stripMargin),
+
+    "q_u2_set_ops" -> withDaily(
+      """SELECT * FROM (
+        |  SELECT Country, 'intersect' AS op FROM (
+        |    SELECT Country FROM daily WHERE StockCode = '1'
+        |    INTERSECT
+        |    SELECT Country FROM daily WHERE StockCode = '2')
+        |  UNION ALL
+        |  SELECT Country, 'except' AS op FROM (
+        |    SELECT Country FROM daily WHERE StockCode = '1'
+        |    EXCEPT
+        |    SELECT Country FROM daily WHERE StockCode = '2')) t
+        |ORDER BY op, Country""".stripMargin),
 
     "q_o1_sort_limit" -> withDaily(
       s"""SELECT Country, StockCode, $tsDate, NetDailyQuantity
