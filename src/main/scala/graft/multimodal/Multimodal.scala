@@ -112,6 +112,74 @@ object Multimodal {
     }
   }
 
+  case class AudioMeta(
+      doc_id: Long,
+      sample_rate: Int,
+      channels: Int,
+      n_frames: Long,
+      duration_ms: Long)
+
+  /** Deterministic PCM WAV payload: standard 44-byte RIFF header + 16-bit
+    * samples that are a pure function of (seed, frame). Real WAV bytes —
+    * [[decodeAudio]] must parse the RIFF structure to recover the format. */
+  def wavBytes(sampleRate: Int, channels: Int, nFrames: Int, seed: Long): Array[Byte] = {
+    val dataSize = nFrames * channels * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort) // block align
+      .putShort(16) // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < nFrames * channels) {
+      bb.putShort(((seed * 131 + i * 7919) & 0xffff).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** One WAV blob per document: mono/stereo alternating by id, frame count
+    * derived from the id (the formulas the decode oracle mirrors). */
+  def toWavBlobs(spark: SparkSession, docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val channels = 1 + (id % 2).toInt
+        val nFrames = 100 + (id % 400).toInt
+        Blob(id, wavBytes(8000, channels, nFrames, id), "audio/wav")
+      }
+    }.toDF()
+  }
+
+  /** REAL audio decode: javax.sound.sampled parses the RIFF/WAVE structure
+    * inside the per-partition loop. duration_ms is integer math on decoded
+    * fields (frames * 1000 / rate) — deterministic and oracle-mirrorable. */
+  def decodeAudio(spark: SparkSession, blobs: DataFrame): Dataset[AudioMeta] = {
+    import spark.implicits._
+    blobs.as[Blob].mapPartitions { it =>
+      it.map { b =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(b.content))
+        try {
+          val fmt = in.getFormat
+          val frames = in.getFrameLength
+          AudioMeta(
+            doc_id = b.doc_id,
+            sample_rate = fmt.getSampleRate.toInt,
+            channels = fmt.getChannels,
+            n_frames = frames,
+            duration_ms = frames * 1000L / fmt.getSampleRate.toLong)
+        } finally in.close()
+      }
+    }
+  }
+
   case class Frame(doc_id: Long, frame_idx: Int, pts_ms: Long, frame_bytes: Long)
 
   /** Frame sampling — the 1→N stage of a video pipeline (each payload emits

@@ -954,6 +954,14 @@ object Corpus {
       .orderBy("doc_id").toDF()
       .select("doc_id", "width", "height", "channels")
 
+  /** MM3: real audio decode — deterministic PCM WAV payloads parsed back
+    * through javax.sound.sampled in the mapPartitions stage; the oracle
+    * mirrors the fixture's format formulas, so the decoder must actually
+    * walk the RIFF structure. */
+  def audioMeta(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodeAudio(s, Multimodal.toWavBlobs(s, Tables.documents(s, d)))
+      .orderBy("doc_id").toDF()
+
   /** Frame sampling over blobs — the bounded 1→N video stage (stub demuxer,
     * deterministic arithmetic mirrored in the oracle). */
   def frameSample(s: SparkSession, d: String): DataFrame =
@@ -1137,7 +1145,8 @@ object Corpus {
     "q_ann2_lsh_topk" -> (annLshTopK _),
     "q_ann3_ivf_topk" -> (annIvfTopK _),
     "q_mm1_blob_meta" -> (blobMeta _),
-    "q_mm2_frame_sample" -> (frameSample _)
+    "q_mm2_frame_sample" -> (frameSample _),
+    "q_mm3_audio_meta" -> (audioMeta _)
   )
 
   val all: Map[String, Q] = raw.map { case (name, fn) =>

@@ -988,6 +988,17 @@ object Oracle {
         |GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
         |ORDER BY keep_id""".stripMargin,
 
+    // Mirrors the WAV fixture's format formulas (Multimodal.toWavBlobs);
+    // the Spark side must really parse the RIFF/WAVE structure
+    // (javax.sound.sampled) to recover them.
+    "q_mm3_audio_meta" ->
+      """SELECT doc_id,
+        |       CAST(8000 AS INTEGER) AS sample_rate,
+        |       CAST(1 + (doc_id % 2) AS INTEGER) AS channels,
+        |       CAST(100 + (doc_id % 400) AS BIGINT) AS n_frames,
+        |       CAST((100 + (doc_id % 400)) * 1000 // 8000 AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q_w6_ma_baseline" -> withDaily(
       s"""SELECT Country, StockCode, $tsDate, NetDailyQuantity,
          |       COALESCE(

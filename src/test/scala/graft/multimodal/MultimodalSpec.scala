@@ -45,6 +45,21 @@ class MultimodalSpec extends SparkSpec {
     assert((img.getRGB(2, 1) & 0xffffff) === ((5L * 31 + 1 * w + 2) & 0xffffff).toInt)
   }
 
+  test("real WAV decode recovers format fields through javax.sound.sampled") {
+    val docs = Seq((0L, "a"), (1L, "b"), (399L, "c"), (400L, "d")).toDF("doc_id", "text")
+    val blobs = Multimodal.toWavBlobs(spark, docs)
+    val raw = blobs.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("content")).toMap
+    assert(raw.values.forall(b => new String(b.take(4), "US-ASCII") == "RIFF"))
+
+    val metas = Multimodal.decodeAudio(spark, blobs).collect().map(m => m.doc_id -> m).toMap
+    for (id <- Seq(0L, 1L, 399L, 400L)) {
+      assert(metas(id).sample_rate === 8000)
+      assert(metas(id).channels === 1 + (id % 2).toInt, s"channels of $id")
+      assert(metas(id).n_frames === 100 + (id % 400), s"frames of $id")
+      assert(metas(id).duration_ms === (100 + (id % 400)) * 1000 / 8000)
+    }
+  }
+
   test("frame sampling fans out boundedly with even 25fps timestamps") {
     // "hello world" = 11 bytes → 1 + 11%5 = 2 frames of 5 bytes;
     // "" → 1 frame of 0 bytes; fan-out is always within [1, 5]
