@@ -62,6 +62,39 @@ object CorpusCleaner {
       .orderBy(idCol)
   }
 
+  /** Cluster-based variant of [[clean]]: near-dups are resolved through
+    * [[Dedup.dupClusters]] connected components, keeping exactly ONE
+    * representative (the minimum id) per duplicate cluster. Pairwise
+    * larger-id removal can drop every member of a chain a→b→c where only
+    * adjacent pairs clear the threshold (b and c both appear as an id2);
+    * transitive resolution is the semantically right rule for a 100 TB
+    * dedup, at the cost of the label-propagation rounds. */
+  def cleanClustered(
+      spark: SparkSession,
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      config: Config = Config()): DataFrame = {
+    val scored = docs.select(
+      col(idCol), col(textCol),
+      TextFunctions.qualityScore(col(textCol)).as("quality"))
+    val qualified = scored.filter(col("quality") >= config.minQuality)
+    val keepers = qualified
+      .groupBy(TextFunctions.fingerprintMd5(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    val exact = qualified.join(keepers, Seq(idCol), "left_semi").localCheckpoint(true)
+    val pairs = Dedup.jaccardPairs(exact, idCol, textCol, config.shingleK, config.maxShingleDf)
+      .filter(col("jaccard") >= config.jaccardThreshold)
+    // every clustered doc whose label is NOT itself is a non-representative
+    val dropped = Dedup.dupClusters(pairs)
+      .filter(col("label") =!= col("id"))
+      .select(col("id").as(idCol))
+    exact.join(dropped, Seq(idCol), "left_anti")
+      .select(col(idCol), col("quality"))
+      .orderBy(idCol)
+  }
+
   /** Per-stage survivor counts (single row). */
   def stats(
       spark: SparkSession,

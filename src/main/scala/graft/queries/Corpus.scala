@@ -882,6 +882,13 @@ object Corpus {
   def cleanCorpus(s: SparkSession, d: String): DataFrame =
     graft.pipeline.CorpusCleaner.clean(s, Tables.documents(s, d))
 
+  /** TP2: the cluster-resolved cleaning pipeline — near-dups collapsed to
+    * one representative per connected component (quality gate → exact dedup
+    * → Jaccard pair graph → dupClusters → keep cluster minima). Full SQL
+    * oracle: the tp1 CTE chain composed with the dd6 recursive-CTE closure. */
+  def cleanCorpusClustered(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.CorpusCleaner.cleanClustered(s, Tables.documents(s, d))
+
   // ---- similarity search ----------------------------------------------------
 
   private def queryVector(s: SparkSession, d: String): Array[Float] =
@@ -1138,6 +1145,7 @@ object Corpus {
     "q_j8_bucketed_join" -> (bucketedOrdersJoin _),
     "q_dd5_embed_pairs_top" -> (embedPairsTop _),
     "q_tp1_clean_corpus" -> (cleanCorpus _),
+    "q_tp2_clean_clustered" -> (cleanCorpusClustered _),
     "q_ml1_forecast_kpi" -> (mlForecastKpi _),
     "q_ml2_ols_fit" -> (olsFit _),
     "q_t5b_hash64_groups" -> (hash64Groups _),

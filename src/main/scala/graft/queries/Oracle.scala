@@ -786,6 +786,70 @@ object Oracle {
          |WHERE ex.doc_id NOT IN (SELECT doc_id FROM removed)
          |ORDER BY ex.doc_id""".stripMargin,
 
+    // Mirrors Corpus.cleanCorpusClustered: the tp1 CTE chain (quality gate →
+    // exact dedup → pruned-universe Jaccard pairs) composed with the dd6
+    // recursive closure — survivors are exact-dedup keepers that are either
+    // unclustered or their cluster's minimum id.
+    "q_tp2_clean_clustered" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, text, regexp_extract_all(text, '\\S+') AS toks FROM documents),
+         |c AS (
+         |  SELECT doc_id, text,
+         |         CAST(len(toks) AS DOUBLE) AS n_tok,
+         |         CASE WHEN len(toks) > 0
+         |              THEN CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE)
+         |                   / CAST(len(toks) AS DOUBLE)
+         |              ELSE CAST(0.0 AS DOUBLE) END AS stop_ratio,
+         |         CASE WHEN len(toks) > 0
+         |              THEN CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE)
+         |                   / CAST(len(toks) AS DOUBLE)
+         |              ELSE CAST(0.0 AS DOUBLE) END AS mean_tok_len
+         |  FROM t),
+         |q AS (
+         |  SELECT doc_id, text,
+         |         least(CAST(1.0 AS DOUBLE), n_tok / 100.0) * 0.5
+         |           + stop_ratio * 0.3
+         |           + least(CAST(1.0 AS DOUBLE), mean_tok_len / 8.0) * 0.2 AS quality
+         |  FROM c),
+         |qf AS (SELECT * FROM q WHERE quality >= CAST(0.35 AS DOUBLE)),
+         |keep AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM qf
+         |  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
+         |ex AS (SELECT qf.* FROM qf JOIN keep USING (doc_id)),
+         |n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm FROM ex),
+         |tk AS (SELECT doc_id, regexp_extract_all(norm, '\\S+') AS toks FROM n),
+         |wp AS (
+         |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+         |  FROM tk WHERE len(toks) >= 3),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |         array_to_string(toks[CAST(i AS INTEGER):CAST(i AS INTEGER)+2], ' ') AS shingle
+         |  FROM wp),
+         |hot AS (SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) > 1000),
+         |pru AS (SELECT doc_id, shingle FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+         |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nsh FROM pru GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(COUNT(*) AS BIGINT) AS n_common
+         |  FROM pru a JOIN pru b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id1, id2
+         |  FROM inter JOIN cnt ca ON ca.doc_id = id1 JOIN cnt cb ON cb.doc_id = id2
+         |  WHERE CAST(n_common AS DOUBLE) / CAST(ca.nsh + cb.nsh - n_common AS DOUBLE)
+         |        >= CAST(0.1 AS DOUBLE)),
+         |e AS (SELECT id1 AS s, id2 AS t2 FROM pairs UNION SELECT id2, id1 FROM pairs),
+         |nodes AS (SELECT DISTINCT s AS id FROM e),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT reach.id, e.t2 AS r FROM reach JOIN e ON e.s = reach.r),
+         |lab AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id),
+         |dropped AS (SELECT id AS doc_id FROM lab WHERE label <> id)
+         |SELECT ex.doc_id, q2.quality
+         |FROM ex
+         |JOIN q q2 ON q2.doc_id = ex.doc_id
+         |WHERE ex.doc_id NOT IN (SELECT doc_id FROM dropped)
+         |ORDER BY ex.doc_id""".stripMargin,
+
     // Mirrors Corpus.embedNearDup's injected ground truth: the corpus has no
     // natural pair near cosine 0.9 (max ≈ 0.51/0.60), identical clones hash
     // to identical LSH signatures and cosine ≈ 1, so the result is exactly

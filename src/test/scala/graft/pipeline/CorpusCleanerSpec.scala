@@ -38,6 +38,23 @@ class CorpusCleanerSpec extends SparkSpec {
     assert(nF === 2L)
   }
 
+  test("cluster cleaning keeps ONE representative per component where pairwise keeps two") {
+    // Shared-neighbor shape: a ~ c and b ~ c but a !~ b. Pairwise removal
+    // drops only the id2s ({c}), keeping BOTH a and b from one duplicate
+    // component; cluster resolution keeps exactly the component minimum.
+    def words(p: String, n: Int) = (0 until n).map(i => f"${p}word$i%04d").mkString(" ")
+    val a = words("alpha", 100)
+    val b = words("beta", 100)
+    val c = (a.split(" ").take(50) ++ b.split(" ").take(50)).mkString(" ")
+    val docs3 = Seq((10L, a), (11L, b), (12L, c)).toDF("doc_id", "text")
+    val clustered = CorpusCleaner.cleanClustered(spark, docs3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clustered === Set(10L))
+    val pairwise = CorpusCleaner.clean(spark, docs3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(pairwise === Set(10L, 11L))
+  }
+
   test("dup clusters: min-label propagation finds transitive keepers") {
     val pairs = Seq((1L, 0L), (1L, 2L), (5L, 6L), (6L, 7L)).toDF("id1", "id2")
     val labels = Dedup.dupClusters(pairs)
