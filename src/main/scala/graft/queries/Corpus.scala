@@ -765,6 +765,80 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** Email/phone patterns shared by the scrub query and its oracle —
+    * RE2-compatible (no lookarounds), so Java regex and DuckDB agree. */
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhoneRe = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+  /** T7: PII scrubbing — emails and phone numbers masked with typed tokens,
+    * plus per-row match counts (the redaction pass every training-data
+    * pipeline runs before tokenization; pure regexp expressions, one scan).
+    * The fixture has no PII, so rows with genuine emails/phones are injected
+    * under ids 4000000+; the oracle applies the same RE2-compatible
+    * patterns. */
+  def piiScrub(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val samples = Seq(
+      (4000000L, "contact me at john.doe@example.com or call 555-123-4567 today"),
+      (4000001L, "emails alice@foo.org bob@bar.net and phone 800 555 1212 plus 123-456-7890"),
+      (4000002L, "no personal data here just plain text"))
+      .toDF("doc_id", "text")
+    Tables.documents(s, d).select("doc_id", "text")
+      .unionByName(samples)
+      .select(
+        col("doc_id"),
+        regexp_replace(
+          regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>").as("scrubbed"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).as("n_phones"))
+      .orderBy("doc_id")
+  }
+
+  /** T8: repetition signals (the Gopher-style quality filters): duplicate-
+    * token fraction and duplicate-char-5-gram fraction, plus the gate flag.
+    * High repetition marks boilerplate/generated text — the standard
+    * pre-training removal signal, computed in one scan as pure
+    * expressions. */
+  def textRepetition(s: SparkSession, d: String): DataFrame = {
+    val norm = TextFunctions.normText(col("text"))
+    val toks = TextFunctions.tokens(norm)
+    val nTok = size(toks)
+    val dupTok = when(nTok > 0,
+      lit(1.0) - size(array_distinct(toks)).cast("double") / nTok.cast("double"))
+      .otherwise(lit(0.0))
+    val total5 = greatest(length(norm) - 4, lit(0))
+    val dup5 = when(total5 > 0,
+      lit(1.0) - TextFunctions.charShingleCount(norm, 5).cast("double") / total5.cast("double"))
+      .otherwise(lit(0.0))
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        dupTok.as("dup_token_ratio"),
+        dup5.as("dup_char5_ratio"),
+        (dupTok > 0.3).as("is_repetitive"))
+      .orderBy("doc_id")
+  }
+
+  /** P10: data-driven training-mix sampler — per-source sampling rates come
+    * from a broadcast config TABLE (not hard-coded predicates), applied as
+    * the same md5-prefix threshold as q_p9, so the mix is reproducible on
+    * any cluster and re-weightable without code changes. Output = realized
+    * per-source sample counts. */
+  def mixSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rates = ((0 to 4).map(i => (s"src$i", "cc")) ++
+      (5 to 9).map(i => (s"src$i", "80")) ++
+      (10 to 19).map(i => (s"src$i", "1a")))
+      .toDF("source", "threshold")
+    Tables.documents(s, d)
+      .join(broadcast(rates), Seq("source"))
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 2) < col("threshold"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_sampled"))
+      .orderBy("source")
+  }
+
   /** Custom codegen'd fingerprints (rolling hash + simhash) — no SQL oracle
     * (engine-specific hash functions); rows-only check. */
   def textFingerprints(s: SparkSession, d: String): DataFrame = {
@@ -1149,6 +1223,9 @@ object Corpus {
     "q_ml1_forecast_kpi" -> (mlForecastKpi _),
     "q_ml2_ols_fit" -> (olsFit _),
     "q_t5b_hash64_groups" -> (hash64Groups _),
+    "q_t7_pii_scrub" -> (piiScrub _),
+    "q_t8_repetition" -> (textRepetition _),
+    "q_p10_mix_sample" -> (mixSample _),
     "q_ann1_cosine_topk" -> (annCosineTopK _),
     "q_ann2_lsh_topk" -> (annLshTopK _),
     "q_ann3_ivf_topk" -> (annIvfTopK _),

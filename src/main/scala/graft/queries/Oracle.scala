@@ -687,6 +687,62 @@ object Oracle {
         |FROM n LEFT JOIN cg ON n.doc_id = cg.doc_id LEFT JOIN wg ON wg.doc_id = n.doc_id
         |ORDER BY n.doc_id""".stripMargin,
 
+    // Mirrors Corpus.piiScrub: same injected PII rows, same RE2-compatible
+    // patterns ('g' flag for replace-all to match Spark's regexp_replace).
+    "q_t7_pii_scrub" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (CAST(4000000 AS BIGINT), 'contact me at john.doe@example.com or call 555-123-4567 today'),
+        |    (CAST(4000001 AS BIGINT), 'emails alice@foo.org bob@bar.net and phone 800 555 1212 plus 123-456-7890'),
+        |    (CAST(4000002 AS BIGINT), 'no personal data here just plain text')
+        |  ) v(doc_id, text))
+        |SELECT doc_id,
+        |       regexp_replace(
+        |         regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |         '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS scrubbed,
+        |       CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INTEGER) AS n_emails,
+        |       CAST(len(regexp_extract_all(text, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS INTEGER) AS n_phones
+        |FROM base ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Corpus.textRepetition: 1 - distinct/total for tokens and
+    // char-5-grams — int/int division then one subtraction, IEEE-identical.
+    "q_t8_repetition" ->
+      """WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),
+        |tk AS (SELECT doc_id, norm, regexp_extract_all(norm, '\S+') AS toks FROM n),
+        |cp AS (
+        |  SELECT doc_id, norm, unnest(generate_series(1, length(norm) - 4)) AS i
+        |  FROM n WHERE length(norm) >= 5),
+        |cg AS (
+        |  SELECT doc_id, CAST(COUNT(DISTINCT substr(norm, CAST(i AS INTEGER), 5)) AS BIGINT) AS n5
+        |  FROM cp GROUP BY 1),
+        |r AS (
+        |  SELECT tk.doc_id,
+        |         CASE WHEN len(toks) > 0
+        |              THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+        |              ELSE CAST(0.0 AS DOUBLE) END AS dup_token_ratio,
+        |         CASE WHEN greatest(length(norm) - 4, 0) > 0
+        |              THEN 1.0 - CAST(COALESCE(cg.n5, 0) AS DOUBLE)
+        |                         / CAST(greatest(length(norm) - 4, 0) AS DOUBLE)
+        |              ELSE CAST(0.0 AS DOUBLE) END AS dup_char5_ratio
+        |  FROM tk LEFT JOIN cg ON cg.doc_id = tk.doc_id)
+        |SELECT doc_id, dup_token_ratio, dup_char5_ratio,
+        |       dup_token_ratio > CAST(0.3 AS DOUBLE) AS is_repetitive
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Corpus.mixSample: same rates table as VALUES, same md5-prefix
+    // threshold — the realized mix is a pure function of the keys.
+    "q_p10_mix_sample" ->
+      """WITH rates(source, threshold) AS (
+        |  SELECT 'src' || CAST(i AS VARCHAR),
+        |         CASE WHEN i <= 4 THEN 'cc' WHEN i <= 9 THEN '80' ELSE '1a' END
+        |  FROM (SELECT unnest(generate_series(0, 19)) AS i))
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sampled
+        |FROM documents JOIN rates USING (source)
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < threshold
+        |GROUP BY source ORDER BY source""".stripMargin,
+
     "q_d3_dedup_fingerprint" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
         |       MIN(doc_id) AS keep_id,
