@@ -488,6 +488,36 @@ object Corpus {
         when(col("l_discount") > 0.05, lit("H")).otherwise(lit("L")).as("disc_band"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** F3: string-function batch over customer names — the everyday string
+    * surface (case, substring, padding, search, split, concat) the reference
+    * never touched but any engine user needs. All deterministic and
+    * ANSI-mirrorable. */
+  def stringFunctions(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("name_upper"),
+        substring(col("c_name"), 1, 8).as("name_prefix"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("key_padded"),
+        instr(col("c_name"), "0").as("first_zero_pos"),
+        concat_ws("|", col("c_mktsegment"), col("c_name")).as("seg_name"),
+        element_at(split(col("c_name"), "#"), -1).as("name_suffix"))
+      .orderBy("c_custkey")
+
+  /** F4: conditional & arg-extremum aggregates per segment — count_if,
+    * bool_or/bool_and, and max_by/min_by keyed on the unique custkey (ties
+    * impossible ⇒ deterministic). */
+  def conditionalAggs(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .groupBy("c_mktsegment")
+      .agg(
+        count_if(col("c_acctbal") > 0).as("n_positive"),
+        bool_or(col("c_acctbal") < 0).as("any_negative"),
+        bool_and(col("c_acctbal") > -1000).as("all_above_floor"),
+        max_by(col("c_name"), col("c_custkey")).as("latest_customer"),
+        min_by(col("c_name"), col("c_custkey")).as("earliest_customer"))
+      .orderBy("c_mktsegment")
+
   /** JSON field extraction from the events props column. */
   def jsonExtract(s: SparkSession, d: String): DataFrame = {
     val k = regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
@@ -689,6 +719,21 @@ object Corpus {
         pa(f3).as("approx_median_3d"),
         pa(f6).as("approx_median_6d"),
         pa(fd3).as("approx_median_3_dow")): _*)
+      .orderBy(keyCols: _*)
+  }
+
+  /** W10: navigation window functions (first/last/nth value) over the series
+    * window — series start, running latest, and second observation
+    * (completes the navigation family beyond lag/lead). */
+  def navWindows(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("Country", "StockCode").orderBy("InvoiceDate")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily(s, d)
+      .select(keyCols ++ Seq(
+        first(col("NetDailyQuantity")).over(w).as("series_first_qty"),
+        last(col("NetDailyQuantity")).over(w).as("running_last_qty"),
+        nth_value(col("NetDailyQuantity"), 2).over(w).as("second_qty")): _*)
       .orderBy(keyCols: _*)
   }
 
@@ -1190,6 +1235,9 @@ object Corpus {
     "q_o1_sort_limit" -> (sortLimit _),
     "q_f1_scalar_math" -> (scalarMath _),
     "q_f2_json_extract" -> (jsonExtract _),
+    "q_f3_strings" -> (stringFunctions _),
+    "q_f4_cond_aggs" -> (conditionalAggs _),
+    "q_w10_nav" -> (navWindows _),
     "q_e1_hourly_events" -> (hourlyEvents _),
     "q_e3_stream_hourly" -> (streamedHourlyEvents _),
     "q_e4_stream_sessions" -> (streamedSessions _),

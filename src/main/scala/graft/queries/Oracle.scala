@@ -361,6 +361,37 @@ object Oracle {
         |       CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS INTEGER) AS k_val
         |FROM events ORDER BY event_id""".stripMargin,
 
+    "q_f3_strings" ->
+      """SELECT c_custkey,
+        |       upper(c_name) AS name_upper,
+        |       substr(c_name, 1, 8) AS name_prefix,
+        |       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+        |       CAST(strpos(c_name, '0') AS INTEGER) AS first_zero_pos,
+        |       concat_ws('|', c_mktsegment, c_name) AS seg_name,
+        |       (string_split(c_name, '#'))[-1] AS name_suffix
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // max_by/min_by keyed on the unique custkey — ties impossible, so the
+    // arg-extremum is deterministic in both engines.
+    "q_f4_cond_aggs" ->
+      """SELECT c_mktsegment,
+        |       CAST(count_if(c_acctbal > 0) AS BIGINT) AS n_positive,
+        |       bool_or(c_acctbal < 0) AS any_negative,
+        |       bool_and(c_acctbal > -1000) AS all_above_floor,
+        |       max_by(c_name, c_custkey) AS latest_customer,
+        |       min_by(c_name, c_custkey) AS earliest_customer
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_w10_nav" -> withDaily(
+      s"""SELECT Country, StockCode, $tsDate,
+         |       first_value(NetDailyQuantity) OVER wc AS series_first_qty,
+         |       last_value(NetDailyQuantity) OVER wc AS running_last_qty,
+         |       nth_value(NetDailyQuantity, 2) OVER wc AS second_qty
+         |FROM daily
+         |WINDOW wc AS (PARTITION BY Country, StockCode ORDER BY InvoiceDate
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |ORDER BY Country, StockCode, InvoiceDate""".stripMargin),
+
     "q_e1_hourly_events" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |       CAST(COUNT(*) AS BIGINT) AS n_events,
