@@ -128,6 +128,65 @@ object Corpus {
         |ORDER BY Year ASC NULLS FIRST, Month ASC NULLS FIRST""".stripMargin)
   }
 
+  /** A19: explicit GROUPING SETS — per-country totals, per-year totals, and
+    * the grand total in one pass with grouping flags (completes the
+    * grouping-sets family next to ROLLUP/CUBE). SQL path for the same
+    * Spark-4 self-join-detector reason as rollupTotals. One shuffle: Expand
+    * replicates each row once per set before the hash aggregate, so the cost
+    * is (#sets × input) map-side, never a second exchange. */
+  def groupingSetsTotals(s: SparkSession, d: String): DataFrame = {
+    daily(s, d).createOrReplaceTempView("graft_daily_gs")
+    s.sql(
+      """SELECT Country, Year,
+        |       SUM(NetDailyQuantity) AS total_qty,
+        |       COUNT(1) AS n_rows,
+        |       CAST(grouping(Country) AS INT) AS g_country,
+        |       CAST(grouping(Year) AS INT) AS g_year
+        |FROM graft_daily_gs
+        |GROUP BY GROUPING SETS ((Country), (Year), ())
+        |ORDER BY g_country ASC, g_year ASC,
+        |         Country ASC NULLS FIRST, Year ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** A20: bivariate statistics (corr / covariance / variance / OLS slope +
+    * intercept) of extended price vs quantity per return flag, derived from
+    * EXACT integer moments: quantities are integral and prices 2-dp by data
+    * contract, so (x, y·100) are lossless BIGINTs whose DECIMAL(38,0) sums
+    * are order-independent — the moment pass is one map-side-combinable
+    * aggregate that is bit-reproducible on any partitioning (the property
+    * float-accumulating corr/covar_samp built-ins cannot give at 100 TB),
+    * and the closed-form stats are a few IEEE ops on identical inputs. */
+  def momentStats(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val x = col("l_quantity").cast("long")
+    val y = round(col("l_extendedprice") * 100).cast("long")
+    val m = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), x.as("x"), y.as("y"))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"),
+        sum((col("x") * col("y")).cast(dec)).as("sxy"),
+        sum((col("y") * col("y")).cast(dec)).as("syy"))
+    val (n, sx, sy, sxx, sxy, syy) = (
+      col("n").cast("double"), col("sx").cast("double"), col("sy").cast("double"),
+      col("sxx").cast("double"), col("sxy").cast("double"), col("syy").cast("double"))
+    m.select(
+      col("l_returnflag"),
+      col("n"),
+      ((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)))
+        .as("corr_qty_price"),
+      ((sxy - sx * sy / n) / (n - lit(1.0)) / lit(100.0)).as("covar_samp"),
+      ((sxx - sx * sx / n) / n).as("var_pop_qty"),
+      ((n * sxy - sx * sy) / (n * sxx - sx * sx) / lit(100.0)).as("slope"),
+      (sy / n / lit(100.0) - (n * sxy - sx * sy) / (n * sxx - sx * sx) / lit(100.0) * (sx / n))
+        .as("intercept"))
+      .orderBy("l_returnflag")
+  }
+
   /** Distinct-count aggregation (exact). */
   def countDistinctParts(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -290,6 +349,24 @@ object Corpus {
     val only1 = countries("1").except(countries("2"))
       .withColumn("op", lit("except"))
     both.unionByName(only1).orderBy("op", "Country")
+  }
+
+  /** U3: UNPIVOT (wide → long melt) of the per-country KPI frame — three
+    * metric columns become (metric, value) rows. The Unpivot node is pure
+    * map-side Expand (3× fan-out, no shuffle); at 100 TB melting is free
+    * relative to the aggregate that feeds it. */
+  def unpivotKpis(s: SparkSession, d: String): DataFrame = {
+    val wide = daily(s, d)
+      .groupBy("Country")
+      .agg(
+        sum("NetDailyQuantity").cast("double").as("total_qty"),
+        Exact.dsum(col("NetDailyRevenue")).as("total_rev"),
+        count(lit(1)).cast("double").as("n_days"))
+    wide.unpivot(
+      Array(col("Country")),
+      Array(col("total_qty"), col("total_rev"), col("n_days")),
+      "metric", "value")
+      .orderBy("Country", "metric")
   }
 
   /** J6: as-of join (extension — Spark has no native ASOF): each purchase
@@ -518,6 +595,50 @@ object Corpus {
         min_by(col("c_name"), col("c_custkey")).as("earliest_customer"))
       .orderBy("c_mktsegment")
 
+  /** F6: date/time function batch over the ship date — quarter, day-of-year,
+    * month boundaries (last_day / trunc / make_date), date arithmetic
+    * (date_add, datediff), and epoch seconds. Covers the calendar surface an
+    * engine user needs beyond the reference's year/month/week extracts; all
+    * values are exact integers/dates in both engines. */
+  def datetimeFunctions(s: SparkSession, d: String): DataFrame = {
+    val dt = to_date(col("l_shipdate"))
+    Tables.lineitem(s, d)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        dt.as("ship_date"),
+        quarter(dt).as("qtr"),
+        dayofyear(dt).as("doy"),
+        last_day(dt).as("month_end"),
+        date_add(dt, 7).as("week_later"),
+        datediff(lit("1999-01-01").cast(DateType), dt).as("days_to_1999"),
+        trunc(dt, "month").as("month_start"),
+        make_date(year(dt), month(dt), lit(1)).as("month_first"),
+        unix_timestamp(col("l_shipdate")).as("epoch_s"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** F5: array / higher-order functions over document tokens — size,
+    * distinct, lambda filter, lambda aggregate (fold), membership, min, and
+    * slice+join. Everything stays a per-row expression (no explode ⇒ no row
+    * multiplication, no shuffle): the whole query is one codegen'd scan at
+    * any corpus size. Outputs are scalars so the cross-engine hash compare
+    * stays well-defined. */
+  def arrayFunctions(s: SparkSession, d: String): DataFrame = {
+    val toks = TextFunctions.tokens(TextFunctions.normText(col("text")))
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        size(filter(col("toks"), t => length(t) >= 5)).as("n_long"),
+        aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t)).as("total_chars"),
+        array_contains(col("toks"), "spark").as("has_spark"),
+        array_min(col("toks")).as("min_token"),
+        array_join(slice(col("toks"), 1, 3), "-").as("first3_joined"))
+      .orderBy("doc_id")
+  }
+
   /** JSON field extraction from the events props column. */
   def jsonExtract(s: SparkSession, d: String): DataFrame = {
     val k = regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
@@ -737,6 +858,28 @@ object Corpus {
       .orderBy(keyCols: _*)
   }
 
+  /** W11: distribution windows (percent_rank, cume_dist) plus IGNORE NULLS
+    * navigation — the last observed weekday quantity carried across weekend
+    * rows. percent_rank/cume_dist are single divisions of exact ranks, so
+    * they hash-match across engines; the running ignore-nulls last is the
+    * standard gap-filling idiom for sparse series. Within a country the
+    * (InvoiceDate, StockCode) pair is unique, so the ordering is total and
+    * the ranks deterministic. */
+  def distWindows(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wc = Window.partitionBy("Country")
+      .orderBy(col("InvoiceDate"), col("StockCode"))
+    val running = wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val weekdayQty =
+      when(!col("DayOfWeek").isin(1, 7), col("NetDailyQuantity"))
+    daily(s, d)
+      .select(keyCols ++ Seq(
+        percent_rank().over(wc).as("pct_rank"),
+        cume_dist().over(wc).as("cume"),
+        last(weekdayQty, ignoreNulls = true).over(running).as("last_weekday_qty")): _*)
+      .orderBy(keyCols: _*)
+  }
+
   // ---- KPIs -----------------------------------------------------------------
 
   /** A8: global KPI aggregate (MAE/MAPE/bias, model vs baseline). */
@@ -809,6 +952,50 @@ object Corpus {
         size(TextFunctions.wordShingles(TextFunctions.tokens(norm), 3)).as("n_word3"))
       .orderBy("doc_id")
   }
+
+  /** T9: benchmark-contamination check — the decontamination pass every
+    * pre-training pipeline runs: what fraction of each corpus document's
+    * distinct word-3-grams also appear in a held-out benchmark set (here the
+    * deterministic doc_id % 17 == 0 slice)? Shape is the scale-correct one:
+    * skinny (doc, gram) rows, the benchmark gram set deduplicated then
+    * BROADCAST into the probe (benchmarks are tiny next to a 100 TB corpus),
+    * so the scan never shuffles — one hash aggregate at the end. */
+  def contamination(s: SparkSession, d: String): DataFrame = {
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(TextFunctions.wordShingles(
+          TextFunctions.tokens(TextFunctions.normText(col("text"))), 3)).as("gram"))
+    val bench = grams.filter(col("doc_id") % 17 === 0)
+      .select("gram").distinct()
+    val ratio = col("n_hit").cast("double") / col("n_grams").cast("double")
+    grams.filter(col("doc_id") % 17 =!= 0)
+      .join(broadcast(bench.withColumn("hit", lit(1))), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        ratio.as("contamination"),
+        (ratio >= 0.5).as("flagged"))
+      .orderBy("doc_id")
+  }
+
+  /** T10: boilerplate n-gram mining — word-3-grams shared by ≥2 documents,
+    * top-50 by document frequency (the C4/RefinedWeb-style repeated-content
+    * detector that feeds line/passage removal). Skinny distinct (gram, doc)
+    * rows → one hash aggregate → TakeOrderedAndProject; the gram key is
+    * bounded so the aggregate stays map-side-combinable at any corpus
+    * size. */
+  def boilerplateGrams(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(TextFunctions.wordShingles(
+          TextFunctions.tokens(TextFunctions.normText(col("text"))), 3)).as("gram"))
+      .groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2)
+      .orderBy(col("df").desc, col("gram").asc)
+      .limit(50)
 
   /** Email/phone patterns shared by the scrub query and its oracle —
     * RE2-compatible (no lookarounds), so Java regex and DuckDB agree. */
@@ -1242,6 +1429,13 @@ object Corpus {
     "q_e3_stream_hourly" -> (streamedHourlyEvents _),
     "q_e4_stream_sessions" -> (streamedSessions _),
     "q_a18_cube" -> (cubeTotals _),
+    "q_a19_grouping_sets" -> (groupingSetsTotals _),
+    "q_a20_moment_stats" -> (momentStats _),
+    "q_f5_arrays" -> (arrayFunctions _),
+    "q_u3_unpivot" -> (unpivotKpis _),
+    "q_w11_dist" -> (distWindows _),
+    "q_t9_contamination" -> (contamination _),
+    "q_t10_boilerplate" -> (boilerplateGrams _),
     "q_w9_range_frame" -> (rangeFrameWeek _),
     "q_w1_lag_features" -> (lagFeatures _),
     "q_w2_rolling_stats" -> (rollingStats _),

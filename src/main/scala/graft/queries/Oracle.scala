@@ -460,6 +460,84 @@ object Oracle {
         |FROM daily GROUP BY CUBE(Year, DayOfWeek)
         |ORDER BY Year ASC NULLS FIRST, DayOfWeek ASC NULLS FIRST""".stripMargin),
 
+    "q_a19_grouping_sets" -> withDaily(
+      """SELECT Country, Year,
+        |       CAST(SUM(NetDailyQuantity) AS BIGINT) AS total_qty,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(GROUPING(Country) AS INTEGER) AS g_country,
+        |       CAST(GROUPING(Year) AS INTEGER) AS g_year
+        |FROM daily
+        |GROUP BY GROUPING SETS ((Country), (Year), ())
+        |ORDER BY g_country ASC, g_year ASC,
+        |         Country ASC NULLS FIRST, Year ASC NULLS FIRST""".stripMargin),
+
+    // Mirrors Corpus.momentStats: (x, y·100) are lossless BIGINTs, the
+    // moment sums are exact (HUGEINT here, DECIMAL(38,0) in Spark — both
+    // exact integers, so the casts to DOUBLE agree bit-for-bit), and the
+    // closed-form statistics below use the identical IEEE expression trees.
+    "q_a20_moment_stats" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |         CAST(l_quantity AS BIGINT) AS x,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT l_returnflag,
+        |         CAST(COUNT(*) AS BIGINT) AS n_out,
+        |         CAST(SUM(x) AS DOUBLE) AS sx,
+        |         CAST(SUM(y) AS DOUBLE) AS sy,
+        |         CAST(SUM(x * x) AS DOUBLE) AS sxx,
+        |         CAST(SUM(x * y) AS DOUBLE) AS sxy,
+        |         CAST(SUM(y * y) AS DOUBLE) AS syy
+        |  FROM b GROUP BY 1),
+        |d AS (SELECT *, CAST(n_out AS DOUBLE) AS n FROM m)
+        |SELECT l_returnflag, n_out AS n,
+        |       (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+        |         AS corr_qty_price,
+        |       (sxy - sx * sy / n) / (n - 1.0) / 100.0 AS covar_samp,
+        |       (sxx - sx * sx / n) / n AS var_pop_qty,
+        |       (n * sxy - sx * sy) / (n * sxx - sx * sx) / 100.0 AS slope,
+        |       sy / n / 100.0 - (n * sxy - sx * sy) / (n * sxx - sx * sx) / 100.0 * (sx / n)
+        |         AS intercept
+        |FROM d ORDER BY l_returnflag""".stripMargin,
+
+    "q_f5_arrays" ->
+      """WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),
+        |tk AS (SELECT doc_id, regexp_extract_all(norm, '\S+') AS toks FROM n)
+        |SELECT doc_id,
+        |       CAST(len(toks) AS INTEGER) AS n_tokens,
+        |       CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
+        |       CAST(len(list_filter(toks, x -> length(x) >= 5)) AS INTEGER) AS n_long,
+        |       CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS total_chars,
+        |       list_contains(toks, 'spark') AS has_spark,
+        |       list_min(toks) AS min_token,
+        |       array_to_string(toks[1:3], '-') AS first3_joined
+        |FROM tk ORDER BY doc_id""".stripMargin,
+
+    "q_u3_unpivot" -> withDaily(
+      """,w AS (
+        |  SELECT Country,
+        |         CAST(SUM(NetDailyQuantity) AS DOUBLE) AS total_qty,
+        |         CAST(SUM(CAST(NetDailyRevenue AS DECIMAL(30,6))) AS DOUBLE) AS total_rev,
+        |         CAST(COUNT(*) AS DOUBLE) AS n_days
+        |  FROM daily GROUP BY 1)
+        |SELECT Country, metric, value FROM (
+        |  SELECT Country, 'total_qty' AS metric, total_qty AS value FROM w
+        |  UNION ALL SELECT Country, 'total_rev', total_rev FROM w
+        |  UNION ALL SELECT Country, 'n_days', n_days FROM w) t
+        |ORDER BY Country, metric""".stripMargin),
+
+    "q_w11_dist" -> withDaily(
+      s"""SELECT Country, StockCode, $tsDate,
+         |       percent_rank() OVER wc AS pct_rank,
+         |       cume_dist() OVER wc AS cume,
+         |       last_value(CASE WHEN DayOfWeek NOT IN (1, 7) THEN NetDailyQuantity END IGNORE NULLS)
+         |         OVER (PARTITION BY Country ORDER BY InvoiceDate, StockCode
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_weekday_qty
+         |FROM daily
+         |WINDOW wc AS (PARTITION BY Country ORDER BY InvoiceDate, StockCode)
+         |ORDER BY Country, StockCode, InvoiceDate""".stripMargin),
+
     // Mirrors Corpus.rangeFrameWeek: RANGE frame over the exact epoch-day
     // integer key; NULL sums over empty frames propagate identically.
     "q_w9_range_frame" -> withDaily(
@@ -717,6 +795,48 @@ object Oracle {
         |       CAST(COALESCE(wg.w3, 0) AS INTEGER) AS n_word3
         |FROM n LEFT JOIN cg ON n.doc_id = cg.doc_id LEFT JOIN wg ON wg.doc_id = n.doc_id
         |ORDER BY n.doc_id""".stripMargin,
+
+    // Mirrors Corpus.contamination: same word-3-gram universe as q_t4's wg
+    // CTE, same doc_id % 17 benchmark split, same distinct-gram overlap
+    // ratio (exact int/int division — IEEE-identical).
+    "q_t9_contamination" ->
+      """WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),
+        |tk AS (SELECT doc_id, regexp_extract_all(norm, '\S+') AS toks FROM n),
+        |wp AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+        |  FROM tk WHERE len(toks) >= 3),
+        |g AS (
+        |  SELECT DISTINCT doc_id,
+        |         array_to_string(toks[CAST(i AS INTEGER):CAST(i AS INTEGER)+2], ' ') AS gram
+        |  FROM wp),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0),
+        |agg AS (
+        |  SELECT c.doc_id,
+        |         CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |         CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+        |  FROM g c LEFT JOIN bench b ON c.gram = b.gram
+        |  WHERE c.doc_id % 17 <> 0
+        |  GROUP BY 1)
+        |SELECT doc_id, n_grams, n_hit,
+        |       CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE) AS contamination,
+        |       CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE) >= 0.5 AS flagged
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Corpus.boilerplateGrams over the same distinct (doc, gram)
+    // universe; (df DESC, gram ASC) is a total order, so LIMIT 50 is stable.
+    "q_t10_boilerplate" ->
+      """WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),
+        |tk AS (SELECT doc_id, regexp_extract_all(norm, '\S+') AS toks FROM n),
+        |wp AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+        |  FROM tk WHERE len(toks) >= 3),
+        |g AS (
+        |  SELECT DISTINCT doc_id,
+        |         array_to_string(toks[CAST(i AS INTEGER):CAST(i AS INTEGER)+2], ' ') AS gram
+        |  FROM wp)
+        |SELECT gram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        |FROM g GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+        |ORDER BY df DESC, gram ASC LIMIT 50""".stripMargin,
 
     // Mirrors Corpus.piiScrub: same injected PII rows, same RE2-compatible
     // patterns ('g' flag for replace-all to match Spark's regexp_replace).

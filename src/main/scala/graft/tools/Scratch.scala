@@ -22,6 +22,13 @@ object Scratch {
     }
 
     what match {
+      case "explain" =>
+        // plan audit: print the formatted physical plan of any corpus query
+        args.drop(2).foreach { name =>
+          println(s"===== $name =====")
+          graft.queries.Corpus.all(name)(spark, d).explain("formatted")
+        }
+
       case "dd1" =>
         val docs = Tables.documents(spark, d)
         val shingled = time("shingle+checkpoint") {

@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.Tables
+
+/** Semantic checks for the round-3 extension operators (grouping sets,
+  * exact-moment statistics, array lambdas, unpivot, distribution windows,
+  * contamination, boilerplate mining) beyond the DuckDB hash gate — each
+  * test pins an algebraic invariant the oracle compare alone wouldn't
+  * explain. */
+class ExtendedOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("moment stats reproduce Spark's float-accumulated corr/covar/var to 1e-9") {
+    val exact = Corpus.momentStats(spark, sf).collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r).toMap
+    val ref = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(
+        corr(col("l_quantity"), col("l_extendedprice")).as("c"),
+        covar_samp(col("l_quantity"), col("l_extendedprice")).as("cv"),
+        var_pop(col("l_quantity")).as("vp"))
+      .collect().map(r => r.getAs[String]("l_returnflag") -> r).toMap
+    assert(exact.keySet === ref.keySet)
+    for ((flag, r) <- ref) {
+      val e = exact(flag)
+      def close(a: Double, b: Double) = math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b))
+      assert(close(e.getAs[Double]("corr_qty_price"), r.getAs[Double]("c")), s"corr $flag")
+      assert(close(e.getAs[Double]("covar_samp"), r.getAs[Double]("cv")), s"covar $flag")
+      assert(close(e.getAs[Double]("var_pop_qty"), r.getAs[Double]("vp")), s"var $flag")
+    }
+  }
+
+  test("grouping sets: per-country totals sum to the grand total; flags partition the output") {
+    val rows = Corpus.groupingSetsTotals(spark, sf).collect()
+    val byFlags = rows.groupBy(r => (r.getAs[Int]("g_country"), r.getAs[Int]("g_year")))
+    assert(byFlags.keySet === Set((0, 1), (1, 0), (1, 1)))
+    val grand = byFlags(1, 1)
+    assert(grand.length === 1)
+    val countrySum = byFlags(0, 1).map(_.getAs[Long]("total_qty")).sum
+    val yearSum = byFlags(1, 0).map(_.getAs[Long]("total_qty")).sum
+    assert(countrySum === grand.head.getAs[Long]("total_qty"))
+    assert(yearSum === grand.head.getAs[Long]("total_qty"))
+  }
+
+  test("unpivot melts each country into exactly one row per metric, values preserved") {
+    val long = Corpus.unpivotKpis(spark, sf).collect()
+    val perCountry = long.groupBy(_.getAs[String]("Country"))
+    assert(perCountry.values.forall(_.map(_.getAs[String]("metric")).sorted.toSeq ===
+      Seq("n_days", "total_qty", "total_rev")))
+    // total_qty round-trips against an independent aggregate
+    val qty = Tables.salesLines(spark, sf)
+      .groupBy("Country").agg(sum("Quantity").as("q")).collect()
+      .map(r => r.getAs[String]("Country") -> r.getAs[Long]("q").toDouble).toMap
+    for ((c, rows) <- perCountry) {
+      val v = rows.find(_.getAs[String]("metric") == "total_qty").get.getAs[Double]("value")
+      assert(v === qty(c), s"qty mismatch for $c")
+    }
+  }
+
+  test("distribution windows: ranks bounded, cume_dist monotone, ignore-nulls carry") {
+    val rows = Corpus.distWindows(spark, sf).collect()
+    assert(rows.forall { r =>
+      val p = r.getAs[Double]("pct_rank"); p >= 0.0 && p <= 1.0
+    })
+    assert(rows.forall { r =>
+      val c = r.getAs[Double]("cume"); c > 0.0 && c <= 1.0
+    })
+    // after a country's first weekday row, last_weekday_qty is never null
+    val byCountry = rows.groupBy(_.getAs[String]("Country"))
+    for ((_, rs) <- byCountry) {
+      val idx = rs.head.fieldIndex("last_weekday_qty")
+      val inDateOrder = rs.sortBy(r =>
+        (String.valueOf(r.get(r.fieldIndex("InvoiceDate"))), r.getAs[String]("StockCode")))
+      val afterFirst = inDateOrder.dropWhile(_.isNullAt(idx))
+      assert(afterFirst.forall(!_.isNullAt(idx)))
+    }
+  }
+
+  test("array lambdas: distinct ≤ total, fold equals norm length minus separators") {
+    val rows = Corpus.arrayFunctions(spark, sf).limit(200).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val n = r.getAs[Int]("n_tokens")
+      assert(r.getAs[Int]("n_distinct") <= n)
+      assert(r.getAs[Int]("n_long") <= n)
+      // norm collapses whitespace to single spaces, so token chars = len - (n-1)
+      assert(r.getAs[Long]("total_chars") >= n.toLong) // every token ≥ 1 char
+    }
+  }
+
+  test("contamination: benchmark slice excluded, hits bounded, flag consistent") {
+    val rows = Corpus.contamination(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val id = r.getAs[Long]("doc_id")
+      assert(id % 17 !== 0L)
+      val (n, h) = (r.getAs[Long]("n_grams"), r.getAs[Long]("n_hit"))
+      assert(h >= 0L && h <= n)
+      val ratio = r.getAs[Double]("contamination")
+      assert(math.abs(ratio - h.toDouble / n.toDouble) < 1e-15)
+      assert(r.getAs[Boolean]("flagged") === (ratio >= 0.5))
+    }
+  }
+
+  test("boilerplate grams: df ≥ 2, sorted (df desc, gram asc), capped at 50") {
+    val rows = Corpus.boilerplateGrams(spark, sf).collect()
+    assert(rows.length <= 50)
+    assert(rows.forall(_.getAs[Long]("df") >= 2L))
+    val keys = rows.map(r => (-r.getAs[Long]("df"), r.getAs[String]("gram"))).toSeq
+    assert(keys === keys.sorted)
+  }
+}
