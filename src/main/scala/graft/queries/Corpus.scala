@@ -542,6 +542,29 @@ object Corpus {
       .orderBy("o_orderkey")
   }
 
+  private val partitionedCache = TrieMap.empty[(SparkSession, String), String]
+
+  /** S7: hive-partitioned layout + partition-pruned scan — the daily grain
+    * written `partitionBy(Year)`, read back with a Year predicate. At 100 TB
+    * the partition column turns the predicate into directory pruning: the
+    * scan's PartitionFilters eliminate whole files before any I/O (asserted
+    * in OperatorsSpec), which is the cheapest filter an engine has. Result
+    * equals the plain filtered query, so the oracle is trivial; the layout
+    * write is paid once per (session, sf) like the bucketed tables. */
+  def partitionedScan(s: SparkSession, d: String): DataFrame = {
+    val path = partitionedCache.getOrElseUpdate((s, d), {
+      val dir = java.nio.file.Files.createTempDirectory("graft-part-daily").toString
+      daily(s, d)
+        .select("Country", "StockCode", "InvoiceDate", "NetDailyQuantity", "Year")
+        .write.mode("overwrite").partitionBy("Year").parquet(dir)
+      dir
+    })
+    s.read.parquet(path)
+      .filter(col("Year") === 1997)
+      .select("Country", "StockCode", "InvoiceDate", "Year", "NetDailyQuantity")
+      .orderBy("Country", "StockCode", "InvoiceDate")
+  }
+
   // ---- sorts ----------------------------------------------------------------
 
   /** O1: multi-column sort + limit. */
@@ -725,6 +748,36 @@ object Corpus {
     try q.processAllAvailable()
     finally q.stop()
     s.table(sink).orderBy("user_id", "session_start")
+  }
+
+  /** E5: streaming exact dedup under duplicate delivery — the events file is
+    * staged TWICE into the stream source (the at-least-once redelivery every
+    * real pipeline must absorb) and
+    * [[graft.streaming.EventStreams.dedupStream]] drops the replays by
+    * event_id; per-type counts over the deduped stream must equal the batch
+    * aggregate over the ORIGINAL table (event ids are unique by fixture
+    * contract). State is keyed by id and bounded by the watermark horizon at
+    * steady state. */
+  def streamedDedup(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-stream-dedup")
+    Files.copy(Paths.get(s"$d/events.parquet"), dir.resolve("events_a.parquet"))
+    Files.copy(Paths.get(s"$d/events.parquet"), dir.resolve("events_b.parquet"))
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema =
+      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+    val stream = s.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val deduped = graft.streaming.EventStreams.dedupStream(stream, Seq("event_id"))
+    val sink = "graft_stream_dedup_" + java.util.UUID.randomUUID().toString.take(8)
+    val q = deduped.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(sink)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), Exact.dsum(col("value")).as("total_value"))
+      .orderBy("event_type")
   }
 
   /** A18: CUBE grouping sets over (Year, DayOfWeek) — all four aggregation
@@ -951,6 +1004,19 @@ object Corpus {
         TextFunctions.charShingleCount(norm, 5).as("n_char5"),
         size(TextFunctions.wordShingles(TextFunctions.tokens(norm), 3)).as("n_word3"))
       .orderBy("doc_id")
+  }
+
+  /** T11: corpus length histogram — documents bucketed by token count in
+    * 20-token bands (capped decile style, mirroring q_a16) — the standard
+    * length-distribution diagnostic run before choosing min/max-length
+    * filters. One scan, one tiny aggregate. */
+  def tokenHistogram(s: SparkSession, d: String): DataFrame = {
+    val n = TextFunctions.tokenCount(TextFunctions.normText(col("text")))
+    Tables.documents(s, d)
+      .select(least(greatest(floor(n / 20.0), lit(0.0)), lit(9.0)).cast("int").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("bucket")
   }
 
   /** T9: benchmark-contamination check — the decontamination pass every
@@ -1436,6 +1502,10 @@ object Corpus {
     "q_w11_dist" -> (distWindows _),
     "q_t9_contamination" -> (contamination _),
     "q_t10_boilerplate" -> (boilerplateGrams _),
+    "q_t11_length_hist" -> (tokenHistogram _),
+    "q_f6_datetime" -> (datetimeFunctions _),
+    "q_s7_partitioned_scan" -> (partitionedScan _),
+    "q_e5_stream_dedup" -> (streamedDedup _),
     "q_w9_range_frame" -> (rangeFrameWeek _),
     "q_w1_lag_features" -> (lagFeatures _),
     "q_w2_rolling_stats" -> (rollingStats _),

@@ -538,6 +538,47 @@ object Oracle {
          |WINDOW wc AS (PARTITION BY Country ORDER BY InvoiceDate, StockCode)
          |ORDER BY Country, StockCode, InvoiceDate""".stripMargin),
 
+    // Mirrors Corpus.datetimeFunctions; DATE outputs carry the TIMESTAMP
+    // cast per the normalizeTemporal convention; floor(epoch(...)) matches
+    // Spark's seconds truncation for positive timestamps.
+    "q_f6_datetime" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(CAST(l_shipdate AS DATE) AS TIMESTAMP) AS ship_date,
+        |       CAST(quarter(l_shipdate) AS INTEGER) AS qtr,
+        |       CAST(dayofyear(l_shipdate) AS INTEGER) AS doy,
+        |       CAST(last_day(CAST(l_shipdate AS DATE)) AS TIMESTAMP) AS month_end,
+        |       CAST(CAST(l_shipdate AS DATE) + 7 AS TIMESTAMP) AS week_later,
+        |       CAST(date_diff('day', CAST(l_shipdate AS DATE), DATE '1999-01-01') AS INTEGER) AS days_to_1999,
+        |       CAST(CAST(date_trunc('month', l_shipdate) AS DATE) AS TIMESTAMP) AS month_start,
+        |       CAST(make_date(CAST(year(l_shipdate) AS INTEGER), CAST(month(l_shipdate) AS INTEGER), 1) AS TIMESTAMP) AS month_first,
+        |       CAST(floor(epoch(l_shipdate)) AS BIGINT) AS epoch_s
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // The partitioned layout must round-trip: reading the partitionBy(Year)
+    // parquet back with a Year predicate equals the plain filtered query.
+    "q_s7_partitioned_scan" -> withDaily(
+      s"""SELECT Country, StockCode, $tsDate, Year, NetDailyQuantity
+         |FROM daily WHERE Year = 1997
+         |ORDER BY Country, StockCode, InvoiceDate""".stripMargin),
+
+    // Mirrors Corpus.tokenHistogram (q_a16-style capped bands over the token
+    // count).
+    "q_t11_length_hist" ->
+      """WITH n AS (SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),
+        |c AS (SELECT len(regexp_extract_all(norm, '\S+')) AS n_tok FROM n)
+        |SELECT CAST(least(greatest(floor(n_tok / 20.0), 0.0), 9.0) AS INTEGER) AS bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Streaming dedup of a twice-delivered stream must restore the original
+    // table: the oracle aggregates the ORIGINAL events (ids unique by
+    // fixture contract), through the exact DECIMAL accumulator.
+    "q_e5_stream_dedup" ->
+      """SELECT event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Mirrors Corpus.rangeFrameWeek: RANGE frame over the exact epoch-day
     // integer key; NULL sums over empty frames propagate identically.
     "q_w9_range_frame" -> withDaily(

@@ -23,6 +23,22 @@ class OperatorsSpec extends SparkSpec {
     assert(salted.toSeq === plain.toSeq)
   }
 
+  test("partitionBy(Year) layout prunes partitions at the scan (q_s7)") {
+    val df = graft.queries.Corpus.partitionedScan(spark, "/root/testdata/sf0.001")
+    df.count() // force planning through AQE
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.matches("(?s).*PartitionFilters: \\[[^\\]]*Year[^\\]]*1997[^\\]]*\\].*"),
+      s"expected a Year=1997 partition filter at the scan:\n$scan")
+    // pruning must not change semantics: equals the unpartitioned filter
+    val plain = graft.queries.Corpus.dailySales(spark, "/root/testdata/sf0.001")
+      .filter($"Year" === 1997)
+      .select("Country", "StockCode", "InvoiceDate", "Year", "NetDailyQuantity")
+      .orderBy("Country", "StockCode", "InvoiceDate")
+      .collect().map(_.toSeq)
+    assert(df.collect().map(_.toSeq).toSeq === plain.toSeq)
+  }
+
   test("bucketed co-located join runs without a shuffle exchange") {
     val facts = (1L to 5000L).map(k => (k % 97, k, k * 2.0)).toDF("key", "id", "v")
     val dims = (0L until 97L).map(k => (k, s"name_$k")).toDF("key", "name")
