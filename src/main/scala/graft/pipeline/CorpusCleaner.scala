@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
@@ -92,6 +92,44 @@ object CorpusCleaner {
       .select(col("id").as(idCol))
     exact.join(dropped, Seq(idCol), "left_anti")
       .select(col(idCol), col("quality"))
+      .orderBy(idCol)
+  }
+
+  /** [[clean]] composed with the decontamination stage: survivors whose
+    * distinct word-shingle overlap with the `benchmark` documents reaches
+    * `maxContamination` are dropped (the eval-leakage guard every
+    * pre-training build runs last, after dedup has already shrunk the
+    * corpus). The benchmark gram set is deduplicated and broadcast — at
+    * 100 TB the benchmark suite is tiny next to the corpus, so the probe
+    * adds one map-side join + one doc-keyed aggregate, never a gram-keyed
+    * shuffle of the corpus. Documents too short to shingle carry
+    * contamination 0. */
+  def cleanDecontaminated(
+      spark: SparkSession,
+      docs: DataFrame,
+      benchmark: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      config: Config = Config(),
+      maxContamination: Double = 0.5): DataFrame = {
+    def grams(df: DataFrame, cols: Column*): DataFrame =
+      df.select(cols :+ explode(TextFunctions.wordShingles(
+        TextFunctions.tokens(TextFunctions.normText(col(textCol))), config.shingleK)).as("gram"): _*)
+
+    val cleaned = clean(spark, docs, idCol, textCol, config)
+    val survivorText = docs.select(col(idCol), col(textCol))
+      .join(cleaned.select(idCol), Seq(idCol), "left_semi")
+    val benchGrams = grams(benchmark).distinct()
+    val ratio = col("n_hit").cast("double") / col("n_grams").cast("double")
+    val contam = grams(survivorText, col(idCol))
+      .join(broadcast(benchGrams.withColumn("hit", lit(1))), Seq("gram"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"), sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .select(col(idCol), ratio.as("contamination"))
+    cleaned.join(contam, Seq(idCol), "left")
+      .select(col(idCol), col("quality"),
+        coalesce(col("contamination"), lit(0.0)).as("contamination"))
+      .filter(col("contamination") < maxContamination)
       .orderBy(idCol)
   }
 

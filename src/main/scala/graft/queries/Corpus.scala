@@ -1261,6 +1261,20 @@ object Corpus {
   def cleanCorpusClustered(s: SparkSession, d: String): DataFrame =
     graft.pipeline.CorpusCleaner.cleanClustered(s, Tables.documents(s, d))
 
+  /** TP3: the full pre-training flow — quality gate → exact dedup → near-dup
+    * removal → benchmark decontamination, in one declarative lineage. The
+    * benchmark is the q_t9 doc_id % 17 slice (external-suite semantics: its
+    * grams come from the RAW benchmark text); the corpus is everything else.
+    * Full SQL oracle: the tp1 CTE chain composed with the q_t9 broadcast
+    * gram probe. */
+  def cleanCorpusDecontaminated(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    graft.pipeline.CorpusCleaner.cleanDecontaminated(
+      s,
+      docs.filter(col("doc_id") % 17 =!= 0),
+      docs.filter(col("doc_id") % 17 === 0))
+  }
+
   // ---- similarity search ----------------------------------------------------
 
   private def queryVector(s: SparkSession, d: String): Array[Float] =
@@ -1543,6 +1557,7 @@ object Corpus {
     "q_dd5_embed_pairs_top" -> (embedPairsTop _),
     "q_tp1_clean_corpus" -> (cleanCorpus _),
     "q_tp2_clean_clustered" -> (cleanCorpusClustered _),
+    "q_tp3_clean_decontaminated" -> (cleanCorpusDecontaminated _),
     "q_ml1_forecast_kpi" -> (mlForecastKpi _),
     "q_ml2_ols_fit" -> (olsFit _),
     "q_t5b_hash64_groups" -> (hash64Groups _),

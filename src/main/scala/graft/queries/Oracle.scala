@@ -1034,6 +1034,84 @@ object Oracle {
          |WHERE ex.doc_id NOT IN (SELECT doc_id FROM removed)
          |ORDER BY ex.doc_id""".stripMargin,
 
+    // Mirrors Corpus.cleanCorpusDecontaminated: the tp1 CTE chain over the
+    // doc_id % 17 <> 0 corpus slice, then the q_t9 gram probe against the
+    // RAW benchmark slice; shingles for contamination are the UNPRUNED
+    // distinct word-3-grams (sh), matching the Scala recompute from survivor
+    // text. Docs too short to shingle coalesce to contamination 0.
+    "q_tp3_clean_decontaminated" ->
+      s"""WITH docs0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0),
+         |t AS (SELECT doc_id, text, regexp_extract_all(text, '\\S+') AS toks FROM docs0),
+         |c AS (
+         |  SELECT doc_id, text,
+         |         CAST(len(toks) AS DOUBLE) AS n_tok,
+         |         CASE WHEN len(toks) > 0
+         |              THEN CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE)
+         |                   / CAST(len(toks) AS DOUBLE)
+         |              ELSE CAST(0.0 AS DOUBLE) END AS stop_ratio,
+         |         CASE WHEN len(toks) > 0
+         |              THEN CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE)
+         |                   / CAST(len(toks) AS DOUBLE)
+         |              ELSE CAST(0.0 AS DOUBLE) END AS mean_tok_len
+         |  FROM t),
+         |q AS (
+         |  SELECT doc_id, text,
+         |         least(CAST(1.0 AS DOUBLE), n_tok / 100.0) * 0.5
+         |           + stop_ratio * 0.3
+         |           + least(CAST(1.0 AS DOUBLE), mean_tok_len / 8.0) * 0.2 AS quality
+         |  FROM c),
+         |qf AS (SELECT * FROM q WHERE quality >= CAST(0.35 AS DOUBLE)),
+         |keep AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM qf
+         |  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
+         |ex AS (SELECT qf.* FROM qf JOIN keep USING (doc_id)),
+         |n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm FROM ex),
+         |tk AS (SELECT doc_id, regexp_extract_all(norm, '\\S+') AS toks FROM n),
+         |wp AS (
+         |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+         |  FROM tk WHERE len(toks) >= 3),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |         array_to_string(toks[CAST(i AS INTEGER):CAST(i AS INTEGER)+2], ' ') AS shingle
+         |  FROM wp),
+         |hot AS (SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) > 1000),
+         |pru AS (SELECT doc_id, shingle FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+         |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nsh FROM pru GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(COUNT(*) AS BIGINT) AS n_common
+         |  FROM pru a JOIN pru b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pr AS (
+         |  SELECT id1, id2,
+         |         CAST(n_common AS DOUBLE) / CAST(ca.nsh + cb.nsh - n_common AS DOUBLE) AS jaccard
+         |  FROM inter JOIN cnt ca ON ca.doc_id = id1 JOIN cnt cb ON cb.doc_id = id2),
+         |removed AS (SELECT DISTINCT id2 AS doc_id FROM pr WHERE jaccard >= CAST(0.1 AS DOUBLE)),
+         |surv AS (
+         |  SELECT ex.doc_id, q2.quality
+         |  FROM ex JOIN q q2 ON q2.doc_id = ex.doc_id
+         |  WHERE ex.doc_id NOT IN (SELECT doc_id FROM removed)),
+         |bn AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+         |       FROM documents WHERE doc_id % 17 = 0),
+         |btk AS (SELECT doc_id, regexp_extract_all(norm, '\\S+') AS toks FROM bn),
+         |bwp AS (
+         |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+         |  FROM btk WHERE len(toks) >= 3),
+         |bg AS (
+         |  SELECT DISTINCT array_to_string(toks[CAST(i AS INTEGER):CAST(i AS INTEGER)+2], ' ') AS gram
+         |  FROM bwp),
+         |sg AS (SELECT sh.doc_id, sh.shingle AS gram FROM sh JOIN surv ON surv.doc_id = sh.doc_id),
+         |ca2 AS (
+         |  SELECT sg.doc_id,
+         |         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         |         CAST(SUM(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+         |  FROM sg LEFT JOIN bg ON sg.gram = bg.gram
+         |  GROUP BY 1)
+         |SELECT surv.doc_id, surv.quality,
+         |       COALESCE(CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE), CAST(0.0 AS DOUBLE)) AS contamination
+         |FROM surv LEFT JOIN ca2 ON ca2.doc_id = surv.doc_id
+         |WHERE COALESCE(CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE), CAST(0.0 AS DOUBLE)) < CAST(0.5 AS DOUBLE)
+         |ORDER BY surv.doc_id""".stripMargin,
+
     // Mirrors Corpus.cleanCorpusClustered: the tp1 CTE chain (quality gate →
     // exact dedup → pruned-universe Jaccard pairs) composed with the dd6
     // recursive closure — survivors are exact-dedup keepers that are either

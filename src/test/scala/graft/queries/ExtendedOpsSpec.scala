@@ -106,6 +106,19 @@ class ExtendedOpsSpec extends SparkSpec {
     }
   }
 
+  test("decontaminated cleaner: output ⊆ cleaned corpus slice, contamination < 0.5, benchmark excluded") {
+    val out = Corpus.cleanCorpusDecontaminated(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Long]("doc_id") % 17 != 0))
+    assert(out.forall { r =>
+      val c = r.getAs[Double]("contamination"); c >= 0.0 && c < 0.5
+    })
+    val cleanedIds = graft.pipeline.CorpusCleaner
+      .clean(spark, Tables.documents(spark, sf).filter(col("doc_id") % 17 =!= 0))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(out.map(_.getAs[Long]("doc_id")).forall(cleanedIds))
+  }
+
   test("boilerplate grams: df ≥ 2, sorted (df desc, gram asc), capped at 50") {
     val rows = Corpus.boilerplateGrams(spark, sf).collect()
     assert(rows.length <= 50)
