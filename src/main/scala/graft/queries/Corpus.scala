@@ -187,6 +187,22 @@ object Corpus {
       .orderBy("l_returnflag")
   }
 
+  /** A21: custom typed Aggregator (the udaf extension point) — quantity-
+    * weighted mean unit price per return flag through
+    * [[graft.functions.TypedAggs.WeightedMeanPrice]]'s exact scaled-Long
+    * state. The oracle recomputes the same integer moments in SQL, so the
+    * custom aggregate's partial/merge/finish path is hash-gated, not just
+    * spec-checked. */
+  def typedWeightedMean(s: SparkSession, d: String): DataFrame = {
+    val wm = udaf(graft.functions.TypedAggs.WeightedMeanPrice)
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        wm(col("l_extendedprice"), col("l_quantity")).as("wmean_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
   /** Distinct-count aggregation (exact). */
   def countDistinctParts(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -667,6 +683,37 @@ object Corpus {
     val k = regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
     Tables.events(s, d)
       .select(col("event_id"), when(k =!= "", k).cast("int").as("k_val"))
+      .orderBy("event_id")
+  }
+
+  /** F7: structured JSON parsing — from_json with an explicit schema over
+    * the props column (plus injected malformed/missing/mistyped/null rows
+    * under ids 5000000+), nested-field extraction, and a validity flag from
+    * the PERMISSIVE corrupt-record column (Spark 4's from_json never returns
+    * a null struct — malformed input surfaces through
+    * columnNameOfCorruptRecord, the same quarantine contract as the CSV
+    * source). One codegen'd scan; the schema makes the parse a typed
+    * projection instead of per-row regex. */
+  def fromJsonParse(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+    val samples = Seq(
+      (5000000L, """{"k": 42}"""),
+      (5000001L, """{"x": 1}"""),
+      (5000002L, """{"k": "abc"}"""),
+      (5000003L, "not json at all"),
+      (5000004L, """{"k": null}"""))
+      .toDF("event_id", "props")
+    val schema = StructType(Seq(
+      StructField("k", IntegerType), StructField("_corrupt", StringType)))
+    val parsed = from_json(
+      col("props"), schema, Map("columnNameOfCorruptRecord" -> "_corrupt"))
+    Tables.events(s, d).select(col("event_id"), col("props"))
+      .unionByName(samples)
+      .select(
+        col("event_id"),
+        parsed.getField("k").as("k_val"),
+        parsed.getField("_corrupt").isNull.as("json_ok"))
       .orderBy("event_id")
   }
 
@@ -1511,6 +1558,8 @@ object Corpus {
     "q_a18_cube" -> (cubeTotals _),
     "q_a19_grouping_sets" -> (groupingSetsTotals _),
     "q_a20_moment_stats" -> (momentStats _),
+    "q_a21_typed_agg" -> (typedWeightedMean _),
+    "q_f7_from_json" -> (fromJsonParse _),
     "q_f5_arrays" -> (arrayFunctions _),
     "q_u3_unpivot" -> (unpivotKpis _),
     "q_w11_dist" -> (distWindows _),

@@ -501,6 +501,41 @@ object Oracle {
         |         AS intercept
         |FROM d ORDER BY l_returnflag""".stripMargin,
 
+    // Mirrors Corpus.typedWeightedMean: the Aggregator's scaled-Long state
+    // (Σ floor(price·100)·qty, Σ qty) recomputed as SQL integer moments —
+    // exact in both engines, then the identical finish arithmetic.
+    "q_a21_typed_agg" ->
+      """SELECT l_returnflag,
+        |       CAST(SUM(CAST(floor(l_extendedprice * 100.0) AS BIGINT)
+        |                 * CAST(floor(l_quantity) AS BIGINT)) AS DOUBLE)
+        |         / CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS DOUBLE) / 100.0 AS wmean_price,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Mirrors Corpus.fromJsonParse: same injected edge rows. json_ok mirrors
+    // the PERMISSIVE corrupt-record contract: malformed JSON or a
+    // non-integer k field marks the record corrupt; a missing or null k
+    // does not.
+    "q_f7_from_json" ->
+      """WITH base AS (
+        |  SELECT event_id, props FROM events
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (CAST(5000000 AS BIGINT), '{"k": 42}'),
+        |    (CAST(5000001 AS BIGINT), '{"x": 1}'),
+        |    (CAST(5000002 AS BIGINT), '{"k": "abc"}'),
+        |    (CAST(5000003 AS BIGINT), 'not json at all'),
+        |    (CAST(5000004 AS BIGINT), '{"k": null}')
+        |  ) v(event_id, props))
+        |SELECT event_id,
+        |       CASE WHEN json_valid(props)
+        |            THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) END AS k_val,
+        |       CASE WHEN NOT json_valid(props) THEN false
+        |            WHEN json_extract(props, '$.k') IS NULL THEN true
+        |            WHEN json_type(json_extract(props, '$.k')) IN ('NULL', 'BIGINT', 'UBIGINT') THEN true
+        |            ELSE false END AS json_ok
+        |FROM base ORDER BY event_id""".stripMargin,
+
     "q_f5_arrays" ->
       """WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),
         |tk AS (SELECT doc_id, regexp_extract_all(norm, '\S+') AS toks FROM n)

@@ -34,6 +34,39 @@ class ExtendedOpsSpec extends SparkSpec {
     }
   }
 
+  test("typed weighted-mean Aggregator equals the plain SQL formulation, any partitioning") {
+    import graft.functions.TypedAggs
+    // merge-order independence: buffer algebra is commutative + associative
+    val bufs = Seq(TypedAggs.WMeanBuf(100L, 2L), TypedAggs.WMeanBuf(350L, 5L),
+      TypedAggs.WMeanBuf(0L, 0L))
+    val merged = bufs.reduce(TypedAggs.WeightedMeanPrice.merge)
+    val mergedRev = bufs.reverse.reduce(TypedAggs.WeightedMeanPrice.merge)
+    assert(merged === mergedRev)
+    assert(TypedAggs.WeightedMeanPrice.finish(merged) === 450.0 / 7.0 / 100.0)
+    assert(TypedAggs.WeightedMeanPrice.finish(TypedAggs.WMeanBuf(0L, 0L)).isNaN)
+    // against the built-in composition on real data
+    val typed = Corpus.typedWeightedMean(spark, sf).collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Double]("wmean_price")).toMap
+    val plain = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg((sum(floor(col("l_extendedprice") * 100).cast("long") * col("l_quantity").cast("long"))
+        .cast("double") / sum(col("l_quantity").cast("long")).cast("double") / lit(100.0))
+        .as("wm"))
+      .collect().map(r => r.getAs[String]("l_returnflag") -> r.getAs[Double]("wm")).toMap
+    assert(typed === plain)
+  }
+
+  test("from_json: corrupt-record contract separates malformed/mistyped from missing/null fields") {
+    val rows = Corpus.fromJsonParse(spark, sf).filter(col("event_id") >= 5000000L).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (Option(r.getAs[Integer]("k_val")), r.getAs[Boolean]("json_ok"))).toMap
+    assert(rows(5000000L) === ((Some(42), true)))   // well-formed
+    assert(rows(5000001L) === ((None, true)))       // missing field is not corruption
+    assert(rows(5000002L) === ((None, false)))      // mistyped field IS corruption
+    assert(rows(5000003L) === ((None, false)))      // malformed JSON
+    assert(rows(5000004L) === ((None, true)))       // explicit null is not corruption
+  }
+
   test("grouping sets: per-country totals sum to the grand total; flags partition the output") {
     val rows = Corpus.groupingSetsTotals(spark, sf).collect()
     val byFlags = rows.groupBy(r => (r.getAs[Int]("g_country"), r.getAs[Int]("g_year")))
