@@ -1322,6 +1322,21 @@ object Corpus {
       docs.filter(col("doc_id") % 17 === 0))
   }
 
+  /** ANN4: per-label embedding centroids by per-dimension partial
+    * aggregation — posexplode to skinny (label, pos, v) rows, one hash
+    * aggregate over (label, pos), floor-scaled exact means. This is how
+    * centroids are computed at 100 TB: each executor partially sums its
+    * shard per dimension and only (labels × dims) tiny partials cross the
+    * shuffle — no vector ever reaches the driver (contrast a collect-based
+    * mean, which cannot scale past driver memory). */
+  def labelCentroids(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos"), col("col").cast("double").as("v"))
+      .groupBy("label", "pos")
+      .agg(Exact.floorAvg(col("v"), 9).as("centroid_v"), count(lit(1)).as("n"))
+      .orderBy("label", "pos")
+
   // ---- similarity search ----------------------------------------------------
 
   private def queryVector(s: SparkSession, d: String): Array[Float] =
@@ -1616,6 +1631,7 @@ object Corpus {
     "q_ann1_cosine_topk" -> (annCosineTopK _),
     "q_ann2_lsh_topk" -> (annLshTopK _),
     "q_ann3_ivf_topk" -> (annIvfTopK _),
+    "q_ann4_centroids" -> (labelCentroids _),
     "q_mm1_blob_meta" -> (blobMeta _),
     "q_mm2_frame_sample" -> (frameSample _),
     "q_mm3_audio_meta" -> (audioMeta _)

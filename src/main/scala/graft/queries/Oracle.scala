@@ -979,6 +979,21 @@ object Oracle {
     "q_dd1_jaccard_top" -> jaccardTopSql(1000),
     "q_dd1b_jaccard_capped" -> jaccardTopSql(5),
 
+    // Mirrors Corpus.labelCentroids: float→double widening is exact in both
+    // engines; the floor-scaled mean matches Exact.floorAvg(v, 9).
+    "q_ann4_centroids" ->
+      s"""WITH e AS (
+         |  SELECT label, embedding, unnest(generate_series(1, len(embedding))) AS i
+         |  FROM embeddings),
+         |x AS (
+         |  SELECT label, CAST(i - 1 AS INTEGER) AS pos,
+         |         CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS v
+         |  FROM e)
+         |SELECT label, pos,
+         |       ${floorAvg9("v", "centroid_v")},
+         |       CAST(COUNT(*) AS BIGINT) AS n
+         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q_ann1_cosine_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
         |pos AS (

@@ -67,6 +67,17 @@ class ExtendedOpsSpec extends SparkSpec {
     assert(rows(5000004L) === ((None, true)))       // explicit null is not corruption
   }
 
+  test("label centroids: one row per (label, dim), counts equal label sizes") {
+    val rows = Corpus.labelCentroids(spark, sf).collect()
+    val labelSizes = Tables.embeddings(spark, sf).groupBy("label").count()
+      .collect().map(r => r.getAs[Int]("label") -> r.getAs[Long]("count")).toMap
+    val dims = rows.map(_.getAs[Int]("pos")).distinct.length
+    assert(rows.length === labelSizes.size * dims)
+    assert(rows.forall(r => r.getAs[Long]("n") === labelSizes(r.getAs[Int]("label"))))
+    // mean of unit-ish float components stays bounded
+    assert(rows.forall(r => math.abs(r.getAs[Double]("centroid_v")) <= 1.0))
+  }
+
   test("grouping sets: per-country totals sum to the grand total; flags partition the output") {
     val rows = Corpus.groupingSetsTotals(spark, sf).collect()
     val byFlags = rows.groupBy(r => (r.getAs[Int]("g_country"), r.getAs[Int]("g_year")))
