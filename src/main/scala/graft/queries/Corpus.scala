@@ -320,6 +320,21 @@ object Corpus {
       .orderBy("r_name")
   }
 
+  /** J9: explicit join-strategy control — the SHUFFLE_HASH hint forces a
+    * ShuffledHashJoin where the planner would default to sort-merge
+    * (plan-asserted in OperatorsSpec). At 100 TB this is the knob that
+    * matters when one side fits per-partition memory but not the broadcast
+    * threshold: hash-build beats sorting both sides. The hint cannot change
+    * semantics — the oracle is the plain join. */
+  def joinShuffleHash(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice")
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate"))
+    li.join(o.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("o_orderdate")).as("Year"))
+      .agg(Exact.dsum(col("l_extendedprice")).as("total_price"), count(lit(1)).as("n"))
+      .orderBy("Year")
+  }
+
   /** Left-semi join (EXISTS). */
   def joinSemi(s: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(s, d)
@@ -1618,6 +1633,7 @@ object Corpus {
     "q_o6_salted_agg" -> (saltedCountryKpi _),
     "q_dd6_dup_clusters" -> (dupClusterLabels _),
     "q_j8_bucketed_join" -> (bucketedOrdersJoin _),
+    "q_j9_shuffle_hash" -> (joinShuffleHash _),
     "q_dd5_embed_pairs_top" -> (embedPairsTop _),
     "q_tp1_clean_corpus" -> (cleanCorpus _),
     "q_tp2_clean_clustered" -> (cleanCorpusClustered _),

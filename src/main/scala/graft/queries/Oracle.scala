@@ -1310,6 +1310,15 @@ object Oracle {
     // Mirrors Corpus.bucketedOrdersJoin: the bucketed layout changes only
     // the physical plan (Exchange-free zip of bucket files, plan-asserted in
     // OperatorsSpec), never the result — the oracle is the plain inner join.
+    // A join hint can only change the physical strategy, never the result:
+    // the oracle is the plain join + aggregate.
+    "q_j9_shuffle_hash" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS Year,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS total_price,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_j8_bucketed_join" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, c_name
         |FROM orders JOIN customer ON o_custkey = c_custkey

@@ -39,6 +39,28 @@ class OperatorsSpec extends SparkSpec {
     assert(df.collect().map(_.toSeq).toSeq === plain.toSeq)
   }
 
+  test("SHUFFLE_HASH hint forces ShuffledHashJoin where default is sort-merge (q_j9)") {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable broadcast so the strategy choice is hash-vs-sort-merge
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val hinted = graft.queries.Corpus.joinShuffleHash(spark, "/root/testdata/sf0.001")
+      hinted.count()
+      val plan = hinted.queryExecution.executedPlan.toString
+      assert(plan.contains("ShuffledHashJoin"), s"expected ShuffledHashJoin:\n$plan")
+      // same query without the hint sort-merges — the hint is load-bearing
+      val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+        .select("l_orderkey", "l_extendedprice")
+      val o = graft.Tables.orders(spark, "/root/testdata/sf0.001")
+        .select("o_orderkey", "o_orderdate")
+      val plain = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      plain.count()
+      assert(plain.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
   test("bucketed co-located join runs without a shuffle exchange") {
     val facts = (1L to 5000L).map(k => (k % 97, k, k * 2.0)).toDF("key", "id", "v")
     val dims = (0L until 97L).map(k => (k, s"name_$k")).toDF("key", "name")
