@@ -115,15 +115,42 @@ object HashUtil {
   }
 
   /** Distinct char k-gram count — fused replacement for
-    * transform(sequence)+substr+array_distinct+size. */
+    * transform(sequence)+substr+array_distinct+size.
+    *
+    * One byte pass computes every char's byte offset, then each window is a
+    * zero-copy UTF8String view over the backing array. The naive
+    * substringSQL(i, k) loop re-scans from the string start per window
+    * (O(len²) chars) and copies every window — measured 0.36 ms/doc at
+    * ~300 chars vs ~0.01 ms for this shape (PERF.md). Distinctness is still
+    * exact string equality, not hash-only. */
   def charShingleCount(s: UTF8String, k: Int): Int = {
     val len = s.numChars()
     if (len < k) return 0
+    val bytes = s.getBytes
+    val nBytes = bytes.length
     val seen = new java.util.HashSet[UTF8String]()
-    var i = 1
-    while (i + k - 1 <= len) {
-      seen.add(s.substringSQL(i, k))
-      i += 1
+    if (nBytes == len) {
+      // ASCII fast path: char offset == byte offset
+      var i = 0
+      while (i + k <= len) {
+        seen.add(UTF8String.fromBytes(bytes, i, k))
+        i += 1
+      }
+    } else {
+      val starts = new Array[Int](len + 1)
+      var i = 0
+      var b = 0
+      while (i < len) {
+        starts(i) = b
+        b += UTF8String.numBytesForFirstByte(bytes(b))
+        i += 1
+      }
+      starts(len) = nBytes
+      i = 0
+      while (i + k <= len) {
+        seen.add(UTF8String.fromBytes(bytes, starts(i), starts(i + k) - starts(i)))
+        i += 1
+      }
     }
     seen.size
   }

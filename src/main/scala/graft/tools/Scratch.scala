@@ -29,6 +29,23 @@ object Scratch {
           graft.queries.Corpus.all(name)(spark, d).explain("formatted")
         }
 
+      case "t4" =>
+        // attribute q_t4/q_t8 cost: norm vs char-shingles vs word-shingles
+        val docs = Tables.documents(spark, d).cache()
+        docs.count()
+        def run(label: String)(c: org.apache.spark.sql.Column): Unit =
+          time(label)(docs.select(c.as("x")).agg(sum(col("x"))).collect())
+        val norm = TextFunctions.normText(col("text"))
+        run("raw-length")(length(col("text")))
+        run("lower-trim")(length(lower(trim(col("text")))))
+        run("norm-length")(length(norm))
+        run("norm-length-2")(length(norm))
+        run("char5-count")(TextFunctions.charShingleCount(norm, 5))
+        run("char5-raw")(TextFunctions.charShingleCount(col("text"), 5))
+        run("tokenize")(size(TextFunctions.tokens(norm)))
+        run("word3-shingles")(size(TextFunctions.wordShingles(TextFunctions.tokens(norm), 3)))
+        run("norm-length-3")(length(norm))
+
       case "dd1" =>
         val docs = Tables.documents(spark, d)
         val shingled = time("shingle+checkpoint") {
