@@ -995,6 +995,38 @@ object Corpus {
       .orderBy(keyCols: _*)
   }
 
+  /** W12: calendar densification — the reference's lag/rolling features are
+    * over *observed* days only (SURVEY §1.1: "lag 1" = previous day WITH
+    * sales); this operator materializes the missing calendar days
+    * (sequence + explode + zero-fill) so trailing frames become
+    * calendar-true. Scale note: densification multiplies rows by
+    * span/observations, so it must run at a grain where that product is
+    * bounded — here country-level totals (25 series × ~2,500 days); on this
+    * data a per-SKU densify would be a measured 286× row blowup, the kind
+    * of silent explosion a 100 TB pipeline cannot absorb. */
+  def densifiedDailyTotals(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val totals = daily(s, d)
+      .groupBy("Country", "InvoiceDate")
+      .agg(sum("NetDailyQuantity").as("qty"))
+    val span = totals.groupBy("Country")
+      .agg(min("InvoiceDate").as("d0"), max("InvoiceDate").as("d1"))
+    val cal = span.select(col("Country"),
+      explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("InvoiceDate"))
+    val joined = cal.join(totals, Seq("Country", "InvoiceDate"), "left")
+    val w = Window.partitionBy("Country").orderBy("InvoiceDate").rowsBetween(-7, -1)
+    val filled = coalesce(col("qty"), lit(0L))
+    joined
+      .select(
+        col("Country"), col("InvoiceDate"),
+        filled.as("qty"),
+        col("qty").isNotNull.as("observed"))
+      .select(col("Country"), col("InvoiceDate"), col("qty"), col("observed"),
+        (sum("qty").over(w).cast("double") / count("qty").over(w).cast("double"))
+          .as("ma7_calendar"))
+      .orderBy("Country", "InvoiceDate")
+  }
+
   // ---- KPIs -----------------------------------------------------------------
 
   /** A8: global KPI aggregate (MAE/MAPE/bias, model vs baseline). */
@@ -1593,6 +1625,7 @@ object Corpus {
     "q_f5_arrays" -> (arrayFunctions _),
     "q_u3_unpivot" -> (unpivotKpis _),
     "q_w11_dist" -> (distWindows _),
+    "q_w12_densify" -> (densifiedDailyTotals _),
     "q_t9_contamination" -> (contamination _),
     "q_t10_boilerplate" -> (boilerplateGrams _),
     "q_t11_length_hist" -> (tokenHistogram _),

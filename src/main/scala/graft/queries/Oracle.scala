@@ -562,6 +562,29 @@ object Oracle {
         |  UNION ALL SELECT Country, 'n_days', n_days FROM w) t
         |ORDER BY Country, metric""".stripMargin),
 
+    // Mirrors Corpus.densifiedDailyTotals: generate_series materializes the
+    // calendar, COALESCE zero-fills, and the trailing frame sum/count over
+    // an empty frame propagates NULL identically in both engines.
+    "q_w12_densify" -> withDaily(
+      """,tot AS (
+        |  SELECT Country, InvoiceDate, CAST(SUM(NetDailyQuantity) AS BIGINT) AS qty
+        |  FROM daily GROUP BY 1, 2),
+        |sp AS (SELECT Country, MIN(InvoiceDate) AS d0, MAX(InvoiceDate) AS d1 FROM tot GROUP BY 1),
+        |cal AS (
+        |  SELECT Country,
+        |         CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS InvoiceDate
+        |  FROM sp),
+        |dense AS (
+        |  SELECT c.Country, c.InvoiceDate,
+        |         COALESCE(t.qty, 0) AS qty,
+        |         t.qty IS NOT NULL AS observed
+        |  FROM cal c LEFT JOIN tot t ON t.Country = c.Country AND t.InvoiceDate = c.InvoiceDate)
+        |SELECT Country, CAST(InvoiceDate AS TIMESTAMP) AS InvoiceDate, qty, observed,
+        |       CAST(SUM(qty) OVER w AS DOUBLE) / CAST(COUNT(qty) OVER w AS DOUBLE) AS ma7_calendar
+        |FROM dense
+        |WINDOW w AS (PARTITION BY Country ORDER BY InvoiceDate ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        |ORDER BY Country, InvoiceDate""".stripMargin),
+
     "q_w11_dist" -> withDaily(
       s"""SELECT Country, StockCode, $tsDate,
          |       percent_rank() OVER wc AS pct_rank,

@@ -67,6 +67,25 @@ class ExtendedOpsSpec extends SparkSpec {
     assert(rows(5000004L) === ((None, true)))       // explicit null is not corruption
   }
 
+  test("calendar densification: contiguous grid per country, zero-fill only on unobserved days") {
+    val rows = Corpus.densifiedDailyTotals(spark, sf).collect()
+    val byCountry = rows.groupBy(_.getAs[String]("Country"))
+    for ((_, rs) <- byCountry) {
+      // grid is exactly (max - min + 1) contiguous days
+      val days = rs.map(r => String.valueOf(r.get(r.fieldIndex("InvoiceDate")))).sorted
+      assert(days.distinct.length === days.length)
+      val first = java.time.LocalDate.parse(days.head.take(10))
+      val last = java.time.LocalDate.parse(days.last.take(10))
+      assert(rs.length === java.time.temporal.ChronoUnit.DAYS.between(first, last) + 1)
+      // unobserved days carry qty 0; observed days are non-negative sums
+      assert(rs.forall(r => r.getAs[Boolean]("observed") || r.getAs[Long]("qty") === 0L))
+    }
+    val observed = rows.count(_.getAs[Boolean]("observed"))
+    val distinctObserved = Corpus.dailySales(spark, sf)
+      .select("Country", "InvoiceDate").distinct().count()
+    assert(observed.toLong === distinctObserved)
+  }
+
   test("label centroids: one row per (label, dim), counts equal label sizes") {
     val rows = Corpus.labelCentroids(spark, sf).collect()
     val labelSizes = Tables.embeddings(spark, sf).groupBy("label").count()

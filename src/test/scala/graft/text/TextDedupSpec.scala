@@ -48,6 +48,20 @@ class TextDedupSpec extends SparkSpec {
     val short = docs.sparkSession.range(1)
       .select(TextFunctions.charShingleCount(lit("ab"), 3).as("n")).head()
     assert(short.getInt(0) === 0)
+    // multi-byte path: windows must be char-indexed, not byte-indexed
+    // ("großgroß" is 8 chars / 10 bytes); expected count from JVM string
+    // sliding-window semantics
+    val text = "großgroß"
+    val expected = text.sliding(3).toSeq.distinct.length
+    val multi = docs.sparkSession.range(1)
+      .select(TextFunctions.charShingleCount(lit(text), 3).as("n")).head()
+    assert(multi.getInt(0) === expected)
+    // umlauts in the middle must not shift window boundaries
+    val mixed = "aüböaübö"
+    val expectedMixed = mixed.sliding(3).toSeq.distinct.length
+    val m2 = docs.sparkSession.range(1)
+      .select(TextFunctions.charShingleCount(lit(mixed), 3).as("n")).head()
+    assert(m2.getInt(0) === expectedMixed)
   }
 
   test("exact dedup groups identical canonical content") {
