@@ -596,6 +596,26 @@ object Corpus {
       .orderBy("Country", "StockCode", "InvoiceDate")
   }
 
+  private val orcCache = TrieMap.empty[(SparkSession, String), String]
+
+  /** S8: columnar-format interop — the customer table written once to ORC
+    * (Spark's second first-class columnar format) and read back through a
+    * predicate + projection. The scan must behave exactly like parquet's:
+    * PushedFilters at the reader, pruned ReadSchema (spec-asserted). Result
+    * equals the same query over the original parquet, so the oracle is the
+    * plain filtered table. */
+  def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val path = orcCache.getOrElseUpdate((s, d), {
+      val dir = java.nio.file.Files.createTempDirectory("graft-orc-customer").toString
+      Tables.customer(s, d).write.mode("overwrite").orc(dir)
+      dir
+    })
+    s.read.orc(path)
+      .filter(col("c_acctbal") > 5000.0)
+      .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+
   // ---- sorts ----------------------------------------------------------------
 
   /** O1: multi-column sort + limit. */
@@ -1631,6 +1651,7 @@ object Corpus {
     "q_t11_length_hist" -> (tokenHistogram _),
     "q_f6_datetime" -> (datetimeFunctions _),
     "q_s7_partitioned_scan" -> (partitionedScan _),
+    "q_s8_orc_roundtrip" -> (orcRoundtrip _),
     "q_e5_stream_dedup" -> (streamedDedup _),
     "q_w9_range_frame" -> (rangeFrameWeek _),
     "q_w1_lag_features" -> (lagFeatures _),

@@ -612,6 +612,13 @@ object Oracle {
         |       CAST(floor(epoch(l_shipdate)) AS BIGINT) AS epoch_s
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
+    // The ORC round-trip must be lossless: reading the ORC copy back with a
+    // predicate equals the same query over the original parquet.
+    "q_s8_orc_roundtrip" ->
+      """SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+        |FROM customer WHERE c_acctbal > 5000.0
+        |ORDER BY c_custkey""".stripMargin,
+
     // The partitioned layout must round-trip: reading the partitionBy(Year)
     // parquet back with a Year predicate equals the plain filtered query.
     "q_s7_partitioned_scan" -> withDaily(

@@ -61,6 +61,16 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("ORC scan pushes the filter and prunes columns like parquet (q_s8)") {
+    val df = graft.queries.Corpus.orcRoundtrip(spark, "/root/testdata/sf0.001")
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("c_acctbal"),
+      s"expected c_acctbal filter pushed to the ORC reader:\n$plan")
+    assert(!plan.contains("c_nationkey"),
+      s"expected unused columns pruned from the ORC ReadSchema:\n$plan")
+  }
+
   test("bucketed co-located join runs without a shuffle exchange") {
     val facts = (1L to 5000L).map(k => (k % 97, k, k * 2.0)).toDF("key", "id", "v")
     val dims = (0L until 97L).map(k => (k, s"name_$k")).toDF("key", "name")
