@@ -1289,6 +1289,30 @@ object Corpus {
       .orderBy(col("jaccard").desc, col("id1"), col("id2"))
       .limit(50)
 
+  /** DD7: exact edit-distance verification of the sketch candidates — the
+    * second tier of the standard fuzzy-dedup pipeline (cheap sketch
+    * candidates → exact verify on the tiny survivor set). Candidates are
+    * the q_dd1 top pairs; each gets the classic Levenshtein distance plus a
+    * length-normalized ratio. At scale the candidate set is bounded by the
+    * capped inverted index, so the verify tier joins a small frame back to
+    * the corpus by id (broadcast) and runs O(len²) DP on pairs only — never
+    * on the corpus cross product. */
+  def editDistanceVerify(s: SparkSession, d: String): DataFrame = {
+    val pairs = jaccardTop(s, d)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), TextFunctions.normText(col("text")).as("norm"))
+    val dist = levenshtein(col("norm1"), col("norm2"))
+    pairs
+      .join(docs.select(col("doc_id").as("id1"), col("norm").as("norm1")), Seq("id1"))
+      .join(docs.select(col("doc_id").as("id2"), col("norm").as("norm2")), Seq("id2"))
+      .select(col("id1"), col("id2"), col("jaccard"),
+        dist.as("edit_dist"),
+        (dist.cast("double")
+          / greatest(length(col("norm1")), length(col("norm2"))).cast("double"))
+          .as("edit_ratio"))
+      .orderBy("id1", "id2")
+  }
+
   /** MinHash+LSH near-dup pairs (murmur3 signatures — rows-only check). */
   def minhashPairs(s: SparkSession, d: String): DataFrame =
     Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
@@ -1686,6 +1710,7 @@ object Corpus {
     "q_o5_det_shuffle" -> (detShuffle _),
     "q_o6_salted_agg" -> (saltedCountryKpi _),
     "q_dd6_dup_clusters" -> (dupClusterLabels _),
+    "q_dd7_edit_verify" -> (editDistanceVerify _),
     "q_j8_bucketed_join" -> (bucketedOrdersJoin _),
     "q_j9_shuffle_hash" -> (joinShuffleHash _),
     "q_dd5_embed_pairs_top" -> (embedPairsTop _),

@@ -1009,6 +1009,42 @@ object Oracle {
     "q_dd1_jaccard_top" -> jaccardTopSql(1000),
     "q_dd1b_jaccard_capped" -> jaccardTopSql(5),
 
+    // Mirrors Corpus.editDistanceVerify: the q_dd1 candidate chain composed
+    // with classic Levenshtein over the canonical texts (both engines
+    // implement unit-cost edit distance; the ratio is one IEEE division).
+    "q_dd7_edit_verify" ->
+      """WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),
+        |tk AS (SELECT doc_id, norm, regexp_extract_all(norm, '\S+') AS toks FROM n),
+        |wp AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+        |  FROM tk WHERE len(toks) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         array_to_string(toks[CAST(i AS INTEGER):CAST(i AS INTEGER)+2], ' ') AS shingle
+        |  FROM wp),
+        |hot AS (SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) > 1000),
+        |pr AS (SELECT doc_id, shingle FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+        |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS cn FROM pr GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM pr a JOIN pr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |top AS (
+        |  SELECT id1, id2,
+        |         CAST(n_common AS DOUBLE) / CAST(ca.cn + cb.cn - n_common AS DOUBLE) AS jaccard
+        |  FROM inter
+        |  JOIN cnt ca ON ca.doc_id = id1
+        |  JOIN cnt cb ON cb.doc_id = id2
+        |  ORDER BY jaccard DESC, id1, id2 LIMIT 50)
+        |SELECT id1, id2, jaccard,
+        |       CAST(levenshtein(n1.norm, n2.norm) AS INTEGER) AS edit_dist,
+        |       CAST(levenshtein(n1.norm, n2.norm) AS DOUBLE)
+        |         / CAST(greatest(length(n1.norm), length(n2.norm)) AS DOUBLE) AS edit_ratio
+        |FROM top
+        |JOIN n n1 ON n1.doc_id = id1
+        |JOIN n n2 ON n2.doc_id = id2
+        |ORDER BY id1, id2""".stripMargin,
+
     // Mirrors Corpus.labelCentroids: float→double widening is exact in both
     // engines; the floor-scaled mean matches Exact.floorAvg(v, 9).
     "q_ann4_centroids" ->

@@ -182,6 +182,16 @@ class ExtendedOpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("doc_id")).forall(cleanedIds))
   }
 
+  test("edit-distance verify: bounded candidate set, ratio within [0, 1]") {
+    val rows = Corpus.editDistanceVerify(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    for (r <- rows) {
+      val ratio = r.getAs[Double]("edit_ratio")
+      assert(ratio >= 0.0 && ratio <= 1.0)
+      assert(r.getAs[Int]("edit_dist") >= 0)
+    }
+  }
+
   test("boilerplate grams: df ≥ 2, sorted (df desc, gram asc), capped at 50") {
     val rows = Corpus.boilerplateGrams(spark, sf).collect()
     assert(rows.length <= 50)
