@@ -180,6 +180,46 @@ object Multimodal {
     }
   }
 
+  case class ImageFeatures(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      rs_width: Int,
+      rs_height: Int,
+      mean_red: Double)
+
+  /** REAL resize + feature extraction: decode the PNG, nearest-neighbor
+    * downsample by 2 (out(x,y) = in(2x, 2y) — deterministic, unlike
+    * area-averaging resamplers whose float kernels vary by implementation),
+    * and extract the mean red channel of the resized image. Same
+    * partition-wise batch shape as [[decodeImages]]; the oracle recomputes
+    * the identical numbers from the fixture's pixel formula, so the whole
+    * decode → resample → reduce chain is hash-gated. The channel sum is an
+    * exact integer; the mean is one IEEE division. */
+  def resizeFeatures(spark: SparkSession, blobs: DataFrame): Dataset[ImageFeatures] = {
+    import spark.implicits._
+    blobs.as[Blob].mapPartitions { it =>
+      it.map { b =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b.content))
+        require(img != null, s"undecodable payload for doc ${b.doc_id}")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val (nw, nh) = ((w + 1) / 2, (h + 1) / 2)
+        var sum = 0L
+        var y = 0
+        while (y < nh) {
+          var x = 0
+          while (x < nw) {
+            sum += (img.getRGB(2 * x, 2 * y) >> 16) & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        ImageFeatures(b.doc_id, w, h, nw, nh,
+          sum.toDouble / (nw.toLong * nh).toDouble)
+      }
+    }
+  }
+
   case class Frame(doc_id: Long, frame_idx: Int, pts_ms: Long, frame_bytes: Long)
 
   /** Frame sampling — the 1→N stage of a video pipeline (each payload emits

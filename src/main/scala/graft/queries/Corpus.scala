@@ -1510,6 +1510,15 @@ object Corpus {
       .orderBy("doc_id").toDF()
       .select("doc_id", "width", "height", "channels")
 
+  /** MM4: real resize + feature extraction — decode, nearest-neighbor
+    * downsample by 2, mean red channel of the result. The oracle recomputes
+    * the same values from the fixture's pixel formula, gating the whole
+    * decode → resample → reduce chain, not just header parsing. */
+  def resizeFeatures(s: SparkSession, d: String): DataFrame =
+    Multimodal.resizeFeatures(s,
+      cachedBlobs(s, d, "png")(Multimodal.toPngBlobs(s, Tables.documents(s, d))))
+      .orderBy("doc_id").toDF()
+
   /** MM3: real audio decode — deterministic PCM WAV payloads parsed back
     * through javax.sound.sampled in the mapPartitions stage; the oracle
     * mirrors the fixture's format formulas, so the decoder must actually
@@ -1729,7 +1738,8 @@ object Corpus {
     "q_ann4_centroids" -> (labelCentroids _),
     "q_mm1_blob_meta" -> (blobMeta _),
     "q_mm2_frame_sample" -> (frameSample _),
-    "q_mm3_audio_meta" -> (audioMeta _)
+    "q_mm3_audio_meta" -> (audioMeta _),
+    "q_mm4_resize_features" -> (resizeFeatures _)
   )
 
   val all: Map[String, Q] = raw.map { case (name, fn) =>

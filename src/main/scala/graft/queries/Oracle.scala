@@ -1470,6 +1470,28 @@ object Oracle {
         |       CAST(3 AS INTEGER) AS channels
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Mirrors Corpus.resizeFeatures against the fixture's pixel formula
+    // (Multimodal.pngBytes: rgb(x,y) = (id·31 + y·w + x) & 0xffffff): the
+    // nearest-neighbor sample reads in(2x, 2y), red = bits 16-23. The Spark
+    // side must really decode, resample, and reduce the pixels to match.
+    "q_mm4_resize_features" ->
+      """WITH dim AS (
+        |  SELECT doc_id,
+        |         CAST(8 + (doc_id % 32) AS INTEGER) AS w,
+        |         CAST(8 + ((doc_id // 7) % 32) AS INTEGER) AS h
+        |  FROM documents),
+        |d2 AS (SELECT *, (w + 1) // 2 AS nw, (h + 1) // 2 AS nh FROM dim),
+        |px AS (SELECT *, unnest(generate_series(0, nw - 1)) AS x FROM d2),
+        |pxy AS (SELECT *, unnest(generate_series(0, nh - 1)) AS y FROM px),
+        |r AS (
+        |  SELECT doc_id, w, h, nw, nh,
+        |         ((doc_id * 31 + CAST(2 * y AS BIGINT) * w + CAST(2 * x AS BIGINT)) & 16777215) >> 16 AS red
+        |  FROM pxy)
+        |SELECT doc_id, w AS width, h AS height,
+        |       CAST(nw AS INTEGER) AS rs_width, CAST(nh AS INTEGER) AS rs_height,
+        |       CAST(SUM(red) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_red
+        |FROM r GROUP BY 1, 2, 3, 4, 5 ORDER BY doc_id""".stripMargin,
+
     // Mirrors Corpus.olsFit: closed-form OLS from exact-integer sufficient
     // statistics; the only double ops are one division (beta) and the
     // three-op intercept chain — IEEE-identical across engines. Magnitudes

@@ -60,6 +60,25 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resize features: nearest-neighbor halving matches the pixel formula") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(0L, 5L, 37L).toDF("doc_id")
+    val blobs = Multimodal.toPngBlobs(spark, docs)
+    val feats = Multimodal.resizeFeatures(spark, blobs)
+      .collect().map(f => f.doc_id -> f).toMap
+    for (id <- Seq(0L, 5L, 37L)) {
+      val w = 8 + (id % 32).toInt
+      val h = 8 + ((id / 7) % 32).toInt
+      val (nw, nh) = ((w + 1) / 2, (h + 1) / 2)
+      val f = feats(id)
+      assert((f.width, f.height, f.rs_width, f.rs_height) === ((w, h, nw, nh)))
+      // recompute the expected mean straight from the generator formula
+      val reds = for (y <- 0 until nh; x <- 0 until nw)
+        yield ((id * 31 + (2 * y).toLong * w + 2 * x) & 0xffffff) >> 16
+      assert(f.mean_red === reds.sum.toDouble / reds.length.toDouble)
+    }
+  }
+
   test("frame sampling fans out boundedly with even 25fps timestamps") {
     // "hello world" = 11 bytes → 1 + 11%5 = 2 frames of 5 bytes;
     // "" → 1 frame of 0 bytes; fan-out is always within [1, 5]
