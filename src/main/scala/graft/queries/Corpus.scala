@@ -862,6 +862,33 @@ object Corpus {
       .orderBy("event_type")
   }
 
+  /** E6: stream-stream interval join on the driver surface — each purchase
+    * joined to the same user's clicks in the preceding 30 minutes, executed
+    * by Structured Streaming with watermarked state on BOTH sides (the
+    * time-range predicate is what lets Spark expire join state — the
+    * difference between bounded and unbounded memory on a perpetual
+    * stream). Run-to-completion micro-batch ⇒ no late-data drops, so the
+    * incremental result must equal the batch SQL join exactly. Completes
+    * the streaming family on the gated surface: aggregation (q_e3),
+    * sessionization (q_e4), dedup (q_e5), join (this). */
+  def streamedIntervalJoin(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-stream-join")
+    Files.copy(Paths.get(s"$d/events.parquet"), dir.resolve("events.parquet"))
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema =
+      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+    val stream = s.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val joined = graft.streaming.EventStreams.purchasesWithRecentClicks(stream)
+    val sink = "graft_stream_join_" + java.util.UUID.randomUUID().toString.take(8)
+    val q = joined.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(sink).orderBy("user_id", "purchase_ts", "click_ts")
+  }
+
   /** A18: CUBE grouping sets over (Year, DayOfWeek) — all four aggregation
     * granularities in one pass (beyond the reference's flat groupBy and
     * q_a14's ROLLUP). SQL path for the same self-join-ambiguity reason as
@@ -1686,6 +1713,7 @@ object Corpus {
     "q_s7_partitioned_scan" -> (partitionedScan _),
     "q_s8_orc_roundtrip" -> (orcRoundtrip _),
     "q_e5_stream_dedup" -> (streamedDedup _),
+    "q_e6_stream_join" -> (streamedIntervalJoin _),
     "q_w9_range_frame" -> (rangeFrameWeek _),
     "q_w1_lag_features" -> (lagFeatures _),
     "q_w2_rolling_stats" -> (rollingStats _),

@@ -320,6 +320,19 @@ object Oracle {
         | AND c.ts > p.ts - INTERVAL 30 MINUTE
         |ORDER BY event_id, click_ts""".stripMargin,
 
+    // Mirrors EventStreams.purchasesWithRecentClicks (inclusive 30-minute
+    // lower bound, purchase-side value): run-to-completion streaming ⇒ the
+    // watermarked stream-stream join must reproduce the batch join exactly.
+    "q_e6_stream_join" ->
+      """SELECT p.user_id, CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+        |       CAST(c.ts AS TIMESTAMP) AS click_ts, p.value
+        |FROM (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts <= p.ts
+        | AND c.ts >= p.ts - INTERVAL 30 MINUTE
+        |ORDER BY p.user_id, purchase_ts, click_ts""".stripMargin,
+
     "q_u1_union_segments" -> withDaily(
       """SELECT * FROM (
         |  SELECT Country, CAST(SUM(NetDailyQuantity) AS BIGINT) AS total_qty, 'uk' AS segment
