@@ -1546,6 +1546,17 @@ object Corpus {
       cachedBlobs(s, d, "png")(Multimodal.toPngBlobs(s, Tables.documents(s, d))))
       .orderBy("doc_id").toDF()
 
+  /** MM5: REAL video demux — bespoke GVID container (length-prefixed real
+    * PNG frames) parsed byte-by-byte, evenly-spaced frames decoded and
+    * reduced to mean red. Replaces the last declared stub in the multimodal
+    * family: container parse, bounded frame sampling, and per-frame decode
+    * are all genuine; the oracle recomputes every value from the fixture
+    * formulas. */
+  def videoDemux(s: SparkSession, d: String): DataFrame =
+    Multimodal.demuxVideo(s,
+      cachedBlobs(s, d, "gvid")(Multimodal.toVideoBlobs(s, Tables.documents(s, d))))
+      .orderBy("doc_id", "frame_idx").toDF()
+
   /** MM3: real audio decode — deterministic PCM WAV payloads parsed back
     * through javax.sound.sampled in the mapPartitions stage; the oracle
     * mirrors the fixture's format formulas, so the decoder must actually
@@ -1767,7 +1778,8 @@ object Corpus {
     "q_mm1_blob_meta" -> (blobMeta _),
     "q_mm2_frame_sample" -> (frameSample _),
     "q_mm3_audio_meta" -> (audioMeta _),
-    "q_mm4_resize_features" -> (resizeFeatures _)
+    "q_mm4_resize_features" -> (resizeFeatures _),
+    "q_mm5_video_demux" -> (videoDemux _)
   )
 
   val all: Map[String, Q] = raw.map { case (name, fn) =>

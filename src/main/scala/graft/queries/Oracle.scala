@@ -1505,6 +1505,33 @@ object Oracle {
         |       CAST(SUM(red) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_red
         |FROM r GROUP BY 1, 2, 3, 4, 5 ORDER BY doc_id""".stripMargin,
 
+    // Mirrors Corpus.videoDemux against the GVID fixture formulas: n = 1 +
+    // id % 5 frames of (8 + id % 8) × (8 + (id//3) % 8), sampled at indices
+    // i·n/k (k = min(n, 3)), 25 fps ⇒ pts = idx·40 ms, per-frame pixel seed
+    // id·1000 + idx. The Spark side must really parse the container and
+    // decode the frames to reproduce these numbers.
+    "q_mm5_video_demux" ->
+      """WITH v AS (
+        |  SELECT doc_id,
+        |         CAST(1 + (doc_id % 5) AS BIGINT) AS n,
+        |         CAST(8 + (doc_id % 8) AS INTEGER) AS w,
+        |         CAST(8 + ((doc_id // 3) % 8) AS INTEGER) AS h
+        |  FROM documents),
+        |kk AS (SELECT *, least(n, 3) AS k FROM v),
+        |s AS (SELECT *, unnest(generate_series(0, k - 1)) AS i FROM kk),
+        |f AS (SELECT doc_id, w, h, CAST((i * n) // k AS INTEGER) AS frame_idx FROM s),
+        |px AS (SELECT *, unnest(generate_series(0, w - 1)) AS x FROM f),
+        |pxy AS (SELECT *, unnest(generate_series(0, h - 1)) AS y FROM px),
+        |r AS (
+        |  SELECT doc_id, frame_idx, w, h,
+        |         (((doc_id * 1000 + frame_idx) * 31 + CAST(y AS BIGINT) * w + CAST(x AS BIGINT)) & 16777215) >> 16 AS red
+        |  FROM pxy)
+        |SELECT doc_id, frame_idx,
+        |       CAST(frame_idx * 40 AS BIGINT) AS pts_ms,
+        |       w AS width, h AS height,
+        |       CAST(SUM(red) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_red
+        |FROM r GROUP BY 1, 2, 3, 4, 5 ORDER BY doc_id, frame_idx""".stripMargin,
+
     // Mirrors Corpus.olsFit: closed-form OLS from exact-integer sufficient
     // statistics; the only double ops are one division (beta) and the
     // three-op intercept chain — IEEE-identical across engines. Magnitudes

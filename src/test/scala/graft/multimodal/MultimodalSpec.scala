@@ -79,6 +79,24 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("video demux parses the GVID container and decodes evenly-spaced real frames") {
+    val docs = Seq(0L, 4L, 9L).toDF("doc_id") // 1, 5, and 5 frames
+    val blobs = Multimodal.toVideoBlobs(spark, docs)
+    val frames = Multimodal.demuxVideo(spark, blobs).collect().groupBy(_.doc_id)
+    // id 0: n=1 → one frame, idx 0; id 4: n=5, k=3 → idx 0,1,3
+    assert(frames(0L).map(_.frame_idx).sorted.toSeq === Seq(0))
+    assert(frames(4L).map(_.frame_idx).sorted.toSeq === Seq(0, 1, 3))
+    assert(frames.values.flatten.forall(f => f.pts_ms === f.frame_idx * 40L))
+    for (f <- frames(4L)) {
+      val (w, h) = (8 + (4L % 8).toInt, 8 + ((4L / 3) % 8).toInt)
+      assert((f.width, f.height) === ((w, h)))
+      val seed = 4L * 1000 + f.frame_idx
+      val reds = for (y <- 0 until h; x <- 0 until w)
+        yield ((seed * 31 + y.toLong * w + x) & 0xffffff) >> 16
+      assert(f.mean_red === reds.sum.toDouble / reds.length.toDouble)
+    }
+  }
+
   test("frame sampling fans out boundedly with even 25fps timestamps") {
     // "hello world" = 11 bytes → 1 + 11%5 = 2 frames of 5 bytes;
     // "" → 1 frame of 0 bytes; fan-out is always within [1, 5]
