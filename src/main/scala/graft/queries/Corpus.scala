@@ -382,6 +382,43 @@ object Corpus {
     both.unionByName(only1).orderBy("op", "Country")
   }
 
+  /** J10: FULL OUTER join — per-country totals of two parts whose seller
+    * sets only partially overlap, so nulls appear on BOTH sides (completes
+    * the join-type family: inner/left/semi/anti/asof/interval/bucketed/
+    * hinted/full). */
+  def joinFull(s: SparkSession, d: String): DataFrame = {
+    val dl = daily(s, d)
+    def tot(stock: String, alias: String) =
+      dl.filter(col("StockCode") === stock)
+        .groupBy("Country")
+        .agg(sum("NetDailyQuantity").as(alias))
+    tot("1", "qty_p1")
+      .join(tot("2", "qty_p2"), Seq("Country"), "full_outer")
+      .orderBy("Country")
+  }
+
+  /** O7: pagination — global sort + OFFSET/LIMIT (the page-k fetch an
+    * engine user needs beyond top-k; Spark's GlobalLimit/Offset composition
+    * ships only the page across the final exchange). */
+  def sortOffset(s: SparkSession, d: String): DataFrame =
+    daily(s, d)
+      .select(keyCols :+ col("NetDailyQuantity"): _*)
+      .orderBy(keyCols: _*)
+      .offset(100)
+      .limit(200)
+
+  /** F8: cryptographic content hashes (md5 / sha2-256) — the
+    * content-addressing primitives (dedup keys, cache keys, provenance ids)
+    * every corpus pipeline leans on; both produce lowercase hex identically
+    * across engines. */
+  def hashFunctions(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        md5(col("text").cast("binary")).as("md5_hex"),
+        sha2(col("text").cast("binary"), 256).as("sha256_hex"))
+      .orderBy("doc_id")
+
   /** U3: UNPIVOT (wide → long melt) of the per-country KPI frame — three
     * metric columns become (metric, value) rows. The Unpivot node is pure
     * map-side Expand (3× fan-out, no shuffle); at 100 TB melting is free
@@ -1761,6 +1798,9 @@ object Corpus {
     "q_dd7_edit_verify" -> (editDistanceVerify _),
     "q_j8_bucketed_join" -> (bucketedOrdersJoin _),
     "q_j9_shuffle_hash" -> (joinShuffleHash _),
+    "q_j10_join_full" -> (joinFull _),
+    "q_o7_sort_offset" -> (sortOffset _),
+    "q_f8_hashes" -> (hashFunctions _),
     "q_dd5_embed_pairs_top" -> (embedPairsTop _),
     "q_tp1_clean_corpus" -> (cleanCorpus _),
     "q_tp2_clean_clustered" -> (cleanCorpusClustered _),

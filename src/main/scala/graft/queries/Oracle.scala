@@ -562,6 +562,26 @@ object Oracle {
         |       array_to_string(toks[1:3], '-') AS first3_joined
         |FROM tk ORDER BY doc_id""".stripMargin,
 
+    "q_j10_join_full" -> withDaily(
+      """,t1 AS (
+        |  SELECT Country, CAST(SUM(NetDailyQuantity) AS BIGINT) AS qty_p1
+        |  FROM daily WHERE StockCode = '1' GROUP BY 1),
+        |t2 AS (
+        |  SELECT Country, CAST(SUM(NetDailyQuantity) AS BIGINT) AS qty_p2
+        |  FROM daily WHERE StockCode = '2' GROUP BY 1)
+        |SELECT COALESCE(t1.Country, t2.Country) AS Country, qty_p1, qty_p2
+        |FROM t1 FULL OUTER JOIN t2 ON t1.Country = t2.Country
+        |ORDER BY Country""".stripMargin),
+
+    "q_o7_sort_offset" -> withDaily(
+      s"""SELECT Country, StockCode, $tsDate, NetDailyQuantity
+         |FROM daily ORDER BY Country, StockCode, InvoiceDate
+         |LIMIT 200 OFFSET 100""".stripMargin),
+
+    "q_f8_hashes" ->
+      """SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q_u3_unpivot" -> withDaily(
       """,w AS (
         |  SELECT Country,
