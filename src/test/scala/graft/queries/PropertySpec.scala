@@ -92,6 +92,50 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("charShingleCount equals JVM sliding-window distinct on arbitrary unicode text") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // pure-JVM kernel calls — thousands of samples cost nothing
+    val fastParams = SCTest.Parameters.default
+      .withMinSuccessfulTests(2000)
+      .withInitialSeed(org.scalacheck.rng.Seed(42L))
+    val charGen = Gen.frequency(
+      (8, Gen.alphaNumChar.map(_.toString)),
+      (2, Gen.oneOf(" ", "\t")),
+      (3, Gen.oneOf("ä", "ß", "é", "ü", "中", "文", "🙂")))
+    val textGen = Gen.listOf(charGen).map(_.mkString)
+    val prop = Prop.forAll(textGen, Gen.choose(1, 6)) { (s, k) =>
+      // reference model over CODE POINTS (the kernel's char unit) — Java's
+      // String.sliding counts UTF-16 units and would miscount emoji
+      val cps = s.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+      val expected = cps.sliding(k).filter(_.length == k).map(_.mkString).toSeq.distinct.length
+      graft.functions.HashUtil.charShingleCount(UTF8String.fromString(s), k) == expected
+    }
+    val res = SCTest.check(fastParams, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("tokenize equals \\S+ run splitting on arbitrary unicode text") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val fastParams = SCTest.Parameters.default
+      .withMinSuccessfulTests(2000)
+      .withInitialSeed(org.scalacheck.rng.Seed(43L))
+    val charGen = Gen.frequency(
+      (6, Gen.alphaNumChar),
+      (3, Gen.oneOf(' ', '\t', '\n', '\r', '\f')),
+      (2, Gen.oneOf('ä', 'ß', 'é', '中')))
+    val textGen = Gen.listOf(charGen).map(_.mkString)
+    val prop = Prop.forAll(textGen) { s =>
+      val expected = s.split("\\s+").filter(_.nonEmpty).toSeq
+      val got = {
+        val arr = graft.functions.HashUtil.tokenize(UTF8String.fromString(s))
+        (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+      }
+      got == expected
+    }
+    val res = SCTest.check(fastParams, prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("aggregation to the daily grain preserves the quantity total") {
     val linesGen = Gen.nonEmptyListOf(for {
       c <- Gen.oneOf("UK", "FR")
