@@ -1197,6 +1197,27 @@ object Corpus {
       .orderBy("bucket")
   }
 
+  /** T12: corpus vocabulary table — per-token document frequency, total
+    * occurrences, and corpus share; top-50 by (tf desc, token). The most
+    * basic corpus statistic (vocab curves, stopword lists, tokenizer
+    * audits). Shape: explode to skinny (doc, token) rows → one hash
+    * aggregate (map-side combined, token keys are bounded) →
+    * TakeOrderedAndProject; the global total rides along via a window-free
+    * broadcast-friendly scalar join. */
+  def vocabulary(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(TextFunctions.normText(col("text")))).as("token"))
+    val counts = toks.groupBy("token")
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
+    val total = toks.agg(count(lit(1)).as("total_tf"))
+    counts.crossJoin(broadcast(total))
+      .select(col("token"), col("df"), col("tf"),
+        (col("tf").cast("double") / col("total_tf").cast("double")).as("share"))
+      .orderBy(col("tf").desc, col("token").asc)
+      .limit(50)
+  }
+
   /** T9: benchmark-contamination check — the decontamination pass every
     * pre-training pipeline runs: what fraction of each corpus document's
     * distinct word-3-grams also appear in a held-out benchmark set (here the
@@ -1757,6 +1778,7 @@ object Corpus {
     "q_t9_contamination" -> (contamination _),
     "q_t10_boilerplate" -> (boilerplateGrams _),
     "q_t11_length_hist" -> (tokenHistogram _),
+    "q_t12_vocabulary" -> (vocabulary _),
     "q_f6_datetime" -> (datetimeFunctions _),
     "q_s7_partitioned_scan" -> (partitionedScan _),
     "q_s8_orc_roundtrip" -> (orcRoundtrip _),

@@ -935,6 +935,22 @@ object Oracle {
         |FROM n LEFT JOIN cg ON n.doc_id = cg.doc_id LEFT JOIN wg ON wg.doc_id = n.doc_id
         |ORDER BY n.doc_id""".stripMargin,
 
+    // Mirrors Corpus.vocabulary; (tf DESC, token ASC) is a total order so
+    // LIMIT 50 is stable; share is one int/int IEEE division.
+    "q_t12_vocabulary" ->
+      """WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),
+        |tk AS (SELECT doc_id, unnest(regexp_extract_all(norm, '\S+')) AS token FROM n),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_tf FROM tk),
+        |c AS (
+        |  SELECT token,
+        |         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+        |         CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM tk GROUP BY 1)
+        |SELECT token, df, tf,
+        |       CAST(tf AS DOUBLE) / CAST(total_tf AS DOUBLE) AS share
+        |FROM c, tot
+        |ORDER BY tf DESC, token ASC LIMIT 50""".stripMargin,
+
     // Mirrors Corpus.contamination: same word-3-gram universe as q_t4's wg
     // CTE, same doc_id % 17 benchmark split, same distinct-gram overlap
     // ratio (exact int/int division — IEEE-identical).
