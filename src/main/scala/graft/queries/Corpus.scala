@@ -797,6 +797,33 @@ object Corpus {
       .agg(count(lit(1)).as("n_events"), Exact.dsum(col("value")).as("total_value"))
       .orderBy("hour", "event_type")
 
+  /** File-source streams read directories; stage the events parquet into a
+    * temp dir ONCE per (session, sf, copies) — `copies` > 1 simulates
+    * duplicate delivery for the dedup query. Cached so repeated Verify/Bench
+    * invocations neither re-copy nor leak temp dirs. */
+  private val stageCache = TrieMap.empty[(SparkSession, String, Int), String]
+
+  private def stagedEvents(s: SparkSession, d: String, copies: Int = 1): String =
+    stageCache.getOrElseUpdate((s, d, copies), {
+      import java.nio.file.{Files, Paths}
+      val dir = Files.createTempDirectory("graft-stream-events")
+      (1 to copies).foreach { i =>
+        Files.copy(Paths.get(s"$d/events.parquet"), dir.resolve(s"events_$i.parquet"))
+      }
+      dir.toString
+    })
+
+  /** The staged-events stream with the nanos→timestamp rebuild applied
+    * (events.ts is TIMESTAMP(NANOS) — same legacy-long rebuild as
+    * Tables.events). */
+  private def eventStream(s: SparkSession, d: String, copies: Int = 1): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema =
+      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+    s.readStream.schema(schema).parquet(stagedEvents(s, d, copies))
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
   /** E3: the SAME hourly aggregation as q_e1, executed by Structured
     * Streaming — a run-to-completion micro-batch file-source stream over the
     * events parquet, Complete-mode into a memory sink. The per-hour sums go
@@ -805,16 +832,7 @@ object Corpus {
     * q_e1's oracle — a correctness gate on the streaming execution path
     * itself, not just its batch shape. */
   def streamedHourlyEvents(s: SparkSession, d: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    // file-source streams read directories; stage the single parquet file
-    val dir = Files.createTempDirectory("graft-stream-src")
-    Files.copy(Paths.get(s"$d/events.parquet"), dir.resolve("events.parquet"))
-    // events.ts is TIMESTAMP(NANOS) — same legacy-long rebuild as Tables.events
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema =
-      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
-    val stream = s.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val stream = eventStream(s, d)
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), Exact.dsum(col("value")).as("total_value"))
     val sink = "graft_stream_hourly_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
@@ -846,14 +864,7 @@ object Corpus {
     * gaps-and-islands oracle: the dynamic session merge itself is gated
     * against SQL, on the streaming path. */
   def streamedSessions(s: SparkSession, d: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    val dir = Files.createTempDirectory("graft-stream-sess")
-    Files.copy(Paths.get(s"$d/events.parquet"), dir.resolve("events.parquet"))
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema =
-      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
-    val stream = s.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val stream = eventStream(s, d)
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
       .agg(count(lit(1)).as("n_events"), Exact.dsum(col("value")).as("total_value"))
       .select(
@@ -878,16 +889,8 @@ object Corpus {
     * contract). State is keyed by id and bounded by the watermark horizon at
     * steady state. */
   def streamedDedup(s: SparkSession, d: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    val dir = Files.createTempDirectory("graft-stream-dedup")
-    Files.copy(Paths.get(s"$d/events.parquet"), dir.resolve("events_a.parquet"))
-    Files.copy(Paths.get(s"$d/events.parquet"), dir.resolve("events_b.parquet"))
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema =
-      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
-    val stream = s.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    val deduped = graft.streaming.EventStreams.dedupStream(stream, Seq("event_id"))
+    val deduped = graft.streaming.EventStreams.dedupStream(
+      eventStream(s, d, copies = 2), Seq("event_id"))
     val sink = "graft_stream_dedup_" + java.util.UUID.randomUUID().toString.take(8)
     val q = deduped.writeStream.format("memory").queryName(sink)
       .outputMode("append").start()
@@ -909,15 +912,7 @@ object Corpus {
     * the streaming family on the gated surface: aggregation (q_e3),
     * sessionization (q_e4), dedup (q_e5), join (this). */
   def streamedIntervalJoin(s: SparkSession, d: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    val dir = Files.createTempDirectory("graft-stream-join")
-    Files.copy(Paths.get(s"$d/events.parquet"), dir.resolve("events.parquet"))
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema =
-      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
-    val stream = s.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    val joined = graft.streaming.EventStreams.purchasesWithRecentClicks(stream)
+    val joined = graft.streaming.EventStreams.purchasesWithRecentClicks(eventStream(s, d))
     val sink = "graft_stream_join_" + java.util.UUID.randomUUID().toString.take(8)
     val q = joined.writeStream.format("memory").queryName(sink)
       .outputMode("append").start()
