@@ -1074,6 +1074,22 @@ object Corpus {
       .orderBy(keyCols: _*)
   }
 
+  /** W13: ratio-to-report — each day's share of its country's total via a
+    * whole-partition window (no ORDER BY ⇒ the unbounded frame, a different
+    * WindowExec path than every ordered window in the corpus: one pass, no
+    * sort needed beyond the partition shuffle). Integer sums ⇒ the share is
+    * one exact division. */
+  def ratioToReport(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("Country")
+    daily(s, d)
+      .select(keyCols ++ Seq(
+        col("NetDailyQuantity"),
+        (col("NetDailyQuantity").cast("double")
+          / sum("NetDailyQuantity").over(w).cast("double")).as("share_of_country")): _*)
+      .orderBy(keyCols: _*)
+  }
+
   /** W12: calendar densification — the reference's lag/rolling features are
     * over *observed* days only (SURVEY §1.1: "lag 1" = previous day WITH
     * sales); this operator materializes the missing calendar days
@@ -1770,6 +1786,7 @@ object Corpus {
     "q_u3_unpivot" -> (unpivotKpis _),
     "q_w11_dist" -> (distWindows _),
     "q_w12_densify" -> (densifiedDailyTotals _),
+    "q_w13_ratio_to_report" -> (ratioToReport _),
     "q_t9_contamination" -> (contamination _),
     "q_t10_boilerplate" -> (boilerplateGrams _),
     "q_t11_length_hist" -> (tokenHistogram _),

@@ -618,6 +618,14 @@ object Oracle {
         |WINDOW w AS (PARTITION BY Country ORDER BY InvoiceDate ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
         |ORDER BY Country, InvoiceDate""".stripMargin),
 
+    "q_w13_ratio_to_report" -> withDaily(
+      s"""SELECT Country, StockCode, $tsDate, NetDailyQuantity,
+         |       CAST(NetDailyQuantity AS DOUBLE)
+         |         / CAST(SUM(NetDailyQuantity) OVER (PARTITION BY Country) AS DOUBLE)
+         |         AS share_of_country
+         |FROM daily
+         |ORDER BY Country, StockCode, InvoiceDate""".stripMargin),
+
     "q_w11_dist" -> withDaily(
       s"""SELECT Country, StockCode, $tsDate,
          |       percent_rank() OVER wc AS pct_rank,
