@@ -63,8 +63,18 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filterNot(_.isNaN).sum
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(json)
+    // Also self-record to a file: the stdout line rides at the tail of a long
+    // sbt log and a bounded log buffer can truncate it mid-object (observed:
+    // BENCH_r03 lost 39 of 114 timings that way). The file copy — committed
+    // as BENCH_LATEST.json after a sweep — makes per-query regression
+    // tracking independent of log-tail luck.
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_latest.json"))
+    Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.writeString(out, json + "\n")
     spark.stop()
   }
 }

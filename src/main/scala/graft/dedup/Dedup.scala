@@ -204,13 +204,30 @@ object Dedup {
     * Each iteration is one equi-join + aggregate (shuffle on id), and the
     * iteration count is the cluster-graph diameter (tiny for dup clusters);
     * the classic large-star/small-star refinement drops in unchanged if
-    * clusters ever get deep. */
-  def dupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
-      .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
-      .distinct().localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint(true)
+    * clusters ever get deep.
+    *
+    * Truncation mode: by default iteration lineage is cut with
+    * `localCheckpoint` — cheapest, but its blocks live on executors, so an
+    * executor loss mid-loop kills the job. Pass `checkpointDir` (an HDFS/
+    * object-store path on a real cluster) to switch every truncation point
+    * to a RELIABLE `checkpoint`: blocks are written to the fault-tolerant
+    * store and the loop survives executor loss — the mode a 100 TB run
+    * should use. Both modes compute identical labels (spec-asserted); the
+    * only difference is where the cut lineage's blocks live. */
+  def dupClusters(
+      pairs: DataFrame,
+      maxIters: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+    val edges = truncate(
+      pairs.select(col("id1").as("src"), col("id2").as("dst"))
+        .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+        .distinct())
+    var labels = truncate(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")))
     var iters = 0
     var changed = 1L
     while (changed > 0 && iters < maxIters) {
@@ -226,7 +243,7 @@ object Dedup {
       // iteration). localCheckpoint cuts the plan at materialized blocks —
       // the repo's stage-boundary pattern (CorpusCleaner.scala).
       val next =
-        if (iters % 5 == 4) step.localCheckpoint(true)
+        if (iters % 5 == 4) truncate(step)
         else step.cache() // materialized by the `changed` count below
       changed = next.join(labels.select(col("id"), col("label").as("old")), "id")
         .filter(col("label") < col("old")).count()

@@ -86,16 +86,29 @@ object ForecastModels {
 
   /** M6+M8: fit the feature pipeline on train, fit the estimator, transform
     * test. The feature pipeline is fitted ONCE and reused (the reference
-    * redundantly refits it per model — SURVEY §4.1 flags that as waste). */
+    * redundantly refits it per model — SURVEY §4.1 flags that as waste).
+    *
+    * Both the assembled training frame and the predictions are persisted:
+    * an iterative solver (OWL-QN/L-BFGS) re-reads its input every iteration,
+    * and the three-metric evaluation plus any downstream KPI re-reads the
+    * predictions — without the pins each pass would replay the lag-feature
+    * window lineage end to end (profiled at ~2× the whole query's cost).
+    * The training pin is dropped once the fit returns; the predictions pin
+    * is released by the ContextCleaner when the frame goes unreachable. */
   def trainAndEval(
       name: String,
       estimator: Estimator[_ <: Model[_]],
       features: PipelineModel,
       train: DataFrame,
       test: DataFrame): (DataFrame, RegMetrics) = {
-    val model: Model[_] = estimator.fit(features.transform(train))
+    val assembled = features.transform(train)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model: Model[_] = estimator.fit(assembled)
     val predictions = model.transform(features.transform(test))
-    (predictions, evaluate(name, predictions))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val metrics = evaluate(name, predictions)
+    assembled.unpersist(false)
+    (predictions, metrics)
   }
 
   /** M8: segmented harness — train one model per segment predicate, evaluate

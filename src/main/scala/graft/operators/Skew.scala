@@ -46,4 +46,70 @@ object Skew {
       .groupBy(keys.map(col): _*)
       .agg(aggs.head._2, aggs.tail.map(_._2): _*)
   }
+
+  /** Trailing date-range sum at a COARSE key grain (e.g. Country only) over
+    * a row stream where one key dominates — the window side of the UK-skew
+    * hazard. A naive `sum().over(Window.partitionBy(key).orderBy(date))`
+    * over raw rows funnels the hot key's entire row set through ONE
+    * reducer; here the heavy lifting is [[saltedAgg]] to the (key, date)
+    * grain — hot keys spread over `salts` reducers, sums exact — and the
+    * trailing RANGE frame then runs over the COMPACT per-date series (≤ one
+    * row per key×date, bounded by the calendar, never by data volume).
+    * The window must run AFTER the salt merge: a per-salt trailing window
+    * would emit output rows only for dates present in that salt, so dates
+    * missing from a salt would silently undercount at a naive recombine.
+    * Returns (keys…, dateCol, day_total, `out`); the trailing frame is
+    * [-days, -1] in days, NULL when no preceding dates exist (ANSI window
+    * semantics, matched by the oracle). */
+  def saltedTrailingSum(
+      df: DataFrame,
+      keys: Seq[String],
+      dateCol: String,
+      valueCol: String,
+      days: Int,
+      salts: Int = 16,
+      out: String = "trailing_sum"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grain = saltedAgg(
+      df, keys :+ dateCol, Seq(sumLong(valueCol, "day_total")), salts)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(datediff(col(dateCol), lit("1970-01-01")))
+      .rangeBetween(-days, -1)
+    grain.withColumn(out, sum(col("day_total")).over(w))
+  }
+
+  /** Hierarchical (block-partitioned) running total — the scalable form of
+    * `sum().over(partitionBy(key).orderBy(order…).rowsBetween(unbounded, 0))`
+    * when a single key's partition is too large for one reducer. Classic
+    * two-level prefix sum: (1) running sums WITHIN each (key, block)
+    * partition — parallel across blocks; (2) per-block totals, cumulated
+    * across blocks per key — a window over #blocks rows, tiny; (3) one
+    * equi-join adds each row's prior-block offset. With integral values
+    * every sum is exact, so the result is bit-identical to the single-
+    * partition window at any parallelism. `blockCols` must be a prefix of
+    * the intended total order (e.g. blocks = calendar months when ordering
+    * by date), and (orderCols) must totally order rows within a block. */
+  def blockCumSum(
+      df: DataFrame,
+      keys: Seq[String],
+      blockCols: Seq[String],
+      orderCols: Seq[String],
+      valueCol: String,
+      out: String = "running_total"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val intraW = Window.partitionBy((keys ++ blockCols).map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val intra = df.withColumn("_intra", sum(col(valueCol)).over(intraW))
+    val priorW = Window.partitionBy(keys.map(col): _*)
+      .orderBy(blockCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = df.groupBy((keys ++ blockCols).map(col): _*)
+      .agg(sum(col(valueCol)).as("_block_total"))
+      .withColumn("_prior", coalesce(sum(col("_block_total")).over(priorW), lit(0L)))
+      .select((keys ++ blockCols).map(col) :+ col("_prior"): _*)
+    intra.join(offsets, keys ++ blockCols)
+      .withColumn(out, col("_intra") + col("_prior"))
+      .drop("_intra", "_prior")
+  }
 }

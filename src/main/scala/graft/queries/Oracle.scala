@@ -56,6 +56,38 @@ object Oracle {
   private val stopListFr: String =
     graft.text.TextFunctions.StopwordsFr.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  private val stopListEs: String =
+    graft.text.TextFunctions.StopwordsEs.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val stopListIt: String =
+    graft.text.TextFunctions.StopwordsIt.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Exact ridge sufficient statistics for q_ml3 (mirrors
+    * NormalEq.ridgeStats over the daily grain: z = (1, DayOfWeek, Month,
+    * Week, Day), y = NetDailyQuantity, λ = 10 on non-intercept diagonals).
+    * Generated with the same (i, j) enumeration as the Spark side so the
+    * m0_i_j column set matches by construction. */
+  private def ridgeStatsSql: String = {
+    val z = Seq(
+      "CAST(1 AS BIGINT)", "CAST(DayOfWeek AS BIGINT)", "CAST(Month AS BIGINT)",
+      "CAST(Week AS BIGINT)", "CAST(Day AS BIGINT)")
+    val k = z.size
+    val entries = for { i <- 0 until k; j <- i to k } yield {
+      val prod = if (j == k) s"${z(i)} * NetDailyQuantity" else s"${z(i)} * ${z(j)}"
+      val summed = if (i == j && i > 0) s"SUM($prod) + 10" else s"SUM($prod)"
+      s"CAST($summed AS DOUBLE) AS m0_${i}_$j"
+    }
+    s"""stats AS (
+       |  SELECT Country, CAST(COUNT(*) AS BIGINT) AS n,
+       |         ${entries.mkString(",\n         ")}
+       |  FROM daily GROUP BY Country)""".stripMargin
+  }
+
+  /** The shared elimination text ([[graft.ml.NormalEq.oracleSolveSql]]) —
+    * one CTE per stage, identical formulas to the Spark projection chain. */
+  private def ridgeSolveSql: String =
+    graft.ml.NormalEq.oracleSolveSql(5, Seq("Country"))
+
   /** Bit-reproducible mean via IEEE-only ops — mirrors Exact.floorAvg(c, 9). */
   private def floorAvg9(x: String, alias: String): String =
     s"CAST(SUM(CAST(floor(($x) * 1.0E9) AS BIGINT)) AS DOUBLE) / 1.0E9 / CAST(COUNT($x) AS DOUBLE) AS $alias"
@@ -667,6 +699,19 @@ object Oracle {
          |FROM daily WHERE Year = 1997
          |ORDER BY Country, StockCode, InvoiceDate""".stripMargin),
 
+    // Mirrors Corpus.dppJoin — dynamic partition pruning changes only the
+    // physical scan, so the oracle is the plain daily ⋈ filtered-dim join.
+    "q_s9_dpp_join" -> withDaily(
+      """,dim AS (
+        |  SELECT DISTINCT CAST(year(o_orderdate) AS INTEGER) AS Year
+        |  FROM orders
+        |  WHERE o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31')
+        |SELECT d.Year,
+        |       CAST(SUM(d.NetDailyQuantity) AS BIGINT) AS total_qty,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM daily d JOIN dim USING (Year)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // Mirrors Corpus.tokenHistogram (q_a16-style capped bands over the token
     // count).
     "q_t11_length_hist" ->
@@ -696,6 +741,31 @@ object Oracle {
          |              ORDER BY (InvoiceDate - DATE '1970-01-01')
          |              RANGE BETWEEN 6 PRECEDING AND 1 PRECEDING)
          |ORDER BY Country, StockCode, InvoiceDate""".stripMargin),
+
+    // Mirrors Corpus.saltedTrailing — salting + the two-level shape change
+    // nothing, so the oracle is the plain GROUP BY + trailing range window.
+    "q_w14_salted_trailing" -> withDaily(
+      s""",g AS (
+         |  SELECT Country, InvoiceDate,
+         |         CAST(SUM(NetDailyQuantity) AS BIGINT) AS day_total
+         |  FROM daily GROUP BY 1, 2)
+         |SELECT Country, $tsDate, day_total,
+         |       CAST(SUM(day_total) OVER wr AS BIGINT) AS trail7
+         |FROM g
+         |WINDOW wr AS (PARTITION BY Country
+         |              ORDER BY (InvoiceDate - DATE '1970-01-01')
+         |              RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
+         |ORDER BY Country, InvoiceDate""".stripMargin),
+
+    // Mirrors Corpus.blockCumsumDaily — the hierarchical prefix sum must be
+    // bit-identical to the plain whole-partition running-total window.
+    "q_w15_block_cumsum" -> withDaily(
+      s"""SELECT Country, StockCode, $tsDate, NetDailyQuantity,
+         |       CAST(SUM(NetDailyQuantity) OVER (
+         |         PARTITION BY Country ORDER BY InvoiceDate, StockCode
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_total
+         |FROM daily
+         |ORDER BY Country, InvoiceDate, StockCode""".stripMargin),
 
     "q_a16_histogram" ->
       """SELECT CAST(least(greatest(floor(value / 10.0), 0.0), 9.0) AS INTEGER) AS bucket,
@@ -867,11 +937,11 @@ object Oracle {
          |         + least(CAST(1.0 AS DOUBLE), mean_tok_len / 8.0) * 0.2 AS quality
          |FROM c ORDER BY doc_id""".stripMargin,
 
-    // Mirrors Corpus.textLangId / TextFunctions.langId3: same injected
-    // de/fr/en sentences, same function-word + accent-char profile scoring,
-    // same argmax with en > de > fr tie order. All score arithmetic is
-    // int/int division, 5.0 * x, and one addition — IEEE-identical in both
-    // engines.
+    // Mirrors Corpus.textLangId / TextFunctions.langId5: same injected
+    // en/de/fr/es/it sentences, same function-word + accent-char profile
+    // scoring, same argmax with en > de > fr > es > it tie order. All score
+    // arithmetic is int/int division, 5.0 * x, and one addition —
+    // IEEE-identical in both engines.
     "q_t3_langid" ->
       s"""WITH base AS (
          |  SELECT doc_id, text FROM documents
@@ -881,7 +951,9 @@ object Oracle {
          |    (CAST(3000001 AS BIGINT), 'der hund und die katze sind nicht in dem haus aber ich bin mit den kindern auf den feldern'),
          |    (CAST(3000002 AS BIGINT), 'ich habe das buch von dem mann mit der großen tür und es ist schön für die übung'),
          |    (CAST(3000003 AS BIGINT), 'le chat est dans la maison et je ne pense pas que les enfants vont jouer avec le chien'),
-         |    (CAST(3000004 AS BIGINT), 'nous avons mangé le dîner à côté de la fenêtre et c est une belle journée pour les amis')
+         |    (CAST(3000004 AS BIGINT), 'nous avons mangé le dîner à côté de la fenêtre et c est une belle journée pour les amis'),
+         |    (CAST(3000005 AS BIGINT), 'el perro y el gato no están en la casa pero es un buen día para jugar con los niños en el jardín'),
+         |    (CAST(3000006 AS BIGINT), 'il cane e il gatto non sono nella casa ma è un bel giorno per giocare con i bambini più piccoli nel giardino')
          |  ) v(doc_id, text)),
          |n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm FROM base),
          |t AS (SELECT doc_id, norm, regexp_extract_all(norm, '\\S+') AS toks FROM n),
@@ -899,6 +971,14 @@ object Oracle {
          |              THEN CAST(len(list_filter(toks, x -> list_contains($stopListFr, x))) AS DOUBLE)
          |                   / CAST(len(toks) AS DOUBLE)
          |              ELSE CAST(0.0 AS DOUBLE) END AS r_fr,
+         |         CASE WHEN len(toks) > 0
+         |              THEN CAST(len(list_filter(toks, x -> list_contains($stopListEs, x))) AS DOUBLE)
+         |                   / CAST(len(toks) AS DOUBLE)
+         |              ELSE CAST(0.0 AS DOUBLE) END AS r_es,
+         |         CASE WHEN len(toks) > 0
+         |              THEN CAST(len(list_filter(toks, x -> list_contains($stopListIt, x))) AS DOUBLE)
+         |                   / CAST(len(toks) AS DOUBLE)
+         |              ELSE CAST(0.0 AS DOUBLE) END AS r_it,
          |         CASE WHEN length(norm) > 0
          |              THEN CAST(length(norm) - length(regexp_replace(norm, '[äöüß]', '', 'g')) AS DOUBLE)
          |                   / CAST(length(norm) AS DOUBLE)
@@ -906,19 +986,31 @@ object Oracle {
          |         CASE WHEN length(norm) > 0
          |              THEN CAST(length(norm) - length(regexp_replace(norm, '[éèêëàâçîïôùû]', '', 'g')) AS DOUBLE)
          |                   / CAST(length(norm) AS DOUBLE)
-         |              ELSE CAST(0.0 AS DOUBLE) END AS a_fr
+         |              ELSE CAST(0.0 AS DOUBLE) END AS a_fr,
+         |         CASE WHEN length(norm) > 0
+         |              THEN CAST(length(norm) - length(regexp_replace(norm, '[áéíóúñ]', '', 'g')) AS DOUBLE)
+         |                   / CAST(length(norm) AS DOUBLE)
+         |              ELSE CAST(0.0 AS DOUBLE) END AS a_es,
+         |         CASE WHEN length(norm) > 0
+         |              THEN CAST(length(norm) - length(regexp_replace(norm, '[àèéìòù]', '', 'g')) AS DOUBLE)
+         |                   / CAST(length(norm) AS DOUBLE)
+         |              ELSE CAST(0.0 AS DOUBLE) END AS a_it
          |  FROM t),
          |s AS (
          |  SELECT doc_id,
          |         r_en AS score_en,
          |         r_de + 5.0 * a_de AS score_de,
-         |         r_fr + 5.0 * a_fr AS score_fr
+         |         r_fr + 5.0 * a_fr AS score_fr,
+         |         r_es + 5.0 * a_es AS score_es,
+         |         r_it + 5.0 * a_it AS score_it
          |  FROM c)
-         |SELECT doc_id, score_en, score_de, score_fr,
-         |       CASE WHEN greatest(score_en, score_de, score_fr) < CAST(0.05 AS DOUBLE) THEN 'other'
-         |            WHEN score_en >= score_de AND score_en >= score_fr THEN 'en'
-         |            WHEN score_de >= score_fr THEN 'de'
-         |            ELSE 'fr' END AS lang_pred
+         |SELECT doc_id, score_en, score_de, score_fr, score_es, score_it,
+         |       CASE WHEN greatest(score_en, score_de, score_fr, score_es, score_it) < CAST(0.05 AS DOUBLE) THEN 'other'
+         |            WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es AND score_en >= score_it THEN 'en'
+         |            WHEN score_de >= score_fr AND score_de >= score_es AND score_de >= score_it THEN 'de'
+         |            WHEN score_fr >= score_es AND score_fr >= score_it THEN 'fr'
+         |            WHEN score_es >= score_it THEN 'es'
+         |            ELSE 'it' END AS lang_pred
          |FROM s ORDER BY doc_id""".stripMargin,
 
     "q_t4_shingles" ->
@@ -1599,6 +1691,14 @@ object Oracle {
         |            THEN (CAST(sy AS DOUBLE) - beta * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
         |       END AS alpha
         |FROM b ORDER BY Country""".stripMargin),
+
+    // Mirrors Corpus.ridgeMultiFit: exact integer sufficient statistics for
+    // the 5×5 ridge normal equations, then THE SAME generated elimination
+    // formula text NormalEq feeds Spark (fixed-order IEEE arithmetic on
+    // identical doubles → bit-identical betas). DuckDB's HUGEINT sums and
+    // Spark's DECIMAL(38,0) sums agree exactly; both cast to DOUBLE below
+    // 2^53 so the boundary cast is value-exact too.
+    "q_ml3_ridge_fit" -> withDaily(s",$ridgeStatsSql\n$ridgeSolveSql"),
 
     // Mirrors Corpus.hash64Groups by grouping on the canonical text itself:
     // hash-exact iff the custom RollingHash64 expression partitions content

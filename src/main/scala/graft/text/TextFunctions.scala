@@ -65,9 +65,21 @@ object TextFunctions {
     "le", "la", "les", "des", "et", "est", "une", "un", "je", "pas",
     "que", "pour", "dans", "avec", "sur")
 
+  /** Spanish function words. */
+  val StopwordsEs: Seq[String] = Seq(
+    "el", "los", "las", "de", "que", "y", "en", "un", "una", "es",
+    "no", "por", "con", "para", "su")
+
+  /** Italian function words. */
+  val StopwordsIt: Seq[String] = Seq(
+    "il", "di", "che", "e", "la", "per", "un", "una", "non", "sono",
+    "con", "si", "nel", "della", "più")
+
   /** Characters (as a regex class body) distinctive of each language. */
   val AccentsDe: String = "äöüß"
   val AccentsFr: String = "éèêëàâçîïôùû"
+  val AccentsEs: String = "áéíóúñ"
+  val AccentsIt: String = "àèéìòù"
 
   /** Fraction of tokens found in `words` (0 when no tokens). */
   def ratioIn(toks: Column, words: Seq[String]): Column = {
@@ -104,6 +116,40 @@ object TextFunctions {
       .when(en >= de && en >= fr, lit("en"))
       .when(de >= fr, lit("de"))
       .otherwise(lit("fr"))
+  }
+
+  /** Per-language profile scores (same formula as [[langScores]]) for the
+    * five supported languages, in tie-break order. English carries no accent
+    * class, so its accent term is identically zero — kept explicit so every
+    * language evaluates the same expression shape. */
+  def langScores5(text: Column): Seq[(String, Column)] = {
+    val norm = normText(text)
+    val toks = tokens(norm)
+    def score(words: Seq[String], accents: String): Column =
+      if (accents.isEmpty) ratioIn(toks, words)
+      else ratioIn(toks, words) + lit(5.0) * accentRatio(norm, accents)
+    Seq(
+      "en" -> score(Stopwords, ""),
+      "de" -> score(StopwordsDe, AccentsDe),
+      "fr" -> score(StopwordsFr, AccentsFr),
+      "es" -> score(StopwordsEs, AccentsEs),
+      "it" -> score(StopwordsIt, AccentsIt))
+  }
+
+  /** Five-language ID: argmax of the en/de/fr/es/it profile scores, "other"
+    * when no profile clears the threshold; ties break in list order
+    * (en > de > fr > es > it). The cascade compares each language against
+    * every LATER one with >=, so the first maximal score wins — the same
+    * shape [[langId3]] uses, extended mechanically. */
+  def langId5(text: Column, threshold: Double = 0.05): Column = {
+    val scores = langScores5(text)
+    val best = greatest(scores.map(_._2): _*)
+    val cascade = scores.init.zipWithIndex.foldLeft(when(best < threshold, lit("other"))) {
+      case (acc, ((lang, s), i)) =>
+        val laters = scores.drop(i + 1).map(_._2)
+        acc.when(laters.map(s >= _).reduce(_ && _), lit(lang))
+    }
+    cascade.otherwise(lit(scores.last._1))
   }
 
   /** Composite quality score in [0,1]: length saturation, stopword share,

@@ -23,6 +23,45 @@ class OperatorsSpec extends SparkSpec {
     assert(salted.toSeq === plain.toSeq)
   }
 
+  test("salted trailing range sum is salt-invariant and equals the plain window (q_w14)") {
+    import org.apache.spark.sql.expressions.Window
+    // hot key with gappy dates (every 2nd/3rd day) so the trailing frame
+    // spans missing dates — the case a per-salt window would undercount
+    val rows = (0 until 300).map(i => ("HOT", java.sql.Date.valueOf(
+      java.time.LocalDate.of(1995, 1, 1).plusDays(i * 2L)), (i % 17).toLong)) ++
+      (0 until 40).map(i => ("COLD", java.sql.Date.valueOf(
+        java.time.LocalDate.of(1995, 1, 1).plusDays(i * 3L)), i.toLong))
+    val df = rows.toDF("key", "d", "v")
+    def run(salts: Int) = Skew
+      .saltedTrailingSum(df, Seq("key"), "d", "v", days = 7, salts = salts, out = "t7")
+      .orderBy("key", "d").collect().map(_.toSeq)
+    val w = Window.partitionBy("key")
+      .orderBy(datediff($"d", lit("1970-01-01"))).rangeBetween(-7, -1)
+    val plain = df.groupBy("key", "d").agg(sum($"v").as("day_total"))
+      .withColumn("t7", sum($"day_total").over(w))
+      .orderBy("key", "d").collect().map(_.toSeq)
+    assert(run(16).toSeq === plain.toSeq)
+    assert(run(1).toSeq === run(16).toSeq, "result depends on salt count")
+  }
+
+  test("hierarchical block cumsum is bit-identical to the whole-partition window (q_w15)") {
+    import org.apache.spark.sql.expressions.Window
+    // one dominant key across many blocks, plus ties that the order columns
+    // must break identically in both shapes
+    val rows = for { b <- 0 until 24; i <- 0 until 50 } yield
+      ("HOT", b / 12, b % 12, i.toLong, (i * 7 % 23).toLong)
+    val df = (rows ++ Seq(("COLD", 0, 0, 0L, 5L), ("COLD", 1, 3, 1L, 6L)))
+      .toDF("key", "yr", "mo", "seq", "v")
+    val hier = Skew.blockCumSum(
+      df, Seq("key"), Seq("yr", "mo"), Seq("seq"), "v", out = "rt")
+      .orderBy("key", "yr", "mo", "seq").collect().map(_.toSeq)
+    val w = Window.partitionBy("key").orderBy("yr", "mo", "seq")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val plain = df.withColumn("rt", sum($"v").over(w))
+      .orderBy("key", "yr", "mo", "seq").collect().map(_.toSeq)
+    assert(hier.toSeq === plain.toSeq)
+  }
+
   test("partitionBy(Year) layout prunes partitions at the scan (q_s7)") {
     val df = graft.queries.Corpus.partitionedScan(spark, "/root/testdata/sf0.001")
     df.count() // force planning through AQE
@@ -35,6 +74,32 @@ class OperatorsSpec extends SparkSpec {
       .filter($"Year" === 1997)
       .select("Country", "StockCode", "InvoiceDate", "Year", "NetDailyQuantity")
       .orderBy("Country", "StockCode", "InvoiceDate")
+      .collect().map(_.toSeq)
+    assert(df.collect().map(_.toSeq).toSeq === plain.toSeq)
+  }
+
+  test("dim-filtered join plants a dynamicpruning subquery in the fact scan (q_s9)") {
+    // No literal Year predicate reaches the fact side — the pruning filter
+    // must come from the dimension's broadcast at runtime (DPP). The scan's
+    // PartitionFilters must carry a dynamicpruning expression on Year, and
+    // the executed scan must read fewer partitions than the layout holds.
+    val df = graft.queries.Corpus.dppJoin(spark, "/root/testdata/sf0.001")
+    df.count() // force planning + execution through AQE
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamicpruning subquery in PartitionFilters:\n$plan")
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*dynamicpruning[^\\]]*\\].*"),
+      s"dynamicpruning not inside the scan's PartitionFilters:\n$plan")
+    // semantics unchanged: equals the plain (unpartitioned) join
+    val dim = graft.Tables.orders(spark, "/root/testdata/sf0.001")
+      .filter($"o_orderdate".between("1996-01-01", "1997-12-31"))
+      .select(year($"o_orderdate").as("Year"))
+      .distinct()
+    val plain = graft.queries.Corpus.dailySales(spark, "/root/testdata/sf0.001")
+      .join(dim, "Year")
+      .groupBy("Year")
+      .agg(sum("NetDailyQuantity").as("total_qty"), count(lit(1)).as("n_rows"))
+      .orderBy("Year")
       .collect().map(_.toSeq)
     assert(df.collect().map(_.toSeq).toSeq === plain.toSeq)
   }

@@ -80,4 +80,23 @@ class CorpusCleanerSpec extends SparkSpec {
     val nNodes = result.queryExecution.optimizedPlan.collect { case p => p }.size
     assert(nNodes < 60, s"optimized plan has $nNodes nodes — lineage not truncated")
   }
+
+  test("dup clusters: reliable-checkpoint mode converges to identical labels") {
+    // Same deep-chain graph through the fault-tolerant truncation mode
+    // (checkpoint files instead of executor-local blocks) — the labels must
+    // be bit-identical to the default mode, and checkpoint data must
+    // actually land in the requested directory.
+    val chains = Seq(100L to 112L, 200L to 203L)
+    val pairs = chains.flatMap(c => c.sliding(2).map(p => (p(1), p.head)))
+      .toDF("id1", "id2")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
+    val reliable = Dedup.dupClusters(pairs, maxIters = 30, checkpointDir = Some(dir.toString))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val default = Dedup.dupClusters(pairs, maxIters = 30)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable === default)
+    assert(reliable === chains.flatMap(c => c.map(_ -> c.min)).toMap)
+    val wrote = java.nio.file.Files.walk(dir).filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(wrote > 0, "no checkpoint files written to the reliable dir")
+  }
 }

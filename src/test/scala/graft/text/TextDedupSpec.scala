@@ -112,6 +112,23 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("langId5 separates all five supported languages and falls back to other") {
+    val samples = Seq(
+      (1L, "the cat and the dog sat on the mat in the house for a while", "en"),
+      (2L, "der mann und die frau sind nicht mit dem hund in das haus gegangen", "de"),
+      (3L, "le garçon et la fille vont dans les rues de la ville avec un ami", "fr"),
+      (4L, "el perro y el gato no están en la casa pero es un buen día para los niños", "es"),
+      (5L, "il cane e il gatto non sono nella casa ma è un bel giorno per i bambini più piccoli", "it"),
+      (6L, "zzz qqq xxx www", "other")
+    ).toDF("doc_id", "text", "expected")
+    val got = samples
+      .select($"doc_id", $"expected", TextFunctions.langId5($"text").as("pred"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    got.foreach { case (id, expected, pred) =>
+      assert(pred === expected, s"doc $id")
+    }
+  }
+
   test("custom expressions: codegen result equals direct scala computation") {
     val row = docs.filter($"doc_id" === 0L).select(
       GraftFunctions.rollingHash(spark, $"text").as("rh"),
