@@ -41,6 +41,54 @@ object ForecastModels {
     new Pipeline().setStages(Array(countryIdx, stockIdx, assembler))
   }
 
+  /** [[featurePipeline]] semantics at lower cost: the two frequencyDesc
+    * orderings come from ONE multi-column StringIndexer pass (per-column
+    * counting is independent, so the fitted indices are identical to the
+    * reference's two single-column fits), and the pass runs over
+    * `indexerFrame` — any frame with the same Country/StockCode rows as
+    * train, e.g. the pre-feature daily grain, which is typically cached —
+    * so fitting never replays the lag-feature window lineage. The final
+    * Pipeline.fit wires the fitted model + assembler together without
+    * launching a job (no estimator stages remain). */
+  def featurePipelineOn(
+      featureCols: Seq[String],
+      indexerFrame: DataFrame,
+      train: DataFrame): PipelineModel = {
+    val idx = new StringIndexer()
+      .setInputCols(Array("Country", "StockCode"))
+      .setOutputCols(Array("CountryIndex", "StockCodeIndex"))
+      .setHandleInvalid("keep").setStringOrderType("frequencyDesc")
+      .fit(indexerFrame)
+    val assembler = new VectorAssembler()
+      .setInputCols((featureCols ++ Seq("CountryIndex", "StockCodeIndex")).toArray)
+      .setOutputCol("features")
+      .setHandleInvalid("skip")
+    new Pipeline().setStages(Array(idx, assembler)).fit(train)
+  }
+
+  /** Fit + transform WITHOUT the three-metric evaluation — for pipelines
+    * that only consume the predictions (q_ml1's KPI output discards the
+    * metrics; paying three evaluator passes for them was pure waste). The
+    * assembled training frame is pinned for the solver's iterations and
+    * released once the materialized prediction pin replaces it. */
+  def fitPredict(
+      estimator: Estimator[_ <: Model[_]],
+      features: PipelineModel,
+      train: DataFrame,
+      test: DataFrame): DataFrame = {
+    // the solver reads only (label, features) — pinning the full assembled
+    // row (daily + lag columns + vector) would store and deserialize ~3×
+    // the bytes on every iteration
+    val assembled = features.transform(train).select(LabelCol, "features")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model: Model[_] = estimator.fit(assembled)
+    val predictions = model.transform(features.transform(test))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    predictions.count() // materialize before dropping the training pin
+    assembled.unpersist(false)
+    predictions
+  }
+
   /** Numeric feature columns present in a feature frame: calendar + lag +
     * rolling + diff (SURVEY §2.6 families). */
   def numericFeatureCols(df: DataFrame): Seq[String] = {

@@ -1733,21 +1733,31 @@ object Corpus {
   def mlForecastKpi(s: SparkSession, d: String): DataFrame = {
     import graft.ml.ForecastModels
     val dl = daily(s, d)
-    // Pin the lag-feature frame for the duration of the fit: the two
-    // StringIndexer fits, the train/test assembly, and the solver's input
-    // all re-read it (the window pass is one scan of the cached daily frame,
-    // but 4+ replays of it dominated this query's profile). trainAndEval
-    // persists the assembled train + predictions; by the time it returns,
-    // everything downstream reads the prediction pin, so the feature pin
-    // can drop immediately.
+    // Profiled restructure (PERF.md round 4): the indexers fit on the CACHED
+    // pre-feature daily grain in one multi-column pass (identical indices,
+    // no lag-lineage replay); the window + assembly lineage is materialized
+    // ONCE over the full history into a slim pin (keys, label, price,
+    // vector) from which both the solver's train filter and the prediction's
+    // test filter read; the three-metric evaluation — whose output this
+    // query discards — is skipped entirely. Assemble-then-split equals
+    // split-then-assemble: the time filter is row-local and the assembler's
+    // handleInvalid=skip drops the same null rows either way.
     val features = Forecast.lagFeatures(dl, 1 to 3)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (train, test) = ForecastModels.timeSplit(features, "1999-09-01")
     val featureCols = ForecastModels.numericFeatureCols(features)
-    val fp = ForecastModels.featurePipeline(featureCols).fit(train)
-    val (pred, _) = ForecastModels.trainAndEval(
-      "lr", ForecastModels.lasso(0.05), fp, train, test)
-    features.unpersist(false)
+    val (trainDaily, _) = ForecastModels.timeSplit(dl, "1999-09-01")
+    val fp = ForecastModels.featurePipelineOn(featureCols, trainDaily, features)
+    val assembled = fp.transform(features)
+      .select(
+        col("Country"), col("StockCode"), col("InvoiceDate"),
+        col(ForecastModels.LabelCol), col("AvgUnitPrice"), col("features"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (train, test) = ForecastModels.timeSplit(assembled, "1999-09-01")
+    val model = ForecastModels.lasso(0.05).fit(
+      train.select(ForecastModels.LabelCol, "features"))
+    val pred = model.transform(test)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pred.count() // materialize before dropping the assembled pin
+    assembled.unpersist(false)
     Forecast.kpiByCountry(Forecast.evalAgainstBaseline(dl, pred)).orderBy("Country")
   }
 

@@ -112,6 +112,88 @@ object Scratch {
         pass("dd1")(graft.queries.Corpus.jaccardTop(spark, d))
         pass("w4b")(graft.queries.Corpus.percentileApprox(spark, d))
 
+      case "ml1" =>
+        // attribute q_ml1_forecast_kpi cost stage by stage
+        import graft.ml.ForecastModels
+        import graft.forecast.Forecast
+        val dl = time("daily materialize") {
+          val df = Forecast.dailySales(Tables.salesLines(spark, d)).cache()
+          df.count()
+          df
+        }
+        val features = time("lag features persist+count") {
+          val f = Forecast.lagFeatures(dl, 1 to 3)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          f.count(); f
+        }
+        val (train, test) = ForecastModels.timeSplit(features, "1999-09-01")
+        val featureCols = ForecastModels.numericFeatureCols(features)
+        val fp = time("feature pipeline fit (2 indexers)") {
+          ForecastModels.featurePipeline(featureCols).fit(train)
+        }
+        val assembled = time("assemble train persist+count") {
+          val a = fp.transform(train)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          a.count(); a
+        }
+        val model = time("lasso fit (OWL-QN, 20 iters)") {
+          ForecastModels.lasso(0.05).fit(assembled)
+        }
+        val pred = time("transform test persist+count") {
+          val p = model.transform(fp.transform(test))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          p.count(); p
+        }
+        time("evaluate 3 metrics")(ForecastModels.evaluate("lr", pred))
+        time("kpi by country") {
+          Forecast.kpiByCountry(Forecast.evalAgainstBaseline(dl, pred))
+            .write.format("noop").mode("overwrite").save()
+        }
+
+      case "ml1b" =>
+        // candidate fast path for q_ml1
+        import graft.ml.ForecastModels
+        import graft.forecast.Forecast
+        import org.apache.spark.ml.Pipeline
+        import org.apache.spark.ml.feature.{StringIndexer, VectorAssembler}
+        val dl = time("daily materialize") {
+          val df = Forecast.dailySales(Tables.salesLines(spark, d)).cache()
+          df.count()
+          df
+        }
+        val features = Forecast.lagFeatures(dl, 1 to 3)
+        val (train, test) = ForecastModels.timeSplit(features, "1999-09-01")
+        val featureCols = ForecastModels.numericFeatureCols(features)
+        val fp = time("multi-col indexer fit on daily") {
+          val (trainD, _) = ForecastModels.timeSplit(dl, "1999-09-01")
+          val idx = new StringIndexer()
+            .setInputCols(Array("Country", "StockCode"))
+            .setOutputCols(Array("CountryIndex", "StockCodeIndex"))
+            .setHandleInvalid("keep").setStringOrderType("frequencyDesc")
+            .fit(trainD)
+          val assembler = new VectorAssembler()
+            .setInputCols((featureCols ++ Seq("CountryIndex", "StockCodeIndex")).toArray)
+            .setOutputCol("features")
+            .setHandleInvalid("skip")
+          new Pipeline().setStages(Array(idx, assembler)).fit(train)
+        }
+        val model = time("lasso fit (internal persistence)") {
+          ForecastModels.lasso(0.05).fit(fp.transform(train))
+        }
+        val pred = time("transform test persist+count") {
+          val p = model.transform(fp.transform(test))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          p.count(); p
+        }
+        time("kpi by country") {
+          Forecast.kpiByCountry(Forecast.evalAgainstBaseline(dl, pred))
+            .write.format("noop").mode("overwrite").save()
+        }
+        time("kpi by country (2nd)") {
+          Forecast.kpiByCountry(Forecast.evalAgainstBaseline(dl, pred))
+            .write.format("noop").mode("overwrite").save()
+        }
+
       case "w4b" =>
         val daily = time("daily materialize") {
           val df = graft.forecast.Forecast.dailySales(Tables.salesLines(spark, d)).cache()

@@ -58,5 +58,16 @@ class ReferencePipelineSpec extends SparkSpec {
     assert(!lr.rmse.isNaN && lr.rmse >= lr.mae)
     assert(!r.maeModel.isNaN && !r.maeBaseline.isNaN)
     assert(!r.valueWeightedReductionPct.isNaN)
+    // Published-scorecard ORDERING replay (BASELINE.md "KPIs vs baseline",
+    // README.md:44-72): the exact UCI metric values are unreachable in the
+    // sandbox (no UCI data), but the reference's qualitative scorecard —
+    // the lag-feature Lasso beats the MA(6)+last-value baseline on MAE, and
+    // the value-weighted error reduction is positive — must reproduce on
+    // the synthetic fixture; a pipeline that inverted either ordering would
+    // not be the reference's pipeline.
+    assert(r.maeModel < r.maeBaseline,
+      s"LR MAE ${r.maeModel} must beat baseline MAE ${r.maeBaseline} (published: 1.50 vs 18.18)")
+    assert(r.valueWeightedReductionPct > 0,
+      s"value-weighted reduction ${r.valueWeightedReductionPct}% must be positive (published: 83.49%)")
   }
 }

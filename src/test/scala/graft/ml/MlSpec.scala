@@ -31,6 +31,34 @@ class MlSpec extends SparkSpec {
     assert(out.count() === frame.count())
   }
 
+  test("featurePipelineOn (multi-col indexer, foreign fit frame) matches featurePipeline exactly") {
+    // the fast path must produce bit-identical indices + vectors: one
+    // multi-column indexer pass over the pre-feature frame vs the two
+    // reference-literal single-column fits over the feature frame
+    val literal = ForecastModels.featurePipeline(Seq("lag_qty_1_day")).fit(frame)
+    val fast = ForecastModels.featurePipelineOn(
+      Seq("lag_qty_1_day"), frame.drop("lag_qty_1_day"), frame)
+    val key = Seq("Country", "StockCode", "InvoiceDate").map(col)
+    val a = literal.transform(frame)
+      .select(key :+ col("CountryIndex") :+ col("StockCodeIndex") :+ col("features").cast("string"): _*)
+      .orderBy(key: _*).collect().map(_.toSeq)
+    val b = fast.transform(frame)
+      .select(key :+ col("CountryIndex") :+ col("StockCodeIndex") :+ col("features").cast("string"): _*)
+      .orderBy(key: _*).collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("fitPredict returns the same predictions as trainAndEval without the eval passes") {
+    val features = ForecastModels.featurePipeline(Seq("lag_qty_1_day")).fit(frame)
+    val (predEval, _) = ForecastModels.trainAndEval(
+      "lr_test", ForecastModels.lasso(0.0), features, frame, frame)
+    val pred = ForecastModels.fitPredict(ForecastModels.lasso(0.0), features, frame, frame)
+    val key = Seq("Country", "StockCode", "InvoiceDate").map(col)
+    val a = predEval.select(key :+ col("prediction"): _*).orderBy(key: _*).collect().map(_.toSeq)
+    val b = pred.select(key :+ col("prediction"): _*).orderBy(key: _*).collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("lasso recovers a noiseless linear relation and evaluates near-perfect") {
     val features = ForecastModels.featurePipeline(Seq("lag_qty_1_day")).fit(frame)
     val (pred, metrics) = ForecastModels.trainAndEval(
