@@ -86,52 +86,91 @@ object NormalEq {
       lambda: Long): DataFrame = {
     val z: Seq[Column] = lit(1L) +: features.map(_.cast("long"))
     val k = z.size
+    val yl = y.cast("long")
     val sums =
       (for { i <- 0 until k; j <- i to k } yield {
-        val prod = if (j == k) z(i) * y.cast("long") else z(i) * z(j)
+        val prod = if (j == k) z(i) * yl else z(i) * z(j)
         sum(prod.cast(dec)).as(s"s_${i}_$j")
-      }) :+ count(lit(1)).as("n")
+      }) ++ Seq(sum((yl * yl).cast(dec)).as("s_yy"), count(lit(1)).as("n"))
     val stats = df.groupBy(groupKeys.map(col): _*).agg(sums.head, sums.tail: _*)
     val doubles =
-      for { i <- 0 until k; j <- i to k } yield {
+      (for { i <- 0 until k; j <- i to k } yield {
         val base = col(s"s_${i}_$j")
         val entry = if (i == j && i > 0) base + lit(lambda) else base
         entry.cast("double").as(s"m0_${i}_$j")
-      }
+      }) :+ col("s_yy").cast("double").as("m_yy")
     stats.select(groupKeys.map(col) ++ Seq(col("n")) ++ doubles: _*)
   }
 
+  /** Fit-quality diagnostics from the SAME sufficient statistics — no
+    * second data pass: SSE = yᵀy − 2βᵀXᵀy + βᵀXᵀXβ (the ridge diagonal's λ
+    * is subtracted back out of the quadratic term so the error is the true
+    * residual), SST about the mean, R², RMSE. Like [[eliminationStages]],
+    * the text is engine-neutral fixed-order arithmetic (plus CAST and sqrt,
+    * both IEEE-identical in Spark and DuckDB), so a per-group model
+    * SCORECARD — fit AND evaluation — is hash-oracle-checkable for the
+    * shuffle price of one aggregate. */
+  def diagnosticsFormulas(k: Int, lambda: Long): Seq[(String, String)] = {
+    val xty = (0 until k).map(i => s"beta_$i * ${nm(0, i, k)}").mkString(" + ")
+    val quad = (for { i <- 0 until k; j <- i until k } yield {
+      if (i == j && i == 0) s"beta_0 * beta_0 * m0_0_0"
+      else if (i == j) s"beta_$i * beta_$i * (m0_${i}_$i - $lambda)"
+      else s"2 * beta_$i * beta_$j * ${nm(0, i, j)}"
+    }).mkString(" + ")
+    Seq(
+      "sse" -> s"m_yy - 2 * ($xty) + ($quad)",
+      "sst" -> s"m_yy - ${nm(0, 0, k)} / CAST(n AS DOUBLE) * ${nm(0, 0, k)}",
+      "r2" -> "1 - sse / sst",
+      "rmse" -> "sqrt(sse / CAST(n AS DOUBLE))")
+  }
+
   /** Full fit: exact stats → generated elimination → one beta column per
-    * design coordinate (beta_0 is the intercept). */
+    * design coordinate (beta_0 is the intercept). With `diagnostics`, the
+    * scorecard columns (sse, sst, r2, rmse) ride along — still zero extra
+    * passes over the data. */
   def ridgeFit(
       df: DataFrame,
       groupKeys: Seq[String],
       features: Seq[Column],
       y: Column,
-      lambda: Long): DataFrame = {
+      lambda: Long,
+      diagnostics: Boolean = false): DataFrame = {
     val k = features.size + 1
-    val solved = eliminationStages(k).foldLeft(ridgeStats(df, groupKeys, features, y, lambda)) {
+    val diag =
+      if (diagnostics) diagnosticsFormulas(k, lambda).map(Seq(_)) else Nil
+    val stages = eliminationStages(k) ++ diag
+    val solved = stages.foldLeft(ridgeStats(df, groupKeys, features, y, lambda)) {
       (acc, stage) => acc.selectExpr("*" +: stage.map { case (n, e) => s"$e AS $n" }: _*)
     }
+    val extra = if (diagnostics) diagnosticsFormulas(k, lambda).map(_._1) else Nil
     solved.select(
-      (groupKeys :+ "n").map(col) ++ (0 until k).map(i => col(s"beta_$i")): _*)
+      (groupKeys :+ "n").map(col) ++ (0 until k).map(i => col(s"beta_$i"))
+        ++ extra.map(col): _*)
   }
 
   /** DuckDB mirror of the solve: one CTE per elimination stage over a stats
     * CTE named `stats` that must expose the same `n` and `m0_i_j` DOUBLE
     * columns (plus the group keys). Returns the full `WITH`-suffix text:
     * ",e1 AS (…), e2 AS (…) SELECT keys, n, betas FROM eN ORDER BY keys". */
-  def oracleSolveSql(k: Int, groupKeys: Seq[String]): String = {
-    val stages = eliminationStages(k)
+  def oracleSolveSql(
+      k: Int,
+      groupKeys: Seq[String],
+      lambda: Long = 10L,
+      diagnostics: Boolean = false): String = {
+    val diag =
+      if (diagnostics) diagnosticsFormulas(k, lambda).map(Seq(_)) else Nil
+    val stages = eliminationStages(k) ++ diag
     val ctes = stages.zipWithIndex.map { case (stage, idx) =>
       val from = if (idx == 0) "stats" else s"e$idx"
       val cols = stage.map { case (n, e) => s"$e AS $n" }.mkString(",\n         ")
       s"e${idx + 1} AS (\n  SELECT *,\n         $cols\n  FROM $from)"
     }
-    val keys = groupKeys.mkString(", ")
-    val betas = (0 until k).map(i => s"beta_$i").mkString(", ")
+    val keyPrefix = if (groupKeys.isEmpty) "" else groupKeys.mkString(", ") + ", "
+    val orderBy = if (groupKeys.isEmpty) "" else s" ORDER BY ${groupKeys.mkString(", ")}"
+    val outCols = (0 until k).map(i => s"beta_$i") ++
+      (if (diagnostics) diagnosticsFormulas(k, lambda).map(_._1) else Nil)
     s""",${ctes.mkString(",\n")}
-       |SELECT $keys, n, $betas
-       |FROM e${stages.size} ORDER BY $keys""".stripMargin
+       |SELECT ${keyPrefix}n, ${outCols.mkString(", ")}
+       |FROM e${stages.size}$orderBy""".stripMargin
   }
 }

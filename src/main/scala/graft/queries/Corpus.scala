@@ -1812,6 +1812,47 @@ object Corpus {
       lambda = 10L)
       .orderBy("Country")
 
+  /** ML5: the q_ml3 fit WITH its scorecard — per-country SSE/SST/R²/RMSE
+    * derived from the SAME sufficient statistics (one extra Σy² column in
+    * the aggregate, zero extra data passes; NormalEq.diagnosticsFormulas).
+    * The reference evaluates every model with a three-pass
+    * RegressionEvaluator (M7); at 100 TB this shape trains AND evaluates
+    * 25 per-country models for the shuffle price of one GROUP BY, and the
+    * whole scorecard — not just the fit — is hash-gated against DuckDB. */
+  def ridgeScorecard(s: SparkSession, d: String): DataFrame =
+    graft.ml.NormalEq.ridgeFit(
+      daily(s, d),
+      Seq("Country"),
+      Seq(col("DayOfWeek"), col("Month"), col("Week"), col("Day")),
+      col("NetDailyQuantity"),
+      lambda = 10L,
+      diagnostics = true)
+      .orderBy("Country")
+
+  /** ML4: the reference's model SHAPE under the hash oracle — a GLOBAL
+    * multi-feature fit on lag features (the reference's headline Lasso
+    * trains on exactly this kind of design, Sales_forecast_pyspark.py:
+    * 1160-1169; its OWL-QN path is convergence-dependent, so q_ml1 is
+    * rows-only) as a closed-form ridge: y = NetDailyQuantity on (lag1,
+    * lag2, lag3, DayOfWeek) + intercept, λ = 10. One window pass builds the
+    * integer lag design, one map-side-combined aggregate produces the exact
+    * sufficient statistics, and the shared elimination text solves the 5×5
+    * system — at 100 TB this is a baseline autoregressive model for the
+    * price of a GROUP BY. */
+  def ridgeLagFit(s: SparkSession, d: String): DataFrame = {
+    val qty = col("NetDailyQuantity")
+    val lagged = daily(s, d).select(
+      qty,
+      col("DayOfWeek"),
+      coalesce(lag(qty, 1).over(Forecast.seriesW), lit(0L)).as("lag1"),
+      coalesce(lag(qty, 2).over(Forecast.seriesW), lit(0L)).as("lag2"),
+      coalesce(lag(qty, 3).over(Forecast.seriesW), lit(0L)).as("lag3"))
+    graft.ml.NormalEq.ridgeFit(
+      lagged, Nil,
+      Seq(col("lag1"), col("lag2"), col("lag3"), col("DayOfWeek")),
+      qty, lambda = 10L)
+  }
+
   /** T5b: exact-dedup groups keyed by the custom 64-bit rolling-hash
     * fingerprint instead of md5. The oracle groups by the canonical text
     * itself: the query is hash-exact iff RollingHash64 partitions the corpus
@@ -1948,6 +1989,8 @@ object Corpus {
     "q_ml1_forecast_kpi" -> (mlForecastKpi _),
     "q_ml2_ols_fit" -> (olsFit _),
     "q_ml3_ridge_fit" -> (ridgeMultiFit _),
+    "q_ml4_ridge_lags" -> (ridgeLagFit _),
+    "q_ml5_ridge_scorecard" -> (ridgeScorecard _),
     "q_t5b_hash64_groups" -> (hash64Groups _),
     "q_t7_pii_scrub" -> (piiScrub _),
     "q_t8_repetition" -> (textRepetition _),

@@ -62,31 +62,64 @@ object Oracle {
   private val stopListIt: String =
     graft.text.TextFunctions.StopwordsIt.map(w => s"'$w'").mkString("[", ", ", "]")
 
-  /** Exact ridge sufficient statistics for q_ml3 (mirrors
-    * NormalEq.ridgeStats over the daily grain: z = (1, DayOfWeek, Month,
-    * Week, Day), y = NetDailyQuantity, λ = 10 on non-intercept diagonals).
-    * Generated with the same (i, j) enumeration as the Spark side so the
-    * m0_i_j column set matches by construction. */
-  private def ridgeStatsSql: String = {
-    val z = Seq(
-      "CAST(1 AS BIGINT)", "CAST(DayOfWeek AS BIGINT)", "CAST(Month AS BIGINT)",
-      "CAST(Week AS BIGINT)", "CAST(Day AS BIGINT)")
+  /** Exact ridge sufficient statistics (mirrors NormalEq.ridgeStats: design
+    * z = (1, features…), λ = 10 on non-intercept diagonals), generated with
+    * the same (i, j) enumeration as the Spark side so the m0_i_j column set
+    * matches by construction. `z` are BIGINT-valued SQL expressions (the
+    * implicit leading 1 is added here). */
+  private def ridgeStatsSql(
+      features: Seq[String], yExpr: String, from: String, keys: Seq[String]): String = {
+    val z = "CAST(1 AS BIGINT)" +: features
     val k = z.size
     val entries = for { i <- 0 until k; j <- i to k } yield {
-      val prod = if (j == k) s"${z(i)} * NetDailyQuantity" else s"${z(i)} * ${z(j)}"
+      val prod = if (j == k) s"${z(i)} * $yExpr" else s"${z(i)} * ${z(j)}"
       val summed = if (i == j && i > 0) s"SUM($prod) + 10" else s"SUM($prod)"
       s"CAST($summed AS DOUBLE) AS m0_${i}_$j"
     }
+    val keyCols = if (keys.isEmpty) "" else keys.mkString(", ") + ", "
+    val groupBy = if (keys.isEmpty) "" else s" GROUP BY ${keys.mkString(", ")}"
     s"""stats AS (
-       |  SELECT Country, CAST(COUNT(*) AS BIGINT) AS n,
-       |         ${entries.mkString(",\n         ")}
-       |  FROM daily GROUP BY Country)""".stripMargin
+       |  SELECT ${keyCols}CAST(COUNT(*) AS BIGINT) AS n,
+       |         ${entries.mkString(",\n         ")},
+       |         CAST(SUM($yExpr * $yExpr) AS DOUBLE) AS m_yy
+       |  FROM $from$groupBy)""".stripMargin
   }
 
-  /** The shared elimination text ([[graft.ml.NormalEq.oracleSolveSql]]) —
-    * one CTE per stage, identical formulas to the Spark projection chain. */
-  private def ridgeSolveSql: String =
-    graft.ml.NormalEq.oracleSolveSql(5, Seq("Country"))
+  /** q_ml3's per-country calendar-feature ridge: z = (1, DayOfWeek, Month,
+    * Week, Day) over the daily grain, solved by the shared elimination text
+    * ([[graft.ml.NormalEq.oracleSolveSql]] — one CTE per stage, identical
+    * formulas to the Spark projection chain). */
+  private def ridgeCalendarSql: String =
+    ridgeStatsSql(
+      Seq("CAST(DayOfWeek AS BIGINT)", "CAST(Month AS BIGINT)",
+        "CAST(Week AS BIGINT)", "CAST(Day AS BIGINT)"),
+      "NetDailyQuantity", "daily", Seq("Country")) +
+      "\n" + graft.ml.NormalEq.oracleSolveSql(5, Seq("Country"))
+
+  /** q_ml5's per-country scorecard: the q_ml3 design solved WITH the
+    * generated diagnostics stage (SSE/SST/R²/RMSE from the same sufficient
+    * statistics) — fit and evaluation both hash-gated. */
+  private def ridgeScorecardSql: String =
+    ridgeStatsSql(
+      Seq("CAST(DayOfWeek AS BIGINT)", "CAST(Month AS BIGINT)",
+        "CAST(Week AS BIGINT)", "CAST(Day AS BIGINT)"),
+      "NetDailyQuantity", "daily", Seq("Country")) +
+      "\n" + graft.ml.NormalEq.oracleSolveSql(5, Seq("Country"), 10L, diagnostics = true)
+
+  /** q_ml4's global lag-feature ridge: z = (1, lag1, lag2, lag3, DayOfWeek)
+    * where the lags mirror the Spark side's coalesced series-window lags. */
+  private def ridgeLagSql: String = {
+    val lagd =
+      s"""lagd AS (
+         |  SELECT NetDailyQuantity, CAST(DayOfWeek AS BIGINT) AS dow,
+         |         COALESCE(lag(NetDailyQuantity, 1) OVER w, 0) AS lag1,
+         |         COALESCE(lag(NetDailyQuantity, 2) OVER w, 0) AS lag2,
+         |         COALESCE(lag(NetDailyQuantity, 3) OVER w, 0) AS lag3
+         |  FROM daily WINDOW $seriesWin)""".stripMargin
+    lagd + ",\n" +
+      ridgeStatsSql(Seq("lag1", "lag2", "lag3", "dow"), "NetDailyQuantity", "lagd", Nil) +
+      "\n" + graft.ml.NormalEq.oracleSolveSql(5, Nil)
+  }
 
   /** Bit-reproducible mean via IEEE-only ops — mirrors Exact.floorAvg(c, 9). */
   private def floorAvg9(x: String, alias: String): String =
@@ -1698,7 +1731,19 @@ object Oracle {
     // identical doubles → bit-identical betas). DuckDB's HUGEINT sums and
     // Spark's DECIMAL(38,0) sums agree exactly; both cast to DOUBLE below
     // 2^53 so the boundary cast is value-exact too.
-    "q_ml3_ridge_fit" -> withDaily(s",$ridgeStatsSql\n$ridgeSolveSql"),
+    "q_ml3_ridge_fit" -> withDaily(s",$ridgeCalendarSql"),
+
+    // Mirrors Corpus.ridgeLagFit: the reference's model SHAPE — a global
+    // multi-feature fit on lag features (Sales_forecast_pyspark.py:1160-
+    // 1169) — as a closed-form ridge, hash-gated end to end: DuckDB
+    // recomputes the same coalesced lag windows, the same exact integer
+    // sufficient statistics, and the same generated elimination text.
+    "q_ml4_ridge_lags" -> withDaily(s",$ridgeLagSql"),
+
+    // Mirrors Corpus.ridgeScorecard: the q_ml3 fit plus the generated
+    // diagnostics text — per-country SSE/SST/R²/RMSE from the same exact
+    // sufficient statistics, hash-gated end to end.
+    "q_ml5_ridge_scorecard" -> withDaily(s",$ridgeScorecardSql"),
 
     // Mirrors Corpus.hash64Groups by grouping on the canonical text itself:
     // hash-exact iff the custom RollingHash64 expression partitions content

@@ -41,6 +41,24 @@ class NormalEqSpec extends SparkSpec {
     assert(a === c)
   }
 
+  test("global fit (no group keys) solves the same system and emits no key columns") {
+    val global = NormalEq.ridgeFit(
+      planted, Nil, Seq(col("x1"), col("x2"), col("x3")), col("y"), lambda = 0L)
+    assert(global.columns.toSeq === Seq("n", "beta_0", "beta_1", "beta_2", "beta_3"))
+    val r = global.head()
+    // single group "g" covers all rows, so the grouped and global fits agree
+    val grouped = NormalEq.ridgeFit(
+      planted, Seq("grp"), Seq(col("x1"), col("x2"), col("x3")), col("y"), lambda = 0L)
+      .head()
+    (0 to 3).foreach { i =>
+      assert(r.getDouble(r.fieldIndex(s"beta_$i")) ===
+        grouped.getDouble(grouped.fieldIndex(s"beta_$i")))
+    }
+    // and the oracle text for the global case carries no dangling commas
+    val sql = NormalEq.oracleSolveSql(4, Nil)
+    assert(!sql.contains("SELECT ,") && !sql.contains("ORDER BY"))
+  }
+
   test("ridge penalty shrinks coefficients toward zero, never flips the sign structure") {
     def run(lambda: Long): Seq[Double] = {
       val r = NormalEq.ridgeFit(
@@ -54,6 +72,44 @@ class NormalEqSpec extends SparkSpec {
       assert(math.abs(r) < math.abs(o), s"ridge $r not shrunk vs OLS $o")
       assert(o * r > 0, "sign flipped under ridge")
     }
+  }
+
+  test("diagnostics: perfect planted fit has SSE ~ 0 and R2 ~ 1; noisy fit degrades them") {
+    val fit = NormalEq.ridgeFit(
+      planted, Seq("grp"), Seq(col("x1"), col("x2"), col("x3")), col("y"),
+      lambda = 0L, diagnostics = true).head()
+    def g(c: String) = fit.getDouble(fit.fieldIndex(c))
+    assert(math.abs(g("sse")) < 1e-6, s"sse ${g("sse")}")
+    assert(math.abs(g("r2") - 1.0) < 1e-9, s"r2 ${g("r2")}")
+    assert(g("sst") > 0)
+    assert(g("rmse") < 1e-4)
+    // corrupt half the labels: R² must drop below 1, SSE/RMSE grow positive
+    val noisy = planted.withColumn(
+      "y", when(col("x1") % 2 === 0, col("y") * 3 + 17).otherwise(col("y")))
+    val nf = NormalEq.ridgeFit(
+      noisy, Seq("grp"), Seq(col("x1"), col("x2"), col("x3")), col("y"),
+      lambda = 0L, diagnostics = true).head()
+    def ng(c: String) = nf.getDouble(nf.fieldIndex(c))
+    assert(ng("sse") > 1.0 && ng("rmse") > 0.1)
+    assert(ng("r2") < 0.999 && ng("r2") > 0.0)
+  }
+
+  test("diagnostics formulas subtract the ridge penalty back out of the quadratic term") {
+    // with heavy lambda the betas shrink, but SSE must still measure the
+    // TRUE residual of those betas (not the penalized objective): recompute
+    // SSE row-wise from the fitted betas and compare
+    val fit = NormalEq.ridgeFit(
+      planted, Seq("grp"), Seq(col("x1"), col("x2"), col("x3")), col("y"),
+      lambda = 5000L, diagnostics = true).head()
+    def g(c: String) = fit.getDouble(fit.fieldIndex(c))
+    val (b0, b1, b2, b3) = (g("beta_0"), g("beta_1"), g("beta_2"), g("beta_3"))
+    val rows = planted.select("x1", "x2", "x3", "y").collect()
+    val sse = rows.map { r =>
+      val pred = b0 + b1 * r.getInt(0) + b2 * r.getInt(1) + b3 * r.getInt(2)
+      val e = r.getLong(3) - pred
+      e * e
+    }.sum
+    assert(math.abs(g("sse") - sse) / sse < 1e-9, s"${g("sse")} vs row-wise $sse")
   }
 
   test("elimination formula text is engine-neutral arithmetic on named columns") {
