@@ -254,6 +254,83 @@ object Dedup {
     labels
   }
 
+  /** One large-star round: every node attaches all strictly-larger
+    * neighbors to the minimum of its closed neighborhood. Expressed as one
+    * min-aggregate + one equi-join — no neighbor list is ever materialized,
+    * so a celebrity node (the LSH-bucket skew case) costs a map-side-
+    * combined min plus its own degree in join fan-out, nothing quadratic.
+    * Output edges always point larger→smaller (v > u ≥ m). */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("u"), col("v"))
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u").agg(min("v").as("mn"))
+      .select(col("u"), least(col("mn"), col("u")).as("m"))
+    sym.join(mins, "u").where(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** One small-star round over larger→smaller edges: every node rewires its
+    * smaller neighbors (and itself) to the minimum among them. Same
+    * aggregate+join shape as [[largeStar]]. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy("u").agg(min("v").as("m")) // m < u by edge direction
+    val fromNbrs = e.join(mins, "u").where(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+    val fromSelf = mins.select(col("u"), col("m").as("v"))
+    fromNbrs.union(fromSelf).distinct()
+  }
+
+  /** Connected components via alternating large-star/small-star rounds —
+    * the deep-cluster upgrade path to [[dupClusters]]: min-label propagation
+    * needs diameter-many rounds (a 1000-link chain = 1000 shuffles), while
+    * star contraction converges in O(log²) rounds because every round halves
+    * star depth. Each round is two min-aggregates + two equi-joins (no
+    * neighbor arrays, no driver state); the fixpoint is detected with a
+    * (count, Σxxhash64) signature — one tiny aggregate per round on the
+    * already-materialized frame. Returns the same (id, label) contract as
+    * [[dupClusters]] (label = component minimum; spec-asserted equal), with
+    * the same optional reliable `checkpointDir` truncation mode. */
+  def dupClustersStar(
+      pairs: DataFrame,
+      maxIters: Int = 25,
+      checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+    val raw = pairs.select(col("id1").as("u"), col("id2").as("v"))
+      .where(col("u") =!= col("v"))
+    val nodes = truncate(
+      raw.select(col("u").as("id")).union(raw.select(col("v").as("id"))).distinct())
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(xxhash64(col("u"), col("v"))), lit(0L)).as("h")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var edges = truncate(
+      raw.select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .distinct())
+    var sig = signature(edges)
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      val next = truncate(smallStar(largeStar(edges)))
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      edges.unpersist()
+      edges = next
+      sig = nextSig
+      iters += 1
+    }
+    // at the fixpoint the edge set is a forest of stars rooted at component
+    // minima; isolated roots label themselves
+    nodes
+      .join(edges.groupBy("u").agg(min("v").as("lbl"))
+        .select(col("u").as("id"), col("lbl")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("label"))
+  }
+
   /** Exact all-pairs embedding similarity (the verification tier beneath the
     * LSH path): every id1<id2 pair scored with the bit-reproducible fused
     * cosine. O(n²) by design — use for corpus slices / ground truth; the

@@ -124,6 +124,29 @@ object NormalEq {
       "rmse" -> "sqrt(sse / CAST(n AS DOUBLE))")
   }
 
+  /** The solve half alone: applies the generated elimination (and optional
+    * diagnostics) to a frame that already carries the n/m0_i_j[/m_yy]
+    * columns. Separate from [[ridgeFit]] so the stats half can run
+    * elsewhere — e.g. as an INCREMENTAL Structured Streaming aggregate
+    * whose per-key state is exactly the fixed-size statistics vector. */
+  def solveStats(
+      stats: DataFrame,
+      k: Int,
+      groupKeys: Seq[String],
+      lambda: Long,
+      diagnostics: Boolean = false): DataFrame = {
+    val diag =
+      if (diagnostics) diagnosticsFormulas(k, lambda).map(Seq(_)) else Nil
+    val stages = eliminationStages(k) ++ diag
+    val solved = stages.foldLeft(stats) {
+      (acc, stage) => acc.selectExpr("*" +: stage.map { case (n, e) => s"$e AS $n" }: _*)
+    }
+    val extra = if (diagnostics) diagnosticsFormulas(k, lambda).map(_._1) else Nil
+    solved.select(
+      (groupKeys :+ "n").map(col) ++ (0 until k).map(i => col(s"beta_$i"))
+        ++ extra.map(col): _*)
+  }
+
   /** Full fit: exact stats → generated elimination → one beta column per
     * design coordinate (beta_0 is the intercept). With `diagnostics`, the
     * scorecard columns (sse, sst, r2, rmse) ride along — still zero extra
@@ -134,19 +157,10 @@ object NormalEq {
       features: Seq[Column],
       y: Column,
       lambda: Long,
-      diagnostics: Boolean = false): DataFrame = {
-    val k = features.size + 1
-    val diag =
-      if (diagnostics) diagnosticsFormulas(k, lambda).map(Seq(_)) else Nil
-    val stages = eliminationStages(k) ++ diag
-    val solved = stages.foldLeft(ridgeStats(df, groupKeys, features, y, lambda)) {
-      (acc, stage) => acc.selectExpr("*" +: stage.map { case (n, e) => s"$e AS $n" }: _*)
-    }
-    val extra = if (diagnostics) diagnosticsFormulas(k, lambda).map(_._1) else Nil
-    solved.select(
-      (groupKeys :+ "n").map(col) ++ (0 until k).map(i => col(s"beta_$i"))
-        ++ extra.map(col): _*)
-  }
+      diagnostics: Boolean = false): DataFrame =
+    solveStats(
+      ridgeStats(df, groupKeys, features, y, lambda),
+      features.size + 1, groupKeys, lambda, diagnostics)
 
   /** DuckDB mirror of the solve: one CTE per elimination stage over a stats
     * CTE named `stats` that must expose the same `n` and `m0_i_j` DOUBLE

@@ -571,17 +571,27 @@ object Corpus {
     * doc+2M for doc < 15), giving 2- and 3-member clusters whose canonical
     * keeper is the original id; any natural pair the threshold does admit is
     * mirrored identically by the oracle's recursive-CTE closure. */
-  def dupClusterLabels(s: SparkSession, d: String): DataFrame = {
+  private def clonePairGraph(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val clones1 = docs.filter(col("doc_id") < 30)
       .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
     val clones2 = docs.filter(col("doc_id") < 15)
       .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
-    val pairs = Dedup
+    Dedup
       .jaccardPairs(docs.unionByName(clones1).unionByName(clones2), "doc_id", "text", 3)
       .filter(col("jaccard") >= 0.8)
-    Dedup.dupClusters(pairs).orderBy("id")
   }
+
+  def dupClusterLabels(s: SparkSession, d: String): DataFrame =
+    Dedup.dupClusters(clonePairGraph(s, d)).orderBy("id")
+
+  /** DD8: the same component resolution through the large-star/small-star
+    * contraction ([[Dedup.dupClustersStar]]) — the algorithm a 100 TB corpus
+    * with DEEP duplicate chains needs (log-round convergence vs diameter-
+    * round label propagation). Same pair graph and the same recursive-CTE
+    * oracle as q_dd6: two independent algorithms, one hash-gated answer. */
+  def dupClusterLabelsStar(s: SparkSession, d: String): DataFrame =
+    Dedup.dupClustersStar(clonePairGraph(s, d)).orderBy("id")
 
   /** Bucketed-layout tables for [[bucketedOrdersJoin]], written once per
     * (session, sf): the shuffle is paid at write time, every later join on
@@ -659,6 +669,24 @@ object Corpus {
         sum("NetDailyQuantity").as("total_qty"),
         count(lit(1)).as("n_rows"))
       .orderBy("Year")
+  }
+
+  private val rebalancedCache = TrieMap.empty[(SparkSession, String), String]
+
+  /** S10: sized-output write + read-back — the daily grain written through
+    * [[graft.operators.Output.sizedParquetWrite]] (AQE REBALANCE hint +
+    * maxRecordsPerFile) and read back. The layout mechanisms act on file
+    * boundaries only, so the oracle is the plain query: any row lost,
+    * duplicated, or mutated by the rebalance exchange would hash-mismatch.
+    * File-count and per-file-bound assertions live in OperatorsSpec. */
+  def rebalancedRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val path = rebalancedCache.getOrElseUpdate((s, d), {
+      val dir = java.nio.file.Files.createTempDirectory("graft-rebalanced").toString
+      graft.operators.Output.sizedParquetWrite(
+        daily(s, d).select("Country", "StockCode", "InvoiceDate", "NetDailyQuantity"),
+        dir, maxRecordsPerFile = 20000L)
+    })
+    s.read.parquet(path).orderBy("Country", "StockCode", "InvoiceDate")
   }
 
   private val orcCache = TrieMap.empty[(SparkSession, String), String]
@@ -869,6 +897,36 @@ object Corpus {
     try q.processAllAvailable()
     finally q.stop()
     s.table(sink).orderBy("hour", "event_type")
+  }
+
+  /** E7: ONLINE MODEL FITTING — the NormalEq sufficient statistics
+    * maintained as an incremental Structured Streaming aggregate (per-key
+    * state = the fixed-size statistics vector: 8 decimal sums + count for
+    * the 3-variable design), then solved by the shared elimination text
+    * once the stream drains. The scale story: a perpetual stream keeps a
+    * per-key REGRESSION MODEL continuously up to date for the state cost
+    * of ~10 numbers per key — no retraining scans, no solver iterations —
+    * and because decimal sums are exact and order-independent, the
+    * incremental fit is bit-identical to the batch fit, which is the
+    * oracle (same stats SQL, same elimination CTEs). y is floor(value·100)
+    * (floor, not round: IEEE floor is engine-identical; round's half-case
+    * convention is not). */
+  def streamedRidge(s: SparkSession, d: String): DataFrame = {
+    import graft.ml.NormalEq
+    val ev = eventStream(s, d).select(
+      col("event_type"),
+      hour(col("ts")).as("h"),
+      dayofweek(col("ts")).as("dw"),
+      floor(col("value") * 100).cast("long").as("y100"))
+    val stats = NormalEq.ridgeStats(
+      ev, Seq("event_type"), Seq(col("h"), col("dw")), col("y100"), lambda = 10L)
+    val sink = "graft_stream_ridge_" + java.util.UUID.randomUUID().toString.take(8)
+    val q = stats.writeStream.format("memory").queryName(sink)
+      .outputMode("complete").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    NormalEq.solveStats(s.table(sink), 3, Seq("event_type"), 10L)
+      .orderBy("event_type")
   }
 
   /** E2: batch sessionization via session_window (same operator Structured
@@ -1651,6 +1709,25 @@ object Corpus {
       .select("vec_id")
   }
 
+  /** The PQ codebooks per (session, sf): trained once on the natural corpus
+    * (deterministic keyed-order sample), like the IVF quantizer. */
+  private val pqCache = TrieMap.empty[(SparkSession, String), graft.similarity.Pq.Codebooks]
+
+  /** ANN5: product-quantized top-20 over the clone-injected corpus — the
+    * COMPRESSION tier of the ANN family (codes are ~64× smaller than the
+    * vectors; the candidate scan is table lookups over the code column,
+    * [[graft.similarity.Pq]]). Recall-oracled like q_ann2/q_ann3: every
+    * planted exact match must survive the ADC scan + exact rerank or rows
+    * go missing from the literal expected set. */
+  def annPqTopK(s: SparkSession, d: String): DataFrame = {
+    import graft.similarity.Pq
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val cb = pqCache.getOrElseUpdate((s, d), Pq.fit(emb, "embedding"))
+    Pq.topK(s, withQueryClones(emb), "vec_id", "embedding", cb,
+      queryVector(s, d), 20)
+      .select("vec_id")
+  }
+
   // ---- multimodal -----------------------------------------------------------
 
   /** Media fixture blobs cached per (session, sf): generating the payloads
@@ -1938,9 +2015,11 @@ object Corpus {
     "q_f6_datetime" -> (datetimeFunctions _),
     "q_s7_partitioned_scan" -> (partitionedScan _),
     "q_s9_dpp_join" -> (dppJoin _),
+    "q_s10_rebalanced_write" -> (rebalancedRoundtrip _),
     "q_s8_orc_roundtrip" -> (orcRoundtrip _),
     "q_e5_stream_dedup" -> (streamedDedup _),
     "q_e6_stream_join" -> (streamedIntervalJoin _),
+    "q_e7_stream_ridge" -> (streamedRidge _),
     "q_w9_range_frame" -> (rangeFrameWeek _),
     "q_w14_salted_trailing" -> (saltedTrailing _),
     "q_w15_block_cumsum" -> (blockCumsumDaily _),
@@ -1976,6 +2055,7 @@ object Corpus {
     "q_o5_det_shuffle" -> (detShuffle _),
     "q_o6_salted_agg" -> (saltedCountryKpi _),
     "q_dd6_dup_clusters" -> (dupClusterLabels _),
+    "q_dd8_star_clusters" -> (dupClusterLabelsStar _),
     "q_dd7_edit_verify" -> (editDistanceVerify _),
     "q_j8_bucketed_join" -> (bucketedOrdersJoin _),
     "q_j9_shuffle_hash" -> (joinShuffleHash _),
@@ -1999,6 +2079,7 @@ object Corpus {
     "q_ann2_lsh_topk" -> (annLshTopK _),
     "q_ann3_ivf_topk" -> (annIvfTopK _),
     "q_ann4_centroids" -> (labelCentroids _),
+    "q_ann5_pq_topk" -> (annPqTopK _),
     "q_mm1_blob_meta" -> (blobMeta _),
     "q_mm2_frame_sample" -> (frameSample _),
     "q_mm3_audio_meta" -> (audioMeta _),

@@ -199,6 +199,46 @@ object Oracle {
     floorAvg9("err_model", "bias_model"),
     floorAvg9("err_baseline", "bias_baseline")).mkString(",\n       ")
 
+  /** Connected components of the q_dd6/q_dd8 injected-clone pair graph
+    * via a recursive-CTE closure — shared by both cluster-resolution
+    * algorithms (min-label propagation and star contraction). */
+  private val dupClustersSql: String =
+    """WITH RECURSIVE base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 30
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 15),
+        |n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM base),
+        |tk AS (SELECT doc_id, regexp_extract_all(norm, '\S+') AS toks FROM n),
+        |wp AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+        |  FROM tk WHERE len(toks) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         array_to_string(toks[CAST(i AS INTEGER):CAST(i AS INTEGER)+2], ' ') AS shingle
+        |  FROM wp),
+        |hot AS (SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) > 1000),
+        |pr AS (SELECT doc_id, shingle FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+        |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM pr GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM pr a JOIN pr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id1, id2
+        |  FROM inter JOIN cnt ca ON ca.doc_id = id1 JOIN cnt cb ON cb.doc_id = id2
+        |  WHERE CAST(n_common AS DOUBLE) / CAST(ca.n + cb.n - n_common AS DOUBLE)
+        |        >= CAST(0.8 AS DOUBLE)),
+        |e AS (SELECT id1 AS s, id2 AS t FROM pairs UNION SELECT id2, id1 FROM pairs),
+        |nodes AS (SELECT DISTINCT s AS id FROM e),
+        |reach AS (
+        |  SELECT id, id AS r FROM nodes
+        |  UNION
+        |  SELECT reach.id, e.t AS r FROM reach JOIN e ON e.s = reach.r)
+        |SELECT CAST(id AS BIGINT) AS id, CAST(MIN(r) AS BIGINT) AS label
+        |FROM reach GROUP BY id ORDER BY id""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q_a1_scan_count" ->
       "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem",
@@ -730,6 +770,13 @@ object Oracle {
     "q_s7_partitioned_scan" -> withDaily(
       s"""SELECT Country, StockCode, $tsDate, Year, NetDailyQuantity
          |FROM daily WHERE Year = 1997
+         |ORDER BY Country, StockCode, InvoiceDate""".stripMargin),
+
+    // Mirrors Corpus.rebalancedRoundtrip — the sized write changes file
+    // boundaries only, so the oracle is the plain projected daily grain.
+    "q_s10_rebalanced_write" -> withDaily(
+      s"""SELECT Country, StockCode, $tsDate, NetDailyQuantity
+         |FROM daily
          |ORDER BY Country, StockCode, InvoiceDate""".stripMargin),
 
     // Mirrors Corpus.dppJoin — dynamic partition pruning changes only the
@@ -1280,6 +1327,16 @@ object Oracle {
         |SELECT CAST(1000000 + unnest(generate_series(0, 18)) AS BIGINT)
         |ORDER BY vec_id""".stripMargin,
 
+    // Same recall contract for the PQ tier: the 19 planted clones + the
+    // query vector itself are the only cosine-1.0 vectors, so the exact
+    // top-20 is this literal set — the ADC scan must carry every one of
+    // them into the rerank or rows go missing.
+    "q_ann5_pq_topk" ->
+      """SELECT CAST(0 AS BIGINT) AS vec_id
+        |UNION ALL
+        |SELECT CAST(1000000 + unnest(generate_series(0, 18)) AS BIGINT)
+        |ORDER BY vec_id""".stripMargin,
+
     "q_tp1_clean_corpus" ->
       s"""WITH t AS (SELECT doc_id, text, regexp_extract_all(text, '\\S+') AS toks FROM documents),
          |c AS (
@@ -1518,42 +1575,13 @@ object Oracle {
     // pruned-universe Jaccard pair graph at threshold 0.8, then connected
     // components as a recursive-CTE transitive closure — MIN(reachable id)
     // per node is exactly the fixpoint of min-label propagation.
-    "q_dd6_dup_clusters" ->
-      """WITH RECURSIVE base AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 30
-        |  UNION ALL
-        |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 15),
-        |n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM base),
-        |tk AS (SELECT doc_id, regexp_extract_all(norm, '\S+') AS toks FROM n),
-        |wp AS (
-        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
-        |  FROM tk WHERE len(toks) >= 3),
-        |sh AS (
-        |  SELECT DISTINCT doc_id,
-        |         array_to_string(toks[CAST(i AS INTEGER):CAST(i AS INTEGER)+2], ' ') AS shingle
-        |  FROM wp),
-        |hot AS (SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) > 1000),
-        |pr AS (SELECT doc_id, shingle FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
-        |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM pr GROUP BY 1),
-        |inter AS (
-        |  SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(COUNT(*) AS BIGINT) AS n_common
-        |  FROM pr a JOIN pr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT id1, id2
-        |  FROM inter JOIN cnt ca ON ca.doc_id = id1 JOIN cnt cb ON cb.doc_id = id2
-        |  WHERE CAST(n_common AS DOUBLE) / CAST(ca.n + cb.n - n_common AS DOUBLE)
-        |        >= CAST(0.8 AS DOUBLE)),
-        |e AS (SELECT id1 AS s, id2 AS t FROM pairs UNION SELECT id2, id1 FROM pairs),
-        |nodes AS (SELECT DISTINCT s AS id FROM e),
-        |reach AS (
-        |  SELECT id, id AS r FROM nodes
-        |  UNION
-        |  SELECT reach.id, e.t AS r FROM reach JOIN e ON e.s = reach.r)
-        |SELECT CAST(id AS BIGINT) AS id, CAST(MIN(r) AS BIGINT) AS label
-        |FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    "q_dd6_dup_clusters" -> dupClustersSql,
+
+    // q_dd8 resolves the SAME pair graph with the large-star/small-star
+    // contraction instead of min-label propagation — two independent
+    // algorithms, one oracle: any divergence between them is a bug in one.
+    "q_dd8_star_clusters" -> dupClustersSql,
+
 
     // Mirrors Corpus.bucketedOrdersJoin: the bucketed layout changes only
     // the physical plan (Exchange-free zip of bucket files, plan-asserted in
@@ -1739,6 +1767,20 @@ object Oracle {
     // recomputes the same coalesced lag windows, the same exact integer
     // sufficient statistics, and the same generated elimination text.
     "q_ml4_ridge_lags" -> withDaily(s",$ridgeLagSql"),
+
+    // Mirrors Corpus.streamedRidge: the incremental streaming fit must be
+    // bit-identical to the batch fit — decimal sufficient statistics are
+    // exact and order-independent, so the oracle is simply the batch stats
+    // + the shared elimination text over the events table.
+    "q_e7_stream_ridge" ->
+      s"""WITH ev AS (
+         |  SELECT event_type,
+         |         CAST(hour(ts) AS BIGINT) AS h,
+         |         CAST(dayofweek(ts) + 1 AS BIGINT) AS dw,
+         |         CAST(floor(value * 100) AS BIGINT) AS y
+         |  FROM events),
+         |${ridgeStatsSql(Seq("h", "dw"), "y", "ev", Seq("event_type"))}
+         |${graft.ml.NormalEq.oracleSolveSql(3, Seq("event_type"))}""".stripMargin,
 
     // Mirrors Corpus.ridgeScorecard: the q_ml3 fit plus the generated
     // diagnostics text — per-country SSE/SST/R²/RMSE from the same exact

@@ -78,6 +78,26 @@ class OperatorsSpec extends SparkSpec {
     assert(df.collect().map(_.toSeq).toSeq === plain.toSeq)
   }
 
+  test("sized parquet write bounds file row counts and loses nothing (q_s10)") {
+    // skew the input into one giant partition + many tiny ones, then demand
+    // an even bounded layout back
+    val rows = (1 to 9000).map(i => ("HOT", i)) ++ (1 to 900).map(i => (s"k$i", i))
+    val df = rows.toDF("key", "v").repartition(col("key")) // all of HOT in one partition
+    val dir = java.nio.file.Files.createTempDirectory("graft-sized-out").toString
+    Output.sizedParquetWrite(df, dir, maxRecordsPerFile = 1000L)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length >= 10, s"expected >=10 bounded files, got ${files.length}")
+    files.foreach { f =>
+      val n = spark.read.parquet(f).count()
+      assert(n <= 1000, s"file $f has $n rows > maxRecordsPerFile")
+    }
+    // layout only — content round-trips exactly
+    val back = spark.read.parquet(dir).orderBy("key", "v").collect().map(_.toSeq)
+    val orig = df.orderBy("key", "v").collect().map(_.toSeq)
+    assert(back.toSeq === orig.toSeq)
+  }
+
   test("dim-filtered join plants a dynamicpruning subquery in the fact scan (q_s9)") {
     // No literal Year predicate reaches the fact side — the pruning filter
     // must come from the dimension's broadcast at runtime (DPP). The scan's

@@ -81,6 +81,34 @@ class CorpusCleanerSpec extends SparkSpec {
     assert(nNodes < 60, s"optimized plan has $nNodes nodes — lineage not truncated")
   }
 
+  test("star contraction equals min-label propagation on chains, stars, and merged components") {
+    // deep chain (worst case for label propagation), a star, two components
+    // merged by one bridge edge, an isolated pair — plus reversed-order
+    // edges so direction normalization is exercised
+    val pairs = (
+      (100L to 140L).sliding(2).map(p => (p(1), p.head)).toSeq ++ // 40-link chain
+        (0 until 8).map(i => (500L + i, 200L)) ++                 // star onto 200
+        Seq((300L, 301L), (302L, 303L), (301L, 302L)) ++          // bridge merge
+        Seq((901L, 900L))                                          // isolated pair
+      ).toDF("id1", "id2")
+    val star = Dedup.dupClustersStar(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = Dedup.dupClusters(pairs, maxIters = 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star === prop)
+    assert(star(140L) === 100L && star(507L) === 200L && star(303L) === 300L)
+  }
+
+  test("star contraction converges within the log-round budget on a deep chain") {
+    // a 200-link chain needs 200 label-propagation rounds; the star
+    // algorithm must finish far inside a 25-round cap (O(log^2 n))
+    val pairs = (1000L to 1200L).sliding(2).map(p => (p(1), p.head))
+      .toSeq.toDF("id1", "id2")
+    val labels = Dedup.dupClustersStar(pairs, maxIters = 25)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === (1000L to 1200L).map(_ -> 1000L).toMap)
+  }
+
   test("dup clusters: reliable-checkpoint mode converges to identical labels") {
     // Same deep-chain graph through the fault-tolerant truncation mode
     // (checkpoint files instead of executor-local blocks) — the labels must
