@@ -37,4 +37,34 @@ object Output {
       .parquet(dir)
     dir
   }
+
+  /** MERGE/upsert as a join (the CDC maintenance primitive OSS parquet
+    * lacks a native MERGE INTO for): rows of `updates` replace same-key
+    * rows of `base`, new keys append, optional `deleteFlag` column in
+    * `updates` drops the key. One full-outer equi-join on the key — the
+    * shape every table-format MERGE compiles to underneath; with a small
+    * changeset the join side broadcasts and the base is never shuffled.
+    * Both frames must share the non-key column set. */
+  def mergeUpsert(
+      base: DataFrame,
+      updates: DataFrame,
+      keys: Seq[String],
+      deleteFlag: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val payload = base.columns.filterNot(keys.contains)
+    val u = deleteFlag.foldLeft(updates)((df, f) =>
+      df.withColumnRenamed(f, "__delete"))
+    val b = payload.foldLeft(base)((df, c) => df.withColumnRenamed(c, s"__b_$c"))
+    val joined = b.join(
+      u.withColumn("__upd", lit(true)),
+      keys, "full_outer")
+    val merged = payload.foldLeft(joined)((df, c) =>
+      df.withColumn(c,
+        when(col("__upd").isNotNull, col(c)).otherwise(col(s"__b_$c"))))
+    val alive = deleteFlag match {
+      case Some(_) => merged.where(coalesce(col("__delete"), lit(false)) === false)
+      case None => merged
+    }
+    alive.select(keys.map(col) ++ payload.map(col): _*)
+  }
 }

@@ -671,6 +671,27 @@ object Corpus {
       .orderBy("Year")
   }
 
+  /** U4: MERGE/upsert maintenance ([[graft.operators.Output.mergeUpsert]]) —
+    * a CDC changeset (updates to every 10th customer, half of them deletes,
+    * plus brand-new keys) applied to the customer table as one full-outer
+    * equi-join, the shape every table-format MERGE INTO compiles to. The
+    * changeset is derived deterministically from the table itself so the
+    * oracle replays the identical merge in SQL: lost updates, ghost
+    * deletes, or dropped inserts all hash-mismatch. */
+  def mergeUpsertCustomers(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Output
+    val base = Tables.customer(s, d)
+      .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"), col("c_acctbal"))
+    val upd = base.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), col("c_name"), (col("c_acctbal") + 1000.0).as("c_acctbal"))
+      .withColumn("is_delete", col("c_custkey") % 20 === 0)
+    val ins = base.filter(col("c_custkey") % 7 === 3)
+      .select((col("c_custkey") + 900000L).as("c_custkey"), col("c_name"), col("c_acctbal"))
+      .withColumn("is_delete", lit(false))
+    Output.mergeUpsert(base, upd.unionByName(ins), Seq("c_custkey"), Some("is_delete"))
+      .orderBy("c_custkey")
+  }
+
   private val rebalancedCache = TrieMap.empty[(SparkSession, String), String]
 
   /** S10: sized-output write + read-back — the daily grain written through
@@ -1614,6 +1635,49 @@ object Corpus {
   def cleanCorpus(s: SparkSession, d: String): DataFrame =
     graft.pipeline.CorpusCleaner.clean(s, Tables.documents(s, d))
 
+  /** TP4: PASSAGE-level dedup (the Lee-et-al-style "repeated substring"
+    * cleanup at chunk granularity): the corpus is exploded into fixed
+    * 16-token chunks, each distinct chunk keeps only its FIRST occurrence
+    * (global (doc_id, position) order), and documents are reassembled from
+    * their surviving chunks — injected clone docs (ids 3000000+) lose every
+    * chunk to the originals and vanish. Scale shape: skinny (chunk, doc,
+    * pos) rows; the first-occurrence resolution is one hash aggregate on
+    * the chunk key (min-struct, map-side combinable) + one equi-join; the
+    * reassembly is a per-doc sort_array — no window over the corpus, no
+    * arrays across the dedup shuffle except the ≤16-token chunk text
+    * itself. The oracle mirrors chunking, first-occurrence, and reassembly
+    * in SQL, so drop/keep/reorder bugs all hash-mismatch. */
+  def passageDedup(s: SparkSession, d: String): DataFrame = {
+    val w = 16
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val clones = docs.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
+    val toks = TextFunctions.tokens(TextFunctions.normText(col("text")))
+    val nChunks = floor((size(toks) + lit(w - 1)) / lit(w.toDouble)).cast("int")
+    val chunked = docs.unionByName(clones)
+      .select(
+        col("doc_id"),
+        when(size(toks) > 0,
+          transform(sequence(lit(0), nChunks - 1),
+            i => array_join(slice(toks, i * w + 1, lit(w)), " ")))
+          .otherwise(array().cast("array<string>")).as("chunks"))
+      .select(col("doc_id"), posexplode(col("chunks")))
+      .withColumnsRenamed(Map("pos" -> "idx", "col" -> "chunk"))
+    val first = chunked.groupBy("chunk")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("first"))
+    val kept = chunked.join(first, "chunk")
+      .where(struct(col("doc_id"), col("idx")) === col("first"))
+    kept.groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("idx"), col("chunk")))),
+            c => c.getField("chunk")),
+          " ").as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** TP2: the cluster-resolved cleaning pipeline — near-dups collapsed to
     * one representative per connected component (quality gate → exact dedup
     * → Jaccard pair graph → dupClusters → keep cluster minima). Full SQL
@@ -2005,6 +2069,7 @@ object Corpus {
     "q_f7_from_json" -> (fromJsonParse _),
     "q_f5_arrays" -> (arrayFunctions _),
     "q_u3_unpivot" -> (unpivotKpis _),
+    "q_u4_merge_upsert" -> (mergeUpsertCustomers _),
     "q_w11_dist" -> (distWindows _),
     "q_w12_densify" -> (densifiedDailyTotals _),
     "q_w13_ratio_to_report" -> (ratioToReport _),
@@ -2066,6 +2131,7 @@ object Corpus {
     "q_tp1_clean_corpus" -> (cleanCorpus _),
     "q_tp2_clean_clustered" -> (cleanCorpusClustered _),
     "q_tp3_clean_decontaminated" -> (cleanCorpusDecontaminated _),
+    "q_tp4_passage_dedup" -> (passageDedup _),
     "q_ml1_forecast_kpi" -> (mlForecastKpi _),
     "q_ml2_ols_fit" -> (olsFit _),
     "q_ml3_ridge_fit" -> (ridgeMultiFit _),

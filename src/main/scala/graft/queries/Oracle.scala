@@ -1337,6 +1337,33 @@ object Oracle {
         |SELECT CAST(1000000 + unnest(generate_series(0, 18)) AS BIGINT)
         |ORDER BY vec_id""".stripMargin,
 
+    // Mirrors Corpus.passageDedup: same chunking arithmetic, the same
+    // (doc_id, idx)-ordered first-occurrence rule (ROW_NUMBER ≡ Spark's
+    // min-struct on the unique key), and ordered string_agg reassembly.
+    "q_tp4_passage_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, text FROM documents WHERE doc_id < 20),
+        |t AS (
+        |  SELECT doc_id,
+        |         regexp_extract_all(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\S+') AS toks
+        |  FROM base),
+        |c AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS idx,
+        |         array_to_string(toks[CAST(i * 16 + 1 AS INTEGER) : CAST(i * 16 + 16 AS INTEGER)], ' ') AS chunk
+        |  FROM t, unnest(generate_series(0, CAST(floor((len(toks) + 15) / 16.0) AS INTEGER) - 1)) AS g(i)
+        |  WHERE len(toks) > 0),
+        |k AS (
+        |  SELECT doc_id, idx, chunk,
+        |         ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+        |  FROM c)
+        |SELECT doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |       string_agg(chunk, ' ' ORDER BY idx) AS clean_text
+        |FROM k WHERE rn = 1
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q_tp1_clean_corpus" ->
       s"""WITH t AS (SELECT doc_id, text, regexp_extract_all(text, '\\S+') AS toks FROM documents),
          |c AS (
@@ -1594,6 +1621,26 @@ object Oracle {
         |       CAST(COUNT(*) AS BIGINT) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Mirrors Corpus.mergeUpsertCustomers — the same deterministic CDC
+    // changeset merged with the same full-outer semantics.
+    "q_u4_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS k, c_name, c_acctbal FROM customer),
+        |upd AS (
+        |  SELECT k, c_name, c_acctbal + 1000.0 AS c_acctbal, (k % 20 = 0) AS del
+        |  FROM base WHERE k % 10 = 0
+        |  UNION ALL
+        |  SELECT k + 900000, c_name, c_acctbal, false FROM base WHERE k % 7 = 3),
+        |merged AS (
+        |  SELECT COALESCE(u.k, b.k) AS k,
+        |         CASE WHEN u.k IS NOT NULL THEN u.c_name ELSE b.c_name END AS c_name,
+        |         CASE WHEN u.k IS NOT NULL THEN u.c_acctbal ELSE b.c_acctbal END AS c_acctbal,
+        |         u.del
+        |  FROM base b FULL OUTER JOIN upd u ON b.k = u.k)
+        |SELECT k AS c_custkey, c_name, c_acctbal
+        |FROM merged WHERE COALESCE(del, false) = false
+        |ORDER BY c_custkey""".stripMargin,
 
     "q_j8_bucketed_join" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, c_name
