@@ -41,10 +41,17 @@ object Output {
   /** MERGE/upsert as a join (the CDC maintenance primitive OSS parquet
     * lacks a native MERGE INTO for): rows of `updates` replace same-key
     * rows of `base`, new keys append, optional `deleteFlag` column in
-    * `updates` drops the key. One full-outer equi-join on the key — the
-    * shape every table-format MERGE compiles to underneath; with a small
-    * changeset the join side broadcasts and the base is never shuffled.
-    * Both frames must share the non-key column set. */
+    * `updates` drops the key.
+    *
+    * Shape: `base ANTI JOIN updates ∪ (updates WHERE NOT delete)` — NOT a
+    * full-outer join, deliberately. A full-outer merge can never broadcast
+    * (Spark's BroadcastHashJoin does not support full outer), so it would
+    * shuffle the entire 100 TB base for a 1 MB changeset. The anti join
+    * *does* broadcast its right side, so untouched base rows stream through
+    * map-side with zero shuffle, and the changeset (which carries the full
+    * payload — both frames must share the non-key column set) supplies the
+    * updated and inserted rows by union. Semantically identical to the
+    * full-outer formulation because updates are whole-row. */
   def mergeUpsert(
       base: DataFrame,
       updates: DataFrame,
@@ -52,19 +59,13 @@ object Output {
       deleteFlag: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     val payload = base.columns.filterNot(keys.contains)
-    val u = deleteFlag.foldLeft(updates)((df, f) =>
-      df.withColumnRenamed(f, "__delete"))
-    val b = payload.foldLeft(base)((df, c) => df.withColumnRenamed(c, s"__b_$c"))
-    val joined = b.join(
-      u.withColumn("__upd", lit(true)),
-      keys, "full_outer")
-    val merged = payload.foldLeft(joined)((df, c) =>
-      df.withColumn(c,
-        when(col("__upd").isNotNull, col(c)).otherwise(col(s"__b_$c"))))
-    val alive = deleteFlag match {
-      case Some(_) => merged.where(coalesce(col("__delete"), lit(false)) === false)
-      case None => merged
+    val cols = keys.map(col) ++ payload.map(col)
+    val untouched = base.join(broadcast(updates.select(keys.map(col): _*)),
+      keys, "left_anti")
+    val applied = deleteFlag match {
+      case Some(f) => updates.where(coalesce(col(f), lit(false)) === false)
+      case None => updates
     }
-    alive.select(keys.map(col) ++ payload.map(col): _*)
+    untouched.select(cols: _*).unionByName(applied.select(cols: _*))
   }
 }

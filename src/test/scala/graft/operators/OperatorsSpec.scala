@@ -286,4 +286,33 @@ class OperatorsSpec extends SparkSpec {
       .head.getDouble(1)
     assert(salted === plain)
   }
+
+  test("mergeUpsert applies updates, inserts, and deletes via a broadcast anti join") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+      .toDF("k", "name", "bal")
+    val changes = Seq(
+      (2L, "b2", 99.0, false), // update
+      (3L, "c", 30.0, true),   // delete
+      (9L, "new", 1.0, false)) // insert
+      .toDF("k", "name", "bal", "del")
+    val merged = Output.mergeUpsert(base, changes, Seq("k"), Some("del"))
+    val got = merged.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(got === Seq((1L, "a", 10.0), (2L, "b2", 99.0), (4L, "d", 40.0), (9L, "new", 1.0)))
+    // the scale contract: the base side is never shuffled — the changeset
+    // broadcasts into a LeftAnti BroadcastHashJoin (a full-outer merge
+    // could never do this; BHJ does not support full outer)
+    val plan = merged.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected broadcast anti join in plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"base side was shuffled:\n$plan")
+  }
+
+  test("mergeUpsert without a delete flag upserts only") {
+    val base = Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v")
+    val changes = Seq((2L, 5.0), (3L, 3.0)).toDF("k", "v")
+    val got = Output.mergeUpsert(base, changes, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(got === Seq((1L, 1.0), (2L, 5.0), (3L, 3.0)))
+  }
 }

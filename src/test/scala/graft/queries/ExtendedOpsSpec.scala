@@ -199,4 +199,28 @@ class ExtendedOpsSpec extends SparkSpec {
     val keys = rows.map(r => (-r.getAs[Long]("df"), r.getAs[String]("gram"))).toSeq
     assert(keys === keys.sorted)
   }
+
+  test("passage dedup: clones vanish and every surviving chunk is corpus-unique") {
+    val out = Corpus.passageDedup(spark, sf).cache()
+    try {
+      // injected clone docs (ids 3000000+) lose every chunk to the originals
+      assert(out.filter(col("doc_id") >= 3000000L).count() === 0L)
+      assert(out.count() > 0)
+      // the operator's defining invariant: re-chunking the reassembled
+      // texts at the same 16-token boundary recovers the kept chunks
+      // (all non-final chunks are exactly 16 tokens), and each distinct
+      // chunk appears exactly once across the whole cleaned corpus
+      val toks = split(col("clean_text"), " ")
+      val n = floor((size(toks) + lit(15)) / lit(16.0)).cast("int")
+      val rechunked = out.select(
+        explode(transform(sequence(lit(0), n - 1),
+          i => array_join(slice(toks, i * 16 + 1, lit(16)), " "))).as("chunk"))
+      val total = rechunked.count()
+      val distinct = rechunked.select("chunk").distinct().count()
+      assert(total === distinct, s"duplicate chunks survived: $total vs $distinct")
+      // and n_kept is consistent with the reassembled text
+      val bad = out.filter(n =!= col("n_kept")).count()
+      assert(bad === 0L, s"$bad docs where n_kept mismatches reassembled chunk count")
+    } finally out.unpersist()
+  }
 }
