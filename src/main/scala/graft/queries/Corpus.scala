@@ -673,10 +673,11 @@ object Corpus {
 
   /** U4: MERGE/upsert maintenance ([[graft.operators.Output.mergeUpsert]]) —
     * a CDC changeset (updates to every 10th customer, half of them deletes,
-    * plus brand-new keys) applied to the customer table as one full-outer
-    * equi-join, the shape every table-format MERGE INTO compiles to. The
-    * changeset is derived deterministically from the table itself so the
-    * oracle replays the identical merge in SQL: lost updates, ghost
+    * plus brand-new keys) applied to the customer table as a broadcast
+    * anti-join + union (NOT a full-outer join: that shape can never
+    * broadcast, so it would shuffle the whole base for a tiny changeset).
+    * The changeset is derived deterministically from the table itself so
+    * the oracle replays the identical merge in SQL: lost updates, ghost
     * deletes, or dropped inserts all hash-mismatch. */
   def mergeUpsertCustomers(s: SparkSession, d: String): DataFrame = {
     import graft.operators.Output
@@ -690,6 +691,84 @@ object Corpus {
       .withColumn("is_delete", lit(false))
     Output.mergeUpsert(base, upd.unionByName(ins), Seq("c_custkey"), Some("is_delete"))
       .orderBy("c_custkey")
+  }
+
+  /** U5: SCD Type 2 dimension build ([[graft.operators.Cdc.scd2]]) — the
+    * orders changelog (latest order per customer-day, by max orderkey)
+    * compressed into distinct consecutive (status, priority) versions with
+    * effective_from/effective_to validity stitched by one per-key window.
+    * The no-op-change collapse (LAG compare) and the validity stitch
+    * (LEAD) share one partitioning, so the whole dimension build is a
+    * single shuffle regardless of table size. */
+  def scd2Orders(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Cdc
+    import org.apache.spark.sql.expressions.Window
+    val perDay = Tables.orders(s, d)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+          .orderBy(col("o_orderkey").desc)))
+      .where(col("rn") === 1)
+      .select("o_custkey", "o_orderdate", "o_orderstatus", "o_orderpriority")
+    Cdc.scd2(perDay, Seq("o_custkey"), "o_orderdate",
+      Seq("o_orderstatus", "o_orderpriority"))
+      .orderBy("o_custkey", "effective_from")
+  }
+
+  /** U6: snapshot diff ([[graft.operators.Cdc.snapshotDiff]]) — the q_u4
+    * merged state diffed against the original customer table; every
+    * changeset row must resurface with the right change_type (update /
+    * delete / insert) and old/new payloads, and every untouched key must
+    * vanish from the diff. One co-partitioned full-outer join — the
+    * honest minimum when both snapshots are large. */
+  def snapshotDiffCustomers(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Cdc
+    val base = Tables.customer(s, d)
+      .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"), col("c_acctbal"))
+    Cdc.snapshotDiff(base, mergeUpsertCustomers(s, d), Seq("c_custkey"))
+      .orderBy("c_custkey")
+  }
+
+  /** A22: incremental aggregate maintenance ([[graft.operators.Cdc.applyDelta]])
+    * — the per-nation (sum acctbal, customer count) rollup updated under the
+    * q_u4 CDC changeset by applying SIGNED deltas (−before-image, +after-image)
+    * to the materialized aggregate: cost |groups| + |changeset|, never a base
+    * rescan. Sums ride DECIMAL end-to-end so the incremental path is
+    * bit-identical to the oracle's from-scratch aggregate over the merged
+    * table — any delta-sign or double-count bug hash-mismatches. (The
+    * before-image here is derived via a broadcast semi-join for the fixture;
+    * a real CDC feed carries before-images in the changelog.) */
+  def incrementalRollup(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Cdc
+    val base = Tables.customer(s, d).select(
+      col("c_custkey").cast("long").as("c_custkey"),
+      col("c_nationkey"), col("c_acctbal"))
+    val upd = base.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), col("c_nationkey"),
+        (col("c_acctbal") + 1000.0).as("c_acctbal"))
+      .withColumn("is_delete", col("c_custkey") % 20 === 0)
+    val ins = base.filter(col("c_custkey") % 7 === 3)
+      .select((col("c_custkey") + 900000L).as("c_custkey"),
+        col("c_nationkey"), col("c_acctbal"))
+      .withColumn("is_delete", lit(false))
+    val changes = upd.unionByName(ins)
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 6)
+    val oldAgg = base.groupBy("c_nationkey").agg(
+      sum(Exact.dec6(col("c_acctbal"))).cast(dec38).as("bal"),
+      count(lit(1)).as("n"))
+    val minus = base
+      .join(broadcast(changes.select("c_custkey")), Seq("c_custkey"), "left_semi")
+      .select(col("c_nationkey"),
+        (-Exact.dec6(col("c_acctbal"))).cast(dec38).as("bal"),
+        lit(-1L).as("n"))
+    val plus = changes.where(!col("is_delete"))
+      .select(col("c_nationkey"),
+        Exact.dec6(col("c_acctbal")).cast(dec38).as("bal"),
+        lit(1L).as("n"))
+    Cdc.applyDelta(oldAgg, minus.unionByName(plus), Seq("c_nationkey"))
+      .select(col("c_nationkey"),
+        col("bal").cast("double").as("total_bal"),
+        col("n").as("n_customers"))
+      .orderBy("c_nationkey")
   }
 
   private val rebalancedCache = TrieMap.empty[(SparkSession, String), String]
@@ -2070,6 +2149,9 @@ object Corpus {
     "q_f5_arrays" -> (arrayFunctions _),
     "q_u3_unpivot" -> (unpivotKpis _),
     "q_u4_merge_upsert" -> (mergeUpsertCustomers _),
+    "q_u5_scd2" -> (scd2Orders _),
+    "q_u6_snapshot_diff" -> (snapshotDiffCustomers _),
+    "q_a22_incremental_rollup" -> (incrementalRollup _),
     "q_w11_dist" -> (distWindows _),
     "q_w12_densify" -> (densifiedDailyTotals _),
     "q_w13_ratio_to_report" -> (ratioToReport _),

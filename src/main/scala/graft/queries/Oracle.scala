@@ -1622,6 +1622,79 @@ object Oracle {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Mirrors Corpus.scd2Orders: same per-day dedup (max orderkey), the
+    // same IS DISTINCT FROM change-compression (≡ Spark's !(a <=> lag a)),
+    // and the same LEAD validity stitch over surviving versions.
+    "q_u5_scd2" ->
+      """WITH d AS (
+        |  SELECT o_custkey, o_orderdate, o_orderstatus, o_orderpriority,
+        |         ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+        |                            ORDER BY o_orderkey DESC) AS rn
+        |  FROM orders),
+        |l AS (
+        |  SELECT o_custkey, o_orderdate, o_orderstatus, o_orderpriority,
+        |         LAG(o_orderstatus) OVER w AS ps,
+        |         LAG(o_orderpriority) OVER w AS pp
+        |  FROM d WHERE rn = 1
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)),
+        |c AS (
+        |  SELECT * FROM l
+        |  WHERE o_orderstatus IS DISTINCT FROM ps
+        |     OR o_orderpriority IS DISTINCT FROM pp)
+        |SELECT o_custkey, o_orderstatus, o_orderpriority,
+        |       CAST(o_orderdate AS TIMESTAMP) AS effective_from,
+        |       CAST(LEAD(o_orderdate) OVER w2 AS TIMESTAMP) AS effective_to,
+        |       (LEAD(o_orderdate) OVER w2 IS NULL) AS is_current
+        |FROM c
+        |WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+        |ORDER BY o_custkey, effective_from""".stripMargin,
+
+    // Mirrors Corpus.snapshotDiffCustomers: the q_u4 merge replayed, then
+    // a full-outer diff keeping only changed keys, null-safe on payloads.
+    "q_u6_snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS k, c_name, c_acctbal FROM customer),
+        |upd AS (
+        |  SELECT k, c_name, c_acctbal + 1000.0 AS c_acctbal, (k % 20 = 0) AS del
+        |  FROM base WHERE k % 10 = 0
+        |  UNION ALL
+        |  SELECT k + 900000, c_name, c_acctbal, false FROM base WHERE k % 7 = 3),
+        |newsnap AS (
+        |  SELECT k, c_name, c_acctbal FROM base WHERE k NOT IN (SELECT k FROM upd)
+        |  UNION ALL
+        |  SELECT k, c_name, c_acctbal FROM upd WHERE NOT del)
+        |SELECT COALESCE(b.k, n.k) AS c_custkey,
+        |       CASE WHEN b.k IS NULL THEN 'insert'
+        |            WHEN n.k IS NULL THEN 'delete'
+        |            ELSE 'update' END AS change_type,
+        |       b.c_name AS old_c_name, n.c_name AS new_c_name,
+        |       b.c_acctbal AS old_c_acctbal, n.c_acctbal AS new_c_acctbal
+        |FROM base b FULL OUTER JOIN newsnap n ON b.k = n.k
+        |WHERE b.k IS NULL OR n.k IS NULL
+        |   OR b.c_name IS DISTINCT FROM n.c_name
+        |   OR b.c_acctbal IS DISTINCT FROM n.c_acctbal
+        |ORDER BY c_custkey""".stripMargin,
+
+    // Mirrors Corpus.incrementalRollup from scratch: the oracle aggregates
+    // the MERGED table directly — if the incremental signed-delta path
+    // double-counts, drops, or mis-signs anything, the decimal sums differ.
+    "q_a22_incremental_rollup" ->
+      """WITH base AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS k, c_nationkey, c_acctbal FROM customer),
+        |upd AS (
+        |  SELECT k, c_nationkey, c_acctbal + 1000.0 AS c_acctbal, (k % 20 = 0) AS del
+        |  FROM base WHERE k % 10 = 0
+        |  UNION ALL
+        |  SELECT k + 900000, c_nationkey, c_acctbal, false FROM base WHERE k % 7 = 3),
+        |merged AS (
+        |  SELECT k, c_nationkey, c_acctbal FROM base WHERE k NOT IN (SELECT k FROM upd)
+        |  UNION ALL
+        |  SELECT k, c_nationkey, c_acctbal FROM upd WHERE NOT del)
+        |SELECT c_nationkey,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS total_bal,
+        |       COUNT(*) AS n_customers
+        |FROM merged GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
     // Mirrors Corpus.mergeUpsertCustomers — the same deterministic CDC
     // changeset merged with the same full-outer semantics.
     "q_u4_merge_upsert" ->
