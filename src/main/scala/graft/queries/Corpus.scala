@@ -771,6 +771,25 @@ object Corpus {
       .orderBy("c_nationkey")
   }
 
+  /** S11: z-order (Morton) clustering key ([[graft.operators.ZOrder]]) —
+    * the multi-dimensional data-skipping layout: interleaving (customer
+    * bucket, day-of-year) bits bounds every file of a z-sorted write to a
+    * rectangle in BOTH dimensions, so 2-D box filters skip by parquet
+    * zone maps (the mechanism behind OPTIMIZE ZORDER BY). The interleave
+    * arithmetic runs in exact-in-double powers of two, so the oracle
+    * replays it bit-for-bit; the file-skipping win itself is asserted in
+    * ZOrderSpec (bounding-box intersection counts vs a linear sort). */
+  def zorderKeys(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.ZOrder
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        (col("o_custkey") % 1024).cast("int").as("zx"),
+        (dayofyear(col("o_orderdate")) - 1).cast("int").as("zy"))
+      .withColumn("zval", ZOrder.zValue(col("zx"), col("zy"), 10))
+      .orderBy("o_orderkey")
+  }
+
   private val rebalancedCache = TrieMap.empty[(SparkSession, String), String]
 
   /** S10: sized-output write + read-back — the daily grain written through
@@ -2163,6 +2182,7 @@ object Corpus {
     "q_s7_partitioned_scan" -> (partitionedScan _),
     "q_s9_dpp_join" -> (dppJoin _),
     "q_s10_rebalanced_write" -> (rebalancedRoundtrip _),
+    "q_s11_zorder" -> (zorderKeys _),
     "q_s8_orc_roundtrip" -> (orcRoundtrip _),
     "q_e5_stream_dedup" -> (streamedDedup _),
     "q_e6_stream_join" -> (streamedIntervalJoin _),

@@ -758,6 +758,24 @@ object Oracle {
         |       CAST(floor(epoch(l_shipdate)) AS BIGINT) AS epoch_s
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
+    // Mirrors Corpus.zorderKeys: the identical bit-interleave arithmetic —
+    // every term is an exact-in-double integer, so the double SUM is exact
+    // in any order and the final BIGINT cast matches Spark's.
+    "q_s11_zorder" ->
+      """WITH b AS (
+        |  SELECT o_orderkey,
+        |         CAST(o_custkey % 1024 AS INTEGER) AS zx,
+        |         CAST(dayofyear(o_orderdate) - 1 AS INTEGER) AS zy
+        |  FROM orders)
+        |SELECT o_orderkey, zx, zy,
+        |       CAST(SUM(
+        |         fmod(floor(zx / pow(2.0, k)), 2.0) * pow(4.0, k)
+        |       + fmod(floor(zy / pow(2.0, k)), 2.0) * pow(4.0, k) * 2.0
+        |       ) AS BIGINT) AS zval
+        |FROM b, unnest(generate_series(0, 9)) AS g(k)
+        |GROUP BY o_orderkey, zx, zy
+        |ORDER BY o_orderkey""".stripMargin,
+
     // The ORC round-trip must be lossless: reading the ORC copy back with a
     // predicate equals the same query over the original parquet.
     "q_s8_orc_roundtrip" ->
