@@ -512,6 +512,29 @@ object Corpus {
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
 
+  /** P11: deterministic WEIGHTED sampling (Efraimidis–Spirakis exponential
+    * race): each doc gets a hash-derived uniform u = hex32(md5(id))/2³²
+    * and race key ln(u)/weight; the top-k by key IS a weighted sample
+    * without replacement (longer docs proportionally likelier). Everything
+    * is a pure per-row function of the key — no RNG, no partition
+    * dependence. ln() is the one step engines may differ on (JVM's log
+    * intrinsic vs C libm disagree by 1 ulp on some inputs — observed at
+    * doc 264), so the race key is quantized to integer nanos: a 1-ulp
+    * input wobble (~5e-20) moves the ×1e9 floor only if the key sits
+    * within 5e-11 of a grid line, and ordering ties on the grid resolve
+    * by doc_id identically in both engines. Scale shape: map-side keys +
+    * TakeOrderedAndProject; no global sort, only k winners move. */
+  def weightedSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("u",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long").cast("double") / lit(4294967296.0))
+      .withColumn("wkey_nanos",
+        floor(log(col("u")) / col("n_chars").cast("double") * lit(1e9)).cast("long"))
+      .select("doc_id", "lang", "n_chars", "wkey_nanos")
+      .orderBy(col("wkey_nanos").desc, col("doc_id"))
+      .limit(50)
+
   /** W8: group-wise top-k curation — keep the 3 largest docs per source
     * (row_number over a per-source window; one hash-shuffle on source, no
     * global sort — the "best k per domain" selection every corpus-quality
@@ -2218,6 +2241,7 @@ object Corpus {
     "q_e2_sessions" -> (eventSessions _),
     "q_t6_bm25" -> (bm25TopK _),
     "q_p9_hash_sample" -> (hashSample _),
+    "q_p11_weighted_sample" -> (weightedSample _),
     "q_w8_group_topk" -> (groupTopK _),
     "q_o5_det_shuffle" -> (detShuffle _),
     "q_o6_salted_agg" -> (saltedCountryKpi _),

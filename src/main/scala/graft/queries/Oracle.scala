@@ -1592,6 +1592,16 @@ object Oracle {
         |      CASE WHEN lang = 'en' THEN '80' ELSE '20' END
         |ORDER BY doc_id""".stripMargin,
 
+    // Mirrors Corpus.weightedSample: identical hex32 uniform and the same
+    // nano-quantized race key (ln may differ by 1 ulp across libms; the
+    // ×1e9 floor absorbs it — see the Corpus scaladoc).
+    "q_p11_weighted_sample" ->
+      """SELECT doc_id, lang, n_chars,
+        |       CAST(floor(ln(CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+        |          / 4294967296.0) / CAST(n_chars AS DOUBLE) * 1e9) AS BIGINT) AS wkey_nanos
+        |FROM documents
+        |ORDER BY wkey_nanos DESC, doc_id LIMIT 50""".stripMargin,
+
     "q_w8_group_topk" ->
       """SELECT source, doc_id, n_chars, rk FROM (
         |  SELECT source, doc_id, n_chars,

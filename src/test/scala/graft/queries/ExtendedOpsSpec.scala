@@ -200,6 +200,20 @@ class ExtendedOpsSpec extends SparkSpec {
     assert(keys === keys.sorted)
   }
 
+  test("weighted sample: top-k plan, weights favor longer docs") {
+    val q = Corpus.weightedSample(spark, sf)
+    // scale contract: a k-winners selection, not a global sort
+    assert(q.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+    val rows = q.collect()
+    assert(rows.length === 50)
+    // the race is weighted: the sampled docs skew long vs the corpus mean
+    val sampledMean = rows.map(_.getAs[Long]("n_chars").toDouble).sum / rows.length
+    val corpusMean = graft.Tables.documents(spark, sf)
+      .agg(avg(col("n_chars"))).head.getDouble(0)
+    assert(sampledMean > corpusMean,
+      s"weighted sample mean $sampledMean not above corpus mean $corpusMean")
+  }
+
   test("passage dedup: clones vanish and every surviving chunk is corpus-unique") {
     val out = Corpus.passageDedup(spark, sf).cache()
     try {
