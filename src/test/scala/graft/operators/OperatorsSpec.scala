@@ -308,6 +308,43 @@ class OperatorsSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"base side was shuffled:\n$plan")
   }
 
+  test("runtime bloom filter from a filtered dim prunes the fact scan rows") {
+    // DPP (q_s9) prunes whole partitions; this is its row-level sibling —
+    // Spark injects a bloom filter built from the filtered dim side into
+    // the fact side's scan filter, so fact rows that cannot join are
+    // dropped at the scan instead of riding the shuffle. At 100 TB this is
+    // the difference between shuffling the table and shuffling the match.
+    val dir = java.nio.file.Files.createTempDirectory("bloom").toString
+    (1L to 200000L).map(i => (i % 1000, s"payload_$i")).toDF("fk", "payload")
+      .write.mode("overwrite").parquet(s"$dir/fact")
+    (0L until 1000L).map(i => (i, s"dim_$i", i % 100)).toDF("pk", "name", "cat")
+      .write.mode("overwrite").parquet(s"$dir/dim")
+    val prev = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      // keep the join a shuffle join: broadcast joins skip runtime filters
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val fact = spark.read.parquet(s"$dir/fact")
+      val dim = spark.read.parquet(s"$dir/dim").filter($"cat" === 7)
+      val joined = fact.join(dim, $"fk" === $"pk").select("fk", "payload", "name")
+      assert(joined.count() === 2000L) // 10 surviving pks × 200 fact rows
+      // prints as might_contain(scalar-subquery …) over bloom_filter_agg
+      // of the dim keys, applied on the fact side before the exchange
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+        s"no runtime bloom filter injected into the fact side:\n$plan")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("mergeUpsert without a delete flag upserts only") {
     val base = Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v")
     val changes = Seq((2L, 5.0), (3L, 3.0)).toDF("k", "v")
