@@ -1149,6 +1149,83 @@ object Corpus {
     s.table(sink).orderBy("user_id", "purchase_ts", "click_ts")
   }
 
+  /** E8: STREAMING CDC apply — the q_u4 changeset delivered as one-file
+    * micro-batches (maxFilesPerTrigger=1) and folded into a parquet-backed
+    * table state by `foreachBatch` + [[graft.operators.Output.mergeUpsert]]:
+    * the standard Structured-Streaming upsert-sink pattern for table
+    * formats without a streaming MERGE. Changeset keys are disjoint across
+    * batches, so the final state is batch-order-independent and must equal
+    * the one-shot batch merge — q_u4's own oracle gates the whole
+    * streaming apply path (a dropped batch, re-applied delete, or
+    * out-of-order clobber all hash-mismatch). Each micro-batch costs one
+    * broadcast anti-join against the current state; state lives in
+    * parquet, not driver memory. */
+  def streamedMerge(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Output
+    import org.apache.spark.sql.Dataset
+    import org.apache.spark.sql.Row
+    val base = Tables.customer(s, d)
+      .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"), col("c_acctbal"))
+    val upd = base.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), col("c_name"), (col("c_acctbal") + 1000.0).as("c_acctbal"))
+      .withColumn("is_delete", col("c_custkey") % 20 === 0)
+    val ins = base.filter(col("c_custkey") % 7 === 3)
+      .select((col("c_custkey") + 900000L).as("c_custkey"), col("c_name"), col("c_acctbal"))
+      .withColumn("is_delete", lit(false))
+    val changes = upd.unionByName(ins)
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_merge").toString
+    // stage the changeset as 3 single-file micro-batches (disjoint key ranges)
+    for (p <- 0 to 2)
+      changes.filter(pmod(col("c_custkey"), lit(3)) === p)
+        .coalesce(1).write.parquet(s"$root/changes/p$p")
+    val changeFiles = s"$root/changes/p*"
+    var cur = s"$root/state0"
+    base.write.parquet(cur)
+    val applyBatch: (Dataset[Row], Long) => Unit = (batch, id) => {
+      if (!batch.isEmpty) {
+        val next = s"$root/state${id + 1}"
+        Output.mergeUpsert(s.read.parquet(cur), batch, Seq("c_custkey"), Some("is_delete"))
+          .write.parquet(next)
+        cur = next
+      }
+    }
+    val q = s.readStream
+      .schema("c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE, is_delete BOOLEAN")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(changeFiles)
+      .writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch(applyBatch)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.read.parquet(cur).orderBy("c_custkey")
+  }
+
+  /** S12: schema-evolution read — older files lack a column added later
+    * (the unavoidable lakehouse reality at 100 TB: a table is rewritten
+    * never, appended forever). `mergeSchema` unifies the footers and
+    * back-fills the missing column with NULL; the oracle replays the
+    * union with an explicit NULL cast. Missing-column pruning still
+    * works: scanning only v1 columns never touches the added one. */
+  def schemaEvolutionRead(s: SparkSession, d: String): DataFrame = {
+    val dir = schemaEvoCache.getOrElseUpdate((s, d), {
+      val path = java.nio.file.Files.createTempDirectory("graft_schema_evo").toString
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.parquet(s"$path/v1")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .write.parquet(s"$path/v2")
+      path
+    })
+    s.read.option("mergeSchema", "true").parquet(s"$dir/v1", s"$dir/v2")
+      .orderBy("o_orderkey")
+  }
+
+  private val schemaEvoCache = TrieMap.empty[(SparkSession, String), String]
+
   /** A18: CUBE grouping sets over (Year, DayOfWeek) — all four aggregation
     * granularities in one pass (beyond the reference's flat groupBy and
     * q_a14's ROLLUP). SQL path for the same self-join-ambiguity reason as
@@ -2208,6 +2285,8 @@ object Corpus {
     "q_s11_zorder" -> (zorderKeys _),
     "q_s8_orc_roundtrip" -> (orcRoundtrip _),
     "q_e5_stream_dedup" -> (streamedDedup _),
+    "q_e8_stream_merge" -> (streamedMerge _),
+    "q_s12_schema_evolution" -> (schemaEvolutionRead _),
     "q_e6_stream_join" -> (streamedIntervalJoin _),
     "q_e7_stream_ridge" -> (streamedRidge _),
     "q_w9_range_frame" -> (rangeFrameWeek _),

@@ -758,6 +758,34 @@ object Oracle {
         |       CAST(floor(epoch(l_shipdate)) AS BIGINT) AS epoch_s
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
+    // q_e8 is the q_u4 merge executed as a foreachBatch stream — same
+    // final state, same oracle.
+    "q_e8_stream_merge" ->
+      """WITH base AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS k, c_name, c_acctbal FROM customer),
+        |upd AS (
+        |  SELECT k, c_name, c_acctbal + 1000.0 AS c_acctbal, (k % 20 = 0) AS del
+        |  FROM base WHERE k % 10 = 0
+        |  UNION ALL
+        |  SELECT k + 900000, c_name, c_acctbal, false FROM base WHERE k % 7 = 3),
+        |merged AS (
+        |  SELECT k, c_name, c_acctbal FROM base WHERE k NOT IN (SELECT k FROM upd)
+        |  UNION ALL
+        |  SELECT k, c_name, c_acctbal FROM upd WHERE NOT del)
+        |SELECT k AS c_custkey, c_name, c_acctbal
+        |FROM merged ORDER BY c_custkey""".stripMargin,
+
+    // Mirrors Corpus.schemaEvolutionRead: mergeSchema back-fills the
+    // late-added column with NULL for pre-evolution files.
+    "q_s12_schema_evolution" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |       CAST(NULL AS VARCHAR) AS o_orderpriority
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |FROM orders WHERE o_orderkey % 2 = 1
+        |ORDER BY o_orderkey""".stripMargin,
+
     // Mirrors Corpus.zorderKeys: the identical bit-interleave arithmetic —
     // every term is an exact-in-double integer, so the double SUM is exact
     // in any order and the final BIGINT cast matches Spark's.
