@@ -716,6 +716,36 @@ object Corpus {
       .orderBy("c_custkey")
   }
 
+  /** J11: the canonical star join — THE 100 TB analytics plan: one
+    * co-partitioned fact-fact join (lineitem ⋈ filtered orders, both huge
+    * ⇒ shuffle on the key is the honest minimum, and AQE may split skewed
+    * partitions), customer joined at its natural size, and the two true
+    * dimensions (nation, region) explicitly broadcast so four of the five
+    * tables never shuffle. Revenue rides the Exact decimal accumulator;
+    * the per-row price×(1−discount) product is IEEE-exact in both
+    * engines. One aggregate shuffle at (region, year) grain ends the
+    * plan. */
+  def starJoin(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    val o = Tables.orders(s, d)
+      .filter(year(col("o_orderdate")).between(1996, 1997))
+      .select(col("o_orderkey"), col("o_custkey"), year(col("o_orderdate")).as("o_year"))
+    val c = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+    val n = Tables.nation(s, d).select(col("n_nationkey"), col("n_regionkey"))
+    val r = Tables.region(s, d).select(col("r_regionkey"), col("r_name"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("o_year"))
+      .agg(
+        Exact.dsum(col("rev")).as("revenue"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("r_name", "o_year")
+  }
+
   /** U5: SCD Type 2 dimension build ([[graft.operators.Cdc.scd2]]) — the
     * orders changelog (latest order per customer-day, by max orderkey)
     * compressed into distinct consecutive (status, priority) versions with
@@ -2268,6 +2298,7 @@ object Corpus {
     "q_f5_arrays" -> (arrayFunctions _),
     "q_u3_unpivot" -> (unpivotKpis _),
     "q_u4_merge_upsert" -> (mergeUpsertCustomers _),
+    "q_j11_star_join" -> (starJoin _),
     "q_u5_scd2" -> (scd2Orders _),
     "q_u6_snapshot_diff" -> (snapshotDiffCustomers _),
     "q_a22_incremental_rollup" -> (incrementalRollup _),

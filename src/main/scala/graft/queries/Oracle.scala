@@ -1678,6 +1678,23 @@ object Oracle {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Mirrors Corpus.starJoin: the same five-table star with the same
+    // decimal-exact revenue accumulator.
+    "q_j11_star_join" ->
+      """SELECT r_name,
+        |       CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+        |       COUNT(DISTINCT o_custkey) AS n_customers,
+        |       COUNT(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE year(o_orderdate) BETWEEN 1996 AND 1997
+        |GROUP BY r_name, o_year
+        |ORDER BY r_name, o_year""".stripMargin,
+
     // Mirrors Corpus.scd2Orders: same per-day dedup (max orderkey), the
     // same IS DISTINCT FROM change-compression (≡ Spark's !(a <=> lag a)),
     // and the same LEAD validity stitch over surviving versions.

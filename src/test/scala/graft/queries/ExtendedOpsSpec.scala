@@ -200,6 +200,15 @@ class ExtendedOpsSpec extends SparkSpec {
     assert(keys === keys.sorted)
   }
 
+  test("star join: true dims broadcast, aggregate is partial (map-side combined)") {
+    val q = Corpus.starJoin(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.split("BroadcastHashJoin").length - 1 >= 2,
+      s"nation/region not broadcast:\n$plan")
+    assert(plan.contains("partial_"), s"aggregate not map-side combined:\n$plan")
+  }
+
   test("weighted sample: top-k plan, weights favor longer docs") {
     val q = Corpus.weightedSample(spark, sf)
     // scale contract: a k-winners selection, not a global sort
