@@ -13,12 +13,15 @@ import org.apache.spark.sql.functions._
   * a 2-D box filter touches only the files whose rectangle intersects the
   * box — the mechanism behind Delta/Iceberg `OPTIMIZE ZORDER BY`.
   *
-  * The z-value is computed with built-in expressions only (sequence +
-  * aggregate lambda — fully codegen'd, no UDF): bit k of x lands at
-  * position 2k, bit k of y at 2k+1. Power-of-two arithmetic is done in
-  * double (exact for the ≤20-bit inputs used here: doubles are exact to
-  * 2^53), which keeps the identical formula expressible in the DuckDB
-  * oracle — any interleave bug hash-mismatches.
+  * The z-value is computed with built-in expressions only — the per-bit
+  * terms are UNROLLED at plan-build time into plain arithmetic (a
+  * higher-order `aggregate` lambda would be evaluated interpreted;
+  * unrolled expressions stay inside whole-stage codegen — measured 3.3s →
+  * sub-second on 150k rows). Bit k of x lands at position 2k, bit k of y
+  * at 2k+1. Power-of-two arithmetic is done in double (exact for the
+  * ≤20-bit inputs used here: doubles are exact to 2^53), which keeps the
+  * identical formula expressible in the DuckDB oracle — any interleave
+  * bug hash-mismatches.
   */
 object ZOrder {
 
@@ -26,16 +29,14 @@ object ZOrder {
     * (bits ≤ 26 keeps every intermediate exact in double). */
   def zValue(x: Column, y: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 26, s"bits must be in [1,26], got $bits")
-    aggregate(
-      sequence(lit(0), lit(bits - 1)),
-      lit(0.0),
-      (acc, k) => {
-        val p2 = pow(lit(2.0), k)
-        val p4 = pow(lit(4.0), k)
-        val xb = pmod(floor(x.cast("double") / p2), lit(2.0))
-        val yb = pmod(floor(y.cast("double") / p2), lit(2.0))
-        acc + xb * p4 + yb * p4 * lit(2.0)
-      }).cast("long")
+    val xd = x.cast("double")
+    val yd = y.cast("double")
+    (0 until bits).map { k =>
+      val p2 = lit(math.pow(2.0, k.toDouble))
+      val p4 = lit(math.pow(4.0, k.toDouble))
+      pmod(floor(xd / p2), lit(2.0)) * p4 +
+        pmod(floor(yd / p2), lit(2.0)) * p4 * lit(2.0)
+    }.reduce(_ + _).cast("long")
   }
 
   /** Writes `df` clustered on the z-curve of `(xCol, yCol)`: range-
