@@ -1604,6 +1604,31 @@ object Corpus {
       .limit(50)
   }
 
+  /** T13: exact heavy hitters by two-phase Misra–Gries
+    * ([[graft.operators.HeavyHitters]]) — tokens with share > 1/200 of
+    * the corpus, found with k bounded counters per partition (never one
+    * shuffle record per distinct token) and an exact broadcast-semi-join
+    * recount of the candidate superset. The candidate set is
+    * partitioning-dependent; the OUTPUT is partitioning-invariant and
+    * equals the direct global `count > N/k` filter — which is exactly
+    * what the oracle computes. */
+  def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.HeavyHitters
+    import s.implicits._
+    val K = 200
+    val toks = Tables.documents(s, d)
+      .select(explode(TextFunctions.tokens(TextFunctions.normText(col("text")))).as("tok"))
+    val cand = HeavyHitters.candidates(toks.as[String], K).toDF("tok").distinct()
+    val total = toks.agg(count(lit(1)).as("total_tf"))
+    toks.join(broadcast(cand), Seq("tok"), "left_semi")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt").cast("double") > col("total_tf").cast("double") / lit(K.toDouble))
+      .select(col("tok"), col("cnt"),
+        (col("cnt").cast("double") / col("total_tf").cast("double")).as("share"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+  }
+
   /** T9: benchmark-contamination check — the decontamination pass every
     * pre-training pipeline runs: what fraction of each corpus document's
     * distinct word-3-grams also appear in a held-out benchmark set (here the
@@ -2309,6 +2334,7 @@ object Corpus {
     "q_t10_boilerplate" -> (boilerplateGrams _),
     "q_t11_length_hist" -> (tokenHistogram _),
     "q_t12_vocabulary" -> (vocabulary _),
+    "q_t13_heavy_hitters" -> (heavyHitters _),
     "q_f6_datetime" -> (datetimeFunctions _),
     "q_s7_partitioned_scan" -> (partitionedScan _),
     "q_s9_dpp_join" -> (dppJoin _),

@@ -1163,6 +1163,20 @@ object Oracle {
 
     // Mirrors Corpus.vocabulary; (tf DESC, token ASC) is a total order so
     // LIMIT 50 is stable; share is one int/int IEEE division.
+    // Mirrors Corpus.heavyHitters: the two-phase Misra-Gries result must
+    // equal the direct global count > N/k filter exactly — the oracle IS
+    // that direct computation.
+    "q_t13_heavy_hitters" ->
+      """WITH n AS (SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),
+        |tk AS (SELECT unnest(regexp_extract_all(norm, '\S+')) AS tok FROM n),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_tf FROM tk),
+        |c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM tk GROUP BY 1)
+        |SELECT tok, cnt,
+        |       CAST(cnt AS DOUBLE) / CAST(total_tf AS DOUBLE) AS share
+        |FROM c, tot
+        |WHERE CAST(cnt AS DOUBLE) > CAST(total_tf AS DOUBLE) / 200.0
+        |ORDER BY cnt DESC, tok ASC""".stripMargin,
+
     "q_t12_vocabulary" ->
       """WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),
         |tk AS (SELECT doc_id, unnest(regexp_extract_all(norm, '\S+')) AS token FROM n),

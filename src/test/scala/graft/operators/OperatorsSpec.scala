@@ -345,6 +345,27 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("Misra-Gries candidates form a superset of true heavy hitters, any partitioning") {
+    // skewed stream: token h0..h4 get 500 each (heavy), 5000 singletons
+    val heavy = (0 until 5).flatMap(h => Seq.fill(500)(s"h$h"))
+    val noise = (0 until 5000).map(i => s"n$i")
+    val toks = scala.util.Random.shuffle(heavy ++ noise)
+    val n = toks.size.toDouble
+    for (parts <- Seq(1, 3, 16)) {
+      val ds = spark.createDataset(toks)(org.apache.spark.sql.Encoders.STRING)
+        .repartition(parts)
+      for (k <- Seq(20, 100)) {
+        val cand = HeavyHitters.candidates(ds, k).collect().toSet
+        val truth = toks.groupBy(identity).view.mapValues(_.size)
+          .collect { case (t, c) if c > n / k => t }.toSet
+        assert(truth.subsetOf(cand),
+          s"parts=$parts k=$k lost heavy hitters: ${truth -- cand}")
+        // and phase one is bounded: at most k survivors per partition
+        assert(cand.size <= k * parts, s"candidate set exceeds k×partitions")
+      }
+    }
+  }
+
   test("mergeUpsert without a delete flag upserts only") {
     val base = Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v")
     val changes = Seq((2L, 5.0), (3L, 3.0)).toDF("k", "v")
