@@ -1495,6 +1495,45 @@ object Corpus {
       .orderBy("Country", "InvoiceDate")
   }
 
+  /** W16: linear gap interpolation — the time-series repair step between
+    * q_w12's zero-fill and a model-based impute: unobserved calendar days
+    * get the line between the surrounding observations,
+    * prev + (next−prev)·Δ. Two IGNORE-NULLS windows over ONE partitioning
+    * (running last observation forward, first observation backward) — a
+    * single shuffle+sort serves both frames; the grid is bounded by each
+    * country's observed span so every gap has both endpoints. All
+    * arithmetic is integer diffs + one IEEE divide/multiply — no
+    * transcendentals, so the oracle is bit-exact. */
+  def interpolatedDailyTotals(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val totals = daily(s, d)
+      .groupBy("Country", "InvoiceDate")
+      .agg(sum("NetDailyQuantity").as("qty"))
+    val span = totals.groupBy("Country")
+      .agg(min("InvoiceDate").as("d0"), max("InvoiceDate").as("d1"))
+    val cal = span.select(col("Country"),
+      explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("InvoiceDate"))
+    val joined = cal.join(totals, Seq("Country", "InvoiceDate"), "left")
+    val wb = Window.partitionBy("Country").orderBy("InvoiceDate")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wf = Window.partitionBy("Country").orderBy("InvoiceDate")
+      .rowsBetween(0, Window.unboundedFollowing)
+    val obsDay = when(col("qty").isNotNull, col("InvoiceDate"))
+    val prevDay = last(obsDay, ignoreNulls = true).over(wb)
+    val prevQty = last(col("qty"), ignoreNulls = true).over(wb)
+    val nextDay = first(obsDay, ignoreNulls = true).over(wf)
+    val nextQty = first(col("qty"), ignoreNulls = true).over(wf)
+    joined
+      .select(col("Country"), col("InvoiceDate"), col("qty"),
+        when(col("qty").isNotNull, col("qty").cast("double"))
+          .otherwise(
+            prevQty.cast("double") + (nextQty - prevQty).cast("double") *
+              (datediff(col("InvoiceDate"), prevDay).cast("double") /
+                datediff(nextDay, prevDay).cast("double")))
+          .as("qty_interp"))
+      .orderBy("Country", "InvoiceDate")
+  }
+
   // ---- KPIs -----------------------------------------------------------------
 
   /** A8: global KPI aggregate (MAE/MAPE/bias, model vs baseline). */
@@ -2329,6 +2368,7 @@ object Corpus {
     "q_a22_incremental_rollup" -> (incrementalRollup _),
     "q_w11_dist" -> (distWindows _),
     "q_w12_densify" -> (densifiedDailyTotals _),
+    "q_w16_interpolate" -> (interpolatedDailyTotals _),
     "q_w13_ratio_to_report" -> (ratioToReport _),
     "q_t9_contamination" -> (contamination _),
     "q_t10_boilerplate" -> (boilerplateGrams _),

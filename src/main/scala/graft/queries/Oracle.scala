@@ -703,6 +703,38 @@ object Oracle {
     // Mirrors Corpus.densifiedDailyTotals: generate_series materializes the
     // calendar, COALESCE zero-fills, and the trailing frame sum/count over
     // an empty frame propagates NULL identically in both engines.
+    // Mirrors Corpus.interpolatedDailyTotals: same grid, same IGNORE NULLS
+    // endpoint windows, same prev + (next−prev)·Δ expression order.
+    "q_w16_interpolate" -> withDaily(
+      """,tot AS (
+        |  SELECT Country, InvoiceDate, CAST(SUM(NetDailyQuantity) AS BIGINT) AS qty
+        |  FROM daily GROUP BY 1, 2),
+        |sp AS (SELECT Country, MIN(InvoiceDate) AS d0, MAX(InvoiceDate) AS d1 FROM tot GROUP BY 1),
+        |cal AS (
+        |  SELECT Country,
+        |         CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS InvoiceDate
+        |  FROM sp),
+        |g AS (
+        |  SELECT c.Country, c.InvoiceDate, t.qty
+        |  FROM cal c LEFT JOIN tot t ON t.Country = c.Country AND t.InvoiceDate = c.InvoiceDate),
+        |e AS (
+        |  SELECT Country, InvoiceDate, qty,
+        |         last_value(CASE WHEN qty IS NOT NULL THEN InvoiceDate END IGNORE NULLS) OVER wb AS prev_day,
+        |         last_value(qty IGNORE NULLS) OVER wb AS prev_qty,
+        |         first_value(CASE WHEN qty IS NOT NULL THEN InvoiceDate END IGNORE NULLS) OVER wf AS next_day,
+        |         first_value(qty IGNORE NULLS) OVER wf AS next_qty
+        |  FROM g
+        |  WINDOW wb AS (PARTITION BY Country ORDER BY InvoiceDate ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wf AS (PARTITION BY Country ORDER BY InvoiceDate ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT Country, CAST(InvoiceDate AS TIMESTAMP) AS InvoiceDate, qty,
+        |       CASE WHEN qty IS NOT NULL THEN CAST(qty AS DOUBLE)
+        |            ELSE CAST(prev_qty AS DOUBLE) + CAST(next_qty - prev_qty AS DOUBLE) *
+        |                 (CAST(datediff('day', prev_day, InvoiceDate) AS DOUBLE) /
+        |                  CAST(datediff('day', prev_day, next_day) AS DOUBLE))
+        |       END AS qty_interp
+        |FROM e
+        |ORDER BY Country, InvoiceDate""".stripMargin),
+
     "q_w12_densify" -> withDaily(
       """,tot AS (
         |  SELECT Country, InvoiceDate, CAST(SUM(NetDailyQuantity) AS BIGINT) AS qty
