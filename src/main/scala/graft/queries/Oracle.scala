@@ -721,11 +721,11 @@ object Oracle {
         |  SELECT Country, InvoiceDate, qty,
         |         last_value(CASE WHEN qty IS NOT NULL THEN InvoiceDate END IGNORE NULLS) OVER wb AS prev_day,
         |         last_value(qty IGNORE NULLS) OVER wb AS prev_qty,
-        |         first_value(CASE WHEN qty IS NOT NULL THEN InvoiceDate END IGNORE NULLS) OVER wf AS next_day,
-        |         first_value(qty IGNORE NULLS) OVER wf AS next_qty
+        |         last_value(CASE WHEN qty IS NOT NULL THEN InvoiceDate END IGNORE NULLS) OVER wr AS next_day,
+        |         last_value(qty IGNORE NULLS) OVER wr AS next_qty
         |  FROM g
         |  WINDOW wb AS (PARTITION BY Country ORDER BY InvoiceDate ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-        |         wf AS (PARTITION BY Country ORDER BY InvoiceDate ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |         wr AS (PARTITION BY Country ORDER BY InvoiceDate DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT Country, CAST(InvoiceDate AS TIMESTAMP) AS InvoiceDate, qty,
         |       CASE WHEN qty IS NOT NULL THEN CAST(qty AS DOUBLE)
         |            ELSE CAST(prev_qty AS DOUBLE) + CAST(next_qty - prev_qty AS DOUBLE) *
