@@ -1495,6 +1495,43 @@ object Corpus {
       .orderBy("Country", "InvoiceDate")
   }
 
+  /** O8: order-independent content checksum — the replica-validation /
+    * anti-entropy primitive: two copies of a 100 TB table are compared by
+    * exchanging ONE row per partition-key instead of any data. Each row
+    * contributes hex32(md5(canonical row text)); the per-group SUM of
+    * those 32-bit values is commutative, so the checksum is identical
+    * under any partitioning or row order — and md5 is the one hash both
+    * engines share, so the oracle recomputes the identical fingerprint
+    * (row count guards the sum against cancellation coincidences). */
+  def contentChecksum(s: SparkSession, d: String): DataFrame =
+    daily(s, d)
+      .select(col("Year"),
+        conv(substring(md5(concat_ws("|",
+          col("Country"), col("StockCode"),
+          date_format(col("InvoiceDate"), "yyyy-MM-dd"),
+          col("NetDailyQuantity").cast("string"))), 1, 8), 16, 10)
+          .cast("long").as("h"))
+      .groupBy("Year")
+      .agg(sum(col("h")).as("checksum"), count(lit(1)).as("n_rows"))
+      .orderBy("Year")
+
+  /** A23: exact global median WITHOUT a global sort
+    * ([[graft.operators.OrderStats.exactRank]]) — histogram narrowing
+    * finds the exact rank-⌈n/2⌉ element in O(log₁₀₂₄ n) aggregate passes
+    * (one pass at this scale, four at 10¹² rows), each shipping 1024
+    * histogram rows to the driver. q_a11's `percentile()` sorts whole
+    * groups; this is the shape that survives a single 100 TB column. The
+    * oracle full-sorts and picks the same rank — values must agree bit
+    * for bit. */
+  def exactMedianNosort(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.OrderStats
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    val n = li.count()
+    val median = OrderStats.exactRank(li, "l_extendedprice", (n + 1) / 2)
+    Seq((median, n)).toDF("median", "n_rows")
+  }
+
   /** W16: linear gap interpolation — the time-series repair step between
     * q_w12's zero-fill and a model-based impute: unobserved calendar days
     * get the line between the surrounding observations,
@@ -2432,6 +2469,8 @@ object Corpus {
     "q_j9_shuffle_hash" -> (joinShuffleHash _),
     "q_j10_join_full" -> (joinFull _),
     "q_o7_sort_offset" -> (sortOffset _),
+    "q_o8_content_checksum" -> (contentChecksum _),
+    "q_a23_exact_median" -> (exactMedianNosort _),
     "q_f8_hashes" -> (hashFunctions _),
     "q_dd5_embed_pairs_top" -> (embedPairsTop _),
     "q_tp1_clean_corpus" -> (cleanCorpus _),

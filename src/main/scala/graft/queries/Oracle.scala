@@ -703,6 +703,30 @@ object Oracle {
     // Mirrors Corpus.densifiedDailyTotals: generate_series materializes the
     // calendar, COALESCE zero-fills, and the trailing frame sum/count over
     // an empty frame propagates NULL identically in both engines.
+    // Mirrors Corpus.exactMedianNosort: a full sort picking the identical
+    // rank — the histogram-narrowed value must match bit for bit.
+    "q_a23_exact_median" ->
+      """WITH o AS (
+        |  SELECT l_extendedprice AS v,
+        |         ROW_NUMBER() OVER (ORDER BY l_extendedprice) AS rn,
+        |         COUNT(*) OVER () AS n
+        |  FROM lineitem)
+        |SELECT v AS median, CAST(n AS BIGINT) AS n_rows
+        |FROM o WHERE rn = (n + 1) // 2""".stripMargin,
+
+    // Mirrors Corpus.contentChecksum: the same md5-hex32 row fingerprints,
+    // commutatively summed — identical under any row order or engine.
+    "q_o8_content_checksum" -> withDaily(
+      """,h AS (
+        |  SELECT Year,
+        |         CAST(concat('0x', substr(md5(concat_ws('|',
+        |           Country, StockCode, strftime(InvoiceDate, '%Y-%m-%d'),
+        |           CAST(NetDailyQuantity AS VARCHAR))), 1, 8)) AS BIGINT) AS h
+        |  FROM daily)
+        |SELECT Year, CAST(SUM(h) AS BIGINT) AS checksum,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM h GROUP BY Year ORDER BY Year""".stripMargin),
+
     // Mirrors Corpus.interpolatedDailyTotals: same grid, same IGNORE NULLS
     // endpoint windows, same prev + (next−prev)·Δ expression order.
     "q_w16_interpolate" -> withDaily(

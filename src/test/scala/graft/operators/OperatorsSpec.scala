@@ -345,6 +345,18 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("exactRank equals the fully-sorted rank element, duplicates and extremes included") {
+    // 20k values with heavy duplication and a skewed tail; cutoff forced
+    // tiny so the histogram loop actually runs multiple levels
+    val vals = (1 to 20000).map(i => ((i % 137).toDouble / 7.0) + (if (i % 997 == 0) 1e6 else 0.0))
+    val df = vals.toDF("x").repartition(16)
+    val sorted = vals.sorted
+    for (rank <- Seq(1L, 17L, 10000L, 19999L, 20000L)) {
+      val got = OrderStats.exactRank(df, "x", rank, bins = 32, cutoff = 50)
+      assert(got === sorted(rank.toInt - 1), s"rank $rank: $got != ${sorted(rank.toInt - 1)}")
+    }
+  }
+
   test("Misra-Gries candidates form a superset of true heavy hitters, any partitioning") {
     // skewed stream: token h0..h4 get 500 each (heavy), 5000 singletons
     val heavy = (0 until 5).flatMap(h => Seq.fill(500)(s"h$h"))
