@@ -1025,6 +1025,64 @@ object Corpus {
       .agg(count(lit(1)).as("n_events"), Exact.dsum(col("value")).as("total_value"))
       .orderBy("hour", "event_type")
 
+  /** E9: ordered funnel analysis — signup → view → click → purchase, each
+    * stage's timestamp = first qualifying event AT OR AFTER the previous
+    * stage (the strict-ordering funnel, not mere event presence). Four
+    * chained whole-partition windows share ONE user-keyed shuffle; the
+    * final stage counts collapse in a single aggregate and unpivot via
+    * `stack` (map-side Expand). Conversion rates are exact-integer
+    * divisions. */
+  def eventFunnel(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+    def stageTs(tpe: String, after: Column): Column =
+      min(when(col("event_type") === tpe && col("ts") >= after, col("ts"))).over(w)
+    val staged = Tables.events(s, d)
+      .withColumn("t1", min(when(col("event_type") === "signup", col("ts"))).over(w))
+      .withColumn("t2", stageTs("view", col("t1")))
+      .withColumn("t3", stageTs("click", col("t2")))
+      .withColumn("t4", stageTs("purchase", col("t3")))
+    val agg = staged.agg(
+      countDistinct(when(col("t1").isNotNull, col("user_id"))).as("u1"),
+      countDistinct(when(col("t2").isNotNull, col("user_id"))).as("u2"),
+      countDistinct(when(col("t3").isNotNull, col("user_id"))).as("u3"),
+      countDistinct(when(col("t4").isNotNull, col("user_id"))).as("u4"))
+    agg.selectExpr(
+      """stack(4,
+        |  1, 'signup',   u1,
+        |  2, 'view',     u2,
+        |  3, 'click',    u3,
+        |  4, 'purchase', u4) AS (stage, stage_name, n_users)""".stripMargin,
+      "u1 AS base")
+      .select(col("stage"), col("stage_name"), col("n_users"),
+        (col("n_users").cast("double") / col("base").cast("double")).as("conversion"))
+      .orderBy("stage")
+  }
+
+  /** E10: cohort retention — users grouped by the week of their FIRST
+    * event; for each (cohort week, week offset) the distinct active users
+    * and the retention rate vs the cohort's size (its offset-0 count,
+    * pulled by a first_value window over the already-tiny cohort×offset
+    * aggregate). One user-keyed window + one aggregate — the standard
+    * retention triangle at any scale. */
+  def cohortRetention(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("aw"))
+    val cohorted = ev.withColumn("cw",
+      min(col("aw")).over(Window.partitionBy("user_id")))
+    val tri = cohorted
+      .groupBy(col("cw").as("cohort_week"),
+        (datediff(col("aw"), col("cw")) / 7).cast("int").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+    val w0 = Window.partitionBy("cohort_week").orderBy("week_offset")
+    tri
+      .withColumn("cohort_size", first(col("n_active")).over(w0))
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        (col("n_active").cast("double") / col("cohort_size").cast("double")).as("retention"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   /** File-source streams read directories; stage the events parquet into a
     * temp dir ONCE per (session, sf, copies) — `copies` > 1 simulates
     * duplicate delivery for the dedup query. Cached so repeated Verify/Bench
@@ -2424,6 +2482,8 @@ object Corpus {
     "q_s8_orc_roundtrip" -> (orcRoundtrip _),
     "q_e5_stream_dedup" -> (streamedDedup _),
     "q_e8_stream_merge" -> (streamedMerge _),
+    "q_e9_funnel" -> (eventFunnel _),
+    "q_e10_cohort_retention" -> (cohortRetention _),
     "q_s12_schema_evolution" -> (schemaEvolutionRead _),
     "q_e6_stream_join" -> (streamedIntervalJoin _),
     "q_e7_stream_ridge" -> (streamedRidge _),

@@ -814,6 +814,54 @@ object Oracle {
         |       CAST(floor(epoch(l_shipdate)) AS BIGINT) AS epoch_s
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
+    // Mirrors Corpus.eventFunnel: the same chained whole-partition stage
+    // windows and exact-integer conversion divisions.
+    "q_e9_funnel" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type, ts,
+        |         MIN(CASE WHEN event_type = 'signup' THEN ts END) OVER w AS t1
+        |  FROM events WINDOW w AS (PARTITION BY user_id)),
+        |s2 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'view' AND ts >= t1 THEN ts END) OVER w AS t2
+        |  FROM s WINDOW w AS (PARTITION BY user_id)),
+        |s3 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts >= t2 THEN ts END) OVER w AS t3
+        |  FROM s2 WINDOW w AS (PARTITION BY user_id)),
+        |s4 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts >= t3 THEN ts END) OVER w AS t4
+        |  FROM s3 WINDOW w AS (PARTITION BY user_id)),
+        |a AS (
+        |  SELECT CAST(COUNT(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END) AS BIGINT) AS u1,
+        |         CAST(COUNT(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END) AS BIGINT) AS u2,
+        |         CAST(COUNT(DISTINCT CASE WHEN t3 IS NOT NULL THEN user_id END) AS BIGINT) AS u3,
+        |         CAST(COUNT(DISTINCT CASE WHEN t4 IS NOT NULL THEN user_id END) AS BIGINT) AS u4
+        |  FROM s4)
+        |SELECT stage, stage_name,
+        |       CASE stage WHEN 1 THEN u1 WHEN 2 THEN u2 WHEN 3 THEN u3 ELSE u4 END AS n_users,
+        |       CAST(CASE stage WHEN 1 THEN u1 WHEN 2 THEN u2 WHEN 3 THEN u3 ELSE u4 END AS DOUBLE)
+        |         / CAST(u1 AS DOUBLE) AS conversion
+        |FROM a, (VALUES (1, 'signup'), (2, 'view'), (3, 'click'), (4, 'purchase')) AS v(stage, stage_name)
+        |ORDER BY stage""".stripMargin,
+
+    // Mirrors Corpus.cohortRetention: same week truncation, same offset
+    // arithmetic, same first_value cohort size.
+    "q_e10_cohort_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('week', ts) AS aw,
+        |         MIN(date_trunc('week', ts)) OVER (PARTITION BY user_id) AS cw
+        |  FROM events),
+        |tri AS (
+        |  SELECT CAST(cw AS TIMESTAMP) AS cohort_week,
+        |         CAST(datediff('day', cw, aw) / 7 AS INTEGER) AS week_offset,
+        |         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+        |  FROM e GROUP BY 1, 2)
+        |SELECT cohort_week, week_offset, n_active,
+        |       CAST(n_active AS DOUBLE) /
+        |       CAST(first_value(n_active) OVER (PARTITION BY cohort_week ORDER BY week_offset) AS DOUBLE)
+        |         AS retention
+        |FROM tri
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+
     // q_e8 is the q_u4 merge executed as a foreachBatch stream — same
     // final state, same oracle.
     "q_e8_stream_merge" ->
