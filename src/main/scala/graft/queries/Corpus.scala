@@ -1025,6 +1025,43 @@ object Corpus {
       .agg(count(lit(1)).as("n_events"), Exact.dsum(col("value")).as("total_value"))
       .orderBy("hour", "event_type")
 
+  /** A24: A/B experiment analysis — deterministic hash assignment (md5
+    * bucket of user_id, the q_p9 idiom: reproducible on any cluster, no
+    * assignment table) and a Welch t-statistic computed from exact
+    * DECIMAL(38,0) moment sums of the cent-scaled metric (the q_a20
+    * pattern). Count/sum/sum-of-squares are one map-side-combined
+    * aggregate; the two variant rows pivot via conditional max; the final
+    * t is fixed-order IEEE arithmetic (sqrt is correctly rounded), so the
+    * whole experiment readout is bit-reproducible under any partitioning
+    * — the property that makes experiment results auditable. */
+  def abTest(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val ev = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(
+        when(substring(md5(col("user_id").cast("string")), 1, 1) < "8", "A")
+          .otherwise("B").as("variant"),
+        round(col("value") * 100).cast("long").as("v"))
+    val m = ev.groupBy("variant").agg(
+      count(lit(1)).as("n"),
+      sum(col("v").cast(dec)).as("sv"),
+      sum((col("v") * col("v")).cast(dec)).as("svv"))
+    def side(s0: String, c: String) = max(when(col("variant") === s0, col(c)))
+    val p = m.agg(
+      side("A", "n").as("na0"), side("A", "sv").as("sva0"), side("A", "svv").as("svva0"),
+      side("B", "n").as("nb0"), side("B", "sv").as("svb0"), side("B", "svv").as("svvb0"))
+    val (na, sva, svva) = (col("na0").cast("double"), col("sva0").cast("double"), col("svva0").cast("double"))
+    val (nb, svb, svvb) = (col("nb0").cast("double"), col("svb0").cast("double"), col("svvb0").cast("double"))
+    p.select(
+      col("na0").as("n_a"), col("nb0").as("n_b"),
+      (sva / na / lit(100.0)).as("mean_a"),
+      (svb / nb / lit(100.0)).as("mean_b"),
+      ((sva / na - svb / nb) /
+        sqrt((svva - sva * sva / na) / (na - lit(1.0)) / na +
+          (svvb - svb * svb / nb) / (nb - lit(1.0)) / nb)).as("t_stat"))
+  }
+
   /** E9: ordered funnel analysis — signup → view → click → purchase, each
     * stage's timestamp = first qualifying event AT OR AFTER the previous
     * stage (the strict-ordering funnel, not mere event presence). Four
@@ -2483,6 +2520,7 @@ object Corpus {
     "q_e5_stream_dedup" -> (streamedDedup _),
     "q_e8_stream_merge" -> (streamedMerge _),
     "q_e9_funnel" -> (eventFunnel _),
+    "q_a24_ab_test" -> (abTest _),
     "q_e10_cohort_retention" -> (cohortRetention _),
     "q_s12_schema_evolution" -> (schemaEvolutionRead _),
     "q_e6_stream_join" -> (streamedIntervalJoin _),

@@ -814,6 +814,36 @@ object Oracle {
         |       CAST(floor(epoch(l_shipdate)) AS BIGINT) AS epoch_s
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
+    // Mirrors Corpus.abTest: identical hash assignment, identical exact
+    // moment sums, identical fixed-order Welch t expression.
+    "q_a24_ab_test" ->
+      """WITH e AS (
+        |  SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |              THEN 'A' ELSE 'B' END AS variant,
+        |         CAST(round(value * 100, 0) AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |m AS (
+        |  SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+        |         SUM(CAST(v AS DECIMAL(38,0))) AS sv,
+        |         SUM(CAST(v * v AS DECIMAL(38,0))) AS svv
+        |  FROM e GROUP BY 1),
+        |p AS (
+        |  SELECT MAX(CASE WHEN variant = 'A' THEN n END) AS na0,
+        |         MAX(CASE WHEN variant = 'A' THEN sv END) AS sva0,
+        |         MAX(CASE WHEN variant = 'A' THEN svv END) AS svva0,
+        |         MAX(CASE WHEN variant = 'B' THEN n END) AS nb0,
+        |         MAX(CASE WHEN variant = 'B' THEN sv END) AS svb0,
+        |         MAX(CASE WHEN variant = 'B' THEN svv END) AS svvb0
+        |  FROM m)
+        |SELECT na0 AS n_a, nb0 AS n_b,
+        |       CAST(sva0 AS DOUBLE) / CAST(na0 AS DOUBLE) / 100.0 AS mean_a,
+        |       CAST(svb0 AS DOUBLE) / CAST(nb0 AS DOUBLE) / 100.0 AS mean_b,
+        |       (CAST(sva0 AS DOUBLE) / CAST(na0 AS DOUBLE) - CAST(svb0 AS DOUBLE) / CAST(nb0 AS DOUBLE)) /
+        |       sqrt((CAST(svva0 AS DOUBLE) - CAST(sva0 AS DOUBLE) * CAST(sva0 AS DOUBLE) / CAST(na0 AS DOUBLE)) / (CAST(na0 AS DOUBLE) - 1.0) / CAST(na0 AS DOUBLE)
+        |          + (CAST(svvb0 AS DOUBLE) - CAST(svb0 AS DOUBLE) * CAST(svb0 AS DOUBLE) / CAST(nb0 AS DOUBLE)) / (CAST(nb0 AS DOUBLE) - 1.0) / CAST(nb0 AS DOUBLE))
+        |         AS t_stat
+        |FROM p""".stripMargin,
+
     // Mirrors Corpus.eventFunnel: the same chained whole-partition stage
     // windows and exact-integer conversion divisions.
     "q_e9_funnel" ->
