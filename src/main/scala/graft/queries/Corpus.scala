@@ -1308,9 +1308,12 @@ object Corpus {
     base.write.parquet(cur)
     val applyBatch: (Dataset[Row], Long) => Unit = (batch, id) => {
       if (!batch.isEmpty) {
+        // batchId-derived path + overwrite = idempotent under micro-batch
+        // retry (the standard exactly-once sink recipe: a replayed batch
+        // rewrites its own output instead of erroring or double-applying)
         val next = s"$root/state${id + 1}"
         Output.mergeUpsert(s.read.parquet(cur), batch, Seq("c_custkey"), Some("is_delete"))
-          .write.parquet(next)
+          .write.mode("overwrite").parquet(next)
         cur = next
       }
     }
