@@ -154,4 +154,70 @@ class PropertySpec extends SparkSpec {
       grainTotal == lineTotal
     })
   }
+
+  private val cdcGen: Gen[(List[(Long, Double)], List[(Long, Double, Boolean)])] =
+    for {
+      base <- Gen.nonEmptyListOf(for {
+        k <- Gen.choose(1L, 30L); v <- Gen.choose(-50, 50).map(_ / 2.0)
+      } yield (k, v)).map(_.distinctBy(_._1))
+      cs <- Gen.listOf(for {
+        k <- Gen.choose(1L, 40L); v <- Gen.choose(-50, 50).map(_ / 2.0)
+        del <- Gen.oneOf(true, false)
+      } yield (k, v, del)).map(_.distinctBy(_._1))
+    } yield (base, cs)
+
+  test("mergeUpsert is idempotent: re-applying a changeset changes nothing") {
+    import graft.operators.Output
+    check(Prop.forAll(cdcGen) { case (base, cs) =>
+      val b = base.toDF("k", "v")
+      val c = cs.toDF("k", "v", "del")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+      val once = Output.mergeUpsert(b, c, Seq("k"), Some("del"))
+      val twice = Output.mergeUpsert(once, c, Seq("k"), Some("del"))
+      canon(once) == canon(twice)
+    })
+  }
+
+  test("snapshotDiff of a table against itself is empty; against the merge it inverts the changeset") {
+    import graft.operators.{Cdc, Output}
+    check(Prop.forAll(cdcGen) { case (base, cs) =>
+      val b = base.toDF("k", "v")
+      val c = cs.toDF("k", "v", "del")
+      val merged = Output.mergeUpsert(b, c, Seq("k"), Some("del"))
+      val self = Cdc.snapshotDiff(b, b, Seq("k")).count() == 0L
+      // every diff row's key must be a changeset key (untouched keys vanish)
+      val diffKeys = Cdc.snapshotDiff(b, merged, Seq("k"))
+        .select("k").collect().map(_.getLong(0)).toSet
+      val csKeys = cs.map(_._1).toSet
+      self && diffKeys.subsetOf(csKeys)
+    })
+  }
+
+  test("scd2 is lossless compression: each log event is covered by exactly one matching version") {
+    import graft.operators.Cdc
+    val logGen = Gen.nonEmptyListOf(for {
+      k <- Gen.choose(1L, 5L); t <- Gen.choose(1, 50); a <- Gen.oneOf("A", "B", "C")
+    } yield (k, t, a)).map(_.distinctBy(r => (r._1, r._2)))
+    check(Prop.forAll(logGen) { rows =>
+      val log = rows.toDF("k", "t", "attr")
+      val dim = Cdc.scd2(log, Seq("k"), "t", Seq("attr"))
+      // as-of lookup of every original event into the dimension: exactly
+      // one covering version, and its attribute matches the event's
+      val covered = log.as("l").join(dim.as("d"),
+        $"l.k" === $"d.k" && $"l.t" >= $"d.effective_from" &&
+          ($"d.effective_to".isNull || $"l.t" < $"d.effective_to"))
+      covered.count() == log.count() &&
+        covered.filter($"l.attr" =!= $"d.attr").count() == 0L
+    })
+  }
+
+  test("zValue is a bijection on the [0,2^b)² grid") {
+    import graft.operators.ZOrder
+    val pts = for (x <- 0 until 16; y <- 0 until 16) yield (x, y)
+    val zs = pts.toDF("x", "y")
+      .select(ZOrder.zValue($"x", $"y", 4).as("z"))
+      .collect().map(_.getLong(0))
+    assert(zs.distinct.length === 256 && zs.min === 0L && zs.max === 255L)
+  }
 }
