@@ -781,6 +781,34 @@ object Corpus {
       .orderBy("c_custkey")
   }
 
+  /** J12: temporal SCD2 lookup — the consumer side of q_u5: every
+    * lineitem priced against the order-status version IN EFFECT at its
+    * ship date (key equi-join + covering-interval filter). Scale shape:
+    * the join is a plain equi-join on the business key — versions per key
+    * are few, so the interval predicate is a bounded post-filter, never a
+    * pair expansion; at 100 TB the dimension side is the small one and
+    * broadcasts. Exactly-one-version coverage is guaranteed by scd2's
+    * gapless validity stitch (PropertySpec proves it); here the aggregate
+    * per matched status is oracle-gated. */
+  def scd2Lookup(s: SparkSession, d: String): DataFrame = {
+    val dim = scd2Orders(s, d)
+      .select(col("o_custkey").as("d_custkey"), col("o_orderstatus"),
+        col("effective_from"), col("effective_to"))
+    val facts = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_shipdate"), col("l_extendedprice"))
+    facts
+      .join(broadcast(dim),
+        col("o_custkey") === col("d_custkey") &&
+          col("l_shipdate") >= col("effective_from") &&
+          (col("effective_to").isNull || col("l_shipdate") < col("effective_to")))
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        Exact.dsum(col("l_extendedprice")).as("total_price"))
+      .orderBy("o_orderstatus")
+  }
+
   /** A22: incremental aggregate maintenance ([[graft.operators.Cdc.applyDelta]])
     * — the per-nation (sum acctbal, customer count) rollup updated under the
     * q_u4 CDC changeset by applying SIGNED deltas (−before-image, +after-image)
@@ -2502,6 +2530,7 @@ object Corpus {
     "q_u3_unpivot" -> (unpivotKpis _),
     "q_u4_merge_upsert" -> (mergeUpsertCustomers _),
     "q_j11_star_join" -> (starJoin _),
+    "q_j12_scd2_lookup" -> (scd2Lookup _),
     "q_u5_scd2" -> (scd2Orders _),
     "q_u6_snapshot_diff" -> (snapshotDiffCustomers _),
     "q_a22_incremental_rollup" -> (incrementalRollup _),

@@ -1843,6 +1843,42 @@ object Oracle {
         |GROUP BY r_name, o_year
         |ORDER BY r_name, o_year""".stripMargin,
 
+    // Mirrors Corpus.scd2Lookup: the q_u5 dimension rebuilt inline, then
+    // the same covering-interval fact lookup and exact price sums.
+    "q_j12_scd2_lookup" ->
+      """WITH d AS (
+        |  SELECT o_custkey, o_orderdate, o_orderstatus,
+        |         ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+        |                            ORDER BY o_orderkey DESC) AS rn,
+        |         o_orderpriority
+        |  FROM orders),
+        |l AS (
+        |  SELECT o_custkey, o_orderdate, o_orderstatus, o_orderpriority,
+        |         LAG(o_orderstatus) OVER w AS ps,
+        |         LAG(o_orderpriority) OVER w AS pp
+        |  FROM d WHERE rn = 1
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)),
+        |c AS (
+        |  SELECT * FROM l
+        |  WHERE o_orderstatus IS DISTINCT FROM ps
+        |     OR o_orderpriority IS DISTINCT FROM pp),
+        |dim AS (
+        |  SELECT o_custkey AS d_custkey, o_orderstatus,
+        |         o_orderdate AS effective_from,
+        |         LEAD(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS effective_to
+        |  FROM c),
+        |f AS (
+        |  SELECT o_custkey, l_shipdate, l_extendedprice
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT o_orderstatus,
+        |       CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS total_price
+        |FROM f JOIN dim
+        |  ON o_custkey = d_custkey
+        | AND l_shipdate >= effective_from
+        | AND (effective_to IS NULL OR l_shipdate < effective_to)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
     // Mirrors Corpus.scd2Orders: same per-day dedup (max orderkey), the
     // same IS DISTINCT FROM change-compression (≡ Spark's !(a <=> lag a)),
     // and the same LEAD validity stitch over surviving versions.
