@@ -253,6 +253,59 @@ object HashUtil {
     sig
   }
 
+  /** Per-list token hit counts in ONE pass: each token is looked up in
+    * `lookup` (token → bitmask of which word lists contain it) and every set
+    * bit increments that list's counter. Replaces numLists interpreted
+    * filter/array_contains lambda passes — O(tokens) hash probes instead of
+    * O(numLists × tokens × |list|) interpreted comparisons. Counts are exact
+    * integers, so downstream ratio arithmetic stays bit-identical to the
+    * per-list formulation. */
+  def listHits(tokens: ArrayData, lookup: java.util.HashMap[UTF8String, Integer],
+      numLists: Int): ArrayData = {
+    val counts = new Array[Int](numLists)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val m = lookup.get(tokens.getUTF8String(i))
+        if (m != null) {
+          var mask = m.intValue()
+          while (mask != 0) {
+            counts(java.lang.Integer.numberOfTrailingZeros(mask)) += 1
+            mask &= mask - 1
+          }
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(counts)
+  }
+
+  /** Per-class character occurrence counts in ONE pass over the string:
+    * each char is looked up in `lookup` (char → bitmask of which classes
+    * contain it). Replaces numClasses regexp_replace passes; the classes are
+    * BMP-only (accented Latin letters), so UTF-16 char iteration counts each
+    * class member exactly once, matching
+    * length(s) - length(regexp_replace(s, '[class]', '')). */
+  def charClassCounts(s: UTF8String, lookup: java.util.HashMap[Character, Integer],
+      numClasses: Int): ArrayData = {
+    val counts = new Array[Int](numClasses)
+    val str = s.toString
+    var i = 0
+    while (i < str.length) {
+      val m = lookup.get(Character.valueOf(str.charAt(i)))
+      if (m != null) {
+        var mask = m.intValue()
+        while (mask != 0) {
+          counts(java.lang.Integer.numberOfTrailingZeros(mask)) += 1
+          mask &= mask - 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(counts)
+  }
+
   /** Cosine similarity between two float vectors with double accumulation.
     * Returns NaN when either norm is zero (propagates deterministically). */
   def cosineFF(a: ArrayData, b: ArrayData): Double = {

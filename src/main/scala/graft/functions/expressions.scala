@@ -159,6 +159,70 @@ case class HyperplaneSigExpr(child: Expression, planes: Array[Array[Double]])
   override def prettyName: String = "graft_hyperplane_sig"
 }
 
+/** All-lists stopword hit counts in one pass (see HashUtil.listHits) —
+  * replaces one interpreted filter/array_contains lambda per word list with a
+  * single hash-probe scan producing array<int> of per-list counts. The
+  * token→bitmask map is built once on the driver and injected into generated
+  * code via addReferenceObj, so the scan whole-stage-codegens. */
+case class ListHitsExpr(child: Expression, lists: Seq[Seq[String]])
+    extends UnaryExpression {
+  @transient private lazy val lookup: java.util.HashMap[
+      org.apache.spark.unsafe.types.UTF8String, Integer] = {
+    val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer]()
+    lists.zipWithIndex.foreach { case (words, i) =>
+      words.foreach { w =>
+        val k = org.apache.spark.unsafe.types.UTF8String.fromString(w)
+        val prev = m.get(k)
+        m.put(k, Integer.valueOf((if (prev == null) 0 else prev.intValue()) | (1 << i)))
+      }
+    }
+    m
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.listHits(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      lookup, lists.size)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("listHitsLookup", lookup, "java.util.HashMap")
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.listHits($c, $ref, ${lists.size})")
+  }
+  override protected def withNewChildInternal(newChild: Expression): ListHitsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_list_hits"
+}
+
+/** All-classes character occurrence counts in one pass (see
+  * HashUtil.charClassCounts) — replaces one regexp_replace length-diff per
+  * character class with a single scan producing array<int>. */
+case class CharClassCountsExpr(child: Expression, classes: Seq[String])
+    extends UnaryExpression {
+  @transient private lazy val lookup: java.util.HashMap[Character, Integer] = {
+    val m = new java.util.HashMap[Character, Integer]()
+    classes.zipWithIndex.foreach { case (cls, i) =>
+      cls.foreach { ch =>
+        val k = Character.valueOf(ch)
+        val prev = m.get(k)
+        m.put(k, Integer.valueOf((if (prev == null) 0 else prev.intValue()) | (1 << i)))
+      }
+    }
+    m
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.charClassCounts(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      lookup, classes.size)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("charClassLookup", lookup, "java.util.HashMap")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashUtil.charClassCounts($c, $ref, ${classes.size})")
+  }
+  override protected def withNewChildInternal(newChild: Expression): CharClassCountsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_char_class_counts"
+}
+
 /** Session registration + Column-level API for the custom expressions. */
 object GraftFunctions {
   private val registered =
@@ -200,6 +264,10 @@ object GraftFunctions {
     GraftColumn(TokenizeExpr(expression(c)))
   def cosineFloor(a: Column, b: Column): Column =
     GraftColumn(CosineFloorSimilarity(expression(a), expression(b)))
+  def listHits(tokens: Column, lists: Seq[Seq[String]]): Column =
+    GraftColumn(ListHitsExpr(expression(tokens), lists))
+  def charClassCounts(c: Column, classes: Seq[String]): Column =
+    GraftColumn(CharClassCountsExpr(expression(c), classes))
 
   private def expression(c: Column): Expression = GraftColumn.expr(c)
 }

@@ -33,9 +33,11 @@ object TextFunctions {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
     "that", "for", "on", "with", "as")
 
-  /** Fraction of tokens that are stopwords (0 when no tokens). */
+  /** Fraction of tokens that are stopwords (0 when no tokens). Fused
+    * single-pass hit count (HashUtil.listHits) — the filter/array_contains
+    * lambda runs interpreted and was the q_t3 hot spot. */
   def stopwordRatio(toks: Column): Column = {
-    val hits = size(filter(toks, t => array_contains(typedLit(Stopwords), t)))
+    val hits = element_at(graft.functions.GraftFunctions.listHits(toks, Seq(Stopwords)), 1)
     when(size(toks) > 0, hits.cast("double") / size(toks).cast("double"))
       .otherwise(lit(0.0))
   }
