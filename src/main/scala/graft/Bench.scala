@@ -68,11 +68,16 @@ object Bench {
     println(json)
     // Also self-record to a file: the stdout line rides at the tail of a long
     // sbt log and a bounded log buffer can truncate it mid-object (observed:
-    // BENCH_r03 lost 39 of 114 timings that way). The file copy — committed
-    // as BENCH_LATEST.json after a sweep — makes per-query regression
-    // tracking independent of log-tail luck.
+    // BENCH_r03 lost 39 of 114 timings; BENCH_r04/r05 each lost 69 of 142).
+    // Default target is the committed repo-root BENCH_LATEST.json so every
+    // full sweep — including driver-run ones — refreshes the durable artifact
+    // and per-query regression tracking never depends on log-tail luck.
+    // Builder-side partial sweeps (SPARK_GRAFT_BENCH_ONLY) divert to target/
+    // so they can't clobber the full record.
+    val defaultOut =
+      if (only.isDefined) "target/bench_latest.json" else "BENCH_LATEST.json"
     val out = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_latest.json"))
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut))
     Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.writeString(out, json + "\n")
     spark.stop()

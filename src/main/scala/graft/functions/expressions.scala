@@ -166,6 +166,8 @@ case class HyperplaneSigExpr(child: Expression, planes: Array[Array[Double]])
   * code via addReferenceObj, so the scan whole-stage-codegens. */
 case class ListHitsExpr(child: Expression, lists: Seq[Seq[String]])
     extends UnaryExpression {
+  require(lists.nonEmpty && lists.size <= 32,
+    s"listHits supports 1..32 word lists (int bitmask); got ${lists.size}")
   @transient private lazy val lookup: java.util.HashMap[
       org.apache.spark.unsafe.types.UTF8String, Integer] = {
     val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer]()
@@ -197,6 +199,8 @@ case class ListHitsExpr(child: Expression, lists: Seq[Seq[String]])
   * character class with a single scan producing array<int>. */
 case class CharClassCountsExpr(child: Expression, classes: Seq[String])
     extends UnaryExpression {
+  require(classes.nonEmpty && classes.size <= 32,
+    s"charClassCounts supports 1..32 char classes (int bitmask); got ${classes.size}")
   @transient private lazy val lookup: java.util.HashMap[Character, Integer] = {
     val m = new java.util.HashMap[Character, Integer]()
     classes.zipWithIndex.foreach { case (cls, i) =>
@@ -264,8 +268,15 @@ object GraftFunctions {
     GraftColumn(TokenizeExpr(expression(c)))
   def cosineFloor(a: Column, b: Column): Column =
     GraftColumn(CosineFloorSimilarity(expression(a), expression(b)))
+  /** Per-list token hit counts (array<int>, one slot per list) in one fused
+    * scan. At most 32 lists (int bitmask). */
   def listHits(tokens: Column, lists: Seq[Seq[String]]): Column =
     GraftColumn(ListHitsExpr(expression(tokens), lists))
+
+  /** Per-class character occurrence counts (array<int>, one slot per class)
+    * in one fused scan. Each class string is a LITERAL set of BMP chars —
+    * NOT a regex class body: '-', ']' and ranges like "a-z" are taken as the
+    * characters themselves. At most 32 classes (int bitmask). */
   def charClassCounts(c: Column, classes: Seq[String]): Column =
     GraftColumn(CharClassCountsExpr(expression(c), classes))
 

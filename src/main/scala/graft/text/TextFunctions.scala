@@ -38,8 +38,10 @@ object TextFunctions {
     * lambda runs interpreted and was the q_t3 hot spot. */
   def stopwordRatio(toks: Column): Column = {
     val hits = element_at(graft.functions.GraftFunctions.listHits(toks, Seq(Stopwords)), 1)
-    when(size(toks) > 0, hits.cast("double") / size(toks).cast("double"))
-      .otherwise(lit(0.0))
+    // Unconditional form (no when-branch) so the listHits scan stays a CSE
+    // candidate: hits <= |toks|, so 0 tokens -> 0/1 = 0.0, and null text ->
+    // null ratio -> coalesce 0.0 — value-identical to the CASE WHEN mirror.
+    coalesce(hits.cast("double") / greatest(size(toks), lit(1)).cast("double"), lit(0.0))
   }
 
   /** Count of sentence punctuation characters. */
@@ -83,14 +85,21 @@ object TextFunctions {
   val AccentsEs: String = "áéíóúñ"
   val AccentsIt: String = "àèéìòù"
 
-  /** Fraction of tokens found in `words` (0 when no tokens). */
+  /** Fraction of tokens found in `words` (0 when no tokens).
+    *
+    * Reference formulation kept for spec parity checks; hot paths use the
+    * fused multi-list [[graft.functions.GraftFunctions.listHits]] instead —
+    * this interpreted filter/array_contains lambda was the q_t3 hot spot. */
   def ratioIn(toks: Column, words: Seq[String]): Column = {
     val hits = size(filter(toks, t => array_contains(typedLit(words), t)))
     when(size(toks) > 0, hits.cast("double") / size(toks).cast("double"))
       .otherwise(lit(0.0))
   }
 
-  /** Fraction of characters in the accent class (0 for empty strings). */
+  /** Fraction of characters in the accent class (0 for empty strings).
+    *
+    * Reference formulation kept for spec parity checks; hot paths use the
+    * fused multi-class [[graft.functions.GraftFunctions.charClassCounts]]. */
   def accentRatio(text: Column, accentClass: String): Column = {
     val n = length(text)
     when(n > 0,
@@ -99,15 +108,44 @@ object TextFunctions {
       .otherwise(lit(0.0))
   }
 
+  /** Hit ratios for several word lists from ONE fused token scan: element i
+    * is hits(lists(i))/|toks| (0.0 when no tokens). Counts are exact ints,
+    * so each ratio is bit-identical to [[ratioIn]] on the same list. */
+  private def ratiosIn(toks: Column, lists: Seq[Seq[String]]): Seq[Column] = {
+    val hits = graft.functions.GraftFunctions.listHits(toks, lists)
+    // greatest(n,1) instead of when(n>0, ...): hit counts <= n, so n = 0
+    // already yields 0/1 = 0.0 — same value as the CASE WHEN oracle mirror —
+    // and keeping every subtree unconditional lets whole-stage codegen's
+    // subexpression elimination evaluate the fused scan ONCE per row even
+    // though all five ratios (and the langId5 cascade) reference it.
+    val den = greatest(size(toks), lit(1)).cast("double")
+    lists.indices.map { i =>
+      coalesce(element_at(hits, i + 1).cast("double") / den, lit(0.0))
+    }
+  }
+
+  /** Accent-char ratios for several char classes from ONE fused string scan:
+    * element i is count(classes(i))/length (0.0 for empty strings). Counts
+    * are exact ints — bit-identical to [[accentRatio]] per class. */
+  private def accentRatios(text: Column, classes: Seq[String]): Seq[Column] = {
+    val counts = graft.functions.GraftFunctions.charClassCounts(text, classes)
+    // Same unconditional-for-CSE shape as [[ratiosIn]].
+    val den = greatest(length(text), lit(1)).cast("double")
+    classes.indices.map { i =>
+      coalesce(element_at(counts, i + 1).cast("double") / den, lit(0.0))
+    }
+  }
+
   /** Per-language scores over the canonical text: function-word hit ratio,
     * plus 5× the accented-char ratio for de/fr (an accent char is rarer and
-    * far more discriminative than one more stopword hit). */
+    * far more discriminative than one more stopword hit). One fused token
+    * scan + one fused char scan for all three languages. */
   def langScores(text: Column): (Column, Column, Column) = {
     val norm = normText(text)
     val toks = tokens(norm)
-    (ratioIn(toks, Stopwords),
-      ratioIn(toks, StopwordsDe) + lit(5.0) * accentRatio(norm, AccentsDe),
-      ratioIn(toks, StopwordsFr) + lit(5.0) * accentRatio(norm, AccentsFr))
+    val Seq(en, de, fr) = ratiosIn(toks, Seq(Stopwords, StopwordsDe, StopwordsFr))
+    val Seq(aDe, aFr) = accentRatios(norm, Seq(AccentsDe, AccentsFr))
+    (en, de + lit(5.0) * aDe, fr + lit(5.0) * aFr)
   }
 
   /** Three-language ID: argmax of the en/de/fr profile scores, "other" when
@@ -122,20 +160,22 @@ object TextFunctions {
 
   /** Per-language profile scores (same formula as [[langScores]]) for the
     * five supported languages, in tie-break order. English carries no accent
-    * class, so its accent term is identically zero — kept explicit so every
-    * language evaluates the same expression shape. */
+    * class, so it is the bare function-word ratio. All five word lists share
+    * one fused token scan and all four accent classes share one fused char
+    * scan ([[ratiosIn]]/[[accentRatios]]). */
   def langScores5(text: Column): Seq[(String, Column)] = {
     val norm = normText(text)
     val toks = tokens(norm)
-    def score(words: Seq[String], accents: String): Column =
-      if (accents.isEmpty) ratioIn(toks, words)
-      else ratioIn(toks, words) + lit(5.0) * accentRatio(norm, accents)
+    val Seq(en, de, fr, es, it) = ratiosIn(toks,
+      Seq(Stopwords, StopwordsDe, StopwordsFr, StopwordsEs, StopwordsIt))
+    val Seq(aDe, aFr, aEs, aIt) = accentRatios(norm,
+      Seq(AccentsDe, AccentsFr, AccentsEs, AccentsIt))
     Seq(
-      "en" -> score(Stopwords, ""),
-      "de" -> score(StopwordsDe, AccentsDe),
-      "fr" -> score(StopwordsFr, AccentsFr),
-      "es" -> score(StopwordsEs, AccentsEs),
-      "it" -> score(StopwordsIt, AccentsIt))
+      "en" -> en,
+      "de" -> (de + lit(5.0) * aDe),
+      "fr" -> (fr + lit(5.0) * aFr),
+      "es" -> (es + lit(5.0) * aEs),
+      "it" -> (it + lit(5.0) * aIt))
   }
 
   /** Five-language ID: argmax of the en/de/fr/es/it profile scores, "other"

@@ -112,6 +112,18 @@ object Scratch {
         pass("dd1")(graft.queries.Corpus.jaccardTop(spark, d))
         pass("w4b")(graft.queries.Corpus.percentileApprox(spark, d))
 
+      case "t3" =>
+        // Steady-state timing of the text hot path after the langScores5
+        // fused-expression rewiring (round 6): 3 passes each.
+        (1 to 6).foreach { i =>
+          time(s"q_t2 pass$i")(graft.queries.Corpus.textQuality(spark, d)
+            .write.format("noop").mode("overwrite").save())
+        }
+        (1 to 6).foreach { i =>
+          time(s"q_t3 pass$i")(graft.queries.Corpus.textLangId(spark, d)
+            .write.format("noop").mode("overwrite").save())
+        }
+
       case "ml1" =>
         // attribute q_ml1_forecast_kpi cost stage by stage
         import graft.ml.ForecastModels
