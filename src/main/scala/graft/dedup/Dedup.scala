@@ -331,6 +331,142 @@ object Dedup {
       .select(col("id"), coalesce(col("lbl"), col("id")).as("label"))
   }
 
+  /** Signature-store row for cross-batch (incremental) dedup: everything a
+    * production ingest pipeline persists per accepted document so later
+    * batches can be deduped against history WITHOUT retaining raw text —
+    * the store is a few dozen bytes/doc, so a 100 TB corpus's store is
+    * O(100 GB) of parquet that equi-joins by band hash.
+    *
+    *   - `fingerprint`: md5 of the canonical text (exact-dup tier),
+    *   - `n_shingles`:  size of the word-k-shingle set (0 = too short to
+    *     participate in near-dup matching),
+    *   - `set_sig`:     md5 of the sorted shingle list — EXACT set-equality
+    *     verification without retaining the set itself (a bare MinHash
+    *     signature is not enough: a subset whose extra shingles never win a
+    *     min slot collides with its superset — observed 10 such false
+    *     positives in the sf0.01 fixture),
+    *   - `minhash`:     numHashes-slot MinHash signature (near-dup tier).
+    */
+  def signatureStore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      numHashes: Int = 16): DataFrame =
+    withMinhash(withShingles(docs, textCol, k), numHashes)
+      .select(
+        col(idCol).as("doc_id"),
+        TextFunctions.fingerprintMd5(col(textCol)).as("fingerprint"),
+        size(col("shingles")).as("n_shingles"),
+        md5(array_join(array_sort(col("shingles")), "\u0001")).as("set_sig"),
+        col("minhash"))
+
+  /** Incremental (cross-batch) dedup: classify every doc of a new batch
+    * against a persisted [[signatureStore]] and then within the batch.
+    * Returns one row per batch doc: (doc_id, status, match_id) with status
+    *   - `dup_of_store`: matches a store doc (match_id = min such store id),
+    *   - `dup_in_batch`: matches an earlier-kept batch doc (match_id = the
+    *     class keeper, i.e. the minimum batch id of the duplicate class),
+    *   - `kept`:         new unique content (match_id null). Docs with empty
+    *     shingle sets (under k tokens) never match and are always kept.
+    *
+    * Scale shape: the store side — the 100 TB history — is NEVER shuffled.
+    * Store band hashes stream map-side past a `broadcast` of the (small)
+    * batch's band hashes, the same broadcast-anti discipline as
+    * [[graft.operators.Output.mergeUpsert]]; only the in-batch tier
+    * self-joins, and that side is one ingest batch by construction. Both
+    * tiers verify candidates with the signature-estimated Jaccard (matching
+    * slot fraction) — no shingle set or text is ever read from history.
+    *
+    * At `threshold = 1.0` candidates are verified with `set_sig` equality —
+    * exact set equality, an equivalence relation, so the greedy min-id class
+    * assignment is exact (identical shingle sets ⇒ identical signatures ⇒
+    * identical band hashes ⇒ guaranteed candidacy). Below 1.0 verification
+    * falls back to the slot-fraction estimate and the match relation is not
+    * transitive — feed the verified pairs through [[dupClustersStar]]
+    * instead of trusting the greedy assignment. */
+  def incrementalDedup(
+      storeSig: DataFrame,
+      batchSig: DataFrame,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      maxBucket: Int = 1000,
+      threshold: Double = 1.0): DataFrame = {
+    // Matching-slot fraction of two signatures. Interpreted HOF (zip_with/
+    // aggregate) is fine here: it runs on candidate rows only —
+    // bucket-bounded, orders of magnitude fewer than corpus rows.
+    def estJaccard(a: Column, b: Column): Column =
+      aggregate(
+        zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v)
+        .cast("double") / lit(numHashes.toDouble)
+    // Candidate verification: exact set equality via set_sig at 1.0 (a slot
+    // estimate of 1.0 is NOT set equality — see [[signatureStore]]),
+    // slot-fraction estimate below.
+    def verified(sigA: Column, sigB: Column, setA: Column, setB: Column): Column =
+      if (threshold >= 1.0) setA === setB else estJaccard(sigA, sigB) >= threshold
+
+    val storeNE = storeSig.filter(col("n_shingles") > 0)
+    val batchNE = batchSig.filter(col("n_shingles") > 0).localCheckpoint(true)
+
+    // Tier 1 — batch vs store: stream the big store past the broadcast batch.
+    val sb = minhashBands(storeNE, "doc_id", numHashes, bands)
+      .toDF("sid", "band", "band_hash")
+    val bb = minhashBands(batchNE, "doc_id", numHashes, bands)
+      .toDF("bid", "band_b", "hash_b")
+    val candStore = sb
+      .join(broadcast(bb),
+        col("band") === col("band_b") && col("band_hash") === col("hash_b"))
+      .select("bid", "sid")
+      .distinct()
+    val sigsB = batchNE.select(
+      col("doc_id").as("bid"), col("minhash").as("sig_b"), col("set_sig").as("set_b"))
+    val storeMatch = candStore
+      .join(storeNE.select(
+        col("doc_id").as("sid"), col("minhash").as("sig_s"), col("set_sig").as("set_s")), "sid")
+      .join(broadcast(sigsB), "bid")
+      .filter(verified(col("sig_s"), col("sig_b"), col("set_s"), col("set_b")))
+      .groupBy("bid")
+      .agg(min("sid").as("store_match"))
+      .localCheckpoint(true)
+
+    // Tier 2 — within the batch, among docs the store didn't claim. Banded
+    // self-join with the standard bucket skew cap; structurally renamed
+    // frames (not .as aliases) so the band equi-keys survive self-join
+    // planning (see jaccardPairs).
+    val rest = batchNE.join(
+      storeMatch.select(col("bid").as("doc_id")), Seq("doc_id"), "left_anti")
+    val rbands = minhashBands(rest, "doc_id", numHashes, bands)
+    val hot = rbands.groupBy("band", "band_hash").count()
+      .filter(col("count") > maxBucket).select("band", "band_hash")
+    val pruned = rbands.join(hot, Seq("band", "band_hash"), "left_anti")
+    val left = pruned.select("doc", "band", "band_hash").toDF("id1", "band", "band_hash")
+    val right = pruned.select("doc", "band", "band_hash").toDF("id2", "band_r", "hash_r")
+    val batchMatch = left
+      .join(right,
+        col("band") === col("band_r") && col("band_hash") === col("hash_r") &&
+          col("id1") < col("id2"))
+      .select("id1", "id2")
+      .distinct()
+      .join(sigsB.toDF("id1", "s1", "t1"), "id1")
+      .join(sigsB.toDF("id2", "s2", "t2"), "id2")
+      .filter(verified(col("s1"), col("s2"), col("t1"), col("t2")))
+      .groupBy("id2")
+      .agg(min("id1").as("batch_match"))
+      .select(col("id2").as("doc_id"), col("batch_match"))
+
+    batchSig.select("doc_id")
+      .join(storeMatch.select(col("bid").as("doc_id"), col("store_match")),
+        Seq("doc_id"), "left")
+      .join(batchMatch, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        when(col("store_match").isNotNull, lit("dup_of_store"))
+          .when(col("batch_match").isNotNull, lit("dup_in_batch"))
+          .otherwise(lit("kept")).as("status"),
+        coalesce(col("store_match"), col("batch_match")).as("match_id"))
+  }
+
   /** Exact all-pairs embedding similarity (the verification tier beneath the
     * LSH path): every id1<id2 pair scored with the bit-reproducible fused
     * cosine. O(n²) by design — use for corpus slices / ground truth; the

@@ -2044,6 +2044,30 @@ object Corpus {
     Dedup.simhashNearDups(s, Tables.documents(s, d), "doc_id", "text", maxHamming = 7)
       .orderBy("id1", "id2")
 
+  /** Cross-batch incremental dedup ([[Dedup.incrementalDedup]]): the even
+    * docs are the already-ingested history (present only as a signature
+    * store — no text), the odd docs plus two planted clone families are the
+    * arriving batch: clones of store docs under ids +1000000 (must come back
+    * `dup_of_store` matching the original) and clones of batch docs under
+    * +2000000 (must come back `dup_in_batch` matching the kept original).
+    * Threshold 1.0 makes signature matching exact set-equality, so the
+    * whole classification is SQL-mirrorable via the q_dd2b sorted-shingle-
+    * list construction — a real oracle over both tiers, including natural
+    * odd/even duplicate collisions in the fixture. */
+  def incrementalDedupBatch(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val store = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+      .unionByName(docs.filter(col("doc_id") % 2 === 0 && col("doc_id") < 50)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .unionByName(docs.filter(col("doc_id") % 2 === 1 && col("doc_id") < 50)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+    Dedup.incrementalDedup(
+      Dedup.signatureStore(store, "doc_id", "text"),
+      Dedup.signatureStore(batch, "doc_id", "text"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash recall oracle (the clone-injection construction): clones of the
     * first 50 docs are planted under ids +1000000; identical text ⇒ identical
     * 64-bit sketch ⇒ Hamming 0, and the radius-sized banding pigeonhole-
@@ -2577,6 +2601,7 @@ object Corpus {
     "q_dd1b_jaccard_capped" -> (jaccardTopCapped _),
     "q_dd2_minhash_pairs" -> (minhashPairs _),
     "q_dd2b_minhash_recall" -> (minhashRecall _),
+    "q_dd9_incremental_dedup" -> (incrementalDedupBatch _),
     "q_dd3_simhash_pairs" -> (simhashPairs _),
     "q_dd3b_simhash_recall" -> (simhashRecall _),
     "q_dd4_embed_neardup" -> (embedNearDup _),

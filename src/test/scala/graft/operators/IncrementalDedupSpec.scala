@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.dedup.Dedup
+
+/** Cross-batch incremental dedup: a new batch classified against a persisted
+  * signature store (no text retained) and then within itself. */
+class IncrementalDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val storeDocs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "pack my box with five dozen liquor jugs"),
+    (4L, "how vexingly quick daft zebras jump today")).toDF("doc_id", "text")
+
+  // 1 clones store doc 0; 3 is new; 5 and 9 clone 3 (in-batch dups);
+  // 7 is under the shingle width (k=3) and must always be kept.
+  private val batchDocs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (3L, "sphinx of black quartz judge my vow now"),
+    (5L, "sphinx of black quartz judge my vow now"),
+    (7L, "too short"),
+    (9L, "sphinx of black quartz judge my vow now")).toDF("doc_id", "text")
+
+  private lazy val result = Dedup.incrementalDedup(
+    Dedup.signatureStore(storeDocs, "doc_id", "text"),
+    Dedup.signatureStore(batchDocs, "doc_id", "text"))
+    .orderBy("doc_id")
+    .collect()
+    .map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+
+  test("store clones, in-batch clones, short docs, and new docs classify correctly") {
+    assert(result === Array(
+      (1L, "dup_of_store", 0L),
+      (3L, "kept", -1L),
+      (5L, "dup_in_batch", 3L),
+      (7L, "kept", -1L),
+      (9L, "dup_in_batch", 3L)))
+  }
+
+  test("near-identical (but unequal) shingle sets are NOT dups at threshold 1.0") {
+    // One appended word changes the shingle set; the minhash signature may
+    // or may not collide, but set_sig verification must reject the pair.
+    val batch = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog indeed")).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(
+      Dedup.signatureStore(storeDocs, "doc_id", "text"),
+      Dedup.signatureStore(batch, "doc_id", "text"))
+      .collect()
+    assert(out.length === 1 && out.head.getString(1) === "kept")
+  }
+
+  test("the store side streams past a broadcast of the batch (no store shuffle)") {
+    val plan = Dedup.incrementalDedup(
+      Dedup.signatureStore(storeDocs, "doc_id", "text"),
+      Dedup.signatureStore(batchDocs, "doc_id", "text"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
+  }
+}

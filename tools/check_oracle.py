@@ -11,6 +11,7 @@ bit-exact via decimal-sum discipline, the tolerance only reports how close).
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -51,6 +52,11 @@ def main(sf_dir: str, out_dir: str) -> int:
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracle):
+        # Builder-side partial runs (Verify with a name filter) dump only a
+        # subset; silently skip queries with no spark output rather than
+        # flooding the report. The driver always dumps the full surface.
+        if not os.path.exists(f"{out_dir}/{name}"):
+            continue
         try:
             expect = canon(con.execute(oracle[name]).fetchdf())
         except Exception as e:
