@@ -183,6 +183,49 @@ object Multimodal {
     }
   }
 
+  case class AudioFeatures(
+      doc_id: Long,
+      n_samples: Long,
+      peak: Int,
+      rms: Double)
+
+  /** REAL signal-level audio features: decode the PCM payload (not just the
+    * RIFF header) and reduce it to peak amplitude and RMS energy — the
+    * audio analogue of [[resizeFeatures]]' pixel tier. Peak and the square
+    * sum are exact integers, so the only float op is one IEEE division +
+    * sqrt, which the oracle mirrors bit-for-bit from the fixture's sample
+    * formula. Interleaved channels are reduced together (peak/RMS over all
+    * samples), matching the oracle's definition. */
+  def audioFeatures(spark: SparkSession, blobs: DataFrame): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    blobs.as[Blob].mapPartitions { it =>
+      it.map { b =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(b.content))
+        try {
+          val fmt = in.getFormat
+          require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+            s"expected 16-bit LE PCM for doc ${b.doc_id}")
+          val bytes = in.readAllBytes()
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          var n = 0L
+          var peak = 0
+          var sumSq = 0L
+          while (bb.remaining() >= 2) {
+            val s = bb.getShort.toInt
+            val a = if (s < 0) -s else s
+            if (a > peak) peak = a
+            sumSq += s.toLong * s
+            n += 1
+          }
+          require(n > 0, s"empty PCM payload for doc ${b.doc_id}")
+          AudioFeatures(b.doc_id, n, peak, math.sqrt(sumSq.toDouble / n.toDouble))
+        } finally in.close()
+      }
+    }
+  }
+
   case class ImageFeatures(
       doc_id: Long,
       width: Int,

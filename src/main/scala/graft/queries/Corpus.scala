@@ -2327,6 +2327,15 @@ object Corpus {
       cachedBlobs(s, d, "wav")(Multimodal.toWavBlobs(s, Tables.documents(s, d))))
       .orderBy("doc_id").toDF()
 
+  /** MM6: signal-level audio features — PCM decoded sample-by-sample, peak
+    * amplitude and RMS energy reduced per doc; the oracle recomputes both
+    * from the fixture's sample formula, so the decoder must really read the
+    * waveform (integer peak/square-sum, one IEEE division + sqrt). */
+  def audioFeatures(s: SparkSession, d: String): DataFrame =
+    Multimodal.audioFeatures(s,
+      cachedBlobs(s, d, "wav")(Multimodal.toWavBlobs(s, Tables.documents(s, d))))
+      .orderBy("doc_id").toDF()
+
   /** Frame sampling over blobs — the bounded 1→N video stage (stub demuxer,
     * deterministic arithmetic mirrored in the oracle). */
   def frameSample(s: SparkSession, d: String): DataFrame =
@@ -2649,6 +2658,7 @@ object Corpus {
     "q_mm1_blob_meta" -> (blobMeta _),
     "q_mm2_frame_sample" -> (frameSample _),
     "q_mm3_audio_meta" -> (audioMeta _),
+    "q_mm6_audio_features" -> (audioFeatures _),
     "q_mm4_resize_features" -> (resizeFeatures _),
     "q_mm5_video_demux" -> (videoDemux _)
   )

@@ -2235,6 +2235,29 @@ object Oracle {
         |       CAST((100 + (doc_id % 400)) * 1000 // 8000 AS BIGINT) AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Mirrors the WAV fixture's PCM sample formula (Multimodal.wavBytes:
+    // sample_i = int16((doc_id*131 + i*7919) & 0xffff), interleaved over
+    // channels): peak and the square sum are exact integers, the RMS is one
+    // IEEE division + sqrt — the Spark side must decode the actual waveform.
+    "q_mm6_audio_features" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         (100 + doc_id % 400) * (1 + doc_id % 2) AS n
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM d),
+        |v AS (
+        |  SELECT doc_id, n,
+        |         CASE WHEN ((doc_id * 131 + i * 7919) & 65535) >= 32768
+        |              THEN ((doc_id * 131 + i * 7919) & 65535) - 65536
+        |              ELSE ((doc_id * 131 + i * 7919) & 65535) END AS smp
+        |  FROM s)
+        |SELECT doc_id,
+        |       CAST(max(n) AS BIGINT) AS n_samples,
+        |       CAST(max(abs(smp)) AS INTEGER) AS peak,
+        |       sqrt(CAST(sum(smp * smp) AS DOUBLE) / CAST(max(n) AS DOUBLE)) AS rms
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q_w6_ma_baseline" -> withDaily(
       s"""SELECT Country, StockCode, $tsDate, NetDailyQuantity,
          |       COALESCE(

@@ -60,6 +60,27 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audio features: PCM peak and RMS match the sample formula") {
+    val docs = Seq((0L, "a"), (1L, "b"), (7L, "c"), (400L, "d")).toDF("doc_id", "text")
+    val feats = Multimodal.audioFeatures(spark, Multimodal.toWavBlobs(spark, docs))
+      .collect().map(f => f.doc_id -> f).toMap
+    for (id <- Seq(0L, 1L, 7L, 400L)) {
+      val n = (100 + (id % 400).toInt) * (1 + (id % 2).toInt)
+      var peak = 0
+      var sumSq = 0L
+      (0 until n).foreach { i =>
+        val s = ((id * 131 + i * 7919) & 0xffff).toShort.toInt
+        peak = math.max(peak, math.abs(s))
+        sumSq += s.toLong * s
+      }
+      assert(feats(id).n_samples === n.toLong, s"n_samples of $id")
+      assert(feats(id).peak === peak, s"peak of $id")
+      assert(java.lang.Double.doubleToLongBits(feats(id).rms) ===
+        java.lang.Double.doubleToLongBits(math.sqrt(sumSq.toDouble / n.toDouble)),
+        s"rms of $id")
+    }
+  }
+
   test("resize features: nearest-neighbor halving matches the pixel formula") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(0L, 5L, 37L).toDF("doc_id")
