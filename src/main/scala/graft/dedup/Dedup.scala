@@ -18,6 +18,11 @@ import graft.text.TextFunctions
   */
 object Dedup {
 
+  /** Diagnostic: rounds the last [[dupClusters]]/[[dupClustersStar]] call on
+    * this JVM took to converge (scale spot-checks read it; not part of the
+    * query surface and meaningless under concurrent CC runs). */
+  @volatile private[graft] var lastCcRounds: Int = -1
+
   /** Exact dedup via canonical-text fingerprint: one row per distinct
     * content with the kept (minimum) id and the duplicate count.
     * Extends the reference's dropDuplicates (D2,
@@ -251,6 +256,7 @@ object Dedup {
       labels = next
       iters += 1
     }
+    lastCcRounds = iters
     labels
   }
 
@@ -323,6 +329,7 @@ object Dedup {
       sig = nextSig
       iters += 1
     }
+    lastCcRounds = iters
     // at the fixpoint the edge set is a forest of stars rooted at component
     // minima; isolated roots label themselves
     nodes

@@ -124,6 +124,58 @@ object Scratch {
             .write.format("noop").mode("overwrite").save())
         }
 
+      case "scale10" =>
+        // Round-6 scale spot-check: the iterative/heavy tier at 10× sf0.1
+        // (~5k docs -> 50k docs, ~600k lineitem rows -> 10x series). Each
+        // copy k of documents gets doc_id + k*10M and every token suffixed
+        // with the copy index, so cross-copy similarity is zero and
+        // dup-density per copy matches sf0.1 — 10x the data, same structure.
+        val dir10 = "/tmp/sf1x10"
+        if (!new java.io.File(s"$dir10/documents.parquet").exists()) {
+          new java.io.File(dir10).mkdirs()
+          val docs = Tables.documents(spark, d).select("doc_id", "text")
+          val copies = (0 until 10).map { k =>
+            docs.select(
+              (col("doc_id") + k * 10000000L).as("doc_id"),
+              regexp_replace(col("text"), "(\\S+)", s"$$1x$k").as("text"))
+          }
+          time("build documents x10")(
+            copies.reduce(_ unionByName _).coalesce(8)
+              .write.mode("overwrite").parquet(s"$dir10/documents.parquet"))
+        }
+        def bench2(label: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+          val times = (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            df.write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          val cc = graft.dedup.Dedup.lastCcRounds
+          println(f"[scratch] $label: min ${times.min}%.1fs (passes ${times.map(t => f"$t%.1f").mkString("/")}) ccRounds=$cc")
+        }
+        for (q <- Seq("q_dd6_dup_clusters", "q_dd8_star_clusters",
+            "q_tp2_clean_clustered", "q_t13_heavy_hitters")) {
+          bench2(s"$q sf0.1")(graft.queries.Corpus.all(q)(spark, d))
+          bench2(s"$q 10x")(graft.queries.Corpus.all(q)(spark, dir10))
+        }
+        // w14 runs on the daily grain; scale by suffixing Country per copy —
+        // 10x the series count at identical per-series length (the shape a
+        // 10x corpus has), salting/window structure unchanged.
+        val dailyBase = graft.queries.Corpus.all("q_w14_salted_trailing")
+        bench2("q_w14_salted_trailing sf0.1")(dailyBase(spark, d))
+        locally {
+          import graft.operators.Skew
+          val daily1 = graft.forecast.Forecast.dailySales(Tables.salesLines(spark, d))
+            .select("Country", "InvoiceDate", "NetDailyQuantity")
+          val daily10 = (0 until 10).map { k =>
+            daily1.select(
+              concat(col("Country"), lit(s"_$k")).as("Country"),
+              col("InvoiceDate"), col("NetDailyQuantity"))
+          }.reduce(_ unionByName _).localCheckpoint(true)
+          bench2("q_w14_salted_trailing 10x")(
+            Skew.saltedTrailingSum(daily10, Seq("Country"), "InvoiceDate",
+              "NetDailyQuantity", days = 7, salts = 16, out = "trail7"))
+        }
+
       case "ml1" =>
         // attribute q_ml1_forecast_kpi cost stage by stage
         import graft.ml.ForecastModels
