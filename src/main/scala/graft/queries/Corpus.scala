@@ -1358,6 +1358,78 @@ object Corpus {
     s.read.parquet(cur).orderBy("c_custkey")
   }
 
+  /** E11: STREAMING INGEST DEDUP — the q_dd9 batch delivered as ordered
+    * single-file micro-batches and classified incrementally: each batch is
+    * deduped against the STATIC signature store (tier 1, broadcast-batch
+    * discipline), then against a parquet-backed store of signatures kept by
+    * EARLIER micro-batches (tier 2a — the cross-micro-batch state the
+    * foreachBatch upsert pattern of q_e8 maintains), then within itself
+    * (tier 2b); kept docs append their signatures to the state. Because the
+    * staged files arrive in doc_id order (ascending mtimes pin the file
+    * source's processing order), first-seen-wins equals min-id-wins, so the
+    * final classification must EQUAL the one-shot q_dd9 batch run and
+    * shares its DuckDB oracle — the whole incremental state machine is
+    * hash-gated. Per-micro-batch cost: one broadcast join against each
+    * store; no driver-held state (signatures live in parquet). */
+  def streamedIncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.{Dataset, Row}
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val storeSig = Dedup.signatureStore(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text").localCheckpoint(true)
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_dd9").toString
+    // Arrival order: natural odd docs, then store clones (+1M), then batch
+    // clones (+2M) — class minima always arrive first.
+    val parts = Seq(
+      docs.filter(col("doc_id") % 2 === 1),
+      docs.filter(col("doc_id") % 2 === 0 && col("doc_id") < 50)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")),
+      docs.filter(col("doc_id") % 2 === 1 && col("doc_id") < 50)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+    val t0 = java.lang.System.currentTimeMillis() - 600000
+    parts.zipWithIndex.foreach { case (df, i) =>
+      val dir = s"$root/in/p$i"
+      df.coalesce(1).write.parquet(dir)
+      new java.io.File(dir).listFiles().foreach(_.setLastModified(t0 + i * 60000L))
+    }
+    var stateDir: Option[String] = None
+    val applyBatch: (Dataset[Row], Long) => Unit = (batch, id) => {
+      if (!batch.isEmpty) {
+        val sigB = Dedup.signatureStore(batch.toDF(), "doc_id", "text").localCheckpoint(true)
+        val vsStore = Dedup.incrementalDedup(storeSig, sigB)
+        val dupStore = vsStore.filter(col("status") === "dup_of_store").localCheckpoint(true)
+        val restSig = sigB.join(dupStore.select("doc_id"), Seq("doc_id"), "left_anti")
+        val keptState = stateDir.map(s.read.parquet(_)).getOrElse(storeSig.limit(0))
+        val vsState = Dedup.incrementalDedup(keptState, restSig).localCheckpoint(true)
+        // batchId-derived output path + overwrite = idempotent under retry
+        // (q_e8's exactly-once sink recipe).
+        dupStore.select(col("doc_id"), col("status"), col("match_id"))
+          .unionByName(vsState.select(
+            col("doc_id"),
+            when(col("status") === "kept", lit("kept"))
+              .otherwise(lit("dup_in_batch")).as("status"),
+            col("match_id")))
+          .write.mode("overwrite").parquet(s"$root/out/b$id")
+        val nextState = s"$root/state$id"
+        keptState.unionByName(
+          restSig.join(vsState.filter(col("status") === "kept").select("doc_id"),
+            Seq("doc_id"), "left_semi"))
+          .write.mode("overwrite").parquet(nextState)
+        stateDir = Some(nextState)
+      }
+    }
+    val q = s.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$root/in/p*")
+      .writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch(applyBatch)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.read.parquet(s"$root/out/b*").orderBy("doc_id")
+  }
+
   /** S12: schema-evolution read — older files lack a column added later
     * (the unavoidable lakehouse reality at 100 TB: a table is rewritten
     * never, appended forever). `mergeSchema` unifies the footers and
@@ -2584,6 +2656,7 @@ object Corpus {
     "q_s8_orc_roundtrip" -> (orcRoundtrip _),
     "q_e5_stream_dedup" -> (streamedDedup _),
     "q_e8_stream_merge" -> (streamedMerge _),
+    "q_e11_stream_dedup_store" -> (streamedIncrementalDedup _),
     "q_e9_funnel" -> (eventFunnel _),
     "q_a24_ab_test" -> (abTest _),
     "q_e10_cohort_retention" -> (cohortRetention _),

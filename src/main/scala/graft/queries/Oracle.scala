@@ -129,6 +129,51 @@ object Oracle {
   private def floorSum4(x: String, alias: String): String =
     s"CAST(SUM(CAST(floor(($x) * 1.0E4) AS BIGINT)) AS DOUBLE) / 1.0E4 AS $alias"
 
+  private val incrementalDedupSql: String =
+      """WITH store_docs AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        |batch_docs AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 2 = 0 AND doc_id < 50
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 2 = 1 AND doc_id < 50),
+        |allb AS (
+        |  SELECT 's' AS side, doc_id, text FROM store_docs
+        |  UNION ALL SELECT 'b', doc_id, text FROM batch_docs),
+        |n AS (SELECT side, doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM allb),
+        |tk AS (SELECT side, doc_id, regexp_extract_all(norm, '\S+') AS toks FROM n),
+        |wp AS (
+        |  SELECT side, doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+        |  FROM tk WHERE len(toks) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT side, doc_id,
+        |         array_to_string(toks[CAST(i AS INTEGER):CAST(i AS INTEGER)+2], ' ') AS shingle
+        |  FROM wp),
+        |sets AS (
+        |  SELECT side, doc_id, CAST(list_sort(list(shingle)) AS VARCHAR) AS sig
+        |  FROM sh GROUP BY side, doc_id),
+        |store_match AS (
+        |  SELECT b.doc_id, min(s.doc_id) AS match_id
+        |  FROM sets b JOIN sets s ON b.sig = s.sig AND b.side = 'b' AND s.side = 's'
+        |  GROUP BY b.doc_id),
+        |batch_rest AS (
+        |  SELECT doc_id, sig FROM sets
+        |  WHERE side = 'b' AND doc_id NOT IN (SELECT doc_id FROM store_match)),
+        |batch_keep AS (
+        |  SELECT sig, min(doc_id) AS keeper FROM batch_rest GROUP BY sig)
+        |SELECT b.doc_id AS doc_id,
+        |       CASE WHEN sm.doc_id IS NOT NULL THEN 'dup_of_store'
+        |            WHEN bk.keeper < b.doc_id THEN 'dup_in_batch'
+        |            ELSE 'kept' END AS status,
+        |       CASE WHEN sm.doc_id IS NOT NULL THEN sm.match_id
+        |            WHEN bk.keeper < b.doc_id THEN bk.keeper END AS match_id
+        |FROM batch_docs b
+        |LEFT JOIN store_match sm ON b.doc_id = sm.doc_id
+        |LEFT JOIN batch_rest br ON b.doc_id = br.doc_id
+        |LEFT JOIN batch_keep bk ON br.sig = bk.sig
+        |ORDER BY b.doc_id""".stripMargin
+
   private val seriesWin =
     "w AS (PARTITION BY Country, StockCode ORDER BY InvoiceDate)"
   private val dowWin =
@@ -1982,51 +2027,12 @@ object Oracle {
     // computable from sorted shingle lists — tier 1 pairs each batch doc
     // with the min-id store doc of equal set; tier 2 groups the remaining
     // batch docs by set and keeps the class minimum. Docs with fewer than
-    // 3 tokens have no shingle set and are always kept.
-    "q_dd9_incremental_dedup" ->
-      """WITH store_docs AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
-        |batch_docs AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 2 = 0 AND doc_id < 50
-        |  UNION ALL
-        |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 2 = 1 AND doc_id < 50),
-        |allb AS (
-        |  SELECT 's' AS side, doc_id, text FROM store_docs
-        |  UNION ALL SELECT 'b', doc_id, text FROM batch_docs),
-        |n AS (SELECT side, doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM allb),
-        |tk AS (SELECT side, doc_id, regexp_extract_all(norm, '\S+') AS toks FROM n),
-        |wp AS (
-        |  SELECT side, doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
-        |  FROM tk WHERE len(toks) >= 3),
-        |sh AS (
-        |  SELECT DISTINCT side, doc_id,
-        |         array_to_string(toks[CAST(i AS INTEGER):CAST(i AS INTEGER)+2], ' ') AS shingle
-        |  FROM wp),
-        |sets AS (
-        |  SELECT side, doc_id, CAST(list_sort(list(shingle)) AS VARCHAR) AS sig
-        |  FROM sh GROUP BY side, doc_id),
-        |store_match AS (
-        |  SELECT b.doc_id, min(s.doc_id) AS match_id
-        |  FROM sets b JOIN sets s ON b.sig = s.sig AND b.side = 'b' AND s.side = 's'
-        |  GROUP BY b.doc_id),
-        |batch_rest AS (
-        |  SELECT doc_id, sig FROM sets
-        |  WHERE side = 'b' AND doc_id NOT IN (SELECT doc_id FROM store_match)),
-        |batch_keep AS (
-        |  SELECT sig, min(doc_id) AS keeper FROM batch_rest GROUP BY sig)
-        |SELECT b.doc_id AS doc_id,
-        |       CASE WHEN sm.doc_id IS NOT NULL THEN 'dup_of_store'
-        |            WHEN bk.keeper < b.doc_id THEN 'dup_in_batch'
-        |            ELSE 'kept' END AS status,
-        |       CASE WHEN sm.doc_id IS NOT NULL THEN sm.match_id
-        |            WHEN bk.keeper < b.doc_id THEN bk.keeper END AS match_id
-        |FROM batch_docs b
-        |LEFT JOIN store_match sm ON b.doc_id = sm.doc_id
-        |LEFT JOIN batch_rest br ON b.doc_id = br.doc_id
-        |LEFT JOIN batch_keep bk ON br.sig = bk.sig
-        |ORDER BY b.doc_id""".stripMargin,
+    // 3 tokens have no shingle set and are always kept. q_e11 runs the SAME
+    // classification through ordered Structured-Streaming micro-batches
+    // (first-seen-wins == min-id-wins under the staged arrival order), so
+    // it shares this oracle verbatim.
+    "q_dd9_incremental_dedup" -> incrementalDedupSql,
+    "q_e11_stream_dedup_store" -> incrementalDedupSql,
 
     // Mirrors Corpus.minhashRecall at threshold 1.0: identical shingle sets
     // ⇒ identical signatures ⇒ guaranteed band-bucket candidates, and the

@@ -163,6 +163,16 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup equals the one-shot batch classification") {
+    // The q_e11 micro-batch state machine (static store + growing kept-
+    // signature store) must land on exactly the q_dd9 batch answer.
+    val d = "/root/testdata/sf0.001"
+    val batch = graft.queries.Corpus.incrementalDedupBatch(spark, d).collect()
+    val streamed = graft.queries.Corpus.streamedIncrementalDedup(spark, d).collect()
+    assert(streamed.length === batch.length)
+    streamed.zip(batch).foreach { case (sr, br) => assert(sr === br) }
+  }
+
   test("batch session_window agrees with the stateful operator's grouping") {
     val batch = Seq(
       Event(1, ts(0), "click", 1.0),
