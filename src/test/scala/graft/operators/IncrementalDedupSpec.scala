@@ -52,6 +52,32 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(out.length === 1 && out.head.getString(1) === "kept")
   }
 
+  test("sub-1.0 threshold takes the slot-estimate path: clones match, disjoint docs don't") {
+    // Exact clones have all 16 slots equal (estimate 1.0 >= 0.5); the
+    // disjoint doc shares no band, so it is never even a candidate.
+    val batch = Seq(
+      (21L, "the quick brown fox jumps over the lazy dog"),
+      (23L, "completely different words about gardens and rivers flowing"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(
+      Dedup.signatureStore(storeDocs, "doc_id", "text"),
+      Dedup.signatureStore(batch, "doc_id", "text"),
+      threshold = 0.5)
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) === "dup_of_store" && out(0).getLong(2) === 0L)
+    assert(out(1).getString(1) === "kept")
+  }
+
+  test("signature store carries the exact-dup fingerprint tier") {
+    import graft.text.TextFunctions
+    val sig = Dedup.signatureStore(storeDocs, "doc_id", "text")
+    assert(sig.columns.toSeq ===
+      Seq("doc_id", "fingerprint", "n_shingles", "set_sig", "minhash"))
+    val expected = storeDocs
+      .select(col("doc_id"), TextFunctions.fingerprintMd5(col("text")).as("fp"))
+    assert(sig.select("doc_id", "fingerprint").except(expected).count() === 0)
+  }
+
   test("the store side streams past a broadcast of the batch (no store shuffle)") {
     val plan = Dedup.incrementalDedup(
       Dedup.signatureStore(storeDocs, "doc_id", "text"),
