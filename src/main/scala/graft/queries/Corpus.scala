@@ -1799,6 +1799,22 @@ object Corpus {
         TextFunctions.fingerprintMd5(col("text")).as("fingerprint"))
       .orderBy("doc_id")
 
+  /** T14: BPE-ish token budget — whitespace tokens vs GPT-2-style pre-token
+    * counts plus the chars-per-pretoken compression ratio (the number a
+    * pipeline sizes context windows with). Same regex text in both engines
+    * ([[TextFunctions.BpePattern]] is RE2-compatible by construction). */
+  def textBpeTokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_ws_tokens"),
+        TextFunctions.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+        coalesce(
+          length(col("text")).cast("double") /
+            greatest(TextFunctions.bpeTokenCount(col("text")), lit(1)).cast("double"),
+          lit(0.0)).as("chars_per_token"))
+      .orderBy("doc_id")
+
   /** Quality scoring: length/punctuation/stopword signals + composite. */
   def textQuality(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -2648,6 +2664,7 @@ object Corpus {
     "q_t11_length_hist" -> (tokenHistogram _),
     "q_t12_vocabulary" -> (vocabulary _),
     "q_t13_heavy_hitters" -> (heavyHitters _),
+    "q_t14_bpe_tokens" -> (textBpeTokens _),
     "q_f6_datetime" -> (datetimeFunctions _),
     "q_s7_partitioned_scan" -> (partitionedScan _),
     "q_s9_dpp_join" -> (dppJoin _),

@@ -2223,6 +2223,19 @@ object Oracle {
 
     // Mirrors Corpus.hash64Groups by grouping on the canonical text itself:
     // hash-exact iff the custom RollingHash64 expression partitions content
+    // Mirrors Corpus.textBpeTokens: the RE2-compatible GPT-2-style
+    // pre-tokenization pattern is the SAME regex text in both engines (no
+    // lookahead, so Java and RE2 agree on every match).
+    "q_t14_bpe_tokens" ->
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_ws_tokens,
+        |       CAST(len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS INTEGER) AS n_bpe_tokens,
+        |       COALESCE(
+        |         CAST(length(text) AS DOUBLE)
+        |           / CAST(greatest(len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')), 1) AS DOUBLE),
+        |         CAST(0.0 AS DOUBLE)) AS chars_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // identically to content equality.
     "q_t5b_hash64_groups" ->
       """SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies

@@ -28,6 +28,20 @@ object TextFunctions {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** BPE-ish pre-tokenization pattern: the GPT-2-style split (English
+    * contraction suffixes, space-prefixed letter runs, digit runs,
+    * punctuation runs, whitespace runs) WITHOUT the original's trailing
+    * lookahead, so the pattern is RE2-compatible and the DuckDB oracle runs
+    * the IDENTICAL regex. Counts from this split approximate subword-token
+    * budgets far better than whitespace counts (punctuation and digits
+    * tokenize separately), which is what a training-data pipeline sizes
+    * batches and documents with. */
+  val BpePattern: String = "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Number of BPE-ish pre-tokens (full-pattern matches of [[BpePattern]]). */
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(BpePattern), lit(0)))
+
   /** Common-English stopwords used by the language-ID heuristic. */
   val Stopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",

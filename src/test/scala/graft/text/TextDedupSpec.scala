@@ -31,6 +31,21 @@ class TextDedupSpec extends SparkSpec {
     assert(counts(4L) === 0)
   }
 
+  test("bpeTokenCount splits contractions, digits, and punctuation separately") {
+    val rows = Seq(
+      (0L, "don't stop"),          // "don" + "'t" + " stop"
+      (1L, "I have 42 apples!"),   // "I" " have" " 42" " apples" "!"
+      (2L, ""),
+      (3L, "a,b")                  // "a" "," "b"
+      ).toDF("doc_id", "text")
+      .select($"doc_id", TextFunctions.bpeTokenCount($"text").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows(0L) === 3)
+    assert(rows(1L) === 5)
+    assert(rows(2L) === 0)
+    assert(rows(3L) === 3)
+  }
+
   test("stopword ratio and language heuristic") {
     val r = docs.select(
       $"doc_id",
