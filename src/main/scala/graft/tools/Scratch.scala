@@ -153,7 +153,8 @@ object Scratch {
           println(f"[scratch] $label: min ${times.min}%.1fs (passes ${times.map(t => f"$t%.1f").mkString("/")}) ccRounds=$cc")
         }
         for (q <- Seq("q_dd6_dup_clusters", "q_dd8_star_clusters",
-            "q_tp2_clean_clustered", "q_t13_heavy_hitters")) {
+            "q_tp2_clean_clustered", "q_t13_heavy_hitters",
+            "q_dd9_incremental_dedup")) {
           bench2(s"$q sf0.1")(graft.queries.Corpus.all(q)(spark, d))
           bench2(s"$q 10x")(graft.queries.Corpus.all(q)(spark, dir10))
         }
