@@ -1815,6 +1815,35 @@ object Corpus {
           lit(0.0)).as("chars_per_token"))
       .orderBy("doc_id")
 
+  /** T15: SEQUENCE PACKING — the concat-then-chunk assignment every LLM
+    * training pipeline runs: documents are laid end-to-end in (source,
+    * doc_id) order and split into fixed 2048-token sequences; each doc
+    * reports its global token offset, first/last sequence id, and how many
+    * sequence boundaries it straddles. Pure exact-integer window cumsum at
+    * the per-source grain (sources pack independently, so the windows
+    * distribute across sources; a single giant source would use the
+    * [[graft.operators.Skew.blockCumSum]] two-phase form, q_w15). Token
+    * counts use the BPE-ish pre-tokenizer (q_t14), so the budget is the
+    * one a subword pipeline actually sees. */
+  def sequencePack(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 2048
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"), col("source"),
+        TextFunctions.bpeTokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("end_off", sum(col("n_tokens")).over(w))
+      .select(
+        col("doc_id"), col("source"), col("n_tokens"),
+        (col("end_off") - col("n_tokens")).as("start_off"),
+        floor((col("end_off") - col("n_tokens")) / budget).cast("long").as("first_seq"),
+        floor((col("end_off") - 1) / budget).cast("long").as("last_seq"))
+      .withColumn("n_boundaries",
+        greatest(col("last_seq") - col("first_seq"), lit(0L)))
+      .orderBy("source", "doc_id")
+  }
+
   /** Quality scoring: length/punctuation/stopword signals + composite. */
   def textQuality(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -2665,6 +2694,7 @@ object Corpus {
     "q_t12_vocabulary" -> (vocabulary _),
     "q_t13_heavy_hitters" -> (heavyHitters _),
     "q_t14_bpe_tokens" -> (textBpeTokens _),
+    "q_t15_sequence_pack" -> (sequencePack _),
     "q_f6_datetime" -> (datetimeFunctions _),
     "q_s7_partitioned_scan" -> (partitionedScan _),
     "q_s9_dpp_join" -> (dppJoin _),

@@ -2236,6 +2236,28 @@ object Oracle {
         |         CAST(0.0 AS DOUBLE)) AS chars_per_token
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Mirrors Corpus.sequencePack: per-source exact-integer token cumsum,
+    // sequence ids via FLOOR of a double division (Spark's `/` on longs is
+    // true division in both engines at these magnitudes — exact ints < 2^53).
+    "q_t15_sequence_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS end_off
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens,
+        |       end_off - n_tokens AS start_off,
+        |       CAST(FLOOR(CAST(end_off - n_tokens AS DOUBLE) / 2048) AS BIGINT) AS first_seq,
+        |       CAST(FLOOR(CAST(end_off - 1 AS DOUBLE) / 2048) AS BIGINT) AS last_seq,
+        |       greatest(
+        |         CAST(FLOOR(CAST(end_off - 1 AS DOUBLE) / 2048) AS BIGINT)
+        |           - CAST(FLOOR(CAST(end_off - n_tokens AS DOUBLE) / 2048) AS BIGINT),
+        |         CAST(0 AS BIGINT)) AS n_boundaries
+        |FROM c ORDER BY source, doc_id""".stripMargin,
+
     // identically to content equality.
     "q_t5b_hash64_groups" ->
       """SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies

@@ -14,6 +14,28 @@ class ExtendedOpsSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("sequence packing: contiguous offsets per source, boundary math consistent") {
+    val rows = Corpus.sequencePack(spark, sf)
+      .collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .groupBy(_._1)
+    rows.foreach { case (_, docs) =>
+      val sorted = docs.sortBy(_._2)
+      // token stream is gapless: each doc starts where the previous ended
+      sorted.sliding(2).foreach {
+        case Array((_, _, n1, s1, _, _, _), (_, _, _, s2, _, _, _)) =>
+          assert(s2 === s1 + n1)
+        case _ =>
+      }
+      sorted.foreach { case (_, _, n, start, first, last, bounds) =>
+        assert(first === math.floorDiv(start, 2048L))
+        if (n > 0) assert(last === math.floorDiv(start + n - 1, 2048L))
+        assert(bounds === math.max(last - first, 0L))
+      }
+    }
+  }
+
   test("moment stats reproduce Spark's float-accumulated corr/covar/var to 1e-9") {
     val exact = Corpus.momentStats(spark, sf).collect()
       .map(r => r.getAs[String]("l_returnflag") -> r).toMap
