@@ -33,15 +33,29 @@ object Tables {
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read as a
-    * timestamp. Read it as raw long nanos (legacy conf) and rebuild a
-    * microsecond timestamp with an exact integer division — `ts / 1000` in
-    * double would lose precision at epoch-nanos magnitude (~1.7e18 > 2^53). */
+  /** events.ts has shipped in two physical forms across testdata
+    * generations: parquet TIMESTAMP(NANOS) (which Spark 4 refuses to read
+    * as a timestamp — the legacy conf reads it as raw long nanos) and
+    * plain TIMESTAMP(MICROS) (read natively as TIMESTAMP_NTZ). Sniff the
+    * schema and normalize either to a session-zone TimestampType column. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    normalizeEventsTs(table(spark, dir, "events"))
   }
+
+  /** Long nanos → exact integer DIV then timestamp_micros (a double divide
+    * would lose precision at epoch-nanos magnitude ~1.7e18 > 2^53);
+    * TIMESTAMP_NTZ micros → cast to TimestampType (value-identical under
+    * the engine's fixed UTC session zone); already-TimestampType passes
+    * through. */
+  def normalizeEventsTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 

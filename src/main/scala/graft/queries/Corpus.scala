@@ -1164,15 +1164,16 @@ object Corpus {
       dir.toString
     })
 
-  /** The staged-events stream with the nanos→timestamp rebuild applied
-    * (events.ts is TIMESTAMP(NANOS) — same legacy-long rebuild as
-    * Tables.events). */
+  /** The staged-events stream with the ts normalization applied. The file
+    * schema is sniffed from a (footer-only) batch read of the staged dir,
+    * so both historical physical forms of events.ts work — TIMESTAMP(NANOS)
+    * read as legacy long nanos, and TIMESTAMP(MICROS) read natively — with
+    * the same rebuild as Tables.events / Tables.normalizeEventsTs. */
   private def eventStream(s: SparkSession, d: String, copies: Int = 1): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema =
-      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
-    s.readStream.schema(schema).parquet(stagedEvents(s, d, copies))
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val staged = stagedEvents(s, d, copies)
+    val fileSchema = s.read.parquet(staged).schema
+    Tables.normalizeEventsTs(s.readStream.schema(fileSchema).parquet(staged))
   }
 
   /** E3: the SAME hourly aggregation as q_e1, executed by Structured

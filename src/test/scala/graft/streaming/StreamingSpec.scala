@@ -148,11 +148,10 @@ class StreamingSpec extends SparkSpec {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
       dir.resolve("events.parquet"))
-    import org.apache.spark.sql.functions._
-    val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val fileSchema = spark.read.parquet(dir.toString).schema
+    val stream = graft.Tables.normalizeEventsTs(
+      spark.readStream.schema(fileSchema).parquet(dir.toString))
     val q = EventStreams.hourlyCounts(stream, watermark = "1 hour")
       .writeStream.format("memory").queryName("file_hourly")
       .outputMode(OutputMode.Update()).start()
