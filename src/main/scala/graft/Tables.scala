@@ -45,16 +45,26 @@ object Tables {
 
   /** Long nanos → exact integer DIV then timestamp_micros (a double divide
     * would lose precision at epoch-nanos magnitude ~1.7e18 > 2^53);
-    * TIMESTAMP_NTZ micros → cast to TimestampType (value-identical under
-    * the engine's fixed UTC session zone); already-TimestampType passes
-    * through. */
+    * TIMESTAMP_NTZ micros → instant, reading the NTZ wall-clock AS UTC
+    * regardless of the session zone: convert_timezone shifts the wall-clock
+    * from UTC to the session zone first, so the session-zone cast lands on
+    * the same instant a UTC session would produce (on a UTC session both
+    * steps are identities). Already-TimestampType passes through; anything
+    * else is a schema drift we want to fail on here, not rows deep into a
+    * downstream query. */
   def normalizeEventsTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
-        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
-      case _ => df
+        val zone = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        df.withColumn("ts",
+          convert_timezone(lit("UTC"), lit(zone), col("ts"))
+            .cast(org.apache.spark.sql.types.TimestampType))
+      case org.apache.spark.sql.types.TimestampType => df
+      case other =>
+        throw new IllegalArgumentException(
+          s"events.ts: expected TIMESTAMP / TIMESTAMP_NTZ / legacy long nanos, got $other")
     }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

@@ -1152,27 +1152,31 @@ object Corpus {
     * temp dir ONCE per (session, sf, copies) — `copies` > 1 simulates
     * duplicate delivery for the dedup query. Cached so repeated Verify/Bench
     * invocations neither re-copy nor leak temp dirs. */
-  private val stageCache = TrieMap.empty[(SparkSession, String, Int), String]
+  private val stageCache =
+    TrieMap.empty[(SparkSession, String, Int), (String, org.apache.spark.sql.types.StructType)]
 
-  private def stagedEvents(s: SparkSession, d: String, copies: Int = 1): String =
+  /** Stages the events parquet and sniffs its file schema (footer-only batch
+    * read) ONCE per (session, sf, copies); repeated Verify/Bench invocations
+    * reuse both the copy and the schema. */
+  private def stagedEvents(
+      s: SparkSession, d: String, copies: Int = 1): (String, org.apache.spark.sql.types.StructType) =
     stageCache.getOrElseUpdate((s, d, copies), {
       import java.nio.file.{Files, Paths}
       val dir = Files.createTempDirectory("graft-stream-events")
       (1 to copies).foreach { i =>
         Files.copy(Paths.get(s"$d/events.parquet"), dir.resolve(s"events_$i.parquet"))
       }
-      dir.toString
+      (dir.toString, s.read.parquet(dir.toString).schema)
     })
 
-  /** The staged-events stream with the ts normalization applied. The file
-    * schema is sniffed from a (footer-only) batch read of the staged dir,
-    * so both historical physical forms of events.ts work — TIMESTAMP(NANOS)
-    * read as legacy long nanos, and TIMESTAMP(MICROS) read natively — with
-    * the same rebuild as Tables.events / Tables.normalizeEventsTs. */
+  /** The staged-events stream with the ts normalization applied. The cached
+    * file schema makes both historical physical forms of events.ts work —
+    * TIMESTAMP(NANOS) read as legacy long nanos, and TIMESTAMP(MICROS) read
+    * natively — with the same rebuild as Tables.events /
+    * Tables.normalizeEventsTs. */
   private def eventStream(s: SparkSession, d: String, copies: Int = 1): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val staged = stagedEvents(s, d, copies)
-    val fileSchema = s.read.parquet(staged).schema
+    val (staged, fileSchema) = stagedEvents(s, d, copies)
     Tables.normalizeEventsTs(s.readStream.schema(fileSchema).parquet(staged))
   }
 
