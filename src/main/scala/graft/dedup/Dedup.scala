@@ -531,4 +531,63 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("id1", "id2", "cosine")
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * assign every embedding to its nearest of `numSeeds` centroids by
+    * cosine, then prune near-duplicates ONLY within each cluster — a vector
+    * is `dropped` iff a lower-id vector in the SAME cluster has cosine ≥
+    * `threshold` with it, else `kept`. Returns (id, cluster, status).
+    *
+    * Centroids here are the `numSeeds` lowest-id vectors (a deterministic,
+    * SQL-mirrorable stand-in for a k-means fit — the reference pipeline
+    * extension has no model registry; the SERVING shape is identical either
+    * way: k fixed vectors collected to the driver, bounded state, shipped
+    * in-plan to every executor).
+    *
+    * Scale shape: assignment is one map-side fused-cosine pass per row — no
+    * shuffle, no candidate join against the centroid set. The only shuffle
+    * keys on the cluster id, and the pairwise prune runs per cluster, so
+    * total work is Σ |cluster|² instead of n² — at 100 TB, `numSeeds` grows
+    * ∝ n (SemDeDup uses ~100k clusters for web scale) keeping cluster sizes
+    * bounded; a runaway cluster would be salted or sub-clustered, same as
+    * the LSH frequency cap above.
+    *
+    * All comparisons go through the floor-quantized cosine
+    * ([[graft.functions.HashUtil.cosineFloor]]) so assignment argmax and
+    * threshold tests are bit-reproducible in any engine (q_dd5 discipline).
+    * Ties on assignment break to the smaller seed id. */
+  def semanticDedup(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numSeeds: Int = 8,
+      threshold: Double = 0.9): DataFrame = {
+    // Bounded driver state: exactly numSeeds (id, vector) rows.
+    val seeds: Array[(Long, Array[Float])] =
+      emb.select(col(idCol).cast("long"), col(vecCol))
+        .orderBy(col(idCol)).limit(numSeeds).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    // argmax by (cosine, -seedId): struct ordering gives max cosine, then
+    // min seed id — mirrored by ORDER BY c DESC, sid in the oracle.
+    val scored = array(seeds.map { case (sid, vec) =>
+      struct(
+        GraftFunctions.cosineFloor(col(vecCol), typedLit(vec)).as("c"),
+        lit(-sid).as("neg_sid"))
+    }: _*)
+    val assigned = emb.select(
+      col(idCol).as("id"),
+      col(vecCol).as("vec"),
+      (-array_max(scored).getField("neg_sid")).as("cluster"))
+    val a = assigned.toDF("id1", "v1", "cluster")
+    val b = assigned.toDF("id2", "v2", "cluster_r")
+    val dropped = a
+      .join(b, col("cluster") === col("cluster_r") && col("id1") < col("id2"))
+      .filter(GraftFunctions.cosineFloor(col("v1"), col("v2")) >= threshold)
+      .select(col("id2").as("id")).distinct()
+    assigned
+      .join(dropped.withColumn("hit", lit(1)), Seq("id"), "left")
+      .select(
+        col("id"), col("cluster"),
+        when(col("hit").isNotNull, lit("dropped")).otherwise(lit("kept")).as("status"))
+  }
 }

@@ -2228,6 +2228,24 @@ object Corpus {
       .orderBy("id1", "id2")
   }
 
+  /** DD10: SEMANTIC DEDUP (SemDeDup) — cluster embeddings around the 8
+    * lowest-id seed vectors, then drop any vector whose cluster holds a
+    * lower-id vector at cosine ≥ 0.9. Clones of the first 40 vectors are
+    * injected under shifted ids (the q_dd4 construction): a clone lands in
+    * its original's cluster (identical vector ⇒ identical argmax) at cosine
+    * ≈ 1, so exactly the clones must come back `dropped` — while the
+    * assignment of every NATURAL vector is also oracle-checked, because the
+    * floor-quantized cosine makes the argmax bit-reproducible in SQL. */
+  def semanticDedup(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val clones = emb.filter(col("vec_id") < 40)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    Dedup.semanticDedup(emb.unionByName(clones), "vec_id", "embedding",
+        numSeeds = 8, threshold = 0.9)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy("vec_id")
+  }
+
   /** Exact all-pairs embedding similarity, top-100 most similar pairs
     * (bit-reproducible fused cosine — oracle-checked). */
   def embedPairsTop(s: SparkSession, d: String): DataFrame =
@@ -2736,6 +2754,7 @@ object Corpus {
     "q_dd2_minhash_pairs" -> (minhashPairs _),
     "q_dd2b_minhash_recall" -> (minhashRecall _),
     "q_dd9_incremental_dedup" -> (incrementalDedupBatch _),
+    "q_dd10_semantic_dedup" -> (semanticDedup _),
     "q_dd3_simhash_pairs" -> (simhashPairs _),
     "q_dd3b_simhash_recall" -> (simhashRecall _),
     "q_dd4_embed_neardup" -> (embedNearDup _),

@@ -122,6 +122,14 @@ object Oracle {
   }
 
   /** Bit-reproducible mean via IEEE-only ops — mirrors Exact.floorAvg(c, 9). */
+  /** Floor-quantized cosine aggregate (the q_dd5 construction) over grouped
+    * rows carrying component columns x, y — exact-integer sums, so the
+    * result is bit-identical to HashUtil.cosineFloor. */
+  private val quantCosAgg: String =
+    """(CAST(SUM(CAST(floor(x * y * 1.0E15) AS BIGINT)) AS DOUBLE) / 1.0E15)
+      |           / (sqrt(CAST(SUM(CAST(floor(x * x * 1.0E15) AS BIGINT)) AS DOUBLE) / 1.0E15)
+      |              * sqrt(CAST(SUM(CAST(floor(y * y * 1.0E15) AS BIGINT)) AS DOUBLE) / 1.0E15))""".stripMargin
+
   private def floorAvg9(x: String, alias: String): String =
     s"CAST(SUM(CAST(floor(($x) * 1.0E9) AS BIGINT)) AS DOUBLE) / 1.0E9 / CAST(COUNT($x) AS DOUBLE) AS $alias"
 
@@ -2067,6 +2075,50 @@ object Oracle {
     "q_dd3b_simhash_recall" ->
       """SELECT doc_id AS id1, doc_id + 1000000 AS id2, CAST(0 AS INTEGER) AS hamming
         |FROM documents WHERE doc_id < 50 ORDER BY id1""".stripMargin,
+
+    // Mirrors Corpus.semanticDedup (SemDeDup): seeds are the 8 lowest-id
+    // embeddings; assignment argmax and the within-cluster ≥0.9 prune both
+    // use the q_dd5 floor-quantized cosine, so every natural vector's
+    // cluster AND the dropped set (exactly the injected clones) are
+    // reproduced bit-for-bit.
+    "q_dd10_semantic_dedup" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 40),
+         |seeds AS (SELECT vec_id AS sid, embedding AS se FROM embeddings ORDER BY vec_id LIMIT 8),
+         |spos AS (
+         |  SELECT v.vec_id, s.sid, v.embedding AS e, s.se,
+         |         unnest(generate_series(1, len(v.embedding))) AS i
+         |  FROM v CROSS JOIN seeds s),
+         |sterm AS (
+         |  SELECT vec_id, sid,
+         |         CAST(e[CAST(i AS INTEGER)] AS DOUBLE) AS x,
+         |         CAST(se[CAST(i AS INTEGER)] AS DOUBLE) AS y
+         |  FROM spos),
+         |scos AS (SELECT vec_id, sid, $quantCosAgg AS c FROM sterm GROUP BY 1, 2),
+         |assign AS (
+         |  SELECT vec_id, sid AS cluster FROM (
+         |    SELECT vec_id, sid,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, sid) AS rn
+         |    FROM scos) WHERE rn = 1),
+         |cand AS (
+         |  SELECT a.vec_id AS id1, b.vec_id AS id2, va.embedding AS ea, vb.embedding AS eb
+         |  FROM assign a JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  JOIN v va ON va.vec_id = a.vec_id
+         |  JOIN v vb ON vb.vec_id = b.vec_id),
+         |ppos AS (SELECT id1, id2, ea, eb, unnest(generate_series(1, len(ea))) AS i FROM cand),
+         |pterm AS (
+         |  SELECT id1, id2,
+         |         CAST(ea[CAST(i AS INTEGER)] AS DOUBLE) AS x,
+         |         CAST(eb[CAST(i AS INTEGER)] AS DOUBLE) AS y
+         |  FROM ppos),
+         |pcos AS (SELECT id1, id2, $quantCosAgg AS c FROM pterm GROUP BY 1, 2),
+         |dropped AS (SELECT DISTINCT id2 AS vec_id FROM pcos WHERE c >= CAST(0.9 AS DOUBLE))
+         |SELECT a.vec_id, a.cluster,
+         |       CASE WHEN d.vec_id IS NOT NULL THEN 'dropped' ELSE 'kept' END AS status
+         |FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+         |ORDER BY a.vec_id""".stripMargin,
 
     "q_dd5_embed_pairs_top" ->
       """WITH pairs AS (

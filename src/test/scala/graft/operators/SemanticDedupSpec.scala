@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.dedup.Dedup
+
+/** Dedup.semanticDedup (SemDeDup): seed assignment, within-cluster-only
+  * pruning, and min-id keeper discipline on a hand-built vector set. */
+class SemanticDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Two orthogonal directions (clusters) plus near/far members:
+  //   0: e_x seed        1: e_y seed
+  //   2: ≈e_x (cos≈1)    3: ≈e_y (cos≈1)    4: e_x again (dup of 0 and 2)
+  //   5: 45° between     — lands in cluster 0 by the sid tie-break at equal
+  //      cosine, far (cos≈0.707) from both seeds, so it must be kept.
+  private def vec(xs: Float*): Array[Float] = xs.toArray
+  private lazy val vecs = Seq(
+    (0L, vec(1f, 0f)),
+    (1L, vec(0f, 1f)),
+    (2L, vec(0.999f, 0.001f)),
+    (3L, vec(0.001f, 0.999f)),
+    (4L, vec(2f, 0f)), // scaled copy of 0 — cosine is scale-invariant
+    (5L, vec(1f, 1f))
+  ).toDF("id", "v")
+
+  private lazy val result =
+    Dedup.semanticDedup(vecs, "id", "v", numSeeds = 2, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+
+  test("vectors assign to the nearest seed; equal-cosine ties break to the lower seed id") {
+    assert(result(0L)._1 === 0L)
+    assert(result(1L)._1 === 1L)
+    assert(result(2L)._1 === 0L)
+    assert(result(3L)._1 === 1L)
+    assert(result(4L)._1 === 0L)
+    assert(result(5L)._1 === 0L) // cos 45° to both seeds — tie → seed 0
+  }
+
+  test("within-cluster near-dups drop against the lowest id; distant members survive") {
+    assert(result(0L)._2 === "kept")    // cluster keeper
+    assert(result(2L)._2 === "dropped") // ≈ vector 0
+    assert(result(4L)._2 === "dropped") // scaled copy of 0
+    assert(result(1L)._2 === "kept")
+    assert(result(3L)._2 === "dropped") // ≈ vector 1
+    assert(result(5L)._2 === "kept")    // in cluster 0 but cos≈0.707 < 0.9
+  }
+
+  test("pruning never crosses clusters even at cosine above the threshold") {
+    // 3 is nearly identical to 1 but in a different cluster than 0/2/4;
+    // if pruning compared across clusters, 5 (cos≈0.707 vs everything in
+    // cluster 0) would still be kept but 3's keeper would become ambiguous.
+    // The direct claim: every drop's keeper shares its cluster.
+    val rows = Dedup.semanticDedup(vecs, "id", "v", numSeeds = 2, threshold = 0.9)
+    val byCluster = rows.groupBy("cluster")
+      .agg(sum(when(col("status") === "kept", 1).otherwise(0)).as("n_kept"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byCluster(0L) === 2L) // vectors 0 and 5
+    assert(byCluster(1L) === 1L) // vector 1
+  }
+}
