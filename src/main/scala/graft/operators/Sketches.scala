@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch (Cormode & Muthukrishnan 2005): a fixed depth×width
+  * grid of counters summarizing a key-frequency distribution. The point at
+  * scale is that the sketch is an ALGEBRAIC aggregate — each partition
+  * builds its grid map-side, partial grids merge by cell-wise addition, and
+  * the final structure is a few hundred rows no matter whether the input is
+  * 60k events or a 100 TB stream (the same property the HLL register set
+  * gives q_a13 for distinct counts). Point queries overestimate, never
+  * underestimate: est(k) = min over rows j of cell (j, h_j(k)).
+  *
+  * Hashes are pairwise-independent multiply-shift forms
+  * h_j(k) = ((a_j·k + b_j) mod p) mod width over the Mersenne prime
+  * p = 2^61 − 1, with literal (a_j, b_j) so every engine reproduces the
+  * grid exactly (keys and coefficients stay far below the int64 overflow
+  * bound: a < 2^32, k < 2^31 ⇒ a·k < 2^63).
+  */
+object Sketches {
+
+  /** 2^61 − 1. */
+  val CmsPrime: Long = 2305843009213693951L
+
+  /** Fixed multiply-shift coefficients; depth ≤ 4 draws from these. */
+  val CmsA: Seq[Long] = Seq(2654435761L, 40503L, 2246822519L, 3266489917L)
+  val CmsB: Seq[Long] = Seq(11L, 101L, 1009L, 10007L)
+
+  /** h_j applied to a non-negative long key column. */
+  def cmsBucket(key: Column, j: Int, width: Int): Column =
+    ((lit(CmsA(j)) * key + lit(CmsB(j))) % lit(CmsPrime)) % lit(width)
+
+  /** Build the sketch: one (j, bucket, c) row per non-empty cell —
+    * depth×width rows max, map-side combinable (a plain hash aggregate on a
+    * 256-value grouping key). */
+  def countMin(df: DataFrame, keyCol: String, depth: Int = 4, width: Int = 64): DataFrame = {
+    require(depth <= CmsA.length, s"depth $depth > ${CmsA.length} fixed hash rows")
+    df.select(posexplode(array(
+        (0 until depth).map(j => cmsBucket(col(keyCol), j, width)): _*)))
+      .withColumnsRenamed(Map("pos" -> "j", "col" -> "bucket"))
+      .groupBy("j", "bucket").agg(count(lit(1)).as("c"))
+  }
+
+  /** Point-query `probes` (any frame with a long `keyCol`) against a
+    * [[countMin]] sketch: appends `cms_n` = min over depth rows. The sketch
+    * is broadcast — it is bounded by depth×width cells, so the probe side
+    * (which may be huge) never shuffles. */
+  def cmsEstimate(
+      sketch: DataFrame,
+      probes: DataFrame,
+      keyCol: String,
+      depth: Int = 4,
+      width: Int = 64): DataFrame = {
+    val probeCols = probes.columns.toSeq
+    val keyed = probes.select(col("*"), posexplode(array(
+        (0 until depth).map(j => cmsBucket(col(keyCol), j, width)): _*)))
+      .withColumnsRenamed(Map("pos" -> "j", "col" -> "bucket"))
+    keyed.join(broadcast(sketch), Seq("j", "bucket"))
+      .groupBy(probeCols.map(col): _*)
+      .agg(min(col("c")).as("cms_n"))
+  }
+}

@@ -220,6 +220,21 @@ object Corpus {
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
       .orderBy("l_returnflag")
 
+  /** A25: COUNT-MIN SKETCH point queries — build the fixed 4×64 grid over
+    * event user_ids, then estimate the top-20 heaviest users against their
+    * exact counts. Every estimate must satisfy cms_n ≥ exact_n (CMS never
+    * undercounts); with literal hash coefficients the whole grid is
+    * bit-reproducible in SQL, so the oracle checks the sketch itself, not
+    * just the inequality. */
+  def countMinUsers(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select("user_id")
+    val sketch = graft.operators.Sketches.countMin(ev, "user_id")
+    val probes = ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("user_id")).limit(20)
+    graft.operators.Sketches.cmsEstimate(sketch, probes, "user_id")
+      .orderBy("user_id")
+  }
+
   /** Ranking / navigation / cumulative windows over the daily series:
     * row_number, lead, running sum (beyond the reference surface, which used
     * only lag + trailing frames). */
@@ -2729,6 +2744,7 @@ object Corpus {
     "q_e11_stream_dedup_store" -> (streamedIncrementalDedup _),
     "q_e9_funnel" -> (eventFunnel _),
     "q_a24_ab_test" -> (abTest _),
+    "q_a25_countmin" -> (countMinUsers _),
     "q_e10_cohort_retention" -> (cohortRetention _),
     "q_s12_schema_evolution" -> (schemaEvolutionRead _),
     "q_e6_stream_join" -> (streamedIntervalJoin _),

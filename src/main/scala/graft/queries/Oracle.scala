@@ -867,6 +867,32 @@ object Oracle {
         |       CAST(floor(epoch(l_shipdate)) AS BIGINT) AS epoch_s
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
+    // Mirrors Corpus.countMinUsers: the same 4×64 count-min grid from the
+    // same literal multiply-shift hashes over p = 2^61-1, probed for the
+    // top-20 exact-heaviest users — grid contents, collisions, and the
+    // min-over-rows estimates all reproduce exactly.
+    "q_a25_countmin" ->
+      """WITH ab AS (
+        |  SELECT CAST(j AS INTEGER) AS j,
+        |         ([2654435761, 40503, 2246822519, 3266489917])[j + 1] AS a,
+        |         ([11, 101, 1009, 10007])[j + 1] AS b
+        |  FROM (SELECT unnest(generate_series(0, 3)) AS j)),
+        |h AS (
+        |  SELECT e.user_id, ab.j,
+        |         ((ab.a * e.user_id + ab.b) % 2305843009213693951) % 64 AS bucket
+        |  FROM events e CROSS JOIN ab),
+        |sketch AS (SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS c FROM h GROUP BY 1, 2),
+        |exact AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n FROM events GROUP BY 1),
+        |probes AS (SELECT user_id, exact_n FROM exact ORDER BY exact_n DESC, user_id LIMIT 20)
+        |SELECT p.user_id, p.exact_n, MIN(s.c) AS cms_n
+        |FROM probes p
+        |CROSS JOIN ab
+        |JOIN sketch s
+        |  ON s.j = ab.j
+        | AND s.bucket = ((ab.a * p.user_id + ab.b) % 2305843009213693951) % 64
+        |GROUP BY 1, 2
+        |ORDER BY p.user_id""".stripMargin,
+
     // Mirrors Corpus.abTest: identical hash assignment, identical exact
     // moment sums, identical fixed-order Welch t expression.
     "q_a24_ab_test" ->

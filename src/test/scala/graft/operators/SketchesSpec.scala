@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val keys =
+    (Seq.fill(100)(7L) ++ Seq.fill(40)(13L) ++ (100L until 160L)).toDF("k")
+
+  test("count-min never undercounts, and heavy keys stay near-exact") {
+    val sketch = Sketches.countMin(keys, "k")
+    val exact = keys.groupBy("k").agg(count(lit(1)).as("exact_n"))
+    val est = Sketches.cmsEstimate(sketch, exact, "k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(est.nonEmpty)
+    est.foreach { case (k, ex, cms) => assert(cms >= ex, s"undercount for key $k") }
+    val heavy = est.find(_._1 == 7L).get
+    assert(heavy._2 === 100L)
+    assert(heavy._3 >= 100L)
+  }
+
+  test("sketch is bounded by depth x width cells and mergeable by cell-wise addition") {
+    val a = (0L until 500L).toDF("k")
+    val b = (250L until 750L).toDF("k")
+    val sa = Sketches.countMin(a, "k")
+    val sb = Sketches.countMin(b, "k")
+    assert(sa.count() <= 4 * 64)
+    // merged sketch (cell-wise sum of partials) == sketch of the union: the
+    // algebraic property that lets partitions/days/streams combine.
+    val merged = sa.unionByName(sb).groupBy("j", "bucket").agg(sum("c").as("c"))
+    val direct = Sketches.countMin(a.unionByName(b), "k")
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty)
+  }
+
+  test("cmsEstimate broadcasts the sketch: probe side plans no sketch-side shuffle") {
+    val sketch = Sketches.countMin(keys, "k")
+    val plan = Sketches.cmsEstimate(sketch, keys.distinct(), "k")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+  }
+}
