@@ -350,6 +350,28 @@ object Corpus {
       .orderBy("Year")
   }
 
+  /** J13: BLOOM-PRUNED JOIN — a selective dimension (urgent 1997 orders)
+    * builds a bloom filter over its keys; the lineitem scan is pre-filtered
+    * with the codegen'd might_contain probe BEFORE the shuffle, then the
+    * exact join removes false positives. The result is bit-identical to the
+    * plain join (the oracle IS the plain join) — what changes is the
+    * physical shape: at scale, only might-match fact rows reach the
+    * exchange. Plan-asserted in BloomPruneSpec. */
+  def bloomPrunedJoin(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT" && year(col("o_orderdate")) === 1997)
+      .select("o_orderkey", "o_orderdate")
+    val fact = Tables.lineitem(s, d).select("l_orderkey", "l_quantity", "l_extendedprice")
+    val pruned = graft.operators.BloomPrune.pruneFact(fact, "l_orderkey", dim, "o_orderkey")
+    pruned.join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(month(col("o_orderdate")).as("Month"))
+      .agg(
+        sum(col("l_quantity").cast("long")).as("total_qty"),
+        Exact.dsum(col("l_extendedprice")).as("total_price"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("Month")
+  }
+
   /** Left-semi join (EXISTS). */
   def joinSemi(s: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(s, d)
@@ -2791,6 +2813,7 @@ object Corpus {
     "q_dd7_edit_verify" -> (editDistanceVerify _),
     "q_j8_bucketed_join" -> (bucketedOrdersJoin _),
     "q_j9_shuffle_hash" -> (joinShuffleHash _),
+    "q_j13_bloom_join" -> (bloomPrunedJoin _),
     "q_j10_join_full" -> (joinFull _),
     "q_o7_sort_offset" -> (sortOffset _),
     "q_o8_content_checksum" -> (contentChecksum _),

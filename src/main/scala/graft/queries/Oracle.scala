@@ -1905,6 +1905,18 @@ object Oracle {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Mirrors Corpus.bloomPrunedJoin: the bloom pre-filter changes only
+    // which fact rows reach the shuffle — false positives die at the exact
+    // join — so the oracle is the PLAIN dim-filtered join + aggregate.
+    "q_j13_bloom_join" ->
+      """SELECT CAST(month(o_orderdate) AS INTEGER) AS Month,
+        |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS total_price,
+        |       CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1997
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Mirrors Corpus.starJoin: the same five-table star with the same
     // decimal-exact revenue accumulator.
     "q_j11_star_join" ->
