@@ -1841,6 +1841,15 @@ object Corpus {
         TextFunctions.fingerprintMd5(col("text")).as("fingerprint"))
       .orderBy("doc_id")
 
+  /** T16: BIGRAM LM SCORING — the KenLM-style perplexity filter: every doc's
+    * average log P(w_i | w_{i-1}) under an add-one-smoothed bigram model
+    * trained on the corpus itself. Low scorers are the noise candidates a
+    * quality gate drops. Exactly mirrored in SQL via integer counts +
+    * floor-scaled ln terms (the q_t6 construction). */
+  def ngramLmScores(s: SparkSession, d: String): DataFrame =
+    graft.text.NgramLm.scoreDocs(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** T14: BPE-ish token budget — whitespace tokens vs GPT-2-style pre-token
     * counts plus the chars-per-pretoken compression ratio (the number a
     * pipeline sizes context windows with). Same regex text in both engines
@@ -2755,6 +2764,7 @@ object Corpus {
     "q_t13_heavy_hitters" -> (heavyHitters _),
     "q_t14_bpe_tokens" -> (textBpeTokens _),
     "q_t15_sequence_pack" -> (sequencePack _),
+    "q_t16_ngram_lm" -> (ngramLmScores _),
     "q_f6_datetime" -> (datetimeFunctions _),
     "q_s7_partitioned_scan" -> (partitionedScan _),
     "q_s9_dpp_join" -> (dppJoin _),

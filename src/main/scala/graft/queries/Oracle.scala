@@ -1213,6 +1213,37 @@ object Oracle {
         |  FROM lineitem)
         |ORDER BY column_name""".stripMargin,
 
+    // Mirrors graft.text.NgramLm.scoreDocs: identical tokenization to q_t1,
+    // exact integer unigram/bigram counts and vocab size, add-one-smoothed
+    // conditional as a double quotient of exact ints, floor-scaled ln terms
+    // weighted by per-doc bigram tf, IEEE-exact final divides.
+    "q_t16_ngram_lm" ->
+      """WITH nm AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),
+        |tk AS (SELECT doc_id, regexp_extract_all(norm, '\S+') AS toks FROM nm),
+        |uni AS (
+        |  SELECT t AS w, CAST(COUNT(*) AS BIGINT) AS c1
+        |  FROM (SELECT unnest(toks) AS t FROM tk) GROUP BY 1),
+        |voc AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+        |bi AS (
+        |  SELECT doc_id,
+        |         toks[CAST(i AS INTEGER)] AS w1,
+        |         toks[CAST(i AS INTEGER) + 1] AS w2
+        |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        |        FROM tk WHERE len(toks) >= 2)),
+        |btf AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS tf FROM bi GROUP BY 1, 2, 3),
+        |big AS (SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS c2 FROM btf GROUP BY 1, 2),
+        |j AS (
+        |  SELECT btf.doc_id, btf.tf, big.c2, uni.c1, voc.v
+        |  FROM btf
+        |  JOIN big ON big.w1 = btf.w1 AND big.w2 = btf.w2
+        |  JOIN uni ON uni.w = btf.w1
+        |  CROSS JOIN voc)
+        |SELECT doc_id,
+        |       CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+        |       CAST(SUM(floor(ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE)) * 1.0E6) * tf) AS DOUBLE)
+        |         / 1.0E6 / CAST(SUM(tf) AS DOUBLE) AS avg_logp
+        |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
     // Mirrors graft.text.Bm25.topK: identical tokenization to q_t1, integer
     // tf/df/dl, exact integer-sum avgdl, Lucene idf, floor-scaled exact
     // per-doc sum (the q_dd5 construction) — ln() is the only
