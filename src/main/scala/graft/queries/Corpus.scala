@@ -572,6 +572,53 @@ object Corpus {
       .orderBy(col("wkey_nanos").desc, col("doc_id"))
       .limit(50)
 
+  /** P12: K-FOLD ASSIGNMENT — the deterministic cross-validation split:
+    * fold = hex32(md5(doc_id)) mod 5, a pure function of the key (no RNG,
+    * no partition dependence — the q_p9 discipline), reported as per-(fold,
+    * lang) stratification counts so imbalance is visible. Map-side fold
+    * derivation + one hash aggregate; folds are disjoint and exhaustive by
+    * construction. */
+  def kfoldSplit(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("fold",
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 5).cast("int"))
+      .groupBy("fold", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy("fold", "lang")
+
+  /** T17: HASHED TF-IDF FEATURES — the vocabulary-free text vectorizer
+    * (hashing trick): tokens hash into 256 fixed buckets (hex16(md5) mod
+    * 256 — engine-identical, unlike murmur), per-(doc, bucket) tf, smoothed
+    * idf = ln((N+1)/(df+1)), and each doc keeps its top-3 buckets by
+    * weight. No vocab table, no fit step — the property that makes feature
+    * hashing THE text vectorizer at 100 TB (a vocabulary would itself be a
+    * giant shuffle + dictionary broadcast). Weights are floor-scaled to
+    * integer micros (the q_t6 ln discipline) so the oracle matches
+    * bit-for-bit. */
+  def hashedTfidf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(TextFunctions.normText(col("text")))).as("term"))
+      .withColumn("bucket",
+        (conv(substring(md5(col("term")), 1, 4), 16, 10).cast("long") % 256).cast("int"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("tf"))
+    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val dfreq = tf.groupBy("bucket").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), Seq("bucket"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("w_micro",
+        floor(col("tf").cast("double") *
+          log((col("n_docs") + 1).cast("double") / (col("df") + 1).cast("double")) *
+          lit(1e6)).cast("long"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("w_micro").desc, col("bucket"))))
+      .filter(col("rk") <= 3)
+      .select("doc_id", "rk", "bucket", "tf", "w_micro")
+      .orderBy("doc_id", "rk")
+  }
+
   /** W8: group-wise top-k curation — keep the 3 largest docs per source
     * (row_number over a per-source window; one hash-shuffle on source, no
     * global sort — the "best k per domain" selection every corpus-quality
@@ -1234,6 +1281,27 @@ object Corpus {
     try q.processAllAvailable()
     finally q.stop()
     s.table(sink).orderBy("hour", "event_type")
+  }
+
+  /** E12: STREAMING COUNT-MIN — the q_a25 sketch maintained as an
+    * incremental Structured Streaming aggregate: the 4×64 grid is exactly
+    * the bounded per-key state a stream can hold forever (cells only add),
+    * Complete-mode output is the final grid, and the same top-20 point
+    * queries probe it — so the streaming execution path shares q_a25's
+    * oracle verbatim (incremental ≡ batch, the q_e3/q_e11 discipline). */
+  def streamedCountMin(s: SparkSession, d: String): DataFrame = {
+    val grid = graft.operators.Sketches.countMin(
+      eventStream(s, d).select("user_id"), "user_id")
+    val sink = "graft_stream_cms_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+    val q = grid.writeStream.format("memory").queryName(sink)
+      .outputMode("complete").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val ev = Tables.events(s, d).select("user_id")
+    val probes = ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("user_id")).limit(20)
+    graft.operators.Sketches.cmsEstimate(s.table(sink), probes, "user_id")
+      .orderBy("user_id")
   }
 
   /** E7: ONLINE MODEL FITTING — the NormalEq sufficient statistics
@@ -2765,6 +2833,7 @@ object Corpus {
     "q_t14_bpe_tokens" -> (textBpeTokens _),
     "q_t15_sequence_pack" -> (sequencePack _),
     "q_t16_ngram_lm" -> (ngramLmScores _),
+    "q_t17_hashed_tfidf" -> (hashedTfidf _),
     "q_f6_datetime" -> (datetimeFunctions _),
     "q_s7_partitioned_scan" -> (partitionedScan _),
     "q_s9_dpp_join" -> (dppJoin _),
@@ -2774,6 +2843,7 @@ object Corpus {
     "q_e5_stream_dedup" -> (streamedDedup _),
     "q_e8_stream_merge" -> (streamedMerge _),
     "q_e11_stream_dedup_store" -> (streamedIncrementalDedup _),
+    "q_e12_stream_countmin" -> (streamedCountMin _),
     "q_e9_funnel" -> (eventFunnel _),
     "q_a24_ab_test" -> (abTest _),
     "q_a25_countmin" -> (countMinUsers _),
@@ -2815,6 +2885,7 @@ object Corpus {
     "q_t6_bm25" -> (bm25TopK _),
     "q_p9_hash_sample" -> (hashSample _),
     "q_p11_weighted_sample" -> (weightedSample _),
+    "q_p12_kfold" -> (kfoldSplit _),
     "q_w8_group_topk" -> (groupTopK _),
     "q_o5_det_shuffle" -> (detShuffle _),
     "q_o6_salted_agg" -> (saltedCountryKpi _),

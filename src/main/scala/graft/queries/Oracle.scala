@@ -122,6 +122,30 @@ object Oracle {
   }
 
   /** Bit-reproducible mean via IEEE-only ops — mirrors Exact.floorAvg(c, 9). */
+  /** Count-min grid + top-20 point queries (q_a25); q_e12 builds the same
+    * grid through Structured Streaming and shares it. */
+  private val countMinSql: String =
+    """WITH ab AS (
+      |  SELECT CAST(j AS INTEGER) AS j,
+      |         ([2654435761, 40503, 2246822519, 3266489917])[j + 1] AS a,
+      |         ([11, 101, 1009, 10007])[j + 1] AS b
+      |  FROM (SELECT unnest(generate_series(0, 3)) AS j)),
+      |h AS (
+      |  SELECT e.user_id, ab.j,
+      |         ((ab.a * e.user_id + ab.b) % 2305843009213693951) % 64 AS bucket
+      |  FROM events e CROSS JOIN ab),
+      |sketch AS (SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS c FROM h GROUP BY 1, 2),
+      |exact AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n FROM events GROUP BY 1),
+      |probes AS (SELECT user_id, exact_n FROM exact ORDER BY exact_n DESC, user_id LIMIT 20)
+      |SELECT p.user_id, p.exact_n, MIN(s.c) AS cms_n
+      |FROM probes p
+      |CROSS JOIN ab
+      |JOIN sketch s
+      |  ON s.j = ab.j
+      | AND s.bucket = ((ab.a * p.user_id + ab.b) % 2305843009213693951) % 64
+      |GROUP BY 1, 2
+      |ORDER BY p.user_id""".stripMargin
+
   /** Floor-quantized cosine aggregate (the q_dd5 construction) over grouped
     * rows carrying component columns x, y — exact-integer sums, so the
     * result is bit-identical to HashUtil.cosineFloor. */
@@ -870,28 +894,48 @@ object Oracle {
     // Mirrors Corpus.countMinUsers: the same 4×64 count-min grid from the
     // same literal multiply-shift hashes over p = 2^61-1, probed for the
     // top-20 exact-heaviest users — grid contents, collisions, and the
-    // min-over-rows estimates all reproduce exactly.
-    "q_a25_countmin" ->
-      """WITH ab AS (
-        |  SELECT CAST(j AS INTEGER) AS j,
-        |         ([2654435761, 40503, 2246822519, 3266489917])[j + 1] AS a,
-        |         ([11, 101, 1009, 10007])[j + 1] AS b
-        |  FROM (SELECT unnest(generate_series(0, 3)) AS j)),
-        |h AS (
-        |  SELECT e.user_id, ab.j,
-        |         ((ab.a * e.user_id + ab.b) % 2305843009213693951) % 64 AS bucket
-        |  FROM events e CROSS JOIN ab),
-        |sketch AS (SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS c FROM h GROUP BY 1, 2),
-        |exact AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n FROM events GROUP BY 1),
-        |probes AS (SELECT user_id, exact_n FROM exact ORDER BY exact_n DESC, user_id LIMIT 20)
-        |SELECT p.user_id, p.exact_n, MIN(s.c) AS cms_n
-        |FROM probes p
-        |CROSS JOIN ab
-        |JOIN sketch s
-        |  ON s.j = ab.j
-        | AND s.bucket = ((ab.a * p.user_id + ab.b) % 2305843009213693951) % 64
-        |GROUP BY 1, 2
-        |ORDER BY p.user_id""".stripMargin,
+    // min-over-rows estimates all reproduce exactly. q_e12 builds the SAME
+    // grid as a Complete-mode streaming aggregate (cells only add, so the
+    // final state equals the batch grid) and shares this oracle verbatim.
+    "q_a25_countmin" -> countMinSql,
+    "q_e12_stream_countmin" -> countMinSql,
+
+    // Mirrors Corpus.kfoldSplit: identical hex32(md5) mod 5 fold, exact
+    // integer stratification counts.
+    "q_p12_kfold" ->
+      """SELECT CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 5 AS INTEGER) AS fold,
+        |       lang,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Mirrors Corpus.hashedTfidf: identical tokenization, identical
+    // hex16(md5) mod 256 bucket, exact tf/df/N, floor-scaled tf·idf micros
+    // (ln on identical double quotients), same (w desc, bucket) top-3.
+    "q_t17_hashed_tfidf" ->
+      """WITH nm AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),
+        |tk AS (SELECT doc_id, regexp_extract_all(norm, '\S+') AS toks FROM nm),
+        |t AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+        |b AS (
+        |  SELECT doc_id,
+        |         CAST(CAST(concat('0x', substr(md5(term), 1, 4)) AS BIGINT) % 256 AS INTEGER) AS bucket
+        |  FROM t),
+        |tf AS (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS tf FROM b GROUP BY 1, 2),
+        |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        |dfreq AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |w AS (
+        |  SELECT tf.doc_id, tf.bucket, tf.tf,
+        |         CAST(floor(CAST(tf.tf AS DOUBLE)
+        |           * ln(CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE))
+        |           * 1.0E6) AS BIGINT) AS w_micro
+        |  FROM tf JOIN dfreq ON dfreq.bucket = tf.bucket CROSS JOIN nd),
+        |r AS (
+        |  SELECT doc_id, bucket, tf, w_micro,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                                 ORDER BY w_micro DESC, bucket) AS INTEGER) AS rk
+        |  FROM w)
+        |SELECT doc_id, rk, bucket, tf, w_micro FROM r
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
 
     // Mirrors Corpus.abTest: identical hash assignment, identical exact
     // moment sums, identical fixed-order Welch t expression.

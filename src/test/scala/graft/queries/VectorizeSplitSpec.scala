@@ -1,0 +1,49 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** q_p12 k-fold split + q_t17 hashed TF-IDF invariants at sf0.001. */
+class VectorizeSplitSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("k-fold assignment is disjoint, exhaustive, and deterministic") {
+    val rows = Corpus.kfoldSplit(spark, d).collect()
+    val folds = rows.map(_.getInt(0)).toSet
+    assert(folds.subsetOf((0 until 5).toSet))
+    val totalDocs = rows.map(_.getLong(2)).sum
+    assert(totalDocs === graft.Tables.documents(spark, d).count())
+    // pure function of the key: a re-run assigns identically
+    assert(Corpus.kfoldSplit(spark, d).collect().toSeq === rows.toSeq)
+  }
+
+  test("hashed TF-IDF keeps at most 3 buckets per doc, weight-descending, buckets in range") {
+    val rows = Corpus.hashedTfidf(spark, d)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(4)))
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc.values.forall(_.length <= 3))
+    byDoc.values.foreach { rs =>
+      val sorted = rs.sortBy(_._2) // by rk
+      assert(sorted.map(_._2) === (1 to sorted.length))
+      // rk order must be weight-descending (ties broken by bucket asc)
+      assert(sorted.map(_._4).zip(sorted.map(_._4).drop(1)).forall { case (a, b) => a >= b })
+    }
+    assert(rows.forall(r => r._3 >= 0 && r._3 < 256))
+  }
+
+  test("hashing is vocabulary-free: same token always lands in the same bucket") {
+    import spark.implicits._
+    val twice = Seq((1L, "alpha beta"), (2L, "alpha beta")).toDF("doc_id", "text")
+    val buckets = twice
+      .select(col("doc_id"),
+        explode(graft.text.TextFunctions.tokens(
+          graft.text.TextFunctions.normText(col("text")))).as("term"))
+      .withColumn("bucket",
+        (conv(substring(md5(col("term")), 1, 4), 16, 10).cast("long") % 256).cast("int"))
+      .groupBy("term").agg(countDistinct(col("bucket")).as("n"))
+      .collect().map(_.getLong(1))
+    assert(buckets.forall(_ === 1L))
+  }
+}

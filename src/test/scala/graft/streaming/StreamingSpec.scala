@@ -162,6 +162,15 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming count-min grid equals the batch sketch's point estimates") {
+    // Complete-mode cells only add, so the final streamed grid must equal
+    // the batch grid — and therefore every point estimate.
+    val d = "/root/testdata/sf0.001"
+    val batch = graft.queries.Corpus.countMinUsers(spark, d).collect()
+    val streamed = graft.queries.Corpus.streamedCountMin(spark, d).collect()
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("streaming incremental dedup equals the one-shot batch classification") {
     // The q_e11 micro-batch state machine (static store + growing kept-
     // signature store) must land on exactly the q_dd9 batch answer.
