@@ -2510,6 +2510,33 @@ object Corpus {
       .select("vec_id")
   }
 
+  /** ANN6: HARD-NEGATIVE MINING — for each of the first 100 anchors, the
+    * most similar same-label vector (the positive) and the most similar
+    * DIFFERENT-label vector (the hard negative): the pair-construction
+    * stage of contrastive / metric-learning training data. Brute-force
+    * scored here (anchors broadcast against one full scan — the exact tier
+    * every ANN variant reranks with); at 100 TB the candidate set per
+    * anchor comes from the IVF/LSH indexes (q_ann2/q_ann3) and this same
+    * top-1-per-anchor aggregate runs on candidates only. The per-anchor
+    * argmax is a map-side-combinable max-struct aggregate — no window, no
+    * per-anchor sort. Quantized cosine ⇒ oracle-exact pair choices. */
+  def annHardNegatives(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding", "label")
+    val anchors = emb.filter(col("vec_id") < 100).select(
+      col("vec_id").as("anchor_id"), col("embedding").as("avec"), col("label").as("albl"))
+    val scored = emb.join(broadcast(anchors), col("vec_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("albl"), col("vec_id"), col("label"),
+        GraftFunctions.cosineFloor(col("embedding"), col("avec")).as("c"))
+    def top1(df: DataFrame, prefix: String): DataFrame =
+      df.groupBy("anchor_id")
+        .agg(max(struct(col("c"), (-col("vec_id")).as("neg_id"))).as("best"))
+        .select(col("anchor_id"),
+          (-col("best.neg_id")).as(s"${prefix}_id"), col("best.c").as(s"${prefix}_cos"))
+    top1(scored.filter(col("label") === col("albl")), "pos")
+      .join(top1(scored.filter(col("label") =!= col("albl")), "neg"), Seq("anchor_id"))
+      .orderBy("anchor_id")
+  }
+
   /** The PQ codebooks per (session, sf): trained once on the natural corpus
     * (deterministic keyed-order sample), like the IVF quantizer. */
   private val pqCache = TrieMap.empty[(SparkSession, String), graft.similarity.Pq.Codebooks]
@@ -2919,6 +2946,7 @@ object Corpus {
     "q_ann3_ivf_topk" -> (annIvfTopK _),
     "q_ann4_centroids" -> (labelCentroids _),
     "q_ann5_pq_topk" -> (annPqTopK _),
+    "q_ann6_hard_negatives" -> (annHardNegatives _),
     "q_mm1_blob_meta" -> (blobMeta _),
     "q_mm2_frame_sample" -> (frameSample _),
     "q_mm3_audio_meta" -> (audioMeta _),

@@ -1685,6 +1685,43 @@ object Oracle {
         |SELECT CAST(1000000 + unnest(generate_series(0, 18)) AS BIGINT)
         |ORDER BY vec_id""".stripMargin,
 
+    // Mirrors Corpus.annHardNegatives: exact brute-force pairs for the 100
+    // anchors via the quantized cosine, positive = best same-label, hard
+    // negative = best different-label, both with the (cos desc, id) order
+    // that Spark's max(struct(c, -id)) aggregate implements.
+    "q_ann6_hard_negatives" ->
+      s"""WITH a AS (
+         |  SELECT vec_id AS anchor_id, embedding AS avec, label AS albl
+         |  FROM embeddings WHERE vec_id < 100),
+         |pr AS (
+         |  SELECT a.anchor_id, a.albl, e.vec_id, e.label, e.embedding AS evec, a.avec
+         |  FROM embeddings e CROSS JOIN a WHERE e.vec_id <> a.anchor_id),
+         |pos AS (
+         |  SELECT anchor_id, albl, vec_id, label, evec AS ea, avec AS eb,
+         |         unnest(generate_series(1, len(evec))) AS i
+         |  FROM pr),
+         |terms AS (
+         |  SELECT anchor_id, albl, vec_id, label,
+         |         CAST(ea[CAST(i AS INTEGER)] AS DOUBLE) AS x,
+         |         CAST(eb[CAST(i AS INTEGER)] AS DOUBLE) AS y
+         |  FROM pos),
+         |cosv AS (
+         |  SELECT anchor_id, albl, vec_id, label, $quantCosAgg AS c
+         |  FROM terms GROUP BY 1, 2, 3, 4),
+         |p AS (
+         |  SELECT anchor_id, vec_id AS pos_id, c AS pos_cos FROM (
+         |    SELECT anchor_id, vec_id, c,
+         |           ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY c DESC, vec_id) AS rn
+         |    FROM cosv WHERE label = albl) WHERE rn = 1),
+         |n AS (
+         |  SELECT anchor_id, vec_id AS neg_id, c AS neg_cos FROM (
+         |    SELECT anchor_id, vec_id, c,
+         |           ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY c DESC, vec_id) AS rn
+         |    FROM cosv WHERE label <> albl) WHERE rn = 1)
+         |SELECT p.anchor_id, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos
+         |FROM p JOIN n ON n.anchor_id = p.anchor_id
+         |ORDER BY p.anchor_id""".stripMargin,
+
     // Mirrors Corpus.passageDedup: same chunking arithmetic, the same
     // (doc_id, idx)-ordered first-occurrence rule (ROW_NUMBER ≡ Spark's
     // min-struct on the unique key), and ordered string_agg reassembly.

@@ -113,4 +113,23 @@ class AnnSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((0L, 4L)))
   }
+
+  test("hard-negative mining picks best same-label positive and best cross-label negative") {
+    import spark.implicits._
+    // anchor 0 (label 0, e_x); 1: near e_x label 0 (the positive);
+    // 2: exactly e_x but label 1 (the hardest negative); 3: far, label 1.
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0),
+      (1L, Array(0.9f, 0.1f, 0f, 0f), 0),
+      (2L, Array(1f, 0f, 0f, 0f), 1),
+      (3L, Array(0f, 0f, 1f, 0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val sfLike = vecs // matches the embeddings schema the query expects
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ann6").toString
+    sfLike.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val rows = graft.queries.Corpus.annHardNegatives(spark, tmp)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    assert(rows(0L) === ((1L, 2L))) // positive = 1 (same label), negative = 2 (cos 1.0, other label)
+    assert(rows(2L) === ((3L, 0L))) // only same-label peer is 3; hardest cross-label is 0 (cos 1.0)
+  }
 }
