@@ -324,4 +324,25 @@ object HashUtil {
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  /** Greedy leftmost non-overlapping BPE merge: every adjacent (a, b) in the
+    * symbol array becomes the single symbol a+b; after a merge the scan
+    * resumes AFTER the merged token ([a,a,a] under (a,a) → [aa,a] — the
+    * classic BPE apply rule). Kernel for [[expressions.BpeMergeExpr]]. */
+  def bpeMerge(syms: ArrayData, a: UTF8String, b: UTF8String): ArrayData = {
+    val n = syms.numElements()
+    val out = new java.util.ArrayList[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      if (i < n - 1 && a.equals(syms.getUTF8String(i)) && b.equals(syms.getUTF8String(i + 1))) {
+        out.add(UTF8String.concat(a, b))
+        i += 2
+      } else {
+        out.add(syms.getUTF8String(i))
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      out.toArray(new Array[UTF8String](out.size())))
+  }
 }

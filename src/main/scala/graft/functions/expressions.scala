@@ -227,6 +227,30 @@ case class CharClassCountsExpr(child: Expression, classes: Seq[String])
   override def prettyName: String = "graft_char_class_counts"
 }
 
+/** One greedy leftmost BPE merge pass (see HashUtil.bpeMerge) over a symbol
+  * array, with the merge pair as literals — k training rounds stack k of
+  * these, all inside whole-stage codegen (the pair UTF8Strings ride in as
+  * reference objects). */
+case class BpeMergeExpr(child: Expression, a: String, b: String)
+    extends UnaryExpression {
+  @transient private lazy val ua =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+  @transient private lazy val ub =
+    org.apache.spark.unsafe.types.UTF8String.fromString(b)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.bpeMerge(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], ua, ub)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ra = ctx.addReferenceObj("bpeA", ua, "org.apache.spark.unsafe.types.UTF8String")
+    val rb = ctx.addReferenceObj("bpeB", ub, "org.apache.spark.unsafe.types.UTF8String")
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.bpeMerge($c, $ra, $rb)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeMergeExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_bpe_merge"
+}
+
 /** Session registration + Column-level API for the custom expressions. */
 object GraftFunctions {
   private val registered =
@@ -279,6 +303,10 @@ object GraftFunctions {
     * characters themselves. At most 32 classes (int bitmask). */
   def charClassCounts(c: Column, classes: Seq[String]): Column =
     GraftColumn(CharClassCountsExpr(expression(c), classes))
+
+  /** One greedy leftmost BPE merge of adjacent (a, b) → a+b. */
+  def bpeMerge(syms: Column, a: String, b: String): Column =
+    GraftColumn(BpeMergeExpr(expression(syms), a, b))
 
   private def expression(c: Column): Expression = GraftColumn.expr(c)
 }

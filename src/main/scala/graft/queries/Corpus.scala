@@ -1918,6 +1918,16 @@ object Corpus {
     graft.text.NgramLm.scoreDocs(Tables.documents(s, d), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** T18: BPE TOKENIZER TRAINING — learn the corpus's first 8 merge rules
+    * (the [[graft.text.BpeTrain]] loop): word-type collapse, per-round
+    * weighted pair counts, deterministic argmax, greedy merge apply. The
+    * oracle replays the identical 8 rounds in SQL (wrapped-symbol string
+    * replace ≡ the greedy leftmost kernel), so rule choice, tie-breaks, AND
+    * counts are all gated. */
+  def bpeTrainMerges(s: SparkSession, d: String): DataFrame =
+    graft.text.BpeTrain.train(Tables.documents(s, d), "text", rounds = 8)
+      .orderBy("merge_rank")
+
   /** T14: BPE-ish token budget — whitespace tokens vs GPT-2-style pre-token
     * counts plus the chars-per-pretoken compression ratio (the number a
     * pipeline sizes context windows with). Same regex text in both engines
@@ -2861,6 +2871,7 @@ object Corpus {
     "q_t15_sequence_pack" -> (sequencePack _),
     "q_t16_ngram_lm" -> (ngramLmScores _),
     "q_t17_hashed_tfidf" -> (hashedTfidf _),
+    "q_t18_bpe_train" -> (bpeTrainMerges _),
     "q_f6_datetime" -> (datetimeFunctions _),
     "q_s7_partitioned_scan" -> (partitionedScan _),
     "q_s9_dpp_join" -> (dppJoin _),

@@ -122,6 +122,43 @@ object Oracle {
   }
 
   /** Bit-reproducible mean via IEEE-only ops — mirrors Exact.floorAvg(c, 9). */
+  /** q_t18: replay the BPE training rounds in SQL. Each word type rides as
+    * ONE string of chr(1)<sym>chr(2)-wrapped segments, so DuckDB's plain
+    * non-overlapping leftmost replace() IS the greedy BPE merge (adjacent
+    * occurrences stay disjoint in string space, repeated symbols merge
+    * leftmost-first — both exactly the kernel's semantics), while pair
+    * counting unwraps the segments and zips neighbors. */
+  private def bpeTrainSql(rounds: Int): String = {
+    val init =
+      """w0 AS MATERIALIZED (
+        |  SELECT regexp_replace(word, '(.)', chr(1) || '\1' || chr(2), 'g') AS s, n
+        |  FROM (
+        |    SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS n
+        |    FROM (SELECT unnest(regexp_extract_all(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\S+')) AS t
+        |          FROM documents)
+        |    GROUP BY 1))""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      s"""l$r AS MATERIALIZED (
+         |  SELECT regexp_extract_all(s, chr(1) || '([^' || chr(2) || ']*)' || chr(2), 1) AS syms, n
+         |  FROM w${r - 1}),
+         |p$r AS MATERIALIZED (
+         |  SELECT syms[CAST(i AS INTEGER)] AS a, syms[CAST(i AS INTEGER) + 1] AS b,
+         |         CAST(SUM(n) AS BIGINT) AS cnt
+         |  FROM (SELECT syms, n, unnest(generate_series(1, len(syms) - 1)) AS i FROM l$r)
+         |  GROUP BY 1, 2),
+         |b$r AS MATERIALIZED (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+         |w$r AS MATERIALIZED (
+         |  SELECT replace(s,
+         |           chr(1) || (SELECT a FROM b$r) || chr(2) || chr(1) || (SELECT b FROM b$r) || chr(2),
+         |           chr(1) || (SELECT a FROM b$r) || (SELECT b FROM b$r) || chr(2)) AS s, n
+         |  FROM w${r - 1})""".stripMargin
+    }.mkString(",\n")
+    val finals = (1 to rounds).map { r =>
+      s"SELECT CAST($r AS INTEGER) AS merge_rank, a AS left_sym, b AS right_sym, cnt AS pair_count FROM b$r"
+    }.mkString("\nUNION ALL\n")
+    s"WITH $init,\n$roundCtes\n$finals\nORDER BY merge_rank"
+  }
+
   /** Count-min grid + top-20 point queries (q_a25); q_e12 builds the same
     * grid through Structured Streaming and shares it. */
   private val countMinSql: String =
@@ -899,6 +936,10 @@ object Oracle {
     // final state equals the batch grid) and shares this oracle verbatim.
     "q_a25_countmin" -> countMinSql,
     "q_e12_stream_countmin" -> countMinSql,
+
+    // Mirrors Corpus.bpeTrainMerges: the identical 8 training rounds —
+    // weighted pair counts, (cnt desc, a, b) argmax, greedy merge apply.
+    "q_t18_bpe_train" -> bpeTrainSql(8),
 
     // Mirrors Corpus.kfoldSplit: identical hex32(md5) mod 5 fold, exact
     // integer stratification counts.

@@ -1,0 +1,72 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** BPE tokenizer TRAINING (Sennrich et al. 2016) at corpus scale: learn the
+  * first k merge rules from the data — the artifact an LLM pipeline ships to
+  * its tokenizer.
+  *
+  * Scale shape (the HuggingFace-trainer decomposition, distributed):
+  *   - the raw corpus first collapses to WORD TYPES with counts — one hash
+  *     aggregate; every later round works on the (bounded-vocabulary) type
+  *     table, never the corpus again, with pair counts weighted by `n`;
+  *   - each round is one map-side pair explode + a tiny (pair-key) hash
+  *     aggregate + a 1-row argmax `collect` — per-round driver state is ONE
+  *     merge rule (the q_dd6/q_dd8 CC-loop discipline: rounds, not data, on
+  *     the driver);
+  *   - applying the merge is a map-side [[graft.functions.expressions.BpeMergeExpr]]
+  *     pass (greedy leftmost, codegen'd); the symbol table is persisted per
+  *     round and replaced, so round r never recomputes rounds 1..r-1.
+  *
+  * Determinism: pair counts are exact integers; the argmax breaks ties by
+  * (count desc, left asc, right asc) — byte-wise string order in both
+  * engines. Symbols are split per UTF-16 code unit (ASCII-safe; the
+  * corpus-side contract for the synthetic fixtures). */
+object BpeTrain {
+
+  /** Learn `rounds` merges; returns (merge_rank, left_sym, right_sym,
+    * pair_count) in learning order. */
+  def train(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select(explode(TextFunctions.tokens(TextFunctions.normText(col(textCol)))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    // split(_, "(?!^)") under Spark's limit=-1 keeps the trailing empty
+    // element (the lookahead also matches at end-of-string) — strip it.
+    var syms = words
+      .select(array_remove(split(col("word"), "(?!^)"), "").as("syms"), col("n"))
+      .persist()
+    syms.count()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val best = syms
+        .select(col("n"), explode(arrays_zip(
+          slice(col("syms"), lit(1), size(col("syms")) - 1).as("a"),
+          slice(col("syms"), lit(2), size(col("syms")) - 1).as("b"))).as("p"))
+        .select(col("n"), col("p.a").as("a"), col("p.b").as("b"))
+        .groupBy("a", "b").agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r, a, b, cnt))
+        val next = syms
+          .select(GraftFunctions.bpeMerge(col("syms"), a, b).as("syms"), col("n"))
+          .persist()
+        next.count()
+        syms.unpersist()
+        syms = next
+        r += 1
+      }
+    }
+    syms.unpersist()
+    merges.toSeq.toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+  }
+}

@@ -1,0 +1,47 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.GraftFunctions
+
+/** BPE training on the classic Sennrich toy corpus + merge-kernel edge
+  * cases. */
+class BpeTrainSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("learns (w,e) then the (l,o)-vs-(s,t) tie broken lexicographically") {
+    // low:3 lower:2 newest:4 widest:1 — round 1: (w,e)=6 wins; round 2:
+    // (l,o)=5 ties (s,t)=5 and 'l' < 's' takes it.
+    val docs = Seq(
+      (0L, "low low low newest newest"),
+      (1L, "lower lower newest newest widest")
+    ).toDF("doc_id", "text")
+    val merges = BpeTrain.train(docs, "text", rounds = 2)
+      .orderBy("merge_rank")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges(0) === ((1, "w", "e", 6L)))
+    assert(merges(1) === ((2, "l", "o", 5L)))
+  }
+
+  test("merge kernel is greedy leftmost non-overlapping") {
+    val f = (syms: Seq[String], a: String, b: String) =>
+      Seq(Tuple1(syms)).toDF("syms")
+        .select(GraftFunctions.bpeMerge(col("syms"), a, b).as("m"))
+        .head().getSeq[String](0).toSeq
+    assert(f(Seq("a", "a", "a"), "a", "a") === Seq("aa", "a"))
+    assert(f(Seq("a", "b", "a", "b"), "a", "b") === Seq("ab", "ab"))
+    assert(f(Seq("x"), "a", "b") === Seq("x"))
+    assert(f(Seq(), "a", "b") === Seq())
+    // merged symbols are atomic: (a,ba) does not fire inside (a,b,a)
+    assert(f(Seq("a", "b", "a"), "a", "ba") === Seq("a", "b", "a"))
+  }
+
+  test("exhausting the pair space stops early instead of looping") {
+    val docs = Seq((0L, "ab cd")).toDF("doc_id", "text")
+    // 2 words of 2 symbols each: rounds 1-2 merge them; round 3+ has no
+    // pairs left — train must return only the learnable merges.
+    val merges = BpeTrain.train(docs, "text", rounds = 10).collect()
+    assert(merges.length === 2)
+  }
+}
