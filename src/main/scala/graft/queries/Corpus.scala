@@ -1928,6 +1928,23 @@ object Corpus {
     graft.text.BpeTrain.train(Tables.documents(s, d), "text", rounds = 8)
       .orderBy("merge_rank")
 
+  /** The trained merge table per (session, sf) — train once, encode many
+    * (the pqCache discipline; driver state = 8 rules). */
+  private val bpeMergeCache = TrieMap.empty[(SparkSession, String), Seq[(String, String)]]
+
+  /** T19: BPE ENCODE — tokenize every doc with the q_t18-trained merges:
+    * per-doc whitespace vs trained-BPE token counts. The 8 merge rules
+    * stack as codegen'd expressions over the DISTINCT-word table (vocab-
+    * bounded), then join token instances — the corpus scans once. */
+  def bpeEncodeCounts(s: SparkSession, d: String): DataFrame = {
+    val merges = bpeMergeCache.getOrElseUpdate((s, d),
+      graft.text.BpeTrain.train(Tables.documents(s, d), "text", rounds = 8)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq)
+    graft.text.BpeTrain.encodeCounts(Tables.documents(s, d), "doc_id", "text", merges)
+      .orderBy("doc_id")
+  }
+
   /** T14: BPE-ish token budget — whitespace tokens vs GPT-2-style pre-token
     * counts plus the chars-per-pretoken compression ratio (the number a
     * pipeline sizes context windows with). Same regex text in both engines
@@ -2872,6 +2889,7 @@ object Corpus {
     "q_t16_ngram_lm" -> (ngramLmScores _),
     "q_t17_hashed_tfidf" -> (hashedTfidf _),
     "q_t18_bpe_train" -> (bpeTrainMerges _),
+    "q_t19_bpe_encode" -> (bpeEncodeCounts _),
     "q_f6_datetime" -> (datetimeFunctions _),
     "q_s7_partitioned_scan" -> (partitionedScan _),
     "q_s9_dpp_join" -> (dppJoin _),

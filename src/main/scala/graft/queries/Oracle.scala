@@ -128,10 +128,13 @@ object Oracle {
     * occurrences stay disjoint in string space, repeated symbols merge
     * leftmost-first — both exactly the kernel's semantics), while pair
     * counting unwraps the segments and zips neighbors. */
-  private def bpeTrainSql(rounds: Int): String = {
+  /** The training rounds as CTEs (w0..wN carry (word, s, n); bN holds round
+    * N's chosen rule) — shared by the q_t18 merges query and the q_t19
+    * encode query. */
+  private def bpeRoundCtes(rounds: Int): String = {
     val init =
       """w0 AS MATERIALIZED (
-        |  SELECT regexp_replace(word, '(.)', chr(1) || '\1' || chr(2), 'g') AS s, n
+        |  SELECT word, regexp_replace(word, '(.)', chr(1) || '\1' || chr(2), 'g') AS s, n
         |  FROM (
         |    SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS n
         |    FROM (SELECT unnest(regexp_extract_all(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\S+')) AS t
@@ -148,16 +151,37 @@ object Oracle {
          |  GROUP BY 1, 2),
          |b$r AS MATERIALIZED (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
          |w$r AS MATERIALIZED (
-         |  SELECT replace(s,
+         |  SELECT word, replace(s,
          |           chr(1) || (SELECT a FROM b$r) || chr(2) || chr(1) || (SELECT b FROM b$r) || chr(2),
          |           chr(1) || (SELECT a FROM b$r) || (SELECT b FROM b$r) || chr(2)) AS s, n
          |  FROM w${r - 1})""".stripMargin
     }.mkString(",\n")
+    s"$init,\n$roundCtes"
+  }
+
+  private def bpeTrainSql(rounds: Int): String = {
     val finals = (1 to rounds).map { r =>
       s"SELECT CAST($r AS INTEGER) AS merge_rank, a AS left_sym, b AS right_sym, cnt AS pair_count FROM b$r"
     }.mkString("\nUNION ALL\n")
-    s"WITH $init,\n$roundCtes\n$finals\nORDER BY merge_rank"
+    s"WITH ${bpeRoundCtes(rounds)}\n$finals\nORDER BY merge_rank"
   }
+
+  /** q_t19: the final-round symbol strings ARE the trained encoding of each
+    * word type — count their segments and join back to token instances. */
+  private def bpeEncodeSql(rounds: Int): String =
+    raw"""WITH ${bpeRoundCtes(rounds)},
+       |nb AS MATERIALIZED (
+       |  SELECT word,
+       |         CAST(len(regexp_extract_all(s, chr(1) || '([^' || chr(2) || ']*)' || chr(2), 1)) AS BIGINT) AS n_bpe
+       |  FROM w$rounds),
+       |tok AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\S+')) AS word
+       |  FROM documents)
+       |SELECT tok.doc_id,
+       |       CAST(COUNT(*) AS BIGINT) AS n_ws_tokens,
+       |       CAST(SUM(nb.n_bpe) AS BIGINT) AS n_bpe_tokens
+       |FROM tok JOIN nb ON nb.word = tok.word
+       |GROUP BY 1 ORDER BY tok.doc_id""".stripMargin
 
   /** Count-min grid + top-20 point queries (q_a25); q_e12 builds the same
     * grid through Structured Streaming and shares it. */
@@ -940,6 +964,10 @@ object Oracle {
     // Mirrors Corpus.bpeTrainMerges: the identical 8 training rounds —
     // weighted pair counts, (cnt desc, a, b) argmax, greedy merge apply.
     "q_t18_bpe_train" -> bpeTrainSql(8),
+
+    // Mirrors Corpus.bpeEncodeCounts: train the same 8 rules, encode every
+    // word type, join back to token instances — per-doc integer counts.
+    "q_t19_bpe_encode" -> bpeEncodeSql(8),
 
     // Mirrors Corpus.kfoldSplit: identical hex32(md5) mod 5 fold, exact
     // integer stratification counts.

@@ -69,4 +69,31 @@ object BpeTrain {
     syms.unpersist()
     merges.toSeq.toDF("merge_rank", "left_sym", "right_sym", "pair_count")
   }
+
+  /** ENCODE with a trained tokenizer: apply `merges` (learning order) to
+    * every distinct word — the k merge passes stack as k codegen'd
+    * [[graft.functions.expressions.BpeMergeExpr]] nodes in ONE map-side
+    * projection over the vocabulary-bounded distinct-word table — then join
+    * the per-word BPE length back to token instances. At 100 TB the
+    * (word, n_bpe) table is the broadcast vocabulary of the classic encode;
+    * the corpus is touched exactly once. Returns per-doc whitespace vs
+    * trained-BPE token counts. */
+  def encodeCounts(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val tok = docs.select(
+      col(idCol).as("doc_id"),
+      explode(TextFunctions.tokens(TextFunctions.normText(col(textCol)))).as("word"))
+    val symsFinal = merges.foldLeft(
+      array_remove(split(col("word"), "(?!^)"), ""): org.apache.spark.sql.Column) {
+      case (c, (a, b)) => GraftFunctions.bpeMerge(c, a, b)
+    }
+    val nb = tok.select("word").distinct()
+      .select(col("word"), size(symsFinal).as("n_bpe"))
+    tok.join(nb, Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ws_tokens"), sum(col("n_bpe")).as("n_bpe_tokens"))
+  }
 }

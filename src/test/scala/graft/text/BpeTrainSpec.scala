@@ -37,6 +37,19 @@ class BpeTrainSpec extends SparkSpec {
     assert(f(Seq("a", "b", "a"), "a", "ba") === Seq("a", "b", "a"))
   }
 
+  test("encode with trained merges yields the hand-computed per-doc counts") {
+    val docs = Seq(
+      (0L, "low low low newest newest"),
+      (1L, "lower lower newest newest widest")
+    ).toDF("doc_id", "text")
+    // merges (w,e) then (l,o): low→[lo,w]=2, lower→[lo,we,r]=3,
+    // newest→[n,e,we,s,t]=5, widest→[w,i,d,e,s,t]=6
+    val rows = BpeTrain.encodeCounts(docs, "doc_id", "text", Seq(("w", "e"), ("l", "o")))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows(0L) === ((5L, 2L + 2L + 2L + 5L + 5L)))
+    assert(rows(1L) === ((5L, 3L + 3L + 5L + 5L + 6L)))
+  }
+
   test("exhausting the pair space stops early instead of looping") {
     val docs = Seq((0L, "ab cd")).toDF("doc_id", "text")
     // 2 words of 2 symbols each: rounds 1-2 merge them; round 3+ has no
