@@ -158,6 +158,14 @@ object Scratch {
           bench2(s"$q sf0.1")(graft.queries.Corpus.all(q)(spark, d))
           bench2(s"$q 10x")(graft.queries.Corpus.all(q)(spark, dir10))
         }
+        // round-7 heavy text tier: LM counts, BPE training loop, BPE encode.
+        // Copy-suffixed tokens give 10x the vocabulary and bigram space —
+        // the dimension these ops actually scale in.
+        for (q <- Seq("q_t16_ngram_lm", "q_t18_bpe_train", "q_t19_bpe_encode")) {
+          bench2(s"$q sf0.1")(graft.queries.Corpus.all(q)(spark, d))
+          bench2(s"$q 10x")(graft.queries.Corpus.all(q)(spark, dir10))
+        }
+
         // w14 runs on the daily grain; scale by suffixing Country per copy —
         // 10x the series count at identical per-series length (the shape a
         // 10x corpus has), salting/window structure unchanged.
