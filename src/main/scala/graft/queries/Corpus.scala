@@ -1945,6 +1945,18 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** T20: the trained BPE VOCABULARY — symbols after the 8 merge rounds
+    * with weighted occurrence totals and word-type counts (the vocab file
+    * a shipped tokenizer pairs with its merges file). */
+  def bpeVocab(s: SparkSession, d: String): DataFrame = {
+    val merges = bpeMergeCache.getOrElseUpdate((s, d),
+      graft.text.BpeTrain.train(Tables.documents(s, d), "text", rounds = 8)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq)
+    graft.text.BpeTrain.vocab(Tables.documents(s, d), "text", merges)
+      .orderBy("symbol")
+  }
+
   /** T14: BPE-ish token budget — whitespace tokens vs GPT-2-style pre-token
     * counts plus the chars-per-pretoken compression ratio (the number a
     * pipeline sizes context windows with). Same regex text in both engines
@@ -2890,6 +2902,7 @@ object Corpus {
     "q_t17_hashed_tfidf" -> (hashedTfidf _),
     "q_t18_bpe_train" -> (bpeTrainMerges _),
     "q_t19_bpe_encode" -> (bpeEncodeCounts _),
+    "q_t20_bpe_vocab" -> (bpeVocab _),
     "q_f6_datetime" -> (datetimeFunctions _),
     "q_s7_partitioned_scan" -> (partitionedScan _),
     "q_s9_dpp_join" -> (dppJoin _),

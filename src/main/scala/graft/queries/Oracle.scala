@@ -183,6 +183,19 @@ object Oracle {
        |FROM tok JOIN nb ON nb.word = tok.word
        |GROUP BY 1 ORDER BY tok.doc_id""".stripMargin
 
+  /** q_t20: unnest the final-round symbols per word type and aggregate to
+    * the vocab artifact. */
+  private def bpeVocabSql(rounds: Int): String =
+    s"""WITH ${bpeRoundCtes(rounds)},
+       |sy AS (
+       |  SELECT word, n,
+       |         unnest(regexp_extract_all(s, chr(1) || '([^' || chr(2) || ']*)' || chr(2), 1)) AS symbol
+       |  FROM w$rounds)
+       |SELECT symbol,
+       |       CAST(SUM(n) AS BIGINT) AS total_occurrences,
+       |       CAST(COUNT(DISTINCT word) AS BIGINT) AS n_word_types
+       |FROM sy GROUP BY 1 ORDER BY symbol""".stripMargin
+
   /** Count-min grid + top-20 point queries (q_a25); q_e12 builds the same
     * grid through Structured Streaming and shares it. */
   private val countMinSql: String =
@@ -968,6 +981,10 @@ object Oracle {
     // Mirrors Corpus.bpeEncodeCounts: train the same 8 rules, encode every
     // word type, join back to token instances — per-doc integer counts.
     "q_t19_bpe_encode" -> bpeEncodeSql(8),
+
+    // Mirrors Corpus.bpeVocab: the final-round symbol multiset per word
+    // type, aggregated to the vocab artifact.
+    "q_t20_bpe_vocab" -> bpeVocabSql(8),
 
     // Mirrors Corpus.kfoldSplit: identical hex32(md5) mod 5 fold, exact
     // integer stratification counts.

@@ -96,4 +96,26 @@ object BpeTrain {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_ws_tokens"), sum(col("n_bpe")).as("n_bpe_tokens"))
   }
+
+  /** The trained VOCABULARY: every symbol surviving the merge rounds, with
+    * its corpus occurrence total (weighted by word counts) and the number
+    * of word types containing it — the vocab file next to the merges file
+    * in a shipped tokenizer. Same decomposition as [[encodeCounts]]: one
+    * corpus pass for word counts, merges stacked in one projection. */
+  def vocab(
+      docs: DataFrame,
+      textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val words = docs
+      .select(explode(TextFunctions.tokens(TextFunctions.normText(col(textCol)))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    val symsFinal = merges.foldLeft(
+      array_remove(split(col("word"), "(?!^)"), ""): org.apache.spark.sql.Column) {
+      case (c, (a, b)) => GraftFunctions.bpeMerge(c, a, b)
+    }
+    words.select(col("word"), col("n"), explode(symsFinal).as("symbol"))
+      .groupBy("symbol")
+      .agg(sum(col("n")).as("total_occurrences"),
+        countDistinct(col("word")).as("n_word_types"))
+  }
 }

@@ -50,6 +50,19 @@ class BpeTrainSpec extends SparkSpec {
     assert(rows(1L) === ((5L, 3L + 3L + 5L + 5L + 6L)))
   }
 
+  test("vocab aggregates the final symbol multiset with weighted totals") {
+    val docs = Seq(
+      (0L, "low low low newest newest"),
+      (1L, "lower lower newest newest widest")
+    ).toDF("doc_id", "text")
+    val v = BpeTrain.vocab(docs, "text", Seq(("w", "e"), ("l", "o")))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(v("lo") === ((5L, 2L))) // low x3 + lower x2, in 2 word types
+    assert(v("we") === ((6L, 2L))) // lower x2 + newest x4
+    assert(v("w") === ((4L, 2L)))  // low x3 + widest x1 (not merged there)
+    assert(!v.contains("ne"))      // unlearned pairs never appear
+  }
+
   test("exhausting the pair space stops early instead of looping") {
     val docs = Seq((0L, "ab cd")).toDF("doc_id", "text")
     // 2 words of 2 symbols each: rounds 1-2 merge them; round 3+ has no
