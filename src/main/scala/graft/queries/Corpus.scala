@@ -1932,6 +1932,41 @@ object Corpus {
     * (the pqCache discipline; driver state = 8 rules). */
   private val bpeMergeCache = TrieMap.empty[(SparkSession, String), Seq[(String, String)]]
 
+  /** tp5's merges are trained on the CLEANED corpus — a different model
+    * than q_t18's, cached separately. */
+  private val tp5MergeCache = TrieMap.empty[(SparkSession, String), Seq[(String, String)]]
+
+  /** TP5: the TRAINING-DATASET CAPSTONE — the full preprocessing pipeline
+    * as one declarative flow: tp1's clean (quality gate → exact dedup →
+    * near-dup removal) → BPE tokenizer TRAINED ON THE SURVIVORS (the order
+    * production pipelines use: never fit the tokenizer on junk) → encode →
+    * pack into 2048-token sequences per source. Every stage is the already-
+    * oracle-proven construction; the composition is gated end-to-end by one
+    * SQL replay, so a drift in ANY stage (a quality threshold, a merge
+    * tie-break, a cumsum frame) hash-mismatches the final dataset map. */
+  def trainingDataset(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val cleaned = docs.select("doc_id", "text", "source")
+      .join(graft.pipeline.CorpusCleaner.clean(s, docs).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+    val merges = tp5MergeCache.getOrElseUpdate((s, d),
+      graft.text.BpeTrain.train(cleaned, "text", rounds = 8)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq)
+    val counts = graft.text.BpeTrain.encodeCounts(cleaned, "doc_id", "text", merges)
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    counts
+      .join(cleaned.select("doc_id", "source"), Seq("doc_id"))
+      .withColumn("end_off", sum(col("n_bpe_tokens")).over(w))
+      .select(
+        col("doc_id"), col("source"), col("n_ws_tokens"), col("n_bpe_tokens"),
+        (col("end_off") - col("n_bpe_tokens")).as("start_off"),
+        floor((col("end_off") - col("n_bpe_tokens")) / 2048).cast("long").as("first_seq"),
+        floor((col("end_off") - 1) / 2048).cast("long").as("last_seq"))
+      .orderBy("source", "doc_id")
+  }
+
   /** T19: BPE ENCODE — tokenize every doc with the q_t18-trained merges:
     * per-doc whitespace vs trained-BPE token counts. The 8 merge rules
     * stack as codegen'd expressions over the DISTINCT-word table (vocab-
@@ -2974,6 +3009,7 @@ object Corpus {
     "q_tp2_clean_clustered" -> (cleanCorpusClustered _),
     "q_tp3_clean_decontaminated" -> (cleanCorpusDecontaminated _),
     "q_tp4_passage_dedup" -> (passageDedup _),
+    "q_tp5_training_dataset" -> (trainingDataset _),
     "q_ml1_forecast_kpi" -> (mlForecastKpi _),
     "q_ml2_ols_fit" -> (olsFit _),
     "q_ml3_ridge_fit" -> (ridgeMultiFit _),

@@ -128,18 +128,72 @@ object Oracle {
     * occurrences stay disjoint in string space, repeated symbols merge
     * leftmost-first — both exactly the kernel's semantics), while pair
     * counting unwraps the segments and zips neighbors. */
+  /** The tp1 cleaning chain (quality gate → exact dedup → near-dup
+    * removal) as CTEs t..removed over `documents`; `body` is the final
+    * SELECT — or, with trailingCtes = true, a further CTE list ending in
+    * the final SELECT (the tp5 composition). */
+  private def cleanChainSql(body: String, trailingCtes: Boolean = false): String = {
+    val chain =
+      s"""t AS (SELECT doc_id, text, regexp_extract_all(text, '\\S+') AS toks FROM documents),
+         |c AS (
+         |  SELECT doc_id, text,
+         |         CAST(len(toks) AS DOUBLE) AS n_tok,
+         |         CASE WHEN len(toks) > 0
+         |              THEN CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE)
+         |                   / CAST(len(toks) AS DOUBLE)
+         |              ELSE CAST(0.0 AS DOUBLE) END AS stop_ratio,
+         |         CASE WHEN len(toks) > 0
+         |              THEN CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE)
+         |                   / CAST(len(toks) AS DOUBLE)
+         |              ELSE CAST(0.0 AS DOUBLE) END AS mean_tok_len
+         |  FROM t),
+         |q AS (
+         |  SELECT doc_id, text,
+         |         least(CAST(1.0 AS DOUBLE), n_tok / 100.0) * 0.5
+         |           + stop_ratio * 0.3
+         |           + least(CAST(1.0 AS DOUBLE), mean_tok_len / 8.0) * 0.2 AS quality
+         |  FROM c),
+         |qf AS (SELECT * FROM q WHERE quality >= CAST(0.35 AS DOUBLE)),
+         |keep AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM qf
+         |  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
+         |ex AS (SELECT qf.* FROM qf JOIN keep USING (doc_id)),
+         |n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm FROM ex),
+         |tk AS (SELECT doc_id, regexp_extract_all(norm, '\\S+') AS toks FROM n),
+         |wp AS (
+         |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+         |  FROM tk WHERE len(toks) >= 3),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |         array_to_string(toks[CAST(i AS INTEGER):CAST(i AS INTEGER)+2], ' ') AS shingle
+         |  FROM wp),
+         |hot AS (SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) > 1000),
+         |pru AS (SELECT doc_id, shingle FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+         |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nsh FROM pru GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(COUNT(*) AS BIGINT) AS n_common
+         |  FROM pru a JOIN pru b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pr AS (
+         |  SELECT id1, id2,
+         |         CAST(n_common AS DOUBLE) / CAST(ca.nsh + cb.nsh - n_common AS DOUBLE) AS jaccard
+         |  FROM inter JOIN cnt ca ON ca.doc_id = id1 JOIN cnt cb ON cb.doc_id = id2),
+         |removed AS (SELECT DISTINCT id2 AS doc_id FROM pr WHERE jaccard >= CAST(0.1 AS DOUBLE))""".stripMargin
+    s"WITH $chain${if (trailingCtes) "," else ""}\n$body"
+  }
+
   /** The training rounds as CTEs (w0..wN carry (word, s, n); bN holds round
     * N's chosen rule) — shared by the q_t18 merges query and the q_t19
     * encode query. */
-  private def bpeRoundCtes(rounds: Int): String = {
+  private def bpeRoundCtes(rounds: Int, src: String = "documents"): String = {
     val init =
-      """w0 AS MATERIALIZED (
-        |  SELECT word, regexp_replace(word, '(.)', chr(1) || '\1' || chr(2), 'g') AS s, n
-        |  FROM (
-        |    SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS n
-        |    FROM (SELECT unnest(regexp_extract_all(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\S+')) AS t
-        |          FROM documents)
-        |    GROUP BY 1))""".stripMargin
+      raw"""w0 AS MATERIALIZED (
+         |  SELECT word, regexp_replace(word, '(.)', chr(1) || '\1' || chr(2), 'g') AS s, n
+         |  FROM (
+         |    SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS n
+         |    FROM (SELECT unnest(regexp_extract_all(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\S+')) AS t
+         |          FROM $src)
+         |    GROUP BY 1))""".stripMargin
     val roundCtes = (1 to rounds).map { r =>
       s"""l$r AS MATERIALIZED (
          |  SELECT regexp_extract_all(s, chr(1) || '([^' || chr(2) || ']*)' || chr(2), 1) AS syms, n
@@ -1835,57 +1889,44 @@ object Oracle {
         |FROM k WHERE rn = 1
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    "q_tp1_clean_corpus" ->
-      s"""WITH t AS (SELECT doc_id, text, regexp_extract_all(text, '\\S+') AS toks FROM documents),
-         |c AS (
-         |  SELECT doc_id, text,
-         |         CAST(len(toks) AS DOUBLE) AS n_tok,
-         |         CASE WHEN len(toks) > 0
-         |              THEN CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE)
-         |                   / CAST(len(toks) AS DOUBLE)
-         |              ELSE CAST(0.0 AS DOUBLE) END AS stop_ratio,
-         |         CASE WHEN len(toks) > 0
-         |              THEN CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE)
-         |                   / CAST(len(toks) AS DOUBLE)
-         |              ELSE CAST(0.0 AS DOUBLE) END AS mean_tok_len
-         |  FROM t),
-         |q AS (
-         |  SELECT doc_id, text,
-         |         least(CAST(1.0 AS DOUBLE), n_tok / 100.0) * 0.5
-         |           + stop_ratio * 0.3
-         |           + least(CAST(1.0 AS DOUBLE), mean_tok_len / 8.0) * 0.2 AS quality
-         |  FROM c),
-         |qf AS (SELECT * FROM q WHERE quality >= CAST(0.35 AS DOUBLE)),
-         |keep AS (
-         |  SELECT MIN(doc_id) AS doc_id FROM qf
-         |  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
-         |ex AS (SELECT qf.* FROM qf JOIN keep USING (doc_id)),
-         |n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm FROM ex),
-         |tk AS (SELECT doc_id, regexp_extract_all(norm, '\\S+') AS toks FROM n),
-         |wp AS (
-         |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
-         |  FROM tk WHERE len(toks) >= 3),
-         |sh AS (
-         |  SELECT DISTINCT doc_id,
-         |         array_to_string(toks[CAST(i AS INTEGER):CAST(i AS INTEGER)+2], ' ') AS shingle
-         |  FROM wp),
-         |hot AS (SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) > 1000),
-         |pru AS (SELECT doc_id, shingle FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
-         |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nsh FROM pru GROUP BY 1),
-         |inter AS (
-         |  SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(COUNT(*) AS BIGINT) AS n_common
-         |  FROM pru a JOIN pru b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |pr AS (
-         |  SELECT id1, id2,
-         |         CAST(n_common AS DOUBLE) / CAST(ca.nsh + cb.nsh - n_common AS DOUBLE) AS jaccard
-         |  FROM inter JOIN cnt ca ON ca.doc_id = id1 JOIN cnt cb ON cb.doc_id = id2),
-         |removed AS (SELECT DISTINCT id2 AS doc_id FROM pr WHERE jaccard >= CAST(0.1 AS DOUBLE))
-         |SELECT ex.doc_id, q2.quality
-         |FROM ex
-         |JOIN q q2 ON q2.doc_id = ex.doc_id
-         |WHERE ex.doc_id NOT IN (SELECT doc_id FROM removed)
-         |ORDER BY ex.doc_id""".stripMargin,
+    "q_tp1_clean_corpus" -> cleanChainSql(
+      """SELECT ex.doc_id, q2.quality
+        |FROM ex
+        |JOIN q q2 ON q2.doc_id = ex.doc_id
+        |WHERE ex.doc_id NOT IN (SELECT doc_id FROM removed)
+        |ORDER BY ex.doc_id""".stripMargin),
+
+    // Mirrors Corpus.trainingDataset: the tp1 clean chain, then the BPE
+    // rounds TRAINED ON THE SURVIVORS (bpeRoundCtes over `cleaned`), the
+    // t19 encode join, and the t15 per-source cumsum pack — one replay
+    // gating the composed pipeline end to end.
+    "q_tp5_training_dataset" -> cleanChainSql(
+      s"""cleaned AS MATERIALIZED (
+         |  SELECT ex.doc_id, ex.text FROM ex
+         |  WHERE ex.doc_id NOT IN (SELECT doc_id FROM removed)),
+         |${bpeRoundCtes(8, "cleaned")},
+         |nb AS MATERIALIZED (
+         |  SELECT word,
+         |         CAST(len(regexp_extract_all(s, chr(1) || '([^' || chr(2) || ']*)' || chr(2), 1)) AS BIGINT) AS n_bpe
+         |  FROM w8),
+         |tok2 AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), '\\S+')) AS word
+         |  FROM cleaned),
+         |pc AS (
+         |  SELECT tok2.doc_id,
+         |         CAST(COUNT(*) AS BIGINT) AS n_ws_tokens,
+         |         CAST(SUM(nb.n_bpe) AS BIGINT) AS n_bpe_tokens
+         |  FROM tok2 JOIN nb ON nb.word = tok2.word
+         |  GROUP BY 1),
+         |pk AS (
+         |  SELECT pc.doc_id, d.source, pc.n_ws_tokens, pc.n_bpe_tokens,
+         |         CAST(SUM(pc.n_bpe_tokens) OVER (PARTITION BY d.source ORDER BY pc.doc_id) AS BIGINT) AS end_off
+         |  FROM pc JOIN documents d ON d.doc_id = pc.doc_id)
+         |SELECT doc_id, source, n_ws_tokens, n_bpe_tokens,
+         |       end_off - n_bpe_tokens AS start_off,
+         |       CAST(FLOOR(CAST(end_off - n_bpe_tokens AS DOUBLE) / 2048) AS BIGINT) AS first_seq,
+         |       CAST(FLOOR(CAST(end_off - 1 AS DOUBLE) / 2048) AS BIGINT) AS last_seq
+         |FROM pk ORDER BY source, doc_id""".stripMargin, trailingCtes = true),
 
     // Mirrors Corpus.cleanCorpusDecontaminated: the tp1 CTE chain over the
     // doc_id % 17 <> 0 corpus slice, then the q_t9 gram probe against the

@@ -127,4 +127,22 @@ class CorpusCleanerSpec extends SparkSpec {
     val wrote = java.nio.file.Files.walk(dir).filter(java.nio.file.Files.isRegularFile(_)).count()
     assert(wrote > 0, "no checkpoint files written to the reliable dir")
   }
+
+  test("tp5 composition: doc set == tp1 survivors; per-source offsets are gapless") {
+    val d = "/root/testdata/sf0.001"
+    val tp5 = graft.queries.Corpus.trainingDataset(spark, d).collect()
+    val tp1Ids = graft.queries.Corpus.cleanCorpus(spark, d)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(tp5.map(_.getLong(0)).toSet === tp1Ids)
+    // within each source, start_off resumes exactly where the previous doc
+    // ended — the packing invariant sequencing depends on
+    tp5.groupBy(_.getString(1)).values.foreach { rows =>
+      val sorted = rows.sortBy(_.getLong(0))
+      sorted.foldLeft(0L) { (expected, r) =>
+        assert(r.getLong(4) === expected,
+          s"doc ${r.getLong(0)}: start_off ${r.getLong(4)} != $expected")
+        expected + r.getLong(3)
+      }
+    }
+  }
 }
