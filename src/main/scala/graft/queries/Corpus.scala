@@ -235,6 +235,28 @@ object Corpus {
       .orderBy("user_id")
   }
 
+  /** A26: DATASET CARD — the per-source summary a corpus release ships:
+    * doc/char/token totals, language spread, exact-duplicate rate
+    * (fingerprint groups), and mean quality (floor-quantized exact mean).
+    * One aggregate pass; every stat is integer or IEEE-exact. */
+  def datasetCard(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("source"), col("lang"), col("n_chars"), col("doc_id"),
+        TextFunctions.bpeTokenCount(col("text")).cast("long").as("n_tokens"),
+        TextFunctions.fingerprintMd5(col("text")).as("fp"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_tokens")).as("total_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("en_docs"),
+        (count(lit(1)) - countDistinct(col("fp"))).as("n_exact_dups"),
+        Exact.floorAvg(col("quality"), 9).as("avg_quality"))
+      .orderBy("source")
+
   /** Ranking / navigation / cumulative windows over the daily series:
     * row_number, lead, running sum (beyond the reference surface, which used
     * only lag + trailing frames). */
@@ -617,6 +639,43 @@ object Corpus {
       .filter(col("rk") <= 3)
       .select("doc_id", "rk", "bucket", "tf", "w_micro")
       .orderBy("doc_id", "rk")
+  }
+
+  /** P13: TEMPERATURE-BASED SOURCE MIXING — the multilingual/multi-source
+    * balancing stage (α-sampling): per-source sampling weights w_s ∝
+    * tokens_s^α (α = 0.5 flattens the head), a 100k-token budget split by
+    * weight into per-source quotas, and a deterministic hash-ordered
+    * selection filling each quota (a doc is in iff its cumulative tokens
+    * fit — no partial docs). Every arithmetic step is IEEE-exact on
+    * identical inputs (sqrt, divide, floor), the order key is the q_p9 md5
+    * discipline, and the cumsum is an exact integer window — so the full
+    * mixture plan is oracle-checked. Scale shape: one token-count pass,
+    * a 4-row weight table, and a per-source window — no global sort. */
+  def temperatureMix(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 100000L
+    val toks = Tables.documents(s, d).select(
+      col("doc_id"), col("source"),
+      TextFunctions.bpeTokenCount(col("text")).cast("long").as("n_tokens"))
+    val bySource = toks.groupBy("source").agg(sum(col("n_tokens")).as("src_tokens"))
+    val weighted = bySource.withColumn("w", sqrt(col("src_tokens").cast("double")))
+    // order-independent total (floor-quantized exact sum — doubles summed
+    // in partition order would not be reproducible)
+    val totalW = weighted.agg(Exact.floorSum(col("w"), 9).as("total_w"))
+    val quotas = weighted.crossJoin(broadcast(totalW))
+      .select(col("source"), col("src_tokens"),
+        floor(lit(budget.toDouble) * col("w") / col("total_w")).cast("long").as("quota"))
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    toks
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .join(broadcast(quotas), Seq("source"))
+      .filter(col("cum_tokens") <= col("quota"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs_selected"), sum(col("n_tokens")).as("tokens_selected"))
+      .join(quotas, Seq("source"))
+      .select("source", "src_tokens", "quota", "n_docs_selected", "tokens_selected")
+      .orderBy("source")
   }
 
   /** W8: group-wise top-k curation — keep the 3 largest docs per source
@@ -2951,6 +3010,7 @@ object Corpus {
     "q_e9_funnel" -> (eventFunnel _),
     "q_a24_ab_test" -> (abTest _),
     "q_a25_countmin" -> (countMinUsers _),
+    "q_a26_dataset_card" -> (datasetCard _),
     "q_e10_cohort_retention" -> (cohortRetention _),
     "q_s12_schema_evolution" -> (schemaEvolutionRead _),
     "q_e6_stream_join" -> (streamedIntervalJoin _),
@@ -2990,6 +3050,7 @@ object Corpus {
     "q_p9_hash_sample" -> (hashSample _),
     "q_p11_weighted_sample" -> (weightedSample _),
     "q_p12_kfold" -> (kfoldSplit _),
+    "q_p13_temperature_mix" -> (temperatureMix _),
     "q_w8_group_topk" -> (groupTopK _),
     "q_o5_det_shuffle" -> (detShuffle _),
     "q_o6_salted_agg" -> (saltedCountryKpi _),

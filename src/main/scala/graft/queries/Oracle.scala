@@ -1040,6 +1040,56 @@ object Oracle {
     // type, aggregated to the vocab artifact.
     "q_t20_bpe_vocab" -> bpeVocabSql(8),
 
+    // Mirrors Corpus.temperatureMix: identical BPE-pretoken counts, sqrt
+    // weights, floor-quantized exact weight total, floor quotas, md5-ordered
+    // exact-integer cumsum fill.
+    "q_p13_temperature_mix" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |bs AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens FROM t GROUP BY 1),
+        |wts AS (SELECT source, src_tokens, sqrt(CAST(src_tokens AS DOUBLE)) AS w FROM bs),
+        |tw AS (SELECT CAST(SUM(CAST(floor(w * 1.0E9) AS BIGINT)) AS DOUBLE) / 1.0E9 AS total_w FROM wts),
+        |qs AS (
+        |  SELECT source, src_tokens,
+        |         CAST(floor(100000.0 * w / total_w) AS BIGINT) AS quota
+        |  FROM wts CROSS JOIN tw),
+        |cum AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         CAST(SUM(n_tokens) OVER (PARTITION BY source
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS cum_tokens
+        |  FROM t),
+        |sel AS (
+        |  SELECT cum.source,
+        |         CAST(COUNT(*) AS BIGINT) AS n_docs_selected,
+        |         CAST(SUM(n_tokens) AS BIGINT) AS tokens_selected
+        |  FROM cum JOIN qs ON qs.source = cum.source AND cum.cum_tokens <= qs.quota
+        |  GROUP BY 1)
+        |SELECT qs.source, qs.src_tokens, qs.quota, sel.n_docs_selected, sel.tokens_selected
+        |FROM qs JOIN sel ON sel.source = qs.source
+        |ORDER BY qs.source""".stripMargin,
+
+    // Mirrors Corpus.datasetCard: the q_t2 quality CTEs (via the shared
+    // clean chain — only t/c/q are referenced, the dedup tail is never
+    // evaluated), fingerprints, BPE pretoken counts, per-source rollup.
+    "q_a26_dataset_card" -> cleanChainSql(
+      """card AS (
+        |  SELECT d.source, d.lang, d.n_chars, q.doc_id, q.quality,
+        |         CAST(len(regexp_extract_all(d.text, '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS BIGINT) AS n_tokens,
+        |         md5(regexp_replace(lower(trim(d.text)), '\s+', ' ', 'g')) AS fp
+        |  FROM q JOIN documents d ON d.doc_id = q.doc_id)
+        |SELECT source,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |       CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en_docs,
+        |       CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_exact_dups,
+        |       CAST(SUM(CAST(floor(quality * 1.0E9) AS BIGINT)) AS DOUBLE) / 1.0E9
+        |         / CAST(COUNT(quality) AS DOUBLE) AS avg_quality
+        |FROM card GROUP BY 1 ORDER BY source""".stripMargin, trailingCtes = true),
+
     // Mirrors Corpus.kfoldSplit: identical hex32(md5) mod 5 fold, exact
     // integer stratification counts.
     "q_p12_kfold" ->

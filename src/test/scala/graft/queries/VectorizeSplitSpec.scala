@@ -33,6 +33,38 @@ class VectorizeSplitSpec extends SparkSpec {
     assert(rows.forall(r => r._3 >= 0 && r._3 < 256))
   }
 
+  test("temperature mix: quotas sum within budget and selections respect them") {
+    val rows = Corpus.temperatureMix(spark, d).collect()
+    assert(rows.nonEmpty)
+    // α=0.5 flattens: no source's quota exceeds the 100k budget, and the
+    // selected tokens never exceed the quota
+    rows.foreach { r =>
+      val (quota, sel) = (r.getLong(2), r.getLong(4))
+      assert(quota <= 100000L)
+      assert(sel <= quota, s"source ${r.getString(0)}: selected $sel > quota $quota")
+    }
+    assert(rows.map(_.getLong(2)).sum <= 100000L)
+    // flattening: the biggest source's token share shrinks vs its raw share
+    val raw = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sel = rows.map(r => r.getString(0) -> r.getLong(2)).toMap
+    val big = raw.maxBy(_._2)._1
+    val rawShare = raw(big).toDouble / raw.values.sum
+    val quotaShare = sel(big).toDouble / sel.values.sum
+    assert(quotaShare < rawShare, "temperature sampling must flatten the head")
+  }
+
+  test("dataset card: totals are consistent and dup counts non-negative") {
+    val rows = Corpus.datasetCard(spark, d).collect()
+    assert(rows.nonEmpty)
+    val totalDocs = rows.map(_.getLong(1)).sum
+    assert(totalDocs === graft.Tables.documents(spark, d).count())
+    rows.foreach { r =>
+      assert(r.getLong(6) >= 0L)       // n_exact_dups
+      assert(r.getLong(5) <= r.getLong(1)) // en_docs <= n_docs
+      assert(r.getDouble(7) >= 0.0 && r.getDouble(7) <= 1.0)
+    }
+  }
+
   test("hashing is vocabulary-free: same token always lands in the same bucket") {
     import spark.implicits._
     val twice = Seq((1L, "alpha beta"), (2L, "alpha beta")).toDF("doc_id", "text")
