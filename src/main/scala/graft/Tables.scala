@@ -46,21 +46,23 @@ object Tables {
   /** Long nanos → exact integer DIV then timestamp_micros (a double divide
     * would lose precision at epoch-nanos magnitude ~1.7e18 > 2^53);
     * TIMESTAMP_NTZ micros → instant, reading the NTZ wall-clock AS UTC
-    * regardless of the session zone: convert_timezone shifts the wall-clock
-    * from UTC to the session zone first, so the session-zone cast lands on
-    * the same instant a UTC session would produce (on a UTC session both
-    * steps are identities). Already-TimestampType passes through; anything
-    * else is a schema drift we want to fail on here, not rows deep into a
-    * downstream query. */
+    * regardless of the session zone: the wall-clock fields are re-assembled
+    * with make_timestamp(..., 'UTC'), which never consults the session zone
+    * — a session-zone cast (even after convert_timezone) resolves
+    * DST-overlap wall-clocks to the earlier offset and would shift one hour
+    * of events per year in any DST session zone. Already-TimestampType
+    * passes through; anything else is a schema drift we want to fail on
+    * here, not rows deep into a downstream query. */
   def normalizeEventsTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
-        val zone = df.sparkSession.conf.get("spark.sql.session.timeZone")
         df.withColumn("ts",
-          convert_timezone(lit("UTC"), lit(zone), col("ts"))
-            .cast(org.apache.spark.sql.types.TimestampType))
+          make_timestamp(
+            year(col("ts")), month(col("ts")), dayofmonth(col("ts")),
+            hour(col("ts")), minute(col("ts")),
+            expr("date_part('SECOND', ts)"), lit("UTC")))
       case org.apache.spark.sql.types.TimestampType => df
       case other =>
         throw new IllegalArgumentException(

@@ -574,10 +574,16 @@ object Dedup {
         GraftFunctions.cosineFloor(col(vecCol), typedLit(vec)).as("c"),
         lit(-sid).as("neg_sid"))
     }: _*)
+    // Materialize the assignment once: it feeds BOTH self-join sides and
+    // the final status join — without the boundary the scan + numSeeds
+    // cosine evaluations per row re-execute three times. localCheckpoint
+    // (not persist) so the blocks release when the result frame is GC'd
+    // (the CorpusCleaner discipline).
     val assigned = emb.select(
       col(idCol).as("id"),
       col(vecCol).as("vec"),
       (-array_max(scored).getField("neg_sid")).as("cluster"))
+      .localCheckpoint(true)
     val a = assigned.toDF("id1", "v1", "cluster")
     val b = assigned.toDF("id2", "v2", "cluster_r")
     val dropped = a

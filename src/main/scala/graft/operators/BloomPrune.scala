@@ -46,8 +46,12 @@ object BloomPrune {
 
   /** Fact rows whose `factKey` might match `dim`'s `dimKey` set: the bloom
     * pre-filter only (false positives included) — callers follow with the
-    * exact join. `expectedItems` defaults to the dim count (one extra
-    * metadata-cheap job; production callers pass catalog stats). */
+    * exact join. `expectedItems` defaults to `dim.count()` — a full
+    * scan-aggregate over the (filtered) dim, i.e. one extra dim pass on top
+    * of the bloom build's. That is the right trade only because the dim is
+    * the SMALL side by contract; production callers pass catalog stats or
+    * any upper bound (oversizing a bloom just wastes bits, never
+    * correctness). */
   def pruneFact(
       fact: DataFrame,
       factKey: String,

@@ -45,7 +45,10 @@ object Sketches {
   /** Point-query `probes` (any frame with a long `keyCol`) against a
     * [[countMin]] sketch: appends `cms_n` = min over depth rows. The sketch
     * is broadcast — it is bounded by depth×width cells, so the probe side
-    * (which may be huge) never shuffles. */
+    * (which may be huge) never shuffles. Empty cells have no sketch row;
+    * the left join reads them as count 0, so a key absent from the build
+    * set estimates 0 (min over ALL depth rows) instead of vanishing or
+    * inheriting only its collided cells. */
   def cmsEstimate(
       sketch: DataFrame,
       probes: DataFrame,
@@ -56,8 +59,8 @@ object Sketches {
     val keyed = probes.select(col("*"), posexplode(array(
         (0 until depth).map(j => cmsBucket(col(keyCol), j, width)): _*)))
       .withColumnsRenamed(Map("pos" -> "j", "col" -> "bucket"))
-    keyed.join(broadcast(sketch), Seq("j", "bucket"))
+    keyed.join(broadcast(sketch), Seq("j", "bucket"), "left")
       .groupBy(probeCols.map(col): _*)
-      .agg(min(col("c")).as("cms_n"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("cms_n"))
   }
 }

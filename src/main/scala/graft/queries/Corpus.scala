@@ -226,11 +226,17 @@ object Corpus {
     * undercounts); with literal hash coefficients the whole grid is
     * bit-reproducible in SQL, so the oracle checks the sketch itself, not
     * just the inequality. */
-  def countMinUsers(s: SparkSession, d: String): DataFrame = {
+  /** The q_a25/q_e12 probe set: events plus the top-20 exact-heaviest
+    * users — one definition so both sketches answer the same questions. */
+  private def cmsProbes(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val ev = Tables.events(s, d).select("user_id")
+    (ev, ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("user_id")).limit(20))
+  }
+
+  def countMinUsers(s: SparkSession, d: String): DataFrame = {
+    val (ev, probes) = cmsProbes(s, d)
     val sketch = graft.operators.Sketches.countMin(ev, "user_id")
-    val probes = ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
-      .orderBy(col("exact_n").desc, col("user_id")).limit(20)
     graft.operators.Sketches.cmsEstimate(sketch, probes, "user_id")
       .orderBy("user_id")
   }
@@ -1356,9 +1362,7 @@ object Corpus {
       .outputMode("complete").start()
     try q.processAllAvailable()
     finally q.stop()
-    val ev = Tables.events(s, d).select("user_id")
-    val probes = ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
-      .orderBy(col("exact_n").desc, col("user_id")).limit(20)
+    val (_, probes) = cmsProbes(s, d)
     graft.operators.Sketches.cmsEstimate(s.table(sink), probes, "user_id")
       .orderBy("user_id")
   }
@@ -1995,6 +1999,18 @@ object Corpus {
     * than q_t18's, cached separately. */
   private val tp5MergeCache = TrieMap.empty[(SparkSession, String), Seq[(String, String)]]
 
+  /** Train-once accessor: the 8 learned merge pairs for `docs`, memoized in
+    * `cache` — ONE definition of the rank order and pair extraction so
+    * q_t19/q_t20/q_tp5 can never drift apart. */
+  private def trainedMerges(
+      cache: TrieMap[(SparkSession, String), Seq[(String, String)]],
+      key: (SparkSession, String),
+      docs: => DataFrame): Seq[(String, String)] =
+    cache.getOrElseUpdate(key,
+      graft.text.BpeTrain.train(docs, "text", rounds = 8)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq)
+
   /** TP5: the TRAINING-DATASET CAPSTONE — the full preprocessing pipeline
     * as one declarative flow: tp1's clean (quality gate → exact dedup →
     * near-dup removal) → BPE tokenizer TRAINED ON THE SURVIVORS (the order
@@ -2009,10 +2025,7 @@ object Corpus {
     val cleaned = docs.select("doc_id", "text", "source")
       .join(graft.pipeline.CorpusCleaner.clean(s, docs).select("doc_id"),
         Seq("doc_id"), "left_semi")
-    val merges = tp5MergeCache.getOrElseUpdate((s, d),
-      graft.text.BpeTrain.train(cleaned, "text", rounds = 8)
-        .orderBy("merge_rank").collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq)
+    val merges = trainedMerges(tp5MergeCache, (s, d), cleaned)
     val counts = graft.text.BpeTrain.encodeCounts(cleaned, "doc_id", "text", merges)
     val w = Window.partitionBy("source").orderBy("doc_id")
     counts
@@ -2031,10 +2044,7 @@ object Corpus {
     * stack as codegen'd expressions over the DISTINCT-word table (vocab-
     * bounded), then join token instances — the corpus scans once. */
   def bpeEncodeCounts(s: SparkSession, d: String): DataFrame = {
-    val merges = bpeMergeCache.getOrElseUpdate((s, d),
-      graft.text.BpeTrain.train(Tables.documents(s, d), "text", rounds = 8)
-        .orderBy("merge_rank").collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq)
+    val merges = trainedMerges(bpeMergeCache, (s, d), Tables.documents(s, d))
     graft.text.BpeTrain.encodeCounts(Tables.documents(s, d), "doc_id", "text", merges)
       .orderBy("doc_id")
   }
@@ -2043,10 +2053,7 @@ object Corpus {
     * with weighted occurrence totals and word-type counts (the vocab file
     * a shipped tokenizer pairs with its merges file). */
   def bpeVocab(s: SparkSession, d: String): DataFrame = {
-    val merges = bpeMergeCache.getOrElseUpdate((s, d),
-      graft.text.BpeTrain.train(Tables.documents(s, d), "text", rounds = 8)
-        .orderBy("merge_rank").collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq)
+    val merges = trainedMerges(bpeMergeCache, (s, d), Tables.documents(s, d))
     graft.text.BpeTrain.vocab(Tables.documents(s, d), "text", merges)
       .orderBy("symbol")
   }
@@ -2660,13 +2667,18 @@ object Corpus {
     val scored = emb.join(broadcast(anchors), col("vec_id") =!= col("anchor_id"))
       .select(col("anchor_id"), col("albl"), col("vec_id"), col("label"),
         GraftFunctions.cosineFloor(col("embedding"), col("avec")).as("c"))
-    def top1(df: DataFrame, prefix: String): DataFrame =
-      df.groupBy("anchor_id")
-        .agg(max(struct(col("c"), (-col("vec_id")).as("neg_id"))).as("best"))
-        .select(col("anchor_id"),
-          (-col("best.neg_id")).as(s"${prefix}_id"), col("best.c").as(s"${prefix}_cos"))
-    top1(scored.filter(col("label") === col("albl")), "pos")
-      .join(top1(scored.filter(col("label") =!= col("albl")), "neg"), Seq("anchor_id"))
+    // ONE pass over the scored pairs: conditional max-struct aggregates
+    // compute both argmaxes together (max ignores the null branch), instead
+    // of re-running the broadcast join + cosines per filter.
+    val best = struct(col("c"), (-col("vec_id")).as("neg_id"))
+    scored.groupBy("anchor_id")
+      .agg(
+        max(when(col("label") === col("albl"), best)).as("pos"),
+        max(when(col("label") =!= col("albl"), best)).as("neg"))
+      .filter(col("pos").isNotNull && col("neg").isNotNull)
+      .select(col("anchor_id"),
+        (-col("pos.neg_id")).as("pos_id"), col("pos.c").as("pos_cos"),
+        (-col("neg.neg_id")).as("neg_id"), col("neg.c").as("neg_cos"))
       .orderBy("anchor_id")
   }
 

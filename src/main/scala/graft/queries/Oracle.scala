@@ -121,13 +121,6 @@ object Oracle {
       "\n" + graft.ml.NormalEq.oracleSolveSql(5, Nil)
   }
 
-  /** Bit-reproducible mean via IEEE-only ops — mirrors Exact.floorAvg(c, 9). */
-  /** q_t18: replay the BPE training rounds in SQL. Each word type rides as
-    * ONE string of chr(1)<sym>chr(2)-wrapped segments, so DuckDB's plain
-    * non-overlapping leftmost replace() IS the greedy BPE merge (adjacent
-    * occurrences stay disjoint in string space, repeated symbols merge
-    * leftmost-first — both exactly the kernel's semantics), while pair
-    * counting unwraps the segments and zips neighbors. */
   /** The tp1 cleaning chain (quality gate → exact dedup → near-dup
     * removal) as CTEs t..removed over `documents`; `body` is the final
     * SELECT — or, with trailingCtes = true, a further CTE list ending in
@@ -182,9 +175,14 @@ object Oracle {
     s"WITH $chain${if (trailingCtes) "," else ""}\n$body"
   }
 
+  /** q_t18: replay the BPE training rounds in SQL. Each word type rides as
+    * ONE string of chr(1)<sym>chr(2)-wrapped segments, so DuckDB's plain
+    * non-overlapping leftmost replace() IS the greedy BPE merge (adjacent
+    * occurrences stay disjoint in string space, repeated symbols merge
+    * leftmost-first — both exactly the kernel's semantics), while pair
+    * counting unwraps the segments and zips neighbors. */
   /** The training rounds as CTEs (w0..wN carry (word, s, n); bN holds round
-    * N's chosen rule) — shared by the q_t18 merges query and the q_t19
-    * encode query. */
+    * N's chosen rule) — shared by q_t18/q_t19/q_t20/q_tp5. */
   private def bpeRoundCtes(rounds: Int, src: String = "documents"): String = {
     val init =
       raw"""w0 AS MATERIALIZED (
@@ -282,6 +280,7 @@ object Oracle {
       |           / (sqrt(CAST(SUM(CAST(floor(x * x * 1.0E15) AS BIGINT)) AS DOUBLE) / 1.0E15)
       |              * sqrt(CAST(SUM(CAST(floor(y * y * 1.0E15) AS BIGINT)) AS DOUBLE) / 1.0E15))""".stripMargin
 
+  /** Bit-reproducible mean via IEEE-only ops — mirrors Exact.floorAvg(c, 9). */
   private def floorAvg9(x: String, alias: String): String =
     s"CAST(SUM(CAST(floor(($x) * 1.0E9) AS BIGINT)) AS DOUBLE) / 1.0E9 / CAST(COUNT($x) AS DOUBLE) AS $alias"
 

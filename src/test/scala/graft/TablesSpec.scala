@@ -15,16 +15,23 @@ class TablesSpec extends SparkSpec {
   }
 
   test("normalizeEventsTs reads NTZ wall-clock as UTC under a non-UTC session zone") {
-    val utcMicros = Tables.normalizeEventsTs(ntzFrame)
-      .select(unix_micros(col("ts"))).head().getLong(0)
+    // Both DST edge cases: 2024-03-10 06:30 UTC sits in the US spring-
+    // forward morning (gap), 2024-11-03 06:30 UTC maps to the AMBIGUOUS
+    // 01:30 New-York wall-clock of the fall-back hour — a session-zone
+    // cast resolves the latter to the earlier offset and lands one hour
+    // early (the bug this pins down).
+    val frames = Seq(
+      ntzFrame,
+      spark.range(1).select(
+        lit("2024-11-03 06:30:00").cast(TimestampNTZType).as("ts")))
+    val utc = frames.map(f =>
+      Tables.normalizeEventsTs(f).select(unix_micros(col("ts"))).head().getLong(0))
     val prev = spark.conf.get("spark.sql.session.timeZone")
-    // 2024-03-10 06:30 UTC is inside the US DST spring-forward morning — the
-    // worst case for wall-clock reinterpretation bugs.
     spark.conf.set("spark.sql.session.timeZone", "America/New_York")
     try {
-      val nyMicros = Tables.normalizeEventsTs(ntzFrame)
-        .select(unix_micros(col("ts"))).head().getLong(0)
-      assert(nyMicros === utcMicros)
+      val ny = frames.map(f =>
+        Tables.normalizeEventsTs(f).select(unix_micros(col("ts"))).head().getLong(0))
+      assert(ny === utc)
     } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
 

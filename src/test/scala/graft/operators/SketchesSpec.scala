@@ -22,6 +22,16 @@ class SketchesSpec extends SparkSpec {
     assert(heavy._3 >= 100L)
   }
 
+  test("probing a key absent from the build set estimates 0 via its empty cells") {
+    import spark.implicits._
+    val sketch = Sketches.countMin(Seq(1L, 2L, 3L).toDF("k"), "k")
+    // 3 keys fill at most 3 of 64 buckets per row — an unseen key almost
+    // surely hits an empty cell in at least one of the 4 rows.
+    val est = Sketches.cmsEstimate(sketch, Seq(999999L).toDF("k"), "k").collect()
+    assert(est.length === 1, "absent keys must not vanish from the output")
+    assert(est.head.getLong(1) === 0L)
+  }
+
   test("sketch is bounded by depth x width cells and mergeable by cell-wise addition") {
     val a = (0L until 500L).toDF("k")
     val b = (250L until 750L).toDF("k")
