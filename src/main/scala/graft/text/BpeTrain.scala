@@ -37,10 +37,16 @@ object BpeTrain {
       .groupBy("word").agg(count(lit(1)).as("n"))
     // split(_, "(?!^)") under Spark's limit=-1 keeps the trailing empty
     // element (the lookahead also matches at end-of-string) — strip it.
+    // split(_, "(?!^)") under Spark's limit=-1 keeps the trailing empty
+    // element (the lookahead also matches at end-of-string) — strip it.
     var syms = words
       .select(array_remove(split(col("word"), "(?!^)"), "").as("syms"), col("n"))
       .persist()
-    syms.count()
+    // The parent stays persisted until AFTER the next round's argmax job —
+    // that job materializes the (lazily) persisted child from the cached
+    // parent, so each round costs exactly ONE job instead of a separate
+    // count() materialization pass.
+    var prev: Option[DataFrame] = None
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var r = 1
     var exhausted = false
@@ -53,19 +59,19 @@ object BpeTrain {
         .groupBy("a", "b").agg(sum(col("n")).as("cnt"))
         .orderBy(col("cnt").desc, col("a"), col("b"))
         .limit(1).collect()
+      prev.foreach(_.unpersist())
+      prev = Some(syms)
       if (best.isEmpty) exhausted = true
       else {
         val (a, b, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((r, a, b, cnt))
-        val next = syms
+        syms = syms
           .select(GraftFunctions.bpeMerge(col("syms"), a, b).as("syms"), col("n"))
           .persist()
-        next.count()
-        syms.unpersist()
-        syms = next
         r += 1
       }
     }
+    prev.foreach(_.unpersist())
     syms.unpersist()
     merges.toSeq.toDF("merge_rank", "left_sym", "right_sym", "pair_count")
   }

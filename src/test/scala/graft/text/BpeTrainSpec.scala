@@ -63,6 +63,29 @@ class BpeTrainSpec extends SparkSpec {
     assert(!v.contains("ne"))      // unlearned pairs never appear
   }
 
+  test("merge kernel matches a reference implementation on random symbol arrays") {
+    def reference(syms: Seq[String], a: String, b: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toSeq
+    }
+    val rnd = new scala.util.Random(7)
+    val alphabet = Vector("a", "b", "ab", "c")
+    val cases = Seq.fill(200)(
+      Seq.fill(rnd.nextInt(12))(alphabet(rnd.nextInt(alphabet.length))))
+    val df = cases.zipWithIndex.map { case (c, i) => (i.toLong, c) }.toDF("id", "syms")
+    val got = df.select($"id", GraftFunctions.bpeMerge($"syms", "a", "b").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    cases.zipWithIndex.foreach { case (c, i) =>
+      assert(got(i.toLong) === reference(c, "a", "b"), s"case $i: $c")
+    }
+  }
+
   test("exhausting the pair space stops early instead of looping") {
     val docs = Seq((0L, "ab cd")).toDF("doc_id", "text")
     // 2 words of 2 symbols each: rounds 1-2 merge them; round 3+ has no
