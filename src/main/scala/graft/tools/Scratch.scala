@@ -130,14 +130,19 @@ object Scratch {
         // copy k of documents gets doc_id + k*10M and every token suffixed
         // with the copy index, so cross-copy similarity is zero and
         // dup-density per copy matches sf0.1 — 10x the data, same structure.
-        val dir10 = "/tmp/sf1x10"
+        // v2 staging carries source/lang/n_chars so the mixing/packing tier
+        // (q_p13/q_tp5) runs too — sources keep their names, so each source
+        // is 10x bigger (the per-source window/quota stress shape).
+        val dir10 = "/tmp/sf1x10_v2"
         if (!new java.io.File(s"$dir10/documents.parquet").exists()) {
           new java.io.File(dir10).mkdirs()
-          val docs = Tables.documents(spark, d).select("doc_id", "text")
+          val docs = Tables.documents(spark, d)
+            .select("doc_id", "text", "source", "lang", "n_chars")
           val copies = (0 until 10).map { k =>
             docs.select(
               (col("doc_id") + k * 10000000L).as("doc_id"),
-              regexp_replace(col("text"), "(\\S+)", s"$$1x$k").as("text"))
+              regexp_replace(col("text"), "(\\S+)", s"$$1x$k").as("text"),
+              col("source"), col("lang"), col("n_chars"))
           }
           time("build documents x10")(
             copies.reduce(_ unionByName _).coalesce(8)
@@ -158,12 +163,29 @@ object Scratch {
           bench2(s"$q sf0.1")(graft.queries.Corpus.all(q)(spark, d))
           bench2(s"$q 10x")(graft.queries.Corpus.all(q)(spark, dir10))
         }
-        // round-7 heavy text tier: LM counts, BPE training loop, BPE encode.
+        // round-7 heavy text tier: LM counts, BPE training loop, BPE encode,
+        // hashed features, temperature mix, and the tp5 composition.
         // Copy-suffixed tokens give 10x the vocabulary and bigram space —
-        // the dimension these ops actually scale in.
-        for (q <- Seq("q_t16_ngram_lm", "q_t18_bpe_train", "q_t19_bpe_encode")) {
+        // the dimension these ops actually scale in. (q_p13/q_tp5 also read
+        // `source`/`lang`/`n_chars`; the 10x staging writes those columns.)
+        for (q <- Seq("q_t16_ngram_lm", "q_t18_bpe_train", "q_t19_bpe_encode",
+            "q_t17_hashed_tfidf", "q_p13_temperature_mix", "q_tp5_training_dataset")) {
           bench2(s"$q sf0.1")(graft.queries.Corpus.all(q)(spark, d))
           bench2(s"$q 10x")(graft.queries.Corpus.all(q)(spark, dir10))
+        }
+
+        // q_dd10's scale knob: numSeeds grows with the corpus so cluster
+        // sizes stay bounded (pair work = Σ cluster·(cluster−1)/2). Same
+        // 2000-vector input, 8 vs 64 seeds — candidate pairs must drop.
+        locally {
+          val emb = Tables.embeddings(spark, d).select("vec_id", "embedding")
+          def candidatePairs(k: Int): Long =
+            graft.dedup.Dedup.semanticDedup(emb, "vec_id", "embedding", numSeeds = k)
+              .groupBy("cluster").count().collect()
+              .map(_.getLong(1)).map(n => n * (n - 1) / 2).sum
+          val p8 = candidatePairs(8)
+          val p64 = candidatePairs(64)
+          println(f"[scratch] dd10 candidate pairs: numSeeds=8 -> $p8%d, numSeeds=64 -> $p64%d (${p8.toDouble / p64}%.1fx fewer)")
         }
 
         // w14 runs on the daily grain; scale by suffixing Country per copy —

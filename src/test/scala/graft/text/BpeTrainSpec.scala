@@ -86,6 +86,20 @@ class BpeTrainSpec extends SparkSpec {
     }
   }
 
+  test("merge kernel: codegen and interpreted paths agree, survives executor serialization") {
+    val df = (1 to 100).map(i => (i.toLong, Seq("a", "b", "a", "a", "c")))
+      .toDF("id", "syms").repartition(7)
+    def run(codegen: String): Seq[Seq[String]] = {
+      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
+      try df.select(GraftFunctions.bpeMerge($"syms", "a", "b").as("m"))
+        .collect().toSeq.map(_.getSeq[String](0).toSeq)
+      finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    val cg = run("CODEGEN_ONLY")
+    assert(cg === run("NO_CODEGEN"))
+    assert(cg.forall(_ === Seq("ab", "a", "a", "c")))
+  }
+
   test("exhausting the pair space stops early instead of looping") {
     val docs = Seq((0L, "ab cd")).toDF("doc_id", "text")
     // 2 words of 2 symbols each: rounds 1-2 merge them; round 3+ has no
