@@ -2555,6 +2555,56 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** TP6: CONTENT-DEFINED passage dedup — chunk boundaries come from the
+    * CONTENT (a boundary closes after any token whose 3-token shingle
+    * hashes ≡ 0 mod 16 → ~16-token expected chunks), so an inserted prefix
+    * only perturbs chunks until the first surviving boundary and the
+    * chunking RE-SYNCHRONIZES — the property fixed-width chunking (q_tp4)
+    * lacks: clones with 2 junk tokens prepended shift every fixed chunk
+    * but lose all their post-sync CDC chunks to the originals. The
+    * boundary hash is hex16(md5(shingle)) — engine-identical, so the whole
+    * variable-length chunking, first-occurrence resolution, and reassembly
+    * are oracle-exact (no recall-only hedge). Scale shape: windows are
+    * PER-DOC (bounded partitions), the first-occurrence resolve is one
+    * hash aggregate on chunk content + an equi-join, same as q_tp4. */
+  def cdcPassageDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val clones = docs.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        concat(lit("xshift yshift "), col("text")).as("text"))
+    val toks = TextFunctions.tokens(TextFunctions.normText(col("text")))
+    val tokRows = docs.unionByName(clones)
+      .select(col("doc_id"), posexplode(toks))
+      .withColumnsRenamed(Map("pos" -> "p", "col" -> "tok"))
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    val sh = concat_ws(" ",
+      lag(col("tok"), 2).over(w), lag(col("tok"), 1).over(w), col("tok"))
+    val marker = when(col("p") >= 2 &&
+      conv(substring(md5(sh), 1, 4), 16, 10).cast("long") % 16 === 0, 1).otherwise(0)
+    val chunked = tokRows
+      .withColumn("marker", marker)
+      .withColumn("chunk_idx", coalesce(
+        sum(col("marker")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0)).cast("long"))
+    val chunks = chunked.groupBy("doc_id", "chunk_idx")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+          c => c.getField("tok")), " ").as("chunk"))
+    val first = chunks.groupBy("chunk")
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("first"))
+    chunks.join(first, "chunk")
+      .filter(col("doc_id") === col("first.doc_id") &&
+        col("chunk_idx") === col("first.chunk_idx"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+            c => c.getField("chunk")), " ").as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** TP2: the cluster-resolved cleaning pipeline — near-dups collapsed to
     * one representative per connected component (quality gate → exact dedup
     * → Jaccard pair graph → dupClusters → keep cluster minima). Full SQL
@@ -3083,6 +3133,7 @@ object Corpus {
     "q_tp3_clean_decontaminated" -> (cleanCorpusDecontaminated _),
     "q_tp4_passage_dedup" -> (passageDedup _),
     "q_tp5_training_dataset" -> (trainingDataset _),
+    "q_tp6_cdc_passage_dedup" -> (cdcPassageDedup _),
     "q_ml1_forecast_kpi" -> (mlForecastKpi _),
     "q_ml2_ols_fit" -> (olsFit _),
     "q_ml3_ridge_fit" -> (ridgeMultiFit _),

@@ -1938,6 +1938,48 @@ object Oracle {
         |FROM k WHERE rn = 1
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // Mirrors Corpus.cdcPassageDedup: identical md5-shingle boundary rule,
+    // lag-cumsum chunk ids, (doc_id, chunk_idx)-ordered first occurrence
+    // (ROW_NUMBER ≡ Spark's min-struct on the unique key), ordered
+    // reassembly. Variable-length chunking, yet fully exact.
+    "q_tp6_cdc_passage_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, 'xshift yshift ' || text FROM documents WHERE doc_id < 20),
+        |t AS (
+        |  SELECT doc_id,
+        |         regexp_extract_all(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\S+') AS toks
+        |  FROM base),
+        |tr AS (
+        |  SELECT doc_id, toks, CAST(i AS INTEGER) AS p, toks[CAST(i AS INTEGER)] AS tok
+        |  FROM t, unnest(generate_series(1, len(toks))) AS g(i)),
+        |m AS (
+        |  -- coalesce keeps the vectorized hash total even where the guard
+        |  -- is false (p < 3): toks[0] is NULL and '0x' alone cannot cast
+        |  SELECT doc_id, p, tok,
+        |         CASE WHEN p >= 3 AND
+        |              CAST(concat('0x', substr(md5(coalesce(toks[p - 2], '') || ' ' || coalesce(toks[p - 1], '') || ' ' || toks[p]), 1, 4)) AS BIGINT) % 16 = 0
+        |              THEN 1 ELSE 0 END AS marker
+        |  FROM tr),
+        |c AS (
+        |  SELECT doc_id, p, tok,
+        |         CAST(COALESCE(SUM(marker) OVER (PARTITION BY doc_id ORDER BY p
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS chunk_idx
+        |  FROM m),
+        |ch AS (
+        |  SELECT doc_id, chunk_idx, string_agg(tok, ' ' ORDER BY p) AS chunk
+        |  FROM c GROUP BY 1, 2),
+        |k AS (
+        |  SELECT doc_id, chunk_idx, chunk,
+        |         ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+        |  FROM ch)
+        |SELECT doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |       string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text
+        |FROM k WHERE rn = 1
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q_tp1_clean_corpus" -> cleanChainSql(
       """SELECT ex.doc_id, q2.quality
         |FROM ex
