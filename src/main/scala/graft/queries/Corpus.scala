@@ -2594,8 +2594,7 @@ object Corpus {
     val first = chunks.groupBy("chunk")
       .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("first"))
     chunks.join(first, "chunk")
-      .filter(col("doc_id") === col("first.doc_id") &&
-        col("chunk_idx") === col("first.chunk_idx"))
+      .where(struct(col("doc_id"), col("chunk_idx")) === col("first"))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_kept"),

@@ -37,8 +37,6 @@ object BpeTrain {
       .groupBy("word").agg(count(lit(1)).as("n"))
     // split(_, "(?!^)") under Spark's limit=-1 keeps the trailing empty
     // element (the lookahead also matches at end-of-string) — strip it.
-    // split(_, "(?!^)") under Spark's limit=-1 keeps the trailing empty
-    // element (the lookahead also matches at end-of-string) — strip it.
     var syms = words
       .select(array_remove(split(col("word"), "(?!^)"), "").as("syms"), col("n"))
       .persist()

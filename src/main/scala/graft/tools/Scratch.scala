@@ -134,6 +134,8 @@ object Scratch {
         // (q_p13/q_tp5) runs too — sources keep their names, so each source
         // is 10x bigger (the per-source window/quota stress shape).
         val dir10 = "/tmp/sf1x10_v2"
+        // drop the v1 staging so schema bumps don't strand multi-100MB dirs
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File("/tmp/sf1x10"))
         if (!new java.io.File(s"$dir10/documents.parquet").exists()) {
           new java.io.File(dir10).mkdirs()
           val docs = Tables.documents(spark, d)

@@ -20,11 +20,17 @@ class CdcChunkSpec extends SparkSpec {
     val clones = rows.keys.filter(_ >= 3000000L)
     assert(clones.nonEmpty)
     clones.foreach { id =>
-      val (nKept, text) = rows(id)
-      assert(text.startsWith("xshift yshift"),
-        s"clone $id kept re-synced content: ${text.take(60)}")
+      val (nKept, _) = rows(id)
       assert(nKept <= 2L, s"clone $id kept $nKept chunks — chunking failed to re-sync")
     }
+    // aggregate: the clones keep only head fragments — a small fraction of
+    // what their originals keep. (Per-clone startsWith would over-assert:
+    // two clones sharing a boilerplate opening dedup each other's head
+    // chunk, leaving only a mixed-window fragment.)
+    val cloneChars = clones.toSeq.map(rows(_)._2.length).sum
+    val origChars = clones.toSeq.map(id => rows.get(id - 3000000L).map(_._2.length).getOrElse(0)).sum
+    assert(cloneChars < origChars / 2,
+      s"clones kept $cloneChars chars vs originals' $origChars — no re-sync benefit")
   }
 
   test("docs with globally unique content reassemble losslessly") {
