@@ -233,6 +233,18 @@ case class CharClassCountsExpr(child: Expression, classes: Seq[String])
   * reference objects). */
 case class BpeMergeExpr(child: Expression, a: String, b: String)
     extends UnaryExpression {
+  // Analysis-time input check (ADVICE r7): a non-array<string> child must
+  // fail with a clear error, not a runtime ClassCastException. (Not via
+  // ExpectsInputTypes — AbstractDataType is private[sql].)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_bpe_merge requires array<string> input, got ${other.sql}")
+    }
   @transient private lazy val ua =
     org.apache.spark.unsafe.types.UTF8String.fromString(a)
   @transient private lazy val ub =

@@ -1991,6 +1991,21 @@ object Corpus {
     graft.text.BpeTrain.train(Tables.documents(s, d), "text", rounds = 8)
       .orderBy("merge_rank")
 
+  /** T18b: SCALABLE BPE TRAINING — the batched-disjoint round rule
+    * ([[graft.text.BpeTrain.trainBatched]]): each round counts pairs ONCE,
+    * accepts every top-16 candidate whose symbol set is disjoint from all
+    * higher-ranked candidates, and applies the whole batch in one stacked
+    * projection — 16 rounds learn 60+ merges in ~17 cluster jobs where the
+    * q_t18 loop would need one job per merge (the path to a real 32k
+    * vocabulary). The oracle replays every round in SQL: the pool is one
+    * window, the disjointness rule one NOT EXISTS, and the batch apply a
+    * recursive CTE stepping through the accepted ranks — so rule choice,
+    * tie-breaks, round boundaries AND counts are all hash-gated. */
+  def bpeTrainBatchedMerges(s: SparkSession, d: String): DataFrame =
+    graft.text.BpeTrain.trainBatched(Tables.documents(s, d), "text",
+        rounds = 16, poolK = 16)
+      .orderBy("merge_rank")
+
   /** The trained merge table per (session, sf) — train once, encode many
     * (the pqCache discipline; driver state = 8 rules). */
   private val bpeMergeCache = TrieMap.empty[(SparkSession, String), Seq[(String, String)]]
@@ -3056,6 +3071,7 @@ object Corpus {
     "q_t16_ngram_lm" -> (ngramLmScores _),
     "q_t17_hashed_tfidf" -> (hashedTfidf _),
     "q_t18_bpe_train" -> (bpeTrainMerges _),
+    "q_t18b_bpe_train_batched" -> (bpeTrainBatchedMerges _),
     "q_t19_bpe_encode" -> (bpeEncodeCounts _),
     "q_t20_bpe_vocab" -> (bpeVocab _),
     "q_f6_datetime" -> (datetimeFunctions _),

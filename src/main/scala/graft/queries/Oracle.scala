@@ -211,6 +211,66 @@ object Oracle {
     s"$init,\n$roundCtes"
   }
 
+  /** q_t18b: the batched-disjoint training rounds in SQL. Per round: the
+    * candidate pool is one ROW_NUMBER window over the pair counts, the
+    * disjointness rule ("symbol set {a, b, a||b} disjoint from every
+    * higher-ranked pool candidate's") is one correlated NOT EXISTS, and the
+    * batch apply is a recursive CTE stepping arnk = 1..|accepted| with the
+    * same wrapped-segment replace() kernel as [[bpeRoundCtes]] (accepted
+    * merges are pairwise symbol-disjoint, so the step order is immaterial —
+    * the recursion just serializes a commuting batch). */
+  private def bpeBatchedSql(rounds: Int, poolK: Int): String = {
+    val init =
+      raw"""w0 AS MATERIALIZED (
+         |  SELECT word, regexp_replace(word, '(.)', chr(1) || '\1' || chr(2), 'g') AS s, n
+         |  FROM (
+         |    SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS n
+         |    FROM (SELECT unnest(regexp_extract_all(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\S+')) AS t
+         |          FROM documents)
+         |    GROUP BY 1))""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      s"""l$r AS MATERIALIZED (
+         |  SELECT regexp_extract_all(s, chr(1) || '([^' || chr(2) || ']*)' || chr(2), 1) AS syms, n
+         |  FROM w${r - 1}),
+         |p$r AS MATERIALIZED (
+         |  SELECT syms[CAST(i AS INTEGER)] AS a, syms[CAST(i AS INTEGER) + 1] AS b,
+         |         CAST(SUM(n) AS BIGINT) AS cnt
+         |  FROM (SELECT syms, n, unnest(generate_series(1, len(syms) - 1)) AS i FROM l$r)
+         |  GROUP BY 1, 2),
+         |cd$r AS MATERIALIZED (
+         |  SELECT a, b, cnt, rnk FROM (
+         |    SELECT a, b, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, a, b) AS rnk FROM p$r)
+         |  WHERE rnk <= $poolK),
+         |ac$r AS MATERIALIZED (
+         |  SELECT a, b, cnt, ROW_NUMBER() OVER (ORDER BY rnk) AS arnk
+         |  FROM cd$r c
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM cd$r h
+         |    WHERE h.rnk < c.rnk
+         |      AND (h.a IN (c.a, c.b, c.a || c.b)
+         |        OR h.b IN (c.a, c.b, c.a || c.b)
+         |        OR (h.a || h.b) IN (c.a, c.b, c.a || c.b)))),
+         |ap$r AS (
+         |  SELECT word, s, n, 0 AS k FROM w${r - 1}
+         |  UNION ALL
+         |  SELECT t.word,
+         |         replace(t.s, chr(1) || m.a || chr(2) || chr(1) || m.b || chr(2),
+         |                 chr(1) || m.a || m.b || chr(2)) AS s,
+         |         t.n, t.k + 1 AS k
+         |  FROM ap$r t JOIN ac$r m ON m.arnk = t.k + 1),
+         |w$r AS MATERIALIZED (
+         |  SELECT word, s, n FROM ap$r WHERE k = (SELECT COUNT(*) FROM ac$r))""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to rounds).map(r =>
+      s"SELECT $r AS round, arnk, a, b, cnt FROM ac$r").mkString("\nUNION ALL\n")
+    s"""WITH RECURSIVE $init,
+       |$roundCtes
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY round, arnk) AS INTEGER) AS merge_rank,
+       |       CAST(round AS INTEGER) AS round, a AS left_sym, b AS right_sym, cnt AS pair_count
+       |FROM ($sel)
+       |ORDER BY merge_rank""".stripMargin
+  }
+
   private def bpeTrainSql(rounds: Int): String = {
     val finals = (1 to rounds).map { r =>
       s"SELECT CAST($r AS INTEGER) AS merge_rank, a AS left_sym, b AS right_sym, cnt AS pair_count FROM b$r"
@@ -1030,6 +1090,7 @@ object Oracle {
     // Mirrors Corpus.bpeTrainMerges: the identical 8 training rounds —
     // weighted pair counts, (cnt desc, a, b) argmax, greedy merge apply.
     "q_t18_bpe_train" -> bpeTrainSql(8),
+    "q_t18b_bpe_train_batched" -> bpeBatchedSql(16, 16),
 
     // Mirrors Corpus.bpeEncodeCounts: train the same 8 rules, encode every
     // word type, join back to token instances — per-doc integer counts.

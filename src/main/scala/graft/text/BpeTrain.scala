@@ -74,6 +74,98 @@ object BpeTrain {
     merges.toSeq.toDF("merge_rank", "left_sym", "right_sym", "pair_count")
   }
 
+  /** Batched-disjoint candidate selection (the scalable-BPE round rule):
+    * from the top-`poolK` pairs (ranked by count desc, then left asc, right
+    * asc), accept a candidate iff its symbol set {left, right, left+right}
+    * is disjoint from the symbol sets of ALL higher-ranked pool candidates
+    * — accepted or not. Declarative (a pure rank-window predicate, no
+    * sequential accumulator), so the identical rule is one NOT EXISTS in
+    * the SQL oracle. Rank-1 is always accepted, so every non-empty round
+    * makes progress.
+    *
+    * Why symbol-set disjointness makes the batch exact: a merge (a,b)→ab
+    * never deletes a symbol outright (two become one) and never creates a
+    * symbol outside {ab}, so for any other accepted (c,d) with
+    * {c,d,cd} ∩ {a,b,ab} = ∅ the c–d adjacencies — and hence (c,d)'s
+    * snapshot count and greedy application — are invariant under applying
+    * (a,b). The accepted set therefore commutes: one stacked projection
+    * applies the whole round, and the reported pair_count is the exact
+    * round-start count for every accepted rule. */
+  private[text] def disjointAccept(
+      pool: Seq[(String, String, Long)]): Seq[(String, String, Long)] =
+    pool.zipWithIndex.collect {
+      case ((a, b, cnt), i) if pool.take(i).forall { case (ha, hb, _) =>
+        val hs = Set(ha, hb, ha + hb)
+        !hs(a) && !hs(b) && !hs(a + b)
+      } => (a, b, cnt)
+    }
+
+  /** Scalable BPE training: `rounds` rounds, each counting pairs ONCE and
+    * applying every [[disjointAccept]]-selected merge from the top-`poolK`
+    * candidates in one stacked projection — so the cluster-job count is
+    * O(rounds), not O(merges) (the [[train]] loop is one job PER merge; a
+    * real 32k-merge vocabulary needs merges ≫ jobs). Lineage is cut with an
+    * eager `localCheckpoint` every `checkpointEvery` rounds (the q_dd6 CC
+    * discipline), so the symbol table's plan depth stays bounded at any
+    * round count. Driver state per round: the `poolK`-row candidate pool.
+    *
+    * Returns (merge_rank, round, left_sym, right_sym, pair_count) in
+    * learning order; pair_count is the round-start snapshot count. */
+  def trainBatched(
+      docs: DataFrame,
+      textCol: String,
+      rounds: Int,
+      poolK: Int = 16,
+      checkpointEvery: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select(explode(TextFunctions.tokens(TextFunctions.normText(col(textCol)))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    var syms = words
+      .select(array_remove(split(col("word"), "(?!^)"), "").as("syms"), col("n"))
+      .persist()
+    var prev: Option[DataFrame] = None
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String, String, Long)]
+    var rank = 0
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      // ONE job per round: the poolK-row candidate pool (bounded driver
+      // state; TakeOrderedAndProject, no full sort).
+      val pool = syms
+        .select(col("n"), explode(arrays_zip(
+          slice(col("syms"), lit(1), size(col("syms")) - 1).as("a"),
+          slice(col("syms"), lit(2), size(col("syms")) - 1).as("b"))).as("p"))
+        .select(col("n"), col("p.a").as("a"), col("p.b").as("b"))
+        .groupBy("a", "b").agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(poolK).collect()
+        .map(row => (row.getString(0), row.getString(1), row.getLong(2))).toSeq
+      prev.foreach(_.unpersist())
+      prev = Some(syms)
+      if (pool.isEmpty) exhausted = true
+      else {
+        val accepted = disjointAccept(pool)
+        accepted.foreach { case (a, b, cnt) =>
+          rank += 1
+          merges += ((rank, r, a, b, cnt))
+        }
+        val applied = accepted.foldLeft(col("syms")) {
+          case (c, (a, b, _)) => GraftFunctions.bpeMerge(c, a, b)
+        }
+        val next = syms.select(applied.as("syms"), col("n"))
+        syms =
+          if (r % checkpointEvery == 0) next.localCheckpoint(true)
+          else next.persist()
+        r += 1
+      }
+    }
+    prev.foreach(_.unpersist())
+    syms.unpersist()
+    merges.toSeq.toDF("merge_rank", "round", "left_sym", "right_sym", "pair_count")
+  }
+
   /** ENCODE with a trained tokenizer: apply `merges` (learning order) to
     * every distinct word — the k merge passes stack as k codegen'd
     * [[graft.functions.expressions.BpeMergeExpr]] nodes in ONE map-side

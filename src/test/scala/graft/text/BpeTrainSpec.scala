@@ -107,4 +107,71 @@ class BpeTrainSpec extends SparkSpec {
     val merges = BpeTrain.train(docs, "text", rounds = 10).collect()
     assert(merges.length === 2)
   }
+
+  test("disjointAccept: rank-1 always accepted; blocked-by-blocked still blocks") {
+    // (e,s) blocks (s,t) [shares s] and (w,e) [shares e]; (l,o) is disjoint
+    // from ALL THREE higher candidates (accepted or not), so it passes;
+    // (o,w) shares o with the accepted (l,o) — blocked.
+    val pool = Seq(
+      ("e", "s", 10L), ("s", "t", 9L), ("w", "e", 8L), ("l", "o", 7L), ("o", "w", 6L))
+    assert(BpeTrain.disjointAccept(pool) === Seq(("e", "s", 10L), ("l", "o", 7L)))
+    // produced-symbol collisions block too: ("a","b") produces "ab", so a
+    // candidate consuming symbol "ab" — or re-producing it from another
+    // split — conflicts even with {a,b} untouched.
+    assert(BpeTrain.disjointAccept(Seq(("a", "b", 5L), ("ab", "c", 4L)))
+      === Seq(("a", "b", 5L)))
+    assert(BpeTrain.disjointAccept(Seq(("x", "yz", 5L), ("xy", "z", 4L)))
+      === Seq(("x", "yz", 5L)))
+  }
+
+  test("trainBatched with poolK=1 degenerates to the sequential trainer") {
+    val docs = Seq(
+      (0L, "low low low newest newest"),
+      (1L, "lower lower newest newest widest")
+    ).toDF("doc_id", "text")
+    val seq = BpeTrain.train(docs, "text", rounds = 4)
+      .orderBy("merge_rank")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val bat = BpeTrain.trainBatched(docs, "text", rounds = 4, poolK = 1)
+      .orderBy("merge_rank")
+      .collect().map(r => (r.getInt(0), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(bat === seq)
+  }
+
+  test("trainBatched learns multiple merges per round in far fewer jobs than merges") {
+    // A corpus wide enough that each round's top-16 pool holds several
+    // disjoint pairs — the scalable-vocabulary scenario.
+    val words = Seq("alpha", "bravo", "chard", "delta", "echos", "fight",
+      "golfs", "hotel", "index", "juk", "kilos", "limas", "mango", "night",
+      "ocean", "pivot", "quake", "rusty")
+    val docs = (0 until 40).map(i => (i.toLong, words.mkString(" "))).toDF("doc_id", "text")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val merges =
+      try {
+        val m = BpeTrain.trainBatched(docs, "text", rounds = 8, poolK = 32).collect()
+        Thread.sleep(500) // let the async listener bus drain job-start events
+        m
+      } finally spark.sparkContext.removeSparkListener(listener)
+    // Jobs are O(rounds), never O(merges): one pool collect per round (AQE
+    // splits its shuffle stages into up to ~3 jobs on local) + eager
+    // localCheckpoints + the final toDF collect. The sequential trainer
+    // would pay the same ~3-job round cost PER MERGE.
+    assert(merges.length > 30, s"only ${merges.length} merges learned")
+    assert(jobs.get() <= 4 * 8 + 4, s"${jobs.get()} jobs for ${merges.length} merges")
+    assert(jobs.get() < merges.length, "jobs must stay well below merges")
+    // batched rounds really batch: at least one round accepted >1 merge
+    val byRound = merges.groupBy(_.getInt(1)).map { case (_, g) => g.length }
+    assert(byRound.exists(_ > 1))
+    // accepted merges within a round are pairwise symbol-disjoint
+    merges.groupBy(_.getInt(1)).foreach { case (_, g) =>
+      val sets = g.map(r => Set(r.getString(2), r.getString(3), r.getString(2) + r.getString(3)))
+      for (i <- sets.indices; j <- 0 until i)
+        assert((sets(i) & sets(j)).isEmpty)
+    }
+  }
 }
