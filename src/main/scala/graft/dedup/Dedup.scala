@@ -561,12 +561,16 @@ object Dedup {
       idCol: String,
       vecCol: String,
       numSeeds: Int = 8,
-      threshold: Double = 0.9): DataFrame = {
-    // Bounded driver state: exactly numSeeds (id, vector) rows.
+      threshold: Double = 0.9,
+      maxClusterSize: Int = 4096,
+      anchorsPerBucket: Int = 8): DataFrame = {
+    // Bounded driver state: exactly numSeeds (id, vector) rows. Elements
+    // read through Number so an array<double> vecCol materializes the same
+    // seeds instead of a ClassCastException (ADVICE r7).
     val seeds: Array[(Long, Array[Float])] =
       emb.select(col(idCol).cast("long"), col(vecCol))
         .orderBy(col(idCol)).limit(numSeeds).collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .map(r => (r.getLong(0), r.getSeq[Number](1).map(_.floatValue()).toArray))
     // argmax by (cosine, -seedId): struct ordering gives max cosine, then
     // min seed id — mirrored by ORDER BY c DESC, sid in the oracle.
     val scored = array(seeds.map { case (sid, vec) =>
@@ -584,10 +588,25 @@ object Dedup {
       col(vecCol).as("vec"),
       (-array_max(scored).getField("neg_sid")).as("cluster"))
       .localCheckpoint(true)
-    val a = assigned.toDF("id1", "v1", "cluster")
-    val b = assigned.toDF("id2", "v2", "cluster_r")
-    val dropped = a
+    // Runaway-cluster guard: the within-cluster prune is Σ|c|², which one
+    // degenerate centroid (a near-duplicate-heavy crawl slice) turns
+    // quadratic. Clusters over `maxClusterSize` divert to the banded
+    // anchor prune (bounded candidates, see [[cappedClusterCandidates]]);
+    // clusters under it keep the exact all-pairs prune. The size table is
+    // ≤ numSeeds rows — broadcast, never a shuffle of the corpus.
+    val sizes = assigned.groupBy("cluster").agg(count(lit(1)).as("csize"))
+    val sized = assigned.join(broadcast(sizes), Seq("cluster"))
+    val small = sized.filter(col("csize") <= maxClusterSize)
+      .select("id", "vec", "cluster")
+    val big = sized.filter(col("csize") > maxClusterSize)
+      .select("id", "vec", "cluster")
+    val a = small.toDF("id1", "v1", "cluster")
+    val b = small.toDF("id2", "v2", "cluster_r")
+    val smallPairs = a
       .join(b, col("cluster") === col("cluster_r") && col("id1") < col("id2"))
+      .select("id1", "id2", "v1", "v2")
+    val dropped = smallPairs
+      .unionByName(cappedClusterCandidates(big, anchorsPerBucket))
       .filter(GraftFunctions.cosineFloor(col("v1"), col("v2")) >= threshold)
       .select(col("id2").as("id")).distinct()
     assigned
@@ -595,5 +614,52 @@ object Dedup {
       .select(
         col("id"), col("cluster"),
         when(col("hit").isNotNull, lit("dropped")).otherwise(lit("kept")).as("status"))
+  }
+
+  /** Bounded-candidate prune for oversized semantic-dedup clusters: members
+    * hash into random-hyperplane band buckets (the q_dd4 scheme, fixed
+    * seed), and each member is compared ONLY against the `anchorsPerBucket`
+    * lowest-id members of its (cluster, table, bucket) — so candidate count
+    * is ≤ tables·anchors·|cluster|, linear where all-pairs is quadratic.
+    * Precision is untouched (every emitted drop still passes the exact
+    * cosine threshold); recall above the cap narrows to bucket-local anchor
+    * matches — the standard LSH trade, and exactly right for the runaway
+    * case (a near-duplicate-heavy cluster concentrates in few buckets whose
+    * anchors catch everything). Expects (id, vec, cluster); returns
+    * (id1, id2, v1, v2) with id1 < id2. */
+  private[graft] def cappedClusterCandidates(
+      members: DataFrame,
+      anchorsPerBucket: Int,
+      bitsPerTable: Int = 8,
+      tables: Int = 2,
+      seed: Long = 42L,
+      dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(seed)
+    val planes: Array[Array[Double]] =
+      Array.fill(tables * bitsPerTable)(Array.fill(dim)(rnd.nextGaussian()))
+    def tableKey(t: Int): Column =
+      GraftFunctions.hyperplaneSig(
+        col("vec"), planes.slice(t * bitsPerTable, (t + 1) * bitsPerTable))
+    val keyed = members.select(
+      col("id"), col("vec"), col("cluster"),
+      posexplode(array((0 until tables).map(tableKey): _*)))
+      .withColumnsRenamed(Map("pos" -> "table", "col" -> "bucket"))
+    // Bucket-local window, never a global sort; structurally renamed frames
+    // so the band equi-keys survive self-join planning (see jaccardPairs).
+    val anchors = keyed
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("cluster", "table", "bucket").orderBy("id")))
+      .filter(col("rk") <= anchorsPerBucket)
+      .select("id", "vec", "cluster", "table", "bucket")
+      .toDF("id1", "v1", "cluster", "table", "bucket")
+    val mem = keyed.select("id", "vec", "cluster", "table", "bucket")
+      .toDF("id2", "v2", "cluster_r", "table_r", "bucket_r")
+    anchors
+      .join(mem,
+        col("cluster") === col("cluster_r") && col("table") === col("table_r") &&
+          col("bucket") === col("bucket_r") && col("id1") < col("id2"))
+      .select("id1", "id2", "v1", "v2")
+      .distinct()
   }
 }

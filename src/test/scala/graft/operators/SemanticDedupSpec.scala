@@ -47,6 +47,39 @@ class SemanticDedupSpec extends SparkSpec {
     assert(result(5L)._2 === "kept")    // in cluster 0 but cos≈0.707 < 0.9
   }
 
+  test("runaway cluster: guard bounds candidate pairs linearly and still drops all clones") {
+    // 400 near-identical 64-dim vectors — ONE degenerate cluster. The
+    // all-pairs prune would compare 400·399/2 = 79 800 pairs; the banded
+    // anchor guard must stay ≤ tables·anchors·n = 2·8·400 = 6 400 while
+    // still dropping every member except the minimum id.
+    val n = 400
+    val base = Array.tabulate(64)(i => 1f / (i + 1))
+    val mega = (0 until n).map { i =>
+      (i.toLong, base.clone())
+    }.toDF("id", "v")
+    val out = Dedup.semanticDedup(mega, "id", "v",
+        numSeeds = 2, threshold = 0.9, maxClusterSize = 100)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(0L) === "kept")
+    assert((1L until n.toLong).forall(out(_) === "dropped"))
+
+    // The candidate frame itself is linear in the cluster, not quadratic.
+    val members = mega.select(col("id"), col("v").as("vec"), lit(0L).as("cluster"))
+    val nCand = Dedup.cappedClusterCandidates(members, anchorsPerBucket = 8)
+      .count()
+    assert(nCand <= 2L * 8L * n, s"$nCand candidates for $n members")
+    assert(nCand < n.toLong * (n - 1) / 4, "guard must beat all-pairs by far")
+  }
+
+  test("guard path is inert below the cap: small-cluster results are identical") {
+    val r1 = Dedup.semanticDedup(vecs, "id", "v", numSeeds = 2, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    val r2 = Dedup.semanticDedup(vecs, "id", "v", numSeeds = 2, threshold = 0.9,
+        maxClusterSize = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    assert(r1 === r2)
+  }
+
   test("pruning never crosses clusters even at cosine above the threshold") {
     // 3 is nearly identical to 1 but in a different cluster than 0/2/4;
     // if pruning compared across clusters, 5 (cos≈0.707 vs everything in
