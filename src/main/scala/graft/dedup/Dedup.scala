@@ -588,12 +588,75 @@ object Dedup {
       col(vecCol).as("vec"),
       (-array_max(scored).getField("neg_sid")).as("cluster"))
       .localCheckpoint(true)
-    // Runaway-cluster guard: the within-cluster prune is Σ|c|², which one
-    // degenerate centroid (a near-duplicate-heavy crawl slice) turns
-    // quadratic. Clusters over `maxClusterSize` divert to the banded
-    // anchor prune (bounded candidates, see [[cappedClusterCandidates]]);
-    // clusters under it keep the exact all-pairs prune. The size table is
-    // ≤ numSeeds rows — broadcast, never a shuffle of the corpus.
+    pruneAssigned(assigned, threshold, maxClusterSize, anchorsPerBucket)
+  }
+
+  /** SemDeDup with a real k-means centroid tier (the algorithm's actual
+    * quantizer, Abbas et al. 2023 §3): seeds are the `numSeeds` lowest-id
+    * vectors (deterministic init), then `assignRounds` Lloyd assignment
+    * rounds with one centroid update between each — assignment is the same
+    * map-side fused-cosine argmax as [[semanticDedup]], the update is one
+    * (cluster, dim)-keyed aggregate whose per-dimension mean uses the
+    * floor-quantized construction (Exact.floorAvg) so every centroid value
+    * is bit-reproducible in SQL; updated centroids round-trip through
+    * float (the cosine kernel's element type — an IEEE round-to-nearest
+    * cast, identical in any engine). Rounds-not-data on the driver: per
+    * round the collected state is the numSeeds×dim centroid grid (the IVF
+    * quantizer shape), clusters keep index labels 0..numSeeds-1, and empty
+    * clusters retain their previous centroid. The prune tier (including
+    * the runaway-cluster guard) is shared with [[semanticDedup]]. */
+  def semanticDedupKmeans(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numSeeds: Int = 8,
+      assignRounds: Int = 2,
+      threshold: Double = 0.9,
+      maxClusterSize: Int = 4096,
+      anchorsPerBucket: Int = 8): DataFrame = {
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .localCheckpoint(true)
+    var centroids: Array[Array[Float]] =
+      base.orderBy("id").limit(numSeeds).collect()
+        .map(_.getSeq[Number](1).map(_.floatValue()).toArray)
+    def assign(cents: Array[Array[Float]]): DataFrame = {
+      val scored = array(cents.zipWithIndex.map { case (c, j) =>
+        struct(
+          GraftFunctions.cosineFloor(col("vec"), typedLit(c)).as("c"),
+          lit(-j).as("neg_j"))
+      }: _*)
+      base.select(
+        col("id"), col("vec"),
+        (-array_max(scored).getField("neg_j")).cast("int").as("cluster"))
+    }
+    for (_ <- 1 until assignRounds) {
+      val means = assign(centroids)
+        .select(col("cluster"), posexplode(col("vec")))
+        .groupBy("cluster", "pos")
+        .agg(graft.functions.Exact.floorAvg(col("col").cast("double"), 9).as("m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat)
+      centroids = next
+    }
+    pruneAssigned(assign(centroids).localCheckpoint(true),
+      threshold, maxClusterSize, anchorsPerBucket)
+  }
+
+  /** Shared prune tier over an assignment frame (id, vec, cluster): the
+    * within-cluster near-dup removal with the runaway-cluster guard.
+    *
+    * The size table is ≤ #clusters rows — broadcast, never a shuffle of
+    * the corpus. Clusters over `maxClusterSize` divert to the banded
+    * anchor prune (bounded candidates, see [[cappedClusterCandidates]]) —
+    * the within-cluster all-pairs join is Σ|c|², which one degenerate
+    * centroid (a near-duplicate-heavy crawl slice) would turn quadratic;
+    * clusters under the cap keep the exact all-pairs prune. */
+  private def pruneAssigned(
+      assigned: DataFrame,
+      threshold: Double,
+      maxClusterSize: Int,
+      anchorsPerBucket: Int): DataFrame = {
     val sizes = assigned.groupBy("cluster").agg(count(lit(1)).as("csize"))
     val sized = assigned.join(broadcast(sizes), Seq("cluster"))
     val small = sized.filter(col("csize") <= maxClusterSize)

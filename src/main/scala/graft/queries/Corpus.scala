@@ -2515,6 +2515,25 @@ object Corpus {
       .orderBy("vec_id")
   }
 
+  /** DD10b: SEMANTIC DEDUP WITH A REAL K-MEANS TIER — the SemDeDup paper's
+    * actual quantizer: lowest-id seed init, then bounded Lloyd rounds
+    * (assign → floor-quantized per-dimension mean → assign) before the
+    * within-cluster prune. Every Lloyd step is bit-reproducible — the
+    * assignment argmax uses the quantized cosine, the centroid update the
+    * Exact.floorAvg mean with a float round-trip at the kernel boundary —
+    * so the oracle replays BOTH rounds in SQL (the q_t18 replay discipline
+    * lifted from merge rules to centroid fits) and gates assignments AND
+    * the dropped set. */
+  def semanticDedupKmeans(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val clones = emb.filter(col("vec_id") < 40)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    Dedup.semanticDedupKmeans(emb.unionByName(clones), "vec_id", "embedding",
+        numSeeds = 8, assignRounds = 2, threshold = 0.9)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy("vec_id")
+  }
+
   /** Exact all-pairs embedding similarity, top-100 most similar pairs
     * (bit-reproducible fused cosine — oracle-checked). */
   def embedPairsTop(s: SparkSession, d: String): DataFrame =
@@ -3114,6 +3133,7 @@ object Corpus {
     "q_dd2b_minhash_recall" -> (minhashRecall _),
     "q_dd9_incremental_dedup" -> (incrementalDedupBatch _),
     "q_dd10_semantic_dedup" -> (semanticDedup _),
+    "q_dd10b_semantic_kmeans" -> (semanticDedupKmeans _),
     "q_dd3_simhash_pairs" -> (simhashPairs _),
     "q_dd3b_simhash_recall" -> (simhashRecall _),
     "q_dd4_embed_neardup" -> (embedNearDup _),

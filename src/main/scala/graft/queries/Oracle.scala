@@ -2549,6 +2549,75 @@ object Oracle {
          |FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id
          |ORDER BY a.vec_id""".stripMargin,
 
+    // Mirrors Corpus.semanticDedupKmeans: seed init from the 8 lowest ids,
+    // ONE Lloyd update (floor-quantized per-dimension mean, float-cast at
+    // the kernel boundary — CAST(.. AS REAL) is the same IEEE
+    // round-to-nearest as Scala's .toFloat), final assignment vs the
+    // updated centroids, then the within-cluster quantized-cosine prune.
+    // Empty clusters COALESCE back to their previous centroid, exactly as
+    // the Scala update loop leaves missing (cluster, dim) cells untouched.
+    "q_dd10b_semantic_kmeans" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 40),
+         |dims AS (
+         |  SELECT vec_id, CAST(i AS INTEGER) AS i,
+         |         CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x
+         |  FROM (SELECT vec_id, embedding, unnest(generate_series(1, len(embedding))) AS i FROM v)),
+         |c0 AS (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j, embedding AS se
+         |  FROM (SELECT vec_id, embedding FROM v ORDER BY vec_id LIMIT 8)),
+         |c0d AS (
+         |  SELECT j, CAST(i AS INTEGER) AS i, CAST(se[CAST(i AS INTEGER)] AS REAL) AS y
+         |  FROM (SELECT j, se, unnest(generate_series(1, len(se))) AS i FROM c0)),
+         |t1 AS (
+         |  SELECT d.vec_id, c.j, d.x, CAST(c.y AS DOUBLE) AS y
+         |  FROM dims d JOIN c0d c ON c.i = d.i),
+         |s1 AS (SELECT vec_id, j, $quantCosAgg AS c FROM t1 GROUP BY 1, 2),
+         |a1 AS (
+         |  SELECT vec_id, j AS cluster FROM (
+         |    SELECT vec_id, j,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, j) AS rn
+         |    FROM s1) WHERE rn = 1),
+         |m1 AS (
+         |  SELECT a.cluster AS j, d.i,
+         |         CAST(CAST(SUM(CAST(floor(d.x * 1.0E9) AS BIGINT)) AS DOUBLE)
+         |              / 1.0E9 / CAST(COUNT(d.x) AS DOUBLE) AS REAL) AS y
+         |  FROM a1 a JOIN dims d ON d.vec_id = a.vec_id
+         |  GROUP BY 1, 2),
+         |c1d AS (
+         |  SELECT c0d.j, c0d.i, COALESCE(m1.y, c0d.y) AS y
+         |  FROM c0d LEFT JOIN m1 ON m1.j = c0d.j AND m1.i = c0d.i),
+         |t2 AS (
+         |  SELECT d.vec_id, c.j, d.x, CAST(c.y AS DOUBLE) AS y
+         |  FROM dims d JOIN c1d c ON c.i = d.i),
+         |s2 AS (SELECT vec_id, j, $quantCosAgg AS c FROM t2 GROUP BY 1, 2),
+         |a2 AS (
+         |  SELECT vec_id, j AS cluster FROM (
+         |    SELECT vec_id, j,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, j) AS rn
+         |    FROM s2) WHERE rn = 1),
+         |cand AS (
+         |  SELECT a.vec_id AS id1, b.vec_id AS id2
+         |  FROM a2 a JOIN a2 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+         |pterm AS (
+         |  SELECT c.id1, c.id2, da.x, db.x AS y
+         |  FROM cand c
+         |  JOIN dims da ON da.vec_id = c.id1
+         |  JOIN dims db ON db.vec_id = c.id2 AND db.i = da.i),
+         |pcos AS (
+         |  SELECT id1, id2,
+         |         (CAST(SUM(CAST(floor(x * y * 1.0E15) AS BIGINT)) AS DOUBLE) / 1.0E15)
+         |           / (sqrt(CAST(SUM(CAST(floor(x * x * 1.0E15) AS BIGINT)) AS DOUBLE) / 1.0E15)
+         |              * sqrt(CAST(SUM(CAST(floor(y * y * 1.0E15) AS BIGINT)) AS DOUBLE) / 1.0E15)) AS c
+         |  FROM pterm GROUP BY 1, 2),
+         |dropped AS (SELECT DISTINCT id2 AS vec_id FROM pcos WHERE c >= CAST(0.9 AS DOUBLE))
+         |SELECT a.vec_id, a.cluster,
+         |       CASE WHEN d.vec_id IS NOT NULL THEN 'dropped' ELSE 'kept' END AS status
+         |FROM a2 a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+         |ORDER BY a.vec_id""".stripMargin,
+
     "q_dd5_embed_pairs_top" ->
       """WITH pairs AS (
         |  SELECT a.vec_id AS id1, b.vec_id AS id2, a.embedding AS ea, b.embedding AS eb

@@ -80,6 +80,34 @@ class SemanticDedupSpec extends SparkSpec {
     assert(r1 === r2)
   }
 
+  test("k-means tier: one Lloyd round separates groups the seed init conflates") {
+    // Both seeds (two lowest ids) sit in group A; group B (ids 2-4, near
+    // e_y) initially crowds into seed 1's cluster. The Lloyd update drags
+    // centroid 1 toward B, so the final assignment gives each group its own
+    // cluster — and the prune then keeps exactly one representative per
+    // group. Pure seed-init semanticDedup on the same data keeps id 1 too
+    // (its cluster-mates are all far), proving the centroid fit did the
+    // separating.
+    val pts = Seq(
+      (0L, vec(1f, 0f)),
+      (1L, vec(0.99f, 0.01f)),
+      (2L, vec(0f, 1f)),
+      (3L, vec(0.01f, 0.99f)),
+      (4L, vec(0.02f, 0.98f))
+    ).toDF("id", "v")
+    val km = Dedup.semanticDedupKmeans(pts, "id", "v",
+        numSeeds = 2, assignRounds = 2, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    assert(km(0L) === ((0, "kept")))
+    assert(km(1L) === ((0, "dropped"))) // rejoined group A, pruned vs id 0
+    assert(km(2L) === ((1, "kept")))
+    assert(km(3L) === ((1, "dropped")))
+    assert(km(4L) === ((1, "dropped")))
+    val seedOnly = Dedup.semanticDedup(pts, "id", "v", numSeeds = 2, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(seedOnly(1L) === "kept") // seed-init leaves id 1 stranded alone
+  }
+
   test("pruning never crosses clusters even at cosine above the threshold") {
     // 3 is nearly identical to 1 but in a different cluster than 0/2/4;
     // if pruning compared across clusters, 5 (cos≈0.707 vs everything in
