@@ -62,6 +62,42 @@ object CorpusCleaner {
       .orderBy(idCol)
   }
 
+  /** [[clean]] with a TRAINED quality gate: stage 1 keeps docs whose
+    * model score (any (idCol, score) frame — e.g. the q_t21 ridge
+    * classifier) clears `minScore`, replacing the heuristic threshold; the
+    * exact-dedup and near-dup stages are unchanged. Survivors carry the
+    * model score. The scores frame joins by id — at 100 TB it is the
+    * output of one scoring pass, co-partitioned on the id key, so the gate
+    * adds one equi-join and no new corpus scan. */
+  def cleanClassified(
+      spark: SparkSession,
+      docs: DataFrame,
+      scores: DataFrame,
+      minScore: Double,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      config: Config = Config()): DataFrame = {
+    // Materialize the gate: unlike [[clean]]'s cheap heuristic, the score
+    // frame carries the whole fit+inference lineage — without a boundary it
+    // re-executes in the fingerprint agg, the semi join, AND the pair
+    // index.
+    val qualified = docs.select(col(idCol), col(textCol))
+      .join(scores, Seq(idCol))
+      .filter(col("score") >= minScore)
+      .localCheckpoint(true)
+    val keepers = qualified
+      .groupBy(TextFunctions.fingerprintMd5(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    val exact = qualified.join(keepers, Seq(idCol), "left_semi").localCheckpoint(true)
+    val pairs = Dedup.jaccardPairs(exact, idCol, textCol, config.shingleK, config.maxShingleDf)
+      .filter(col("jaccard") >= config.jaccardThreshold)
+    val removed = pairs.select(col("id2").as(idCol)).distinct()
+    exact.join(removed, Seq(idCol), "left_anti")
+      .select(col(idCol), col("score"))
+      .orderBy(idCol)
+  }
+
   /** Cluster-based variant of [[clean]]: near-dups are resolved through
     * [[Dedup.dupClusters]] connected components, keeping exactly ONE
     * representative (the minimum id) per duplicate cluster. Pairwise

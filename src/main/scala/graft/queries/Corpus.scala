@@ -647,6 +647,79 @@ object Corpus {
       .orderBy("doc_id", "rk")
   }
 
+  /** Score formula text shared verbatim with the DuckDB oracle: fixed-order
+    * IEEE arithmetic over the broadcast betas and integer features, so the
+    * predicted score is bit-identical in both engines (the NormalEq
+    * discipline applied at inference time). */
+  private val ClassifierScoreExpr: String =
+    "beta_0 + beta_1 * CAST(x1 AS DOUBLE) + beta_2 * CAST(x2 AS DOUBLE) + beta_3 * CAST(x3 AS DOUBLE)"
+
+  /** T21: TRAINED QUALITY CLASSIFIER — the fastText-classifier step of
+    * CCNet/FineWeb-style pipelines, deterministic end to end: hashed-TF-IDF
+    * features (q_t17's vocabulary-free construction collapsed to three
+    * integer per-doc statistics), labels from the heuristic quality score
+    * on a 20% md5-fold slice (standing in for human labels), a closed-form
+    * ridge fit on DECIMAL sufficient statistics (q_ml3's hash-gateable
+    * solver), and a broadcast-betas scoring pass over every doc. Fit AND
+    * inference are oracle-exact: the oracle recomputes the same features,
+    * the same exact-integer normal equations, the same generated
+    * elimination text, and the same fixed-order score expression. Scale
+    * shape: two corpus scans (features, scoring), one tiny stats shuffle,
+    * betas broadcast — no iteration, no driver-side data. */
+  def qualityClassifier(s: SparkSession, d: String): DataFrame =
+    classifierScores(s, d)
+      .select(col("doc_id"), col("score"),
+        (col("score") >= lit(450.0)).as("kept"))
+      .orderBy("doc_id")
+
+  /** TP7: the tp1 cleaning chain with the TRAINED classifier as the stage-1
+    * gate (score ≥ 450 instead of the heuristic quality ≥ 0.35) — the shape
+    * CCNet/FineWeb run in production: fit a model, gate on its score, then
+    * dedup. Composed entirely from oracle-proven parts and hash-gated end
+    * to end by one SQL replay. */
+  def cleanCorpusClassified(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.CorpusCleaner.cleanClassified(
+      s, Tables.documents(s, d), classifierScores(s, d), minScore = 450.0)
+
+  /** The classifier's (doc_id, score) surface shared by q_t21 and q_tp7. */
+  private def classifierScores(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tf = docs
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(TextFunctions.normText(col("text")))).as("term"))
+      .withColumn("bucket",
+        (conv(substring(md5(col("term")), 1, 4), 16, 10).cast("long") % 256).cast("int"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("tf"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val dfreq = tf.groupBy("bucket").agg(count(lit(1)).as("df"))
+    val feats = tf.join(broadcast(dfreq), Seq("bucket"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("w_micro",
+        floor(col("tf").cast("double") *
+          log((col("n_docs") + 1).cast("double") / (col("df") + 1).cast("double")) *
+          lit(1e6)).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum(col("w_micro")).as("x1"),
+        count(lit(1)).as("x2"),
+        max(col("w_micro")).as("x3"))
+      .localCheckpoint(true) // feeds the fit AND the scoring pass
+    val labeled = docs
+      .select(col("doc_id"),
+        floor(TextFunctions.qualityScore(col("text")) * 1000).cast("long").as("label_milli"))
+      .filter((conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 5) === 0)
+      .join(feats, Seq("doc_id"))
+    val betas = graft.ml.NormalEq.ridgeFit(
+      labeled, Seq.empty, Seq(col("x1"), col("x2"), col("x3")),
+      col("label_milli"), lambda = 10L)
+      .select("beta_0", "beta_1", "beta_2", "beta_3")
+    docs.select("doc_id")
+      .join(feats, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("x1", "x2", "x3"))
+      .crossJoin(broadcast(betas))
+      .selectExpr("doc_id", s"$ClassifierScoreExpr AS score")
+  }
+
   /** P13: TEMPERATURE-BASED SOURCE MIXING — the multilingual/multi-source
     * balancing stage (α-sampling): per-source sampling weights w_s ∝
     * tokens_s^α (α = 0.5 flattens the head), a 100k-token budget split by
@@ -3091,6 +3164,8 @@ object Corpus {
     "q_t17_hashed_tfidf" -> (hashedTfidf _),
     "q_t18_bpe_train" -> (bpeTrainMerges _),
     "q_t18b_bpe_train_batched" -> (bpeTrainBatchedMerges _),
+    "q_t21_quality_classifier" -> (qualityClassifier _),
+    "q_tp7_clean_classified" -> (cleanCorpusClassified _),
     "q_t19_bpe_encode" -> (bpeEncodeCounts _),
     "q_t20_bpe_vocab" -> (bpeVocab _),
     "q_f6_datetime" -> (datetimeFunctions _),

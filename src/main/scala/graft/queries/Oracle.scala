@@ -125,53 +125,120 @@ object Oracle {
     * removal) as CTEs t..removed over `documents`; `body` is the final
     * SELECT — or, with trailingCtes = true, a further CTE list ending in
     * the final SELECT (the tp5 composition). */
+  /** The q_t2 heuristic-quality CTEs (t → c → q) over `documents` — shared
+    * by the clean chain, the dataset card, and the q_t21 classifier
+    * labels. */
+  private def qualityCtes: String =
+    s"""t AS (SELECT doc_id, text, regexp_extract_all(text, '\\S+') AS toks FROM documents),
+       |c AS (
+       |  SELECT doc_id, text,
+       |         CAST(len(toks) AS DOUBLE) AS n_tok,
+       |         CASE WHEN len(toks) > 0
+       |              THEN CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE)
+       |                   / CAST(len(toks) AS DOUBLE)
+       |              ELSE CAST(0.0 AS DOUBLE) END AS stop_ratio,
+       |         CASE WHEN len(toks) > 0
+       |              THEN CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE)
+       |                   / CAST(len(toks) AS DOUBLE)
+       |              ELSE CAST(0.0 AS DOUBLE) END AS mean_tok_len
+       |  FROM t),
+       |q AS (
+       |  SELECT doc_id, text,
+       |         least(CAST(1.0 AS DOUBLE), n_tok / 100.0) * 0.5
+       |           + stop_ratio * 0.3
+       |           + least(CAST(1.0 AS DOUBLE), mean_tok_len / 8.0) * 0.2 AS quality
+       |  FROM c)""".stripMargin
+
+  /** The exact-dedup + capped-Jaccard near-dup removal CTEs (keep..removed)
+    * over a prior CTE named `qf` carrying (doc_id, text, …) — shared by the
+    * heuristic-gated clean chain and the q_tp7 classifier-gated variant. */
+  private def dedupTailCtes: String =
+    s"""keep AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM qf
+       |  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
+       |ex AS (SELECT qf.* FROM qf JOIN keep USING (doc_id)),
+       |n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm FROM ex),
+       |tk AS (SELECT doc_id, regexp_extract_all(norm, '\\S+') AS toks FROM n),
+       |wp AS (
+       |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+       |  FROM tk WHERE len(toks) >= 3),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |         array_to_string(toks[CAST(i AS INTEGER):CAST(i AS INTEGER)+2], ' ') AS shingle
+       |  FROM wp),
+       |hot AS (SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) > 1000),
+       |pru AS (SELECT doc_id, shingle FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+       |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nsh FROM pru GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(COUNT(*) AS BIGINT) AS n_common
+       |  FROM pru a JOIN pru b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pr AS (
+       |  SELECT id1, id2,
+       |         CAST(n_common AS DOUBLE) / CAST(ca.nsh + cb.nsh - n_common AS DOUBLE) AS jaccard
+       |  FROM inter JOIN cnt ca ON ca.doc_id = id1 JOIN cnt cb ON cb.doc_id = id2),
+       |removed AS (SELECT DISTINCT id2 AS doc_id FROM pr WHERE jaccard >= CAST(0.1 AS DOUBLE))""".stripMargin
+
+  /** The q_t21 trained-quality-classifier CTEs, ending in `scored`
+    * (doc_id, score): hashed-TF-IDF features collapsed to (x1, x2, x3),
+    * q_t2 quality labels on the md5 fold-0 slice, exact-integer ridge
+    * stats + the shared elimination text, fixed-order score expression
+    * over broadcast betas. Includes [[qualityCtes]] (t/c/q) for the
+    * labels. Shared by q_t21 and the q_tp7 classifier-gated clean. */
+  private def classifierCtes: String = {
+    val stages = graft.ml.NormalEq.eliminationStages(4)
+    val elimCtes = stages.zipWithIndex.map { case (stage, idx) =>
+      val from = if (idx == 0) "stats" else s"e$idx"
+      val cols = stage.map { case (n, e) => s"$e AS $n" }.mkString(",\n         ")
+      s"e${idx + 1} AS (\n  SELECT *,\n         $cols\n  FROM $from)"
+    }.mkString(",\n")
+    s"""$qualityCtes,
+       |nm AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm FROM documents),
+       |tm AS (SELECT doc_id, unnest(regexp_extract_all(norm, '\\S+')) AS term FROM nm),
+       |bk AS (
+       |  SELECT doc_id,
+       |         CAST(CAST(concat('0x', substr(md5(term), 1, 4)) AS BIGINT) % 256 AS INTEGER) AS bucket
+       |  FROM tm),
+       |tf AS (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS tf FROM bk GROUP BY 1, 2),
+       |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+       |dfreq AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |w AS (
+       |  SELECT tf.doc_id,
+       |         CAST(floor(CAST(tf.tf AS DOUBLE)
+       |           * ln(CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE))
+       |           * 1.0E6) AS BIGINT) AS w_micro
+       |  FROM tf JOIN dfreq ON dfreq.bucket = tf.bucket CROSS JOIN nd),
+       |feats AS (
+       |  SELECT doc_id,
+       |         CAST(SUM(w_micro) AS BIGINT) AS x1,
+       |         CAST(COUNT(*) AS BIGINT) AS x2,
+       |         CAST(MAX(w_micro) AS BIGINT) AS x3
+       |  FROM w GROUP BY 1),
+       |lab AS (
+       |  SELECT doc_id, CAST(floor(quality * 1000) AS BIGINT) AS label_milli
+       |  FROM q
+       |  WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 5 = 0),
+       |trn AS (
+       |  SELECT l.label_milli, f.x1, f.x2, f.x3
+       |  FROM lab l JOIN feats f USING (doc_id)),
+       |${ridgeStatsSql(Seq("x1", "x2", "x3"), "label_milli", "trn", Nil)},
+       |$elimCtes,
+       |betas AS (SELECT beta_0, beta_1, beta_2, beta_3 FROM e${stages.size}),
+       |sc AS (
+       |  SELECT d.doc_id,
+       |         COALESCE(f.x1, 0) AS x1, COALESCE(f.x2, 0) AS x2, COALESCE(f.x3, 0) AS x3
+       |  FROM documents d LEFT JOIN feats f ON f.doc_id = d.doc_id),
+       |scored AS (
+       |  SELECT sc.doc_id,
+       |         beta_0 + beta_1 * CAST(x1 AS DOUBLE) + beta_2 * CAST(x2 AS DOUBLE) + beta_3 * CAST(x3 AS DOUBLE) AS score
+       |  FROM sc CROSS JOIN betas)""".stripMargin
+  }
+
   private def cleanChainSql(body: String, trailingCtes: Boolean = false): String = {
     val chain =
-      s"""t AS (SELECT doc_id, text, regexp_extract_all(text, '\\S+') AS toks FROM documents),
-         |c AS (
-         |  SELECT doc_id, text,
-         |         CAST(len(toks) AS DOUBLE) AS n_tok,
-         |         CASE WHEN len(toks) > 0
-         |              THEN CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE)
-         |                   / CAST(len(toks) AS DOUBLE)
-         |              ELSE CAST(0.0 AS DOUBLE) END AS stop_ratio,
-         |         CASE WHEN len(toks) > 0
-         |              THEN CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE)
-         |                   / CAST(len(toks) AS DOUBLE)
-         |              ELSE CAST(0.0 AS DOUBLE) END AS mean_tok_len
-         |  FROM t),
-         |q AS (
-         |  SELECT doc_id, text,
-         |         least(CAST(1.0 AS DOUBLE), n_tok / 100.0) * 0.5
-         |           + stop_ratio * 0.3
-         |           + least(CAST(1.0 AS DOUBLE), mean_tok_len / 8.0) * 0.2 AS quality
-         |  FROM c),
+      s"""$qualityCtes,
          |qf AS (SELECT * FROM q WHERE quality >= CAST(0.35 AS DOUBLE)),
-         |keep AS (
-         |  SELECT MIN(doc_id) AS doc_id FROM qf
-         |  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
-         |ex AS (SELECT qf.* FROM qf JOIN keep USING (doc_id)),
-         |n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm FROM ex),
-         |tk AS (SELECT doc_id, regexp_extract_all(norm, '\\S+') AS toks FROM n),
-         |wp AS (
-         |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
-         |  FROM tk WHERE len(toks) >= 3),
-         |sh AS (
-         |  SELECT DISTINCT doc_id,
-         |         array_to_string(toks[CAST(i AS INTEGER):CAST(i AS INTEGER)+2], ' ') AS shingle
-         |  FROM wp),
-         |hot AS (SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) > 1000),
-         |pru AS (SELECT doc_id, shingle FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
-         |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nsh FROM pru GROUP BY 1),
-         |inter AS (
-         |  SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(COUNT(*) AS BIGINT) AS n_common
-         |  FROM pru a JOIN pru b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |pr AS (
-         |  SELECT id1, id2,
-         |         CAST(n_common AS DOUBLE) / CAST(ca.nsh + cb.nsh - n_common AS DOUBLE) AS jaccard
-         |  FROM inter JOIN cnt ca ON ca.doc_id = id1 JOIN cnt cb ON cb.doc_id = id2),
-         |removed AS (SELECT DISTINCT id2 AS doc_id FROM pr WHERE jaccard >= CAST(0.1 AS DOUBLE))""".stripMargin
+         |$dedupTailCtes""".stripMargin
     s"WITH $chain${if (trailingCtes) "," else ""}\n$body"
   }
 
@@ -1162,6 +1229,30 @@ object Oracle {
     // Mirrors Corpus.hashedTfidf: identical tokenization, identical
     // hex16(md5) mod 256 bucket, exact tf/df/N, floor-scaled tf·idf micros
     // (ln on identical double quotients), same (w desc, bucket) top-3.
+    // Mirrors Corpus.qualityClassifier: q_t17's hashed features collapsed
+    // to (x1, x2, x3), q_t2 quality labels on the md5 fold-0 slice, the
+    // exact-integer ridge stats + shared elimination text (q_ml3), and the
+    // identical fixed-order score expression over broadcast betas.
+    "q_t21_quality_classifier" ->
+      s"""WITH $classifierCtes
+         |SELECT doc_id, score, score >= 450.0 AS kept
+         |FROM scored ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Corpus.cleanCorpusClassified (q_tp7): the tp1 chain with the
+    // TRAINED classifier score as the stage-1 gate — classifier CTEs feed
+    // qf, then the shared exact-dedup + capped-Jaccard tail.
+    "q_tp7_clean_classified" ->
+      s"""WITH $classifierCtes,
+         |qf AS (
+         |  SELECT d.doc_id, d.text, s.score
+         |  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+         |  WHERE s.score >= 450.0),
+         |$dedupTailCtes
+         |SELECT ex.doc_id, ex.score
+         |FROM ex
+         |WHERE ex.doc_id NOT IN (SELECT doc_id FROM removed)
+         |ORDER BY ex.doc_id""".stripMargin,
+
     "q_t17_hashed_tfidf" ->
       """WITH nm AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),
         |tk AS (SELECT doc_id, regexp_extract_all(norm, '\S+') AS toks FROM nm),

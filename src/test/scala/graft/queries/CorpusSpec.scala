@@ -27,4 +27,23 @@ class CorpusSpec extends SparkSpec {
     val df = graft.SparkEntry.entry(spark)
     assert(df.count() > 0)
   }
+
+  test("trained quality classifier tracks the heuristic label it was fit on") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val scored = Corpus.all("q_t21_quality_classifier")(spark, d)
+    val withLabel = scored.join(
+      graft.Tables.documents(spark, d).select(
+        col("doc_id"),
+        graft.text.TextFunctions.qualityScore(col("text")).as("q")),
+      Seq("doc_id"))
+    // The ridge fit must carry real signal: docs the model keeps average a
+    // clearly higher heuristic quality than docs it drops (the label proxy
+    // it was trained toward on the 20% fold).
+    val m = withLabel.groupBy("kept").agg(avg("q").as("mq"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(m(true) > m(false) + 0.1, s"kept=${m(true)} vs dropped=${m(false)}")
+    // And both gate outcomes actually occur.
+    assert(m.size === 2)
+  }
 }
