@@ -2373,6 +2373,45 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** The injected markup fixtures (the corpus has no HTML — the q_t7
+    * injection construction): ids 4100000+ carry tags, entities, attribute
+    * quotes, and one plain-text control row. */
+  private def markupSamples(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      (4100000L, "<html><body><h1>Hello &amp; welcome</h1><p>A &lt;tag&gt; isn&#39;t text.</p></body></html>"),
+      (4100001L, "plain text stays untouched"),
+      (4100002L, "<div class=\"x\">nested <b>bold</b>&nbsp;text</div> tail &quot;quoted&quot;"))
+      .toDF("doc_id", "text")
+  }
+
+  /** T22: MARKUP STRIPPING — tag removal + entity decoding + whitespace
+    * collapse ([[TextFunctions.stripMarkup]]), the pass a crawled corpus
+    * needs before every downstream gate (tags pollute token counts,
+    * shingles, and fingerprints). Injected HTML docs prove the strip;
+    * RE2-compatible patterns make it oracle-exact like q_t7. */
+  def markupStrip(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select("doc_id", "text")
+      .unionByName(markupSamples(s))
+      .select(
+        col("doc_id"),
+        TextFunctions.stripMarkup(col("text")).as("clean_text"),
+        length(col("text")).as("n_chars_raw"),
+        length(TextFunctions.stripMarkup(col("text"))).as("n_chars_clean"),
+        TextFunctions.tagCount(col("text")).as("n_tags"))
+      .orderBy("doc_id")
+
+  /** TP8: the tp1 cleaning chain over the MARKUP-STRIPPED corpus (with the
+    * HTML fixtures injected): strip → quality gate → exact dedup → near-dup
+    * removal — the real front half of a crawl pipeline, hash-gated end to
+    * end. */
+  def cleanCorpusStripped(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+      .unionByName(markupSamples(s))
+      .select(col("doc_id"), TextFunctions.stripMarkup(col("text")).as("text"))
+    graft.pipeline.CorpusCleaner.clean(s, docs)
+  }
+
   /** T8: repetition signals (the Gopher-style quality filters): duplicate-
     * token fraction and duplicate-char-5-gram fraction, plus the gate flag.
     * High repetition marks boilerplate/generated text — the standard
@@ -3166,6 +3205,8 @@ object Corpus {
     "q_t18b_bpe_train_batched" -> (bpeTrainBatchedMerges _),
     "q_t21_quality_classifier" -> (qualityClassifier _),
     "q_tp7_clean_classified" -> (cleanCorpusClassified _),
+    "q_t22_markup_strip" -> (markupStrip _),
+    "q_tp8_clean_stripped" -> (cleanCorpusStripped _),
     "q_t19_bpe_encode" -> (bpeEncodeCounts _),
     "q_t20_bpe_vocab" -> (bpeVocab _),
     "q_f6_datetime" -> (datetimeFunctions _),

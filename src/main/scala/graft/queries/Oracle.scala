@@ -128,8 +128,8 @@ object Oracle {
   /** The q_t2 heuristic-quality CTEs (t → c → q) over `documents` — shared
     * by the clean chain, the dataset card, and the q_t21 classifier
     * labels. */
-  private def qualityCtes: String =
-    s"""t AS (SELECT doc_id, text, regexp_extract_all(text, '\\S+') AS toks FROM documents),
+  private def qualityCtes(src: String = "documents"): String =
+    s"""t AS (SELECT doc_id, text, regexp_extract_all(text, '\\S+') AS toks FROM $src),
        |c AS (
        |  SELECT doc_id, text,
        |         CAST(len(toks) AS DOUBLE) AS n_tok,
@@ -192,7 +192,7 @@ object Oracle {
       val cols = stage.map { case (n, e) => s"$e AS $n" }.mkString(",\n         ")
       s"e${idx + 1} AS (\n  SELECT *,\n         $cols\n  FROM $from)"
     }.mkString(",\n")
-    s"""$qualityCtes,
+    s"""${qualityCtes()},
        |nm AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm FROM documents),
        |tm AS (SELECT doc_id, unnest(regexp_extract_all(norm, '\\S+')) AS term FROM nm),
        |bk AS (
@@ -234,13 +234,40 @@ object Oracle {
        |  FROM sc CROSS JOIN betas)""".stripMargin
   }
 
-  private def cleanChainSql(body: String, trailingCtes: Boolean = false): String = {
+  private def cleanChainSql(
+      body: String,
+      trailingCtes: Boolean = false,
+      src: String = "documents",
+      pre: String = ""): String = {
     val chain =
-      s"""$qualityCtes,
+      s"""${qualityCtes(src)},
          |qf AS (SELECT * FROM q WHERE quality >= CAST(0.35 AS DOUBLE)),
          |$dedupTailCtes""".stripMargin
-    s"WITH $chain${if (trailingCtes) "," else ""}\n$body"
+    s"WITH ${if (pre.isEmpty) "" else pre + ",\n"}$chain${if (trailingCtes) "," else ""}\n$body"
   }
+
+  /** The [[graft.text.TextFunctions.MarkupReplacements]] chain as one SQL
+    * expression over `src` — identical pattern order, with DuckDB's 'g'
+    * flag standing in for Spark regexp_replace's replace-all default. */
+  private def stripSqlExpr(src: String): String = {
+    val inner = graft.text.TextFunctions.MarkupReplacements.foldLeft(src) {
+      case (acc, (pat, rep)) =>
+        s"regexp_replace($acc, '${pat.replace("'", "''")}', '${rep.replace("'", "''")}', 'g')"
+    }
+    s"trim(regexp_replace($inner, '\\s+', ' ', 'g'))"
+  }
+
+  /** The injected markup fixtures as a VALUES CTE — literal-identical to
+    * Corpus.markupSamples. */
+  private val markupBaseCte: String =
+    """base AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT CAST(v.doc_id AS BIGINT), v.text FROM (VALUES
+      |    (4100000, '<html><body><h1>Hello &amp; welcome</h1><p>A &lt;tag&gt; isn&#39;t text.</p></body></html>'),
+      |    (4100001, 'plain text stays untouched'),
+      |    (4100002, '<div class="x">nested <b>bold</b>&nbsp;text</div> tail &quot;quoted&quot;')
+      |  ) AS v(doc_id, text))""".stripMargin
 
   /** q_t18: replay the BPE training rounds in SQL. Each word type rides as
     * ONE string of chr(1)<sym>chr(2)-wrapped segments, so DuckDB's plain
@@ -1252,6 +1279,30 @@ object Oracle {
          |FROM ex
          |WHERE ex.doc_id NOT IN (SELECT doc_id FROM removed)
          |ORDER BY ex.doc_id""".stripMargin,
+
+    // Mirrors Corpus.markupStrip: the identical replacement chain (tags,
+    // entities with &amp; last, whitespace collapse) over the clone of the
+    // injected-HTML corpus.
+    "q_t22_markup_strip" ->
+      s"""WITH $markupBaseCte
+         |SELECT doc_id,
+         |       ${stripSqlExpr("text")} AS clean_text,
+         |       CAST(length(text) AS INTEGER) AS n_chars_raw,
+         |       CAST(length(${stripSqlExpr("text")}) AS INTEGER) AS n_chars_clean,
+         |       CAST(len(regexp_extract_all(text, '<[^>]*>')) AS INTEGER) AS n_tags
+         |FROM base ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Corpus.cleanCorpusStripped (q_tp8): strip markup first, then
+    // the tp1 chain over the stripped text.
+    "q_tp8_clean_stripped" -> cleanChainSql(
+      """SELECT ex.doc_id, q2.quality
+        |FROM ex
+        |JOIN q q2 ON q2.doc_id = ex.doc_id
+        |WHERE ex.doc_id NOT IN (SELECT doc_id FROM removed)
+        |ORDER BY ex.doc_id""".stripMargin,
+      src = "stripped",
+      pre = s"""$markupBaseCte,
+        |stripped AS (SELECT doc_id, ${stripSqlExpr("text")} AS text FROM base)""".stripMargin),
 
     "q_t17_hashed_tfidf" ->
       """WITH nm AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),

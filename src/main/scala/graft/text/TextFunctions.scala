@@ -21,6 +21,36 @@ object TextFunctions {
   /** Content fingerprint: md5 of the canonical form (exact-dup key). */
   def fingerprintMd5(c: Column): Column = md5(normText(c))
 
+  /** The markup-stripping replacement chain, ordered: tags first, then the
+    * named/numeric entities a crawled corpus actually carries, with &amp;
+    * decoded LAST so "&amp;lt;" cannot double-decode into a phantom tag
+    * char mid-chain. RE2-compatible patterns (no lookarounds, no
+    * backrefs), applied in THIS order by both engines. */
+  val MarkupReplacements: Seq[(String, String)] = Seq(
+    "<[^>]*>" -> " ",
+    "&lt;" -> "<",
+    "&gt;" -> ">",
+    "&quot;" -> "\"",
+    "&#39;" -> "'",
+    "&nbsp;" -> " ",
+    "&amp;" -> "&")
+
+  /** HTML/markup stripping for crawled corpora — the pass every real
+    * pipeline runs BEFORE quality gates and dedup (tags and entities
+    * otherwise pollute token counts, shingles, and fingerprints): remove
+    * tags, decode common entities, collapse whitespace. Pure regexp
+    * expressions (codegen'd, one scan), mirrored verbatim in the oracle. */
+  def stripMarkup(c: Column): Column =
+    trim(regexp_replace(
+      MarkupReplacements.foldLeft(c) { case (acc, (pat, rep)) =>
+        regexp_replace(acc, pat, rep)
+      },
+      "\\s+", " "))
+
+  /** Markup tag count of the RAW text (the q_t22 diagnostic column). */
+  def tagCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("<[^>]*>"), lit(0)))
+
   /** Whitespace-delimited tokens (\\S+ runs — stable across engines).
     * Fused byte-scan expression with exactly regexp_extract_all(c,'\\S+')
     * semantics (the regex path costs ~0.5ms/row on long docs). */

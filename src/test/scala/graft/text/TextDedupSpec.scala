@@ -144,6 +144,19 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("stripMarkup: tags out, entities decoded, &amp; decoded last, whitespace collapsed") {
+    val cases = Seq(
+      (0L, "<html><b>Hi</b> &amp; bye</html>", "Hi & bye"),
+      // &amp;lt; must decode to literal "&lt;" (one pass), never to "<"
+      (1L, "a &amp;lt;b&amp;gt; c", "a &lt;b&gt; c"),
+      (2L, "<div class=\"x\">isn&#39;t&nbsp;&quot;quoted&quot;</div>", "isn't \"quoted\""),
+      (3L, "no markup at all", "no markup at all"),
+      (4L, "spaced   <p>  out  </p>  text", "spaced out text")
+    ).toDF("id", "text", "expected")
+    cases.select($"id", $"expected", TextFunctions.stripMarkup($"text").as("got"))
+      .collect().foreach(r => assert(r.getString(2) === r.getString(1), s"case ${r.getLong(0)}"))
+  }
+
   test("custom expressions: codegen result equals direct scala computation") {
     val row = docs.filter($"doc_id" === 0L).select(
       GraftFunctions.rollingHash(spark, $"text").as("rh"),
