@@ -2412,6 +2412,36 @@ object Corpus {
     graft.pipeline.CorpusCleaner.clean(s, docs)
   }
 
+  /** T23: DOMAIN-LEVEL CURATION — the per-domain caps + blocklist stage of
+    * crawl pipelines (C4's badlist, RefinedWeb's per-domain quotas): a
+    * deterministic URL column is synthesized (the corpus has none), the
+    * domain is regexp-extracted (the real operator under test), blocklisted
+    * domains drop via a broadcast anti-join (the q_t9 shape — the list is
+    * tiny next to the corpus, so the filter is map-side), and each
+    * surviving domain keeps its first 5 docs in md5-hash order (the q_p9
+    * reproducible-sample discipline; a per-domain window, never a global
+    * sort). Oracle-exact: URL synthesis, extraction, blocklist, and cap
+    * rank all replay in SQL. */
+  def domainCuration(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val url = concat(lit("https://www."), col("source"), lit("-"),
+      (col("doc_id") % 3).cast("string"),
+      lit(".example.com/doc/"), col("doc_id").cast("string"))
+    val withDomain = Tables.documents(s, d)
+      .select(col("doc_id"), url.as("url"))
+      .withColumn("domain", regexp_extract(col("url"), "https?://([^/]+)/", 1))
+    val blocklist = Seq("www.src0-0.example.com", "www.src5-2.example.com").toDF("domain")
+    val w = Window.partitionBy("domain")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    withDomain
+      .join(broadcast(blocklist), Seq("domain"), "left_anti")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select("doc_id", "domain", "rk")
+      .orderBy("doc_id")
+  }
+
   /** T8: repetition signals (the Gopher-style quality filters): duplicate-
     * token fraction and duplicate-char-5-gram fraction, plus the gate flag.
     * High repetition marks boilerplate/generated text — the standard
@@ -3206,6 +3236,7 @@ object Corpus {
     "q_t21_quality_classifier" -> (qualityClassifier _),
     "q_tp7_clean_classified" -> (cleanCorpusClassified _),
     "q_t22_markup_strip" -> (markupStrip _),
+    "q_t23_domain_curation" -> (domainCuration _),
     "q_tp8_clean_stripped" -> (cleanCorpusStripped _),
     "q_t19_bpe_encode" -> (bpeEncodeCounts _),
     "q_t20_bpe_vocab" -> (bpeVocab _),

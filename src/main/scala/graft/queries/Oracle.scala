@@ -1304,6 +1304,26 @@ object Oracle {
       pre = s"""$markupBaseCte,
         |stripped AS (SELECT doc_id, ${stripSqlExpr("text")} AS text FROM base)""".stripMargin),
 
+    // Mirrors Corpus.domainCuration: same synthesized URL, same regexp
+    // domain extraction, same blocklist, same md5-ordered per-domain cap.
+    "q_t23_domain_curation" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |         'https://www.' || source || '-' || CAST(doc_id % 3 AS VARCHAR)
+        |           || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |dom AS (
+        |  SELECT doc_id, regexp_extract(url, 'https?://([^/]+)/', 1) AS domain FROM u),
+        |ok AS (
+        |  SELECT * FROM dom
+        |  WHERE domain NOT IN ('www.src0-0.example.com', 'www.src5-2.example.com')),
+        |rk AS (
+        |  SELECT doc_id, domain,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY domain
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rk
+        |  FROM ok)
+        |SELECT doc_id, domain, rk FROM rk WHERE rk <= 5 ORDER BY doc_id""".stripMargin,
+
     "q_t17_hashed_tfidf" ->
       """WITH nm AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),
         |tk AS (SELECT doc_id, regexp_extract_all(norm, '\S+') AS toks FROM nm),
