@@ -27,9 +27,19 @@ object Sketches {
   val CmsA: Seq[Long] = Seq(2654435761L, 40503L, 2246822519L, 3266489917L)
   val CmsB: Seq[Long] = Seq(11L, 101L, 1009L, 10007L)
 
-  /** h_j applied to a non-negative long key column. */
-  def cmsBucket(key: Column, j: Int, width: Int): Column =
-    ((lit(CmsA(j)) * key + lit(CmsB(j))) % lit(CmsPrime)) % lit(width)
+  /** h_j applied to a non-negative long key column. The key domain
+    * [0, 2^31) is ENFORCED, not assumed: outside it the int64 multiply
+    * would wrap silently in Spark while the DuckDB oracle errors on
+    * overflow (and negative keys would yield negative buckets) — a latent
+    * cross-engine divergence that must surface loudly instead (ADVICE
+    * r7). The guard is a codegen'd branch on the already-loaded key. */
+  def cmsBucket(key: Column, j: Int, width: Int): Column = {
+    val guarded = when(key < 0L || key >= lit(1L << 31),
+      raise_error(concat(
+        lit("count-min key outside [0, 2^31): "), key.cast("string"))))
+      .otherwise(key)
+    ((lit(CmsA(j)) * guarded + lit(CmsB(j))) % lit(CmsPrime)) % lit(width)
+  }
 
   /** Build the sketch: one (j, bucket, c) row per non-empty cell —
     * depth×width rows max, map-side combinable (a plain hash aggregate on a
@@ -48,7 +58,14 @@ object Sketches {
     * (which may be huge) never shuffles. Empty cells have no sketch row;
     * the left join reads them as count 0, so a key absent from the build
     * set estimates 0 (min over ALL depth rows) instead of vanishing or
-    * inheriting only its collided cells. */
+    * inheriting only its collided cells.
+    *
+    * Contract (ADVICE r7): probe ROWS are expected distinct — the final
+    * aggregate groups by all probe columns, so duplicate probe rows
+    * collapse to one output row (add a row-id column to keep them). Probe
+    * columns named `__cms_j` / `__cms_bucket` / `__cms_c` are reserved;
+    * the former bare j/bucket/c internals no longer collide with ordinary
+    * probe schemas. */
   def cmsEstimate(
       sketch: DataFrame,
       probes: DataFrame,
@@ -58,9 +75,10 @@ object Sketches {
     val probeCols = probes.columns.toSeq
     val keyed = probes.select(col("*"), posexplode(array(
         (0 until depth).map(j => cmsBucket(col(keyCol), j, width)): _*)))
-      .withColumnsRenamed(Map("pos" -> "j", "col" -> "bucket"))
-    keyed.join(broadcast(sketch), Seq("j", "bucket"), "left")
+      .withColumnsRenamed(Map("pos" -> "__cms_j", "col" -> "__cms_bucket"))
+    val cells = sketch.toDF("__cms_j", "__cms_bucket", "__cms_c")
+    keyed.join(broadcast(cells), Seq("__cms_j", "__cms_bucket"), "left")
       .groupBy(probeCols.map(col): _*)
-      .agg(min(coalesce(col("c"), lit(0L))).as("cms_n"))
+      .agg(min(coalesce(col("__cms_c"), lit(0L))).as("cms_n"))
   }
 }

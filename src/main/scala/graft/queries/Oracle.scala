@@ -276,7 +276,14 @@ object Oracle {
     * leftmost-first — both exactly the kernel's semantics), while pair
     * counting unwraps the segments and zips neighbors. */
   /** The training rounds as CTEs (w0..wN carry (word, s, n); bN holds round
-    * N's chosen rule) — shared by q_t18/q_t19/q_t20/q_tp5. */
+    * N's chosen rule) — shared by q_t18/q_t19/q_t20/q_tp5.
+    *
+    * Tokenization contract (ADVICE r7): the wrapped-segment encoding
+    * reserves bytes 0x01/0x02 as symbol delimiters, so corpus text
+    * containing RAW control characters 0x01/0x02 would corrupt the
+    * replay and diverge from the Scala kernel. The synthetic fixtures are
+    * printable-ASCII; for arbitrary text, strip 0x01/0x02 (or re-wrap
+    * with codepoints proven absent) before pointing these CTEs at it. */
   private def bpeRoundCtes(rounds: Int, src: String = "documents"): String = {
     val init =
       raw"""w0 AS MATERIALIZED (
