@@ -80,6 +80,22 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut))
     Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.writeString(out, json + "\n")
+    // Round-stamped full copy (target/bench_rNN.json): every driver-side
+    // BENCH_r0N.json to date is a front-truncated log tail with
+    // parsed: null — the ~5KB stdout JSON line overflows the driver's
+    // capture buffer. The round number is inferred from the committed
+    // BENCH_r*.json series (this run belongs to the round after the last
+    // recorded one), so the complete per-query record always exists as a
+    // file regardless of log-buffer luck.
+    if (only.isEmpty) {
+      val prev = Option(new java.io.File(".").listFiles()).toSeq.flatten
+        .flatMap(f => "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(f.getName))
+        .map(_.group(1).toInt)
+      val round = if (prev.isEmpty) 0 else prev.max + 1
+      val stamped = java.nio.file.Paths.get(f"target/bench_r$round%02d.json")
+      Option(stamped.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.writeString(stamped, json + "\n")
+    }
     spark.stop()
   }
 }
