@@ -21,6 +21,32 @@ object Scratch {
       r
     }
 
+    // The shared 10x staging (v2): each copy k of documents gets
+    // doc_id + k*10M and every token suffixed with the copy index, so
+    // cross-copy similarity is zero and dup-density per copy matches
+    // sf0.1 — 10x the data, same structure; source/lang/n_chars carried
+    // so the mixing/packing tier runs too.
+    def ensureStaging10(base: String): String = {
+      val dir10 = "/tmp/sf1x10_v2"
+      // drop the v1 staging so schema bumps don't strand multi-100MB dirs
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File("/tmp/sf1x10"))
+      if (!new java.io.File(s"$dir10/documents.parquet").exists()) {
+        new java.io.File(dir10).mkdirs()
+        val docs = Tables.documents(spark, base)
+          .select("doc_id", "text", "source", "lang", "n_chars")
+        val copies = (0 until 10).map { k =>
+          docs.select(
+            (col("doc_id") + k * 10000000L).as("doc_id"),
+            regexp_replace(col("text"), "(\\S+)", s"$$1x$k").as("text"),
+            col("source"), col("lang"), col("n_chars"))
+        }
+        time("build documents x10")(
+          copies.reduce(_ unionByName _).coalesce(8)
+            .write.mode("overwrite").parquet(s"$dir10/documents.parquet"))
+      }
+      dir10
+    }
+
     what match {
       case "explain" =>
         // plan audit: print the formatted physical plan of any corpus query
@@ -124,6 +150,46 @@ object Scratch {
             .write.format("noop").mode("overwrite").save())
         }
 
+      case "scale8" =>
+        // Round-8 scale spot-check: the classifier/markup/domain tier plus
+        // the batched BPE trainer at 10x sf0.1 (same v2 staging as
+        // scale10: copy-suffixed tokens, per-copy id offsets, source/lang
+        // carried — 10x docs, 10x vocabulary, sources 10x bigger).
+        val dir10b = ensureStaging10(d)
+        def bench8(label: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+          val times = (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            df.write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(f"[scratch] $label: min ${times.min}%.1fs (passes ${times.map(t => f"$t%.1f").mkString("/")})")
+        }
+        for (q <- Seq("q_t18b_bpe_train_batched", "q_t21_quality_classifier",
+            "q_t22_markup_strip", "q_t23_domain_curation",
+            "q_tp7_clean_classified", "q_tp8_clean_stripped")) {
+          bench8(s"$q sf0.1")(graft.queries.Corpus.all(q)(spark, d))
+          bench8(s"$q 10x")(graft.queries.Corpus.all(q)(spark, dir10b))
+        }
+        // Batched BPE toward a real vocabulary: wide pool on the 10x corpus
+        // (10x word types). Merges must scale with poolK at O(rounds) jobs.
+        locally {
+          val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+          val listener = new org.apache.spark.scheduler.SparkListener {
+            override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+              jobs.incrementAndGet()
+          }
+          spark.sparkContext.addSparkListener(listener)
+          val t0 = System.nanoTime()
+          val m = try {
+            val r = graft.text.BpeTrain.trainBatched(
+              Tables.documents(spark, dir10b), "text", rounds = 32, poolK = 64).collect()
+            Thread.sleep(500)
+            r
+          } finally spark.sparkContext.removeSparkListener(listener)
+          println(f"[scratch] bpe batched 10x: ${m.length}%d merges / 32 rounds / " +
+            f"${jobs.get()}%d jobs in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+        }
+
       case "scale10" =>
         // Round-6 scale spot-check: the iterative/heavy tier at 10× sf0.1
         // (~5k docs -> 50k docs, ~600k lineitem rows -> 10x series). Each
@@ -133,23 +199,7 @@ object Scratch {
         // v2 staging carries source/lang/n_chars so the mixing/packing tier
         // (q_p13/q_tp5) runs too — sources keep their names, so each source
         // is 10x bigger (the per-source window/quota stress shape).
-        val dir10 = "/tmp/sf1x10_v2"
-        // drop the v1 staging so schema bumps don't strand multi-100MB dirs
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File("/tmp/sf1x10"))
-        if (!new java.io.File(s"$dir10/documents.parquet").exists()) {
-          new java.io.File(dir10).mkdirs()
-          val docs = Tables.documents(spark, d)
-            .select("doc_id", "text", "source", "lang", "n_chars")
-          val copies = (0 until 10).map { k =>
-            docs.select(
-              (col("doc_id") + k * 10000000L).as("doc_id"),
-              regexp_replace(col("text"), "(\\S+)", s"$$1x$k").as("text"),
-              col("source"), col("lang"), col("n_chars"))
-          }
-          time("build documents x10")(
-            copies.reduce(_ unionByName _).coalesce(8)
-              .write.mode("overwrite").parquet(s"$dir10/documents.parquet"))
-        }
+        val dir10 = ensureStaging10(d)
         def bench2(label: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
           val times = (1 to 2).map { _ =>
             val t0 = System.nanoTime()
