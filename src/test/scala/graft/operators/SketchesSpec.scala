@@ -45,6 +45,30 @@ class SketchesSpec extends SparkSpec {
     assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty)
   }
 
+  test("keys outside [0, 2^31) raise loudly instead of silently wrapping") {
+    // Negative keys and keys >= 2^31 are where Spark's int64 multiply
+    // wraps while the DuckDB oracle errors — the guard must surface the
+    // divergence as an error, not a wrong bucket.
+    for (bad <- Seq(-1L, 1L << 31)) {
+      val ex = intercept[Exception] {
+        Sketches.countMin(Seq(bad).toDF("k"), "k").collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+      assert(msgs(ex).exists(_.contains("count-min key outside")), s"key $bad: $ex")
+    }
+    // boundary values still hash normally
+    val ok = Sketches.countMin(Seq(0L, (1L << 31) - 1).toDF("k"), "k")
+    assert(ok.agg(sum("c")).head.getLong(0) === 2L * 4)
+  }
+
+  test("cmsEstimate tolerates probe columns named j/bucket/c") {
+    val sketch = Sketches.countMin(keys, "k")
+    val probes = Seq((7L, 1, 2, 3)).toDF("k", "j", "bucket", "c")
+    val out = Sketches.cmsEstimate(sketch, probes, "k").collect()
+    assert(out.length === 1 && out.head.schema.fieldNames.contains("cms_n"))
+  }
+
   test("cmsEstimate broadcasts the sketch: probe side plans no sketch-side shuffle") {
     val sketch = Sketches.countMin(keys, "k")
     val plan = Sketches.cmsEstimate(sketch, keys.distinct(), "k")

@@ -124,6 +124,23 @@ class BpeTrainSpec extends SparkSpec {
       === Seq(("x", "yz", 5L)))
   }
 
+  test("disjointAccept properties on random pools: rank-1 in, result pairwise disjoint, order preserved") {
+    val rnd = new scala.util.Random(11)
+    val syms = Vector("a", "b", "c", "d", "e", "ab", "cd")
+    for (_ <- 1 to 200) {
+      val pool = Seq.fill(1 + rnd.nextInt(12))(
+        (syms(rnd.nextInt(syms.length)), syms(rnd.nextInt(syms.length)), rnd.nextInt(100).toLong))
+      val acc = BpeTrain.disjointAccept(pool)
+      assert(acc.headOption === pool.headOption) // rank-1 always accepted
+      // accepted set is pairwise symbol-disjoint (incl. produced symbols)
+      val sets = acc.map { case (a, b, _) => Set(a, b, a + b) }
+      for (i <- sets.indices; j <- 0 until i)
+        assert((sets(i) & sets(j)).isEmpty, s"pool=$pool acc=$acc")
+      // acceptance preserves pool order
+      assert(acc.map(pool.indexOf) === acc.map(pool.indexOf).sorted)
+    }
+  }
+
   test("trainBatched with poolK=1 degenerates to the sequential trainer") {
     val docs = Seq(
       (0L, "low low low newest newest"),
