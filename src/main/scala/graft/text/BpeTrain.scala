@@ -101,24 +101,48 @@ object BpeTrain {
     }
 
   /** Scalable BPE training: `rounds` rounds, each counting pairs ONCE and
-    * applying every [[disjointAccept]]-selected merge from the top-`poolK`
-    * candidates in one stacked projection — so the cluster-job count is
-    * O(rounds), not O(merges) (the [[train]] loop is one job PER merge; a
-    * real 32k-merge vocabulary needs merges ≫ jobs). Lineage is cut with an
-    * eager `localCheckpoint` every `checkpointEvery` rounds (the q_dd6 CC
-    * discipline), so the symbol table's plan depth stays bounded at any
-    * round count. Driver state per round: the `poolK`-row candidate pool.
+    * applying every accepted merge from the top-`poolK` candidates in one
+    * stacked projection — so the cluster-job count is O(rounds), not
+    * O(merges) (the [[train]] loop is one job PER merge; a real 32k-merge
+    * vocabulary needs merges ≫ jobs). Acceptance is [[disjointAccept]]
+    * (declarative, SQL-replayable — the q_t18b oracle rule) or, with
+    * `greedy = true`, the denser [[greedyAccept]] packing for production
+    * vocabulary runs. Lineage is cut with an eager `localCheckpoint` every
+    * `checkpointEvery` rounds (the q_dd6 CC discipline), so the symbol
+    * table's plan depth stays bounded at any round count. Driver state per
+    * round: the `poolK`-row candidate pool.
     *
     * Returns (merge_rank, round, left_sym, right_sym, pair_count) in
     * learning order; pair_count is the round-start snapshot count. */
+  /** Greedy batched selection (the production-density variant): walk the
+    * pool in rank order, accept a candidate iff its symbol set is disjoint
+    * from the symbols of candidates ACCEPTED so far. Accepts a superset of
+    * [[disjointAccept]] per pool (a candidate blocked only by a REJECTED
+    * higher candidate gets in), so rounds pack denser — the rule real
+    * 32k-vocab training wants. Sequential by construction (the
+    * accumulating used-set), so its SQL replay would need a recursive
+    * scan; the oracle-gated q_t18b uses [[disjointAccept]] instead, and
+    * the spec pins greedy's invariants (pairwise disjoint, ⊇ density). */
+  private[text] def greedyAccept(
+      pool: Seq[(String, String, Long)]): Seq[(String, String, Long)] = {
+    val used = scala.collection.mutable.Set.empty[String]
+    pool.flatMap { case c @ (a, b, _) =>
+      val s = Set(a, b, a + b)
+      if (s.exists(used)) None else { used ++= s; Some(c) }
+    }
+  }
+
   def trainBatched(
       docs: DataFrame,
       textCol: String,
       rounds: Int,
       poolK: Int = 16,
-      checkpointEvery: Int = 4): DataFrame = {
+      checkpointEvery: Int = 4,
+      greedy: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val accept: Seq[(String, String, Long)] => Seq[(String, String, Long)] =
+      if (greedy) greedyAccept else disjointAccept
     val words = docs
       .select(explode(TextFunctions.tokens(TextFunctions.normText(col(textCol)))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
@@ -146,7 +170,7 @@ object BpeTrain {
       prev = Some(syms)
       if (pool.isEmpty) exhausted = true
       else {
-        val accepted = disjointAccept(pool)
+        val accepted = accept(pool)
         accepted.foreach { case (a, b, cnt) =>
           rank += 1
           merges += ((rank, r, a, b, cnt))

@@ -190,6 +190,33 @@ object Scratch {
             f"${jobs.get()}%d jobs in ${(System.nanoTime() - t0) / 1e9}%.1fs")
         }
 
+      case "bpe32" =>
+        // Greedy vs declarative batch density on the 10x corpus: the
+        // production-vocabulary path (greedy packs denser per round at the
+        // same O(rounds) job count).
+        val dirB = ensureStaging10(d)
+        for ((label, greedy, poolK) <- Seq(
+            ("declarative poolK=64", false, 64),
+            ("greedy poolK=64", true, 64),
+            ("greedy poolK=256", true, 256))) {
+          val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+          val listener = new org.apache.spark.scheduler.SparkListener {
+            override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+              jobs.incrementAndGet()
+          }
+          spark.sparkContext.addSparkListener(listener)
+          val t0 = System.nanoTime()
+          val m = try {
+            val r = graft.text.BpeTrain.trainBatched(
+              Tables.documents(spark, dirB), "text",
+              rounds = 32, poolK = poolK, greedy = greedy).collect()
+            Thread.sleep(500)
+            r
+          } finally spark.sparkContext.removeSparkListener(listener)
+          println(f"[scratch] bpe32 $label: ${m.length}%d merges / 32 rounds / " +
+            f"${jobs.get()}%d jobs in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+        }
+
       case "scale10" =>
         // Round-6 scale spot-check: the iterative/heavy tier at 10× sf0.1
         // (~5k docs -> 50k docs, ~600k lineitem rows -> 10x series). Each

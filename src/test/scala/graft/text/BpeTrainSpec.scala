@@ -141,6 +141,46 @@ class BpeTrainSpec extends SparkSpec {
     }
   }
 
+  test("greedyAccept: superset density of disjointAccept, still pairwise disjoint") {
+    // (s,t) is blocked by the REJECTED (e,s)? No — greedy: (e,s) accepted,
+    // (s,t) shares s -> blocked; (w,e) shares e -> blocked; (l,o) in;
+    // (o,w) shares o -> blocked. On a pool where a mid candidate is
+    // rejected, greedy lets later ones through that declarative blocks:
+    val pool = Seq(
+      ("a", "b", 10L), // in
+      ("b", "c", 9L),  // blocked by accepted (a,b)
+      ("c", "d", 8L))  // greedy: in (only blocked-by-blocked); declarative: out
+    assert(BpeTrain.greedyAccept(pool) === Seq(("a", "b", 10L), ("c", "d", 8L)))
+    assert(BpeTrain.disjointAccept(pool) === Seq(("a", "b", 10L)))
+    // random pools: greedy ⊇ declarative in count, both pairwise disjoint
+    val rnd = new scala.util.Random(23)
+    val syms = Vector("a", "b", "c", "d", "e", "f", "ab", "cd")
+    for (_ <- 1 to 200) {
+      val p = Seq.fill(1 + rnd.nextInt(12))(
+        (syms(rnd.nextInt(syms.length)), syms(rnd.nextInt(syms.length)), rnd.nextInt(100).toLong))
+      val g = BpeTrain.greedyAccept(p)
+      assert(g.length >= BpeTrain.disjointAccept(p).length)
+      val sets = g.map { case (a, b, _) => Set(a, b, a + b) }
+      for (i <- sets.indices; j <- 0 until i)
+        assert((sets(i) & sets(j)).isEmpty, s"pool=$p greedy=$g")
+    }
+  }
+
+  test("trainBatched greedy packs rounds at least as densely, same kernel invariants") {
+    val docs = Seq(
+      (0L, "low low low newest newest"),
+      (1L, "lower lower newest newest widest")
+    ).toDF("doc_id", "text")
+    val decl = BpeTrain.trainBatched(docs, "text", rounds = 3, poolK = 8).collect()
+    val greedy = BpeTrain.trainBatched(docs, "text", rounds = 3, poolK = 8, greedy = true).collect()
+    assert(greedy.length >= decl.length)
+    greedy.groupBy(_.getInt(1)).foreach { case (_, g) =>
+      val sets = g.map(r => Set(r.getString(2), r.getString(3), r.getString(2) + r.getString(3)))
+      for (i <- sets.indices; j <- 0 until i)
+        assert((sets(i) & sets(j)).isEmpty)
+    }
+  }
+
   test("trainBatched with poolK=1 degenerates to the sequential trainer") {
     val docs = Seq(
       (0L, "low low low newest newest"),
