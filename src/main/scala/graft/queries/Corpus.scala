@@ -2792,6 +2792,63 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** TP9: EXACT DUPLICATED-SPAN detection — the Lee-et-al "deduplicating
+    * training data" primitive at its native granularity: every MAXIMAL token
+    * span of length ≥ L that occurs at more than one (doc, position) in the
+    * corpus, reported as per-doc (span_start, span_end) intervals. Unlike
+    * q_tp4/q_tp6 (which chunk first, then dedup chunks), this finds the
+    * true repeated-substring boundaries: every length-L sliding shingle is
+    * hashed map-side from the token array (no window — one projection), a
+    * shingle is "duplicated" iff its hash occurs at > 1 positions globally,
+    * and per-doc runs of duplicated starts merge into maximal spans via the
+    * gaps-and-islands rule (starts p1 < p2 merge iff p2 ≤ p1 + L, i.e. the
+    * covered intervals [p, p+L-1] overlap or adjoin). Injected clone docs
+    * carrying a 30-token interior slice of an original light up as one
+    * exact span on both sides. Scale shape: the only corpus-wide exchange
+    * is the skinny (hash, doc, pos) aggregate + semi-join back (same
+    * profile as q_tp4's first-occurrence resolve); the island window is
+    * per-doc over only the duplicated positions. The md5 shingle hash makes
+    * the whole span geometry oracle-exact — no recall hedge. */
+  def spanDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = 8
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val srcToks = TextFunctions.tokens(TextFunctions.normText(col("text")))
+    // clones: a 30-token interior slice (tokens 11..40) of long-enough
+    // originals — a guaranteed cross-doc duplicated span, interior so the
+    // island merge has real boundaries to find
+    val clones = docs
+      .filter(col("doc_id") < 60 && size(srcToks) >= 40)
+      .select((col("doc_id") + 4000000L).as("doc_id"),
+        array_join(slice(srcToks, 11, 30), " ").as("text"))
+    val toks = TextFunctions.tokens(TextFunctions.normText(col("text")))
+    val starts = docs.unionByName(clones)
+      .select(col("doc_id"),
+        when(size(toks) >= L,
+          transform(sequence(lit(1), size(toks) - lit(L - 1)),
+            i => md5(array_join(slice(toks, i, lit(L)), " "))))
+          .otherwise(array().cast("array<string>")).as("hs"))
+      .select(col("doc_id"), posexplode(col("hs")))
+      .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("h"))
+    val dupHashes = starts.groupBy("h").agg(count(lit(1)).as("n")).filter(col("n") > 1)
+    val dupStarts = starts.join(dupHashes.select("h"), Seq("h"), "left_semi")
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    val spans = dupStarts
+      .withColumn("brk",
+        when(col("p") > coalesce(lag(col("p"), 1).over(w), lit(Int.MinValue)) + L, 1)
+          .otherwise(0))
+      .withColumn("span_id", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "span_id")
+      .agg(min(col("p")).as("span_start"),
+        (max(col("p")) + lit(L - 1)).as("span_end"))
+    spans
+      .select(col("doc_id"), col("span_start").cast("int").as("span_start"),
+        col("span_end").cast("int").as("span_end"),
+        (col("span_end") - col("span_start") + 1).cast("int").as("dup_tokens"))
+      .orderBy("doc_id", "span_start")
+  }
+
   /** TP2: the cluster-resolved cleaning pipeline — near-dups collapsed to
     * one representative per connected component (quality gate → exact dedup
     * → Jaccard pair graph → dupClusters → keep cluster minima). Full SQL
@@ -3326,6 +3383,7 @@ object Corpus {
     "q_tp2_clean_clustered" -> (cleanCorpusClustered _),
     "q_tp3_clean_decontaminated" -> (cleanCorpusDecontaminated _),
     "q_tp4_passage_dedup" -> (passageDedup _),
+    "q_tp9_span_dedup" -> (spanDedup _),
     "q_tp5_training_dataset" -> (trainingDataset _),
     "q_tp6_cdc_passage_dedup" -> (cdcPassageDedup _),
     "q_ml1_forecast_kpi" -> (mlForecastKpi _),

@@ -2210,6 +2210,48 @@ object Oracle {
         |FROM k WHERE rn = 1
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // Mirrors Corpus.spanDedup: identical tokenization, the same md5 hash
+    // over every length-8 sliding shingle, duplicated iff > 1 global
+    // occurrences, and the same gaps-and-islands merge (break when
+    // p > prev + 8) into maximal per-doc spans.
+    "q_tp9_span_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 4000000,
+        |         array_to_string(
+        |           regexp_extract_all(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\S+')[11:40], ' ')
+        |  FROM documents
+        |  WHERE doc_id < 60
+        |    AND len(regexp_extract_all(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\S+')) >= 40),
+        |t AS (
+        |  SELECT doc_id,
+        |         regexp_extract_all(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\S+') AS toks
+        |  FROM base),
+        |st AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS p,
+        |         md5(array_to_string(toks[CAST(i AS INTEGER) : CAST(i + 7 AS INTEGER)], ' ')) AS h
+        |  FROM t, unnest(generate_series(1, len(toks) - 7)) AS g(i)
+        |  WHERE len(toks) >= 8),
+        |dup AS (SELECT h FROM st GROUP BY h HAVING COUNT(*) > 1),
+        |ds AS (SELECT st.doc_id, st.p FROM st JOIN dup ON dup.h = st.h),
+        |b AS (
+        |  SELECT doc_id, p,
+        |         CASE WHEN p > COALESCE(LAG(p) OVER (PARTITION BY doc_id ORDER BY p), -2147483648) + 8
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM ds),
+        |sp AS (
+        |  SELECT doc_id, p,
+        |         SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+        |  FROM b)
+        |SELECT doc_id,
+        |       CAST(MIN(p) AS INTEGER) AS span_start,
+        |       CAST(MAX(p) + 7 AS INTEGER) AS span_end,
+        |       CAST(MAX(p) + 7 - MIN(p) + 1 AS INTEGER) AS dup_tokens
+        |FROM sp GROUP BY doc_id, span_id
+        |ORDER BY doc_id, span_start""".stripMargin,
+
     "q_tp1_clean_corpus" -> cleanChainSql(
       """SELECT ex.doc_id, q2.quality
         |FROM ex

@@ -1,0 +1,79 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** q_tp9: exact duplicated-span geometry — the Lee-et-al repeated-substring
+  * primitive at token-span granularity. */
+class SpanDedupSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+  private val L = 8
+
+  private lazy val spans = Corpus.spanDedup(spark, d).collect()
+    .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+
+  test("every span is at least L tokens and internally consistent") {
+    assert(spans.nonEmpty)
+    spans.foreach { case (id, s, e, n) =>
+      assert(n == e - s + 1, s"doc $id span [$s,$e] claims $n tokens")
+      assert(n >= L, s"doc $id span [$s,$e] shorter than a single shingle")
+      assert(s >= 1)
+    }
+  }
+
+  test("per-doc spans are maximal: disjoint and never mergeable") {
+    spans.groupBy(_._1).foreach { case (id, ss) =>
+      val sorted = ss.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, _, e1, _), (_, s2, _, _)) =>
+          // a start at p2 merges into the previous island iff
+          // p2 <= prevMaxStart + L, i.e. s2 - 1 <= e1 + 1 ⇒ kept spans
+          // must begin at least 2 tokens past the previous end
+          assert(s2 >= e1 + 2, s"doc $id spans [..,$e1] and [$s2,..] should have merged")
+        case _ => ()
+      }
+    }
+  }
+
+  test("interior-slice clones are one full-coverage span, originals get [11,40]") {
+    val cloneSpans = spans.filter(_._1 >= 4000000L).groupBy(_._1)
+    assert(cloneSpans.nonEmpty, "no clone docs detected — injection broken")
+    cloneSpans.foreach { case (id, ss) =>
+      // the clone IS a copied 30-token slice: every shingle duplicates the
+      // original, so exactly one span covering tokens 1..30
+      assert(ss.length == 1, s"clone $id split into ${ss.length} spans")
+      val (_, s, e, _) = ss.head
+      assert(s == 1 && e == 30, s"clone $id span [$s,$e] != [1,30]")
+      // and the original carries the mirrored interior span (possibly wider
+      // if natural duplication extends it, but it must cover [11,40])
+      val orig = spans.filter(t => t._1 == id - 4000000L)
+      assert(orig.exists(t => t._2 <= 11 && t._3 >= 40),
+        s"original ${id - 4000000L} has no span covering tokens 11..40")
+    }
+  }
+
+  test("independent driver-side replay reproduces the exact span set") {
+    // recompute shingle multiplicity and island merging from raw normalized
+    // text (plain Scala, a completely different construction than the
+    // query's transform/sequence + window path) and require the identical
+    // (doc, start, end) set
+    val toks = graft.Tables.documents(spark, d)
+      .selectExpr("doc_id", "regexp_replace(lower(trim(text)), '\\\\s+', ' ') AS n")
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val cloneToks = toks.collect {
+      case (id, ts) if id < 60 && ts.length >= 40 => (id + 4000000L) -> ts.slice(10, 40)
+    }
+    val all = toks ++ cloneToks
+    val counts = all.values.flatMap(ts => ts.sliding(L).map(_.mkString(" ")))
+      .foldLeft(Map.empty[String, Int]) { (m, sh) => m.updated(sh, m.getOrElse(sh, 0) + 1) }
+    val expected = all.toSeq.flatMap { case (id, ts) =>
+      val dupStarts = (1 to (ts.length - L + 1))
+        .filter(p => counts(ts.slice(p - 1, p - 1 + L).mkString(" ")) > 1)
+      dupStarts.foldLeft(List.empty[(Int, Int)]) {
+        case ((s0, p0) :: rest, p) if p <= p0 + L => (s0, p) :: rest
+        case (acc, p) => (p, p) :: acc
+      }.map { case (s, pMax) => (id, s, pMax + L - 1) }
+    }.toSet
+    assert(spans.map(t => (t._1, t._2, t._3)).toSet == expected)
+  }
+}
