@@ -159,6 +159,26 @@ case class HyperplaneSigExpr(child: Expression, planes: Array[Array[Double]])
   override def prettyName: String = "graft_hyperplane_sig"
 }
 
+/** Int8-quantized cosine against a pre-quantized query vector (see
+  * HashUtil.int8Cosine): per-row symmetric quantization to the int8 domain,
+  * exact integer dot/norm sums, one fixed-order IEEE score — bit-identical
+  * across engines. The quantized query and its norm are driver state
+  * injected via addReferenceObj, so the whole kernel whole-stage-codegens. */
+case class Int8CosineExpr(child: Expression, q: Array[Long], qNorm: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.int8Cosine(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], q, qNorm)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("quantQuery", q, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.int8Cosine($c, $ref, ${qNorm}L)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Int8CosineExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_int8_cosine"
+}
+
 /** All-lists stopword hit counts in one pass (see HashUtil.listHits) —
   * replaces one interpreted filter/array_contains lambda per word list with a
   * single hash-probe scan producing array<int> of per-list counts. The
@@ -304,6 +324,9 @@ object GraftFunctions {
     GraftColumn(TokenizeExpr(expression(c)))
   def cosineFloor(a: Column, b: Column): Column =
     GraftColumn(CosineFloorSimilarity(expression(a), expression(b)))
+  /** Int8-quantized cosine vs a driver-quantized query (HashUtil.int8Cosine). */
+  def int8Cosine(vec: Column, q: Array[Long], qNorm: Long): Column =
+    GraftColumn(Int8CosineExpr(expression(vec), q, qNorm))
   /** Per-list token hit counts (array<int>, one slot per list) in one fused
     * scan. At most 32 lists (int bitmask). */
   def listHits(tokens: Column, lists: Seq[Seq[String]]): Column =

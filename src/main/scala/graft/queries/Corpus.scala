@@ -2898,6 +2898,27 @@ object Corpus {
       Tables.embeddings(s, d), "vec_id", "embedding",
       queryVector(s, d).map(_.toDouble), 20)
 
+  /** ANN7: INT8-QUANTIZED cosine top-20 — the serving-time compression tier:
+    * every vector is symmetrically quantized to the int8 domain per row
+    * (q_i = floor(x_i·127/amax + 0.5)), the query is quantized once on the
+    * driver with the identical arithmetic, and scoring is an exact integer
+    * dot/norm with one fixed-order IEEE divide — so the approximate scores
+    * themselves are bit-reproducible and the whole ranking is oracle-exact
+    * (the oracle replays quantization AND scoring in SQL). Scale story: a
+    * 4× smaller vector representation (int8 vs float32) with SIMD integer
+    * dot products — what a 100 TB embedding store actually serves from —
+    * while the fused codegen kernel keeps the scan map-side with no shuffle
+    * before the final TakeOrdered(20). */
+  def annInt8TopK(s: SparkSession, d: String): DataFrame = {
+    val q = graft.functions.HashUtil.int8Quantize(queryVector(s, d))
+    val qNorm = q.map(x => x * x).sum
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        graft.functions.GraftFunctions.int8Cosine(col("embedding"), q, qNorm).as("q_cos"))
+      .orderBy(col("q_cos").desc, col("vec_id"))
+      .limit(20)
+  }
+
   /** 25 exact clones of the query vector (vec_id 0) under ids 1000000+ — the
     * recall ground truth for the ANN queries (the q_dd4 construction):
     * identical vectors are guaranteed candidates on any LSH/IVF path (same
@@ -3401,6 +3422,7 @@ object Corpus {
     "q_ann4_centroids" -> (labelCentroids _),
     "q_ann5_pq_topk" -> (annPqTopK _),
     "q_ann6_hard_negatives" -> (annHardNegatives _),
+    "q_ann7_int8_topk" -> (annInt8TopK _),
     "q_mm1_blob_meta" -> (blobMeta _),
     "q_mm2_frame_sample" -> (frameSample _),
     "q_mm3_audio_meta" -> (audioMeta _),

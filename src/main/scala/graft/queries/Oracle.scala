@@ -2141,6 +2141,47 @@ object Oracle {
          |FROM p JOIN n ON n.anchor_id = p.anchor_id
          |ORDER BY p.anchor_id""".stripMargin,
 
+    // Mirrors Corpus.annInt8TopK / HashUtil.int8Cosine: the identical
+    // symmetric int8 quantization (floor(x·127/amax + 0.5)) replayed per
+    // vector AND for the vec_id=0 query, exact integer dot/norm sums, and
+    // the same fixed-order IEEE score — bit-exact ranking. Zero vectors
+    // (amax = 0) score a -2.0 sentinel on the Spark side and are dropped
+    // here; with 500+ real vectors they can never reach the top-20 either
+    // way, so the compared surface is identical.
+    "q_ann7_int8_topk" ->
+      """WITH qa AS (
+        |  SELECT embedding AS qe,
+        |         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+        |  FROM embeddings WHERE vec_id = 0),
+        |qn AS (
+        |  SELECT qv, CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS qnorm
+        |  FROM (SELECT list_transform(qe, x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / amax) + 0.5) AS BIGINT)) AS qv
+        |        FROM qa)),
+        |v AS (
+        |  SELECT vec_id, embedding,
+        |         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+        |  FROM embeddings),
+        |pos AS (
+        |  SELECT vec_id, embedding, amax, unnest(generate_series(1, len(embedding))) AS i
+        |  FROM v WHERE amax > 0),
+        |terms AS (
+        |  SELECT p.vec_id,
+        |         CAST(floor(CAST(p.embedding[CAST(p.i AS INTEGER)] AS DOUBLE) * (127.0 / p.amax) + 0.5) AS BIGINT) AS xi,
+        |         q.qv[CAST(p.i AS INTEGER)] AS yi,
+        |         q.qnorm AS qnorm
+        |  FROM pos p, qn q),
+        |sc AS (
+        |  SELECT vec_id,
+        |         CAST(SUM(xi * yi) AS BIGINT) AS dot,
+        |         CAST(SUM(xi * xi) AS BIGINT) AS vn,
+        |         MAX(qnorm) AS qnorm
+        |  FROM terms GROUP BY vec_id)
+        |SELECT vec_id,
+        |       CAST(dot AS DOUBLE) / (sqrt(CAST(vn AS DOUBLE)) * sqrt(CAST(qnorm AS DOUBLE))) AS q_cos
+        |FROM sc
+        |ORDER BY q_cos DESC, vec_id
+        |LIMIT 20""".stripMargin,
+
     // Mirrors Corpus.passageDedup: same chunking arithmetic, the same
     // (doc_id, idx)-ordered first-occurrence rule (ROW_NUMBER ≡ Spark's
     // min-struct on the unique key), and ordered string_agg reassembly.
