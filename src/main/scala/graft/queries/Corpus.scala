@@ -672,6 +672,40 @@ object Corpus {
         (col("score") >= lit(450.0)).as("kept"))
       .orderBy("doc_id")
 
+  /** ML6: CLASSIFIER OPERATING-POINT SWEEP — the threshold-selection step
+    * that follows every trained quality gate: confusion counts (tp/fp/fn/tn)
+    * and precision/recall/F1 at five score thresholds, evaluated against
+    * the heuristic-quality labels on the HELD-OUT 80% (the md5 folds the
+    * fit never saw — q_t21 trains on fold 0 only). Counts are exact
+    * integers; the ratios are single fixed-order IEEE expressions shared
+    * verbatim with the oracle, so the whole curve is hash-gateable. Scale
+    * shape: one scored scan × a 5-literal threshold explode → a 5-row
+    * aggregate (map-side partials); nothing but the curve crosses the
+    * shuffle. */
+  def classifierThresholdSweep(s: SparkSession, d: String): DataFrame = {
+    val heldOut = Tables.documents(s, d)
+      .select(col("doc_id"),
+        (TextFunctions.qualityScore(col("text")) >= lit(0.35)).as("is_pos"))
+      .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 5 =!= 0)
+    classifierScores(s, d)
+      .join(heldOut, Seq("doc_id"))
+      .withColumn("thr", explode(array(Seq(350, 400, 450, 500, 550).map(lit): _*)))
+      .groupBy("thr")
+      .agg(
+        sum(when(col("score") >= col("thr").cast("double") && col("is_pos"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("score") >= col("thr").cast("double") && !col("is_pos"), 1L).otherwise(0L)).as("fp"),
+        sum(when(col("score") < col("thr").cast("double") && col("is_pos"), 1L).otherwise(0L)).as("fn"),
+        sum(when(col("score") < col("thr").cast("double") && !col("is_pos"), 1L).otherwise(0L)).as("tn"))
+      .withColumn("prec", when(col("tp") + col("fp") === 0L, lit(0.0))
+        .otherwise(col("tp").cast("double") / (col("tp") + col("fp")).cast("double")))
+      .withColumn("rec", when(col("tp") + col("fn") === 0L, lit(0.0))
+        .otherwise(col("tp").cast("double") / (col("tp") + col("fn")).cast("double")))
+      .withColumn("f1", when(col("prec") + col("rec") === 0.0, lit(0.0))
+        .otherwise(lit(2.0) * col("prec") * col("rec") / (col("prec") + col("rec"))))
+      .orderBy("thr")
+  }
+
   /** TP7: the tp1 cleaning chain with the TRAINED classifier as the stage-1
     * gate (score ≥ 450 instead of the heuristic quality ≥ 0.35) — the shape
     * CCNet/FineWeb run in production: fit a model, gate on its score, then
@@ -3324,6 +3358,7 @@ object Corpus {
     "q_t18_bpe_train" -> (bpeTrainMerges _),
     "q_t18b_bpe_train_batched" -> (bpeTrainBatchedMerges _),
     "q_t21_quality_classifier" -> (qualityClassifier _),
+    "q_ml6_threshold_sweep" -> (classifierThresholdSweep _),
     "q_tp7_clean_classified" -> (cleanCorpusClassified _),
     "q_t22_markup_strip" -> (markupStrip _),
     "q_t23_domain_curation" -> (domainCuration _),

@@ -1272,6 +1272,37 @@ object Oracle {
          |SELECT doc_id, score, score >= 450.0 AS kept
          |FROM scored ORDER BY doc_id""".stripMargin,
 
+    // Mirrors Corpus.classifierThresholdSweep: the classifier CTEs' scored
+    // surface joined to heuristic labels on the held-out md5 folds (1-4),
+    // exact confusion counts per threshold, and the identical fixed-order
+    // precision/recall/F1 expressions.
+    "q_ml6_threshold_sweep" ->
+      s"""WITH $classifierCtes,
+         |hl AS (
+         |  SELECT doc_id, quality >= CAST(0.35 AS DOUBLE) AS is_pos
+         |  FROM q
+         |  WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 5 <> 0),
+         |j AS (SELECT s.score, hl.is_pos FROM scored s JOIN hl USING (doc_id)),
+         |g AS (
+         |  SELECT thr,
+         |         CAST(SUM(CASE WHEN score >= CAST(thr AS DOUBLE) AND is_pos THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |         CAST(SUM(CASE WHEN score >= CAST(thr AS DOUBLE) AND NOT is_pos THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |         CAST(SUM(CASE WHEN score < CAST(thr AS DOUBLE) AND is_pos THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |         CAST(SUM(CASE WHEN score < CAST(thr AS DOUBLE) AND NOT is_pos THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM j CROSS JOIN (SELECT unnest([350, 400, 450, 500, 550]) AS thr) t
+         |  GROUP BY thr),
+         |pr AS (
+         |  SELECT thr, tp, fp, fn, tn,
+         |         CASE WHEN tp + fp = 0 THEN 0.0
+         |              ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS prec,
+         |         CASE WHEN tp + fn = 0 THEN 0.0
+         |              ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS rec
+         |  FROM g)
+         |SELECT thr, tp, fp, fn, tn, prec, rec,
+         |       CASE WHEN prec + rec = 0.0 THEN 0.0
+         |            ELSE 2.0 * prec * rec / (prec + rec) END AS f1
+         |FROM pr ORDER BY thr""".stripMargin,
+
     // Mirrors Corpus.cleanCorpusClassified (q_tp7): the tp1 chain with the
     // TRAINED classifier score as the stage-1 gate — classifier CTEs feed
     // qf, then the shared exact-dedup + capped-Jaccard tail.

@@ -46,4 +46,28 @@ class CorpusSpec extends SparkSpec {
     // And both gate outcomes actually occur.
     assert(m.size === 2)
   }
+
+  test("threshold sweep is a coherent operating curve on held-out folds") {
+    val d = "/root/testdata/sf0.001"
+    val rows = Corpus.classifierThresholdSweep(spark, d).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+    assert(rows.map(_._1).toSeq === Seq(350, 400, 450, 500, 550))
+    // every threshold partitions the same held-out population
+    val totals = rows.map { case (_, tp, fp, fn, tn, _, _, _) => tp + fp + fn + tn }
+    assert(totals.distinct.length === 1 && totals.head > 0)
+    // raising the threshold can only shrink the predicted-positive set:
+    // recall is monotonically non-increasing in thr
+    rows.map(_._7).sliding(2).foreach {
+      case Array(r1, r2) => assert(r2 <= r1, "recall increased with a stricter threshold")
+      case _ => ()
+    }
+    // the curve carries signal somewhere: some threshold beats F1 = 0.5
+    assert(rows.map(_._8).max > 0.5, "no operating point with F1 > 0.5")
+    // ratios reconcile with the raw counts
+    rows.foreach { case (_, tp, fp, fn, _, prec, rec, _) =>
+      if (tp + fp > 0) assert(math.abs(prec - tp.toDouble / (tp + fp)) < 1e-12)
+      if (tp + fn > 0) assert(math.abs(rec - tp.toDouble / (tp + fn)) < 1e-12)
+    }
+  }
 }
