@@ -2100,6 +2100,31 @@ object Corpus {
     graft.text.NgramLm.scoreDocs(Tables.documents(s, d), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** P14: PERPLEXITY-BUCKETED SAMPLING — the CCNet head/middle/tail
+    * discipline: every doc's bigram-LM score (q_t16) is bucketed at FIXED
+    * thresholds (precomputed from a reference slice, exactly as CCNet ships
+    * them — a map-side CASE, no global sort or percentile pass), then each
+    * bucket keeps a deterministic md5-hash fraction (head 100%, middle 50%,
+    * tail 10%) — the q_p9 key-function sampling, so the whole mixture is
+    * oracle-exact. Scale shape: the LM score's skinny count joins (q_t16)
+    * plus one projection; the bucket decision and keep decision never
+    * shuffle. */
+  def perplexityMix(s: SparkSession, d: String): DataFrame = {
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+    graft.text.NgramLm.scoreDocs(Tables.documents(s, d), "doc_id", "text")
+      .withColumn("bucket",
+        when(col("avg_logp") >= lit(-3.39), lit("head"))
+          .when(col("avg_logp") >= lit(-3.42), lit("middle"))
+          .otherwise(lit("tail")))
+      .withColumn("kept",
+        when(col("bucket") === "head", lit(true))
+          .when(col("bucket") === "middle", h < 50)
+          .otherwise(h < 10))
+      .select("doc_id", "bucket", "kept")
+      .orderBy("doc_id")
+  }
+
   /** T18: BPE TOKENIZER TRAINING — learn the corpus's first 8 merge rules
     * (the [[graft.text.BpeTrain]] loop): word-type collapse, per-round
     * weighted pair counts, deterministic argmax, greedy merge apply. The
@@ -2485,6 +2510,26 @@ object Corpus {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
       .select("doc_id", "domain", "rk")
+      .orderBy("doc_id")
+  }
+
+  /** P15: LEAKAGE-FREE GROUP SPLIT — train/validation folds keyed by
+    * DOMAIN, not document: fold = hex32(md5(domain)) mod 5, so every page
+    * from a site lands in the same fold and near-duplicate boilerplate can
+    * never straddle the split (the contamination channel a doc-keyed fold
+    * leaves open — the q_p12 k-fold's group-aware sibling). Pure key
+    * function: no RNG, no shuffle beyond the output sort; the no-straddle
+    * guarantee is structural (fold is a function of the group key). */
+  def groupSplit(s: SparkSession, d: String): DataFrame = {
+    val url = concat(lit("https://www."), col("source"), lit("-"),
+      (col("doc_id") % 3).cast("string"),
+      lit(".example.com/doc/"), col("doc_id").cast("string"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), url.as("url"))
+      .withColumn("domain", regexp_extract(col("url"), "https?://([^/]+)/", 1))
+      .withColumn("fold",
+        (conv(substring(md5(col("domain")), 1, 8), 16, 10).cast("long") % 5).cast("int"))
+      .select("doc_id", "domain", "fold")
       .orderBy("doc_id")
   }
 
@@ -3420,6 +3465,8 @@ object Corpus {
     "q_p11_weighted_sample" -> (weightedSample _),
     "q_p12_kfold" -> (kfoldSplit _),
     "q_p13_temperature_mix" -> (temperatureMix _),
+    "q_p14_perplexity_mix" -> (perplexityMix _),
+    "q_p15_group_split" -> (groupSplit _),
     "q_w8_group_topk" -> (groupTopK _),
     "q_o5_det_shuffle" -> (detShuffle _),
     "q_o6_salted_agg" -> (saltedCountryKpi _),

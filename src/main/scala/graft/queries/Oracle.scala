@@ -179,6 +179,37 @@ object Oracle {
        |  FROM inter JOIN cnt ca ON ca.doc_id = id1 JOIN cnt cb ON cb.doc_id = id2),
        |removed AS (SELECT DISTINCT id2 AS doc_id FROM pr WHERE jaccard >= CAST(0.1 AS DOUBLE))""".stripMargin
 
+  /** The q_t16 bigram-LM CTEs, ending in `lmscore` (doc_id, n_bigrams,
+    * avg_logp) — shared by the raw score surface (q_t16) and the
+    * perplexity-bucketed sampler (q_p14). */
+  private val ngramLmCtes: String =
+    """nm AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),
+      |tk AS (SELECT doc_id, regexp_extract_all(norm, '\S+') AS toks FROM nm),
+      |uni AS (
+      |  SELECT t AS w, CAST(COUNT(*) AS BIGINT) AS c1
+      |  FROM (SELECT unnest(toks) AS t FROM tk) GROUP BY 1),
+      |voc AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+      |bi AS (
+      |  SELECT doc_id,
+      |         toks[CAST(i AS INTEGER)] AS w1,
+      |         toks[CAST(i AS INTEGER) + 1] AS w2
+      |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+      |        FROM tk WHERE len(toks) >= 2)),
+      |btf AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS tf FROM bi GROUP BY 1, 2, 3),
+      |big AS (SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS c2 FROM btf GROUP BY 1, 2),
+      |lmj AS (
+      |  SELECT btf.doc_id, btf.tf, big.c2, uni.c1, voc.v
+      |  FROM btf
+      |  JOIN big ON big.w1 = btf.w1 AND big.w2 = btf.w2
+      |  JOIN uni ON uni.w = btf.w1
+      |  CROSS JOIN voc),
+      |lmscore AS (
+      |  SELECT doc_id,
+      |         CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+      |         CAST(SUM(floor(ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE)) * 1.0E6) * tf) AS DOUBLE)
+      |           / 1.0E6 / CAST(SUM(tf) AS DOUBLE) AS avg_logp
+      |  FROM lmj GROUP BY 1)""".stripMargin
+
   /** The q_t21 trained-quality-classifier CTEs, ending in `scored`
     * (doc_id, score): hashed-TF-IDF features collapsed to (x1, x2, x3),
     * q_t2 quality labels on the md5 fold-0 slice, exact-integer ridge
@@ -1362,6 +1393,19 @@ object Oracle {
         |  FROM ok)
         |SELECT doc_id, domain, rk FROM rk WHERE rk <= 5 ORDER BY doc_id""".stripMargin,
 
+    // Mirrors Corpus.groupSplit: same synthesized URL and regexp domain,
+    // fold = hex32(md5(domain)) mod 5 — the group-keyed split.
+    "q_p15_group_split" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |         'https://www.' || source || '-' || CAST(doc_id % 3 AS VARCHAR)
+        |           || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents)
+        |SELECT doc_id,
+        |       regexp_extract(url, 'https?://([^/]+)/', 1) AS domain,
+        |       CAST(CAST(concat('0x', substr(md5(regexp_extract(url, 'https?://([^/]+)/', 1)), 1, 8)) AS BIGINT) % 5 AS INTEGER) AS fold
+        |FROM u ORDER BY doc_id""".stripMargin,
+
     "q_t17_hashed_tfidf" ->
       """WITH nm AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),
         |tk AS (SELECT doc_id, regexp_extract_all(norm, '\S+') AS toks FROM nm),
@@ -1712,31 +1756,26 @@ object Oracle {
     // conditional as a double quotient of exact ints, floor-scaled ln terms
     // weighted by per-doc bigram tf, IEEE-exact final divides.
     "q_t16_ngram_lm" ->
-      """WITH nm AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),
-        |tk AS (SELECT doc_id, regexp_extract_all(norm, '\S+') AS toks FROM nm),
-        |uni AS (
-        |  SELECT t AS w, CAST(COUNT(*) AS BIGINT) AS c1
-        |  FROM (SELECT unnest(toks) AS t FROM tk) GROUP BY 1),
-        |voc AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
-        |bi AS (
-        |  SELECT doc_id,
-        |         toks[CAST(i AS INTEGER)] AS w1,
-        |         toks[CAST(i AS INTEGER) + 1] AS w2
-        |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
-        |        FROM tk WHERE len(toks) >= 2)),
-        |btf AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS tf FROM bi GROUP BY 1, 2, 3),
-        |big AS (SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS c2 FROM btf GROUP BY 1, 2),
-        |j AS (
-        |  SELECT btf.doc_id, btf.tf, big.c2, uni.c1, voc.v
-        |  FROM btf
-        |  JOIN big ON big.w1 = btf.w1 AND big.w2 = btf.w2
-        |  JOIN uni ON uni.w = btf.w1
-        |  CROSS JOIN voc)
-        |SELECT doc_id,
-        |       CAST(SUM(tf) AS BIGINT) AS n_bigrams,
-        |       CAST(SUM(floor(ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE)) * 1.0E6) * tf) AS DOUBLE)
-        |         / 1.0E6 / CAST(SUM(tf) AS DOUBLE) AS avg_logp
-        |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin,
+      s"""WITH $ngramLmCtes
+         |SELECT doc_id, n_bigrams, avg_logp
+         |FROM lmscore ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Corpus.perplexityMix: the q_t16 LM score bucketed at the
+    // same fixed double thresholds and the same md5 keep-rate hash.
+    "q_p14_perplexity_mix" ->
+      s"""WITH $ngramLmCtes,
+         |b AS (
+         |  SELECT doc_id,
+         |         CASE WHEN avg_logp >= CAST(-3.39 AS DOUBLE) THEN 'head'
+         |              WHEN avg_logp >= CAST(-3.42 AS DOUBLE) THEN 'middle'
+         |              ELSE 'tail' END AS bucket,
+         |         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS h
+         |  FROM lmscore)
+         |SELECT doc_id, bucket,
+         |       CASE WHEN bucket = 'head' THEN TRUE
+         |            WHEN bucket = 'middle' THEN h < 50
+         |            ELSE h < 10 END AS kept
+         |FROM b ORDER BY doc_id""".stripMargin,
 
     // Mirrors graft.text.Bm25.topK: identical tokenization to q_t1, integer
     // tf/df/dl, exact integer-sum avgdl, Lucene idf, floor-scaled exact

@@ -78,4 +78,36 @@ class VectorizeSplitSpec extends SparkSpec {
       .collect().map(_.getLong(1))
     assert(buckets.forall(_ === 1L))
   }
+
+  test("perplexity mix: all buckets live, keep rates follow the bucket policy") {
+    val rows = Corpus.perplexityMix(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(1), r.getBoolean(2)))
+    val byBucket = rows.groupBy(_._1).map { case (b, g) =>
+      b -> ((g.count(_._2), g.length))
+    }
+    assert(byBucket.keySet === Set("head", "middle", "tail"))
+    val (headKept, headN) = byBucket("head")
+    assert(headKept === headN, "head bucket must keep everything")
+    val (midKept, midN) = byBucket("middle")
+    val midRate = midKept.toDouble / midN
+    assert(midRate > 0.3 && midRate < 0.7, s"middle keep rate $midRate far from 0.5")
+    val (tailKept, tailN) = byBucket("tail")
+    val tailRate = tailKept.toDouble / tailN
+    assert(tailRate < 0.25, s"tail keep rate $tailRate far above 0.1")
+    assert(tailKept > 0 || tailN < 10, "tail sampling never fires")
+  }
+
+  test("group split: no domain straddles folds, all folds populated") {
+    val rows = Corpus.groupSplit(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    // structural leakage guarantee: fold is a function of domain
+    rows.groupBy(_._2).foreach { case (dom, g) =>
+      assert(g.map(_._3).distinct.length === 1, s"domain $dom straddles folds")
+    }
+    val folds = rows.map(_._3).distinct.sorted
+    assert(folds.forall(f => f >= 0 && f <= 4))
+    assert(folds.length >= 4, s"only folds $folds populated — bad dispersion")
+    // every doc got assigned exactly once
+    assert(rows.length === 500 && rows.map(_._1).distinct.length === 500)
+  }
 }
