@@ -3095,6 +3095,46 @@ object Corpus {
       .select("vec_id")
   }
 
+  /** ANN8: THE FULL SERVING STACK — IVF + PQ + exact rerank composed the
+    * way a production vector store actually answers a query (the FAISS
+    * IVFPQ shape): (1) the partition-pruned IVF probe touches only the
+    * nprobe/nlist cell directories; (2) within the probed cells a PQ ADC
+    * scan ranks candidates from the compact code column (table lookups, no
+    * float loops) down to a 100-candidate shortlist; (3) only the
+    * shortlist's full vectors are read for the exact rerank to top-20.
+    * At 100 TB: stage 1 prunes bytes by nprobe/nlist, stage 2 scans ~1/60th
+    * of the remaining bytes (codes vs floats), stage 3 touches 100 vectors
+    * — the multiplicative byte math that makes ANN serving feasible. The
+    * planted-clone recall oracle gates the whole composition: all 19 clones
+    * + the query must survive every tier or rows vanish from the literal
+    * expected set. (In a persisted deployment the `code` column is written
+    * next to `cell` at index-build time; here it is computed on the probed
+    * slice, which is the same plan shape after the prune.) */
+  def annIvfPqTopK(s: SparkSession, d: String): DataFrame = {
+    import graft.similarity.Pq
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val (index, path) = ivfCache.getOrElseUpdate((s, d), {
+      val idx = Ivf.fit(emb, "embedding", nlist = 16)
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+      Ivf.writePartitioned(withQueryClones(emb), "embedding", idx, dir)
+      (idx, dir)
+    })
+    val cb = pqCache.getOrElseUpdate((s, d), Pq.fit(emb, "embedding"))
+    val q = queryVector(s, d)
+    val probed = s.read.parquet(path)
+      .filter(col("cell").isin(Ivf.probeCells(index, q, 6): _*))
+    val shortlist = Pq.encode(probed, "embedding", cb)
+      .withColumn("adc", Pq.adcCosineCol(cb, q))
+      .orderBy(col("adc").desc, col("vec_id"))
+      .limit(100)
+    shortlist
+      .select(col("vec_id"),
+        Ann.reproducibleCosine(col("embedding"), q.map(_.toDouble)).as("c"))
+      .orderBy(col("c").desc, col("vec_id"))
+      .limit(20)
+      .select("vec_id")
+  }
+
   // ---- multimodal -----------------------------------------------------------
 
   /** Media fixture blobs cached per (session, sf): generating the payloads
@@ -3505,6 +3545,7 @@ object Corpus {
     "q_ann5_pq_topk" -> (annPqTopK _),
     "q_ann6_hard_negatives" -> (annHardNegatives _),
     "q_ann7_int8_topk" -> (annInt8TopK _),
+    "q_ann8_ivfpq_topk" -> (annIvfPqTopK _),
     "q_mm1_blob_meta" -> (blobMeta _),
     "q_mm2_frame_sample" -> (frameSample _),
     "q_mm3_audio_meta" -> (audioMeta _),

@@ -2164,6 +2164,15 @@ object Oracle {
         |SELECT CAST(1000000 + unnest(generate_series(0, 18)) AS BIGINT)
         |ORDER BY vec_id""".stripMargin,
 
+    // Same recall contract for the composed IVF→PQ→rerank stack (q_ann8):
+    // the planted clones must survive the cell prune AND the ADC shortlist
+    // AND the exact rerank — a drop at any tier loses rows from this set.
+    "q_ann8_ivfpq_topk" ->
+      """SELECT CAST(0 AS BIGINT) AS vec_id
+        |UNION ALL
+        |SELECT CAST(1000000 + unnest(generate_series(0, 18)) AS BIGINT)
+        |ORDER BY vec_id""".stripMargin,
+
     // Same recall contract for the PQ tier: the 19 planted clones + the
     // query vector itself are the only cosine-1.0 vectors, so the exact
     // top-20 is this literal set — the ADC scan must carry every one of

@@ -107,6 +107,27 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("composed IVF+PQ+rerank stack keeps the partition prune and full clone recall") {
+    val d = "/root/testdata/sf0.001"
+    val res = graft.queries.Corpus.annIvfPqTopK(spark, d)
+    // the probe stage must still be a planning-time partition filter even
+    // with the PQ encode + ADC shortlist stacked on top
+    val plan = res.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val scans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "expected a FileSourceScanExec")
+    assert(scans.head.partitionFilters.nonEmpty, "cell predicate did not become a partition filter")
+    val selected = scans.head.selectedPartitions.partitionCount
+    assert(selected <= 6, s"probe read $selected cells, expected <= nprobe=6")
+    // and the full literal recall set survives all three tiers
+    val ids = res.as[Long].collect().toSet
+    assert(ids === (Set(0L) ++ (0 until 19).map(i => 1000000L + i)))
+  }
+
   test("embedding near-dup LSH finds the identical pair above threshold") {
     val pairs = Dedup.embeddingNearDups(spark, emb, "vec_id", "embedding",
       threshold = 0.99, bitsPerTable = 4, tables = 2, dim = 4)
