@@ -262,6 +262,50 @@ object HashUtil {
     dot.toDouble / (math.sqrt(vn.toDouble) * math.sqrt(qNorm.toDouble))
   }
 
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  /** md5 hex (lowercase) of every k-token sliding shingle, POSITIONAL (one
+    * slot per start, duplicates kept — unlike [[wordShingles]]' distinct
+    * set): slot i = md5 of tokens i..i+k-1 joined by a single space, byte-
+    * identical to SQL md5(array_to_string(...)). One fused pass hashing
+    * token bytes directly — no intermediate shingle strings, no interpreted
+    * slice/array_join/transform lambdas (which evaluate a Column tree per
+    * position and cost ~50x this kernel). */
+  def shingleHashes(tokens: ArrayData, k: Int): ArrayData = {
+    val n = tokens.numElements()
+    val m = n - k + 1
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val md = md5Digest.get()
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      md.reset()
+      var j = 0
+      while (j < k) {
+        if (j > 0) md.update(' '.toByte)
+        if (!tokens.isNullAt(i + j)) md.update(tokens.getUTF8String(i + j).getBytes)
+        j += 1
+      }
+      val dig = md.digest()
+      val hex = new Array[Char](32)
+      var b = 0
+      while (b < 16) {
+        hex(b * 2) = HexChars((dig(b) >> 4) & 0xf)
+        hex(b * 2 + 1) = HexChars(dig(b) & 0xf)
+        b += 1
+      }
+      out(i) = UTF8String.fromString(new String(hex))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** The driver-side twin of [[int8Cosine]]'s quantization step, used to
     * quantize the query vector once with the identical arithmetic. */
   def int8Quantize(v: Array[Float]): Array[Long] = {

@@ -159,6 +159,21 @@ case class HyperplaneSigExpr(child: Expression, planes: Array[Array[Double]])
   override def prettyName: String = "graft_hyperplane_sig"
 }
 
+/** Positional md5-hex shingle hashes (see HashUtil.shingleHashes) — the
+  * span-dedup front door: one fused byte-hashing pass per row replaces an
+  * interpreted transform/slice/array_join/md5 lambda chain. */
+case class ShingleHashesExpr(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.shingleHashes(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.shingleHashes($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_shingle_hashes"
+}
+
 /** Int8-quantized cosine against a pre-quantized query vector (see
   * HashUtil.int8Cosine): per-row symmetric quantization to the int8 domain,
   * exact integer dot/norm sums, one fixed-order IEEE score — bit-identical
@@ -327,6 +342,9 @@ object GraftFunctions {
   /** Int8-quantized cosine vs a driver-quantized query (HashUtil.int8Cosine). */
   def int8Cosine(vec: Column, q: Array[Long], qNorm: Long): Column =
     GraftColumn(Int8CosineExpr(expression(vec), q, qNorm))
+  /** Positional md5-hex k-shingle hashes (HashUtil.shingleHashes). */
+  def shingleHashes(tokens: Column, k: Int): Column =
+    GraftColumn(ShingleHashesExpr(expression(tokens), k))
   /** Per-list token hit counts (array<int>, one slot per list) in one fused
     * scan. At most 32 lists (int bitmask). */
   def listHits(tokens: Column, lists: Seq[Seq[String]]): Column =

@@ -2903,10 +2903,7 @@ object Corpus {
     val toks = TextFunctions.tokens(TextFunctions.normText(col("text")))
     val starts = docs.unionByName(clones)
       .select(col("doc_id"),
-        when(size(toks) >= L,
-          transform(sequence(lit(1), size(toks) - lit(L - 1)),
-            i => md5(array_join(slice(toks, i, lit(L)), " "))))
-          .otherwise(array().cast("array<string>")).as("hs"))
+        graft.functions.GraftFunctions.shingleHashes(toks, L).as("hs"))
       .select(col("doc_id"), posexplode(col("hs")))
       .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("h"))
     val dupHashes = starts.groupBy("h").agg(count(lit(1)).as("n")).filter(col("n") > 1)

@@ -286,6 +286,25 @@ object Scratch {
               "NetDailyQuantity", days = 7, salts = 16, out = "trail7"))
         }
 
+      case "scale8b" =>
+        // Round-8 second-wave spot-check: the new document-grain tier at
+        // 10x sf0.1 (same copy-suffixed staging as scale10 — dup/span
+        // structure per copy matches sf0.1, vocabulary and doc count 10x).
+        val dir10 = ensureStaging10(d)
+        def bench2(label: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+          val times = (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            df.write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(f"[scratch] $label: min ${times.min}%.1fs (passes ${times.map(t => f"$t%.1f").mkString("/")})")
+        }
+        for (q <- Seq("q_tp9_span_dedup", "q_p14_perplexity_mix",
+            "q_ml6_threshold_sweep", "q_p15_group_split", "q_t21_quality_classifier")) {
+          bench2(s"$q sf0.1")(graft.queries.Corpus.all(q)(spark, d))
+          bench2(s"$q 10x")(graft.queries.Corpus.all(q)(spark, dir10))
+        }
+
       case "ml1" =>
         // attribute q_ml1_forecast_kpi cost stage by stage
         import graft.ml.ForecastModels

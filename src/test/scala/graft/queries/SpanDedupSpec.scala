@@ -52,6 +52,30 @@ class SpanDedupSpec extends SparkSpec {
     }
   }
 
+  test("fused shingle-hash kernel equals the naive md5-of-joined-slice path") {
+    import org.apache.spark.sql.functions._
+    val base = graft.Tables.documents(spark, d).limit(50)
+      .select(col("doc_id"),
+        graft.text.TextFunctions.tokens(
+          graft.text.TextFunctions.normText(col("text"))).as("toks"))
+    def collect(c: org.apache.spark.sql.Column): Map[Long, Seq[String]] =
+      base.select(col("doc_id"), c.as("hs")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val naive = collect(
+      when(size(col("toks")) >= L,
+        transform(sequence(lit(1), size(col("toks")) - lit(L - 1)),
+          i => md5(array_join(slice(col("toks"), i, lit(L)), " "))))
+        .otherwise(array().cast("array<string>")))
+    val fused = collect(graft.functions.GraftFunctions.shingleHashes(col("toks"), L))
+    assert(fused === naive)
+    // and codegen vs interpreted agree
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interp =
+      try collect(graft.functions.GraftFunctions.shingleHashes(col("toks"), L))
+      finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    assert(interp === fused)
+  }
+
   test("independent driver-side replay reproduces the exact span set") {
     // recompute shingle multiplicity and island merging from raw normalized
     // text (plain Scala, a completely different construction than the
