@@ -2925,6 +2925,71 @@ object Corpus {
       .orderBy("doc_id", "span_start")
   }
 
+  /** TP10: DUPLICATED-SPAN SCRUBBING — the removal stage that completes
+    * q_tp9's detection (what Lee et al. actually ship): later occurrences
+    * of duplicated text are cut out while the globally-first copy survives.
+    * Policy, exact and order-free: a shingle occurrence is `scrub` iff its
+    * hash occurs elsewhere AND it is not the (doc_id, p)-minimal
+    * occurrence; a TOKEN is dropped iff it is covered by ≥1 scrub window
+    * and by NO novel window (unique or first-occurrence) — i.e. it
+    * survives iff some L-window containing it is novel. Coverage is
+    * computed with a difference array (+1 at p, −1 at p+L) cumulated by
+    * one per-doc window — two running sums share one shuffle+sort — so
+    * there is no token×span range join. The injected clones (pure copied
+    * slices) lose every token; their originals keep every token. Scale
+    * shape: the only corpus-wide exchange is the (hash → first, count)
+    * aggregate joined back (q_tp9's profile); everything after is per-doc.
+    * md5 shingle hashes make the scrub geometry oracle-exact. */
+  def spanScrub(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = 8
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val srcToks = TextFunctions.tokens(TextFunctions.normText(col("text")))
+    val clones = docs
+      .filter(col("doc_id") < 60 && size(srcToks) >= 40)
+      .select((col("doc_id") + 4000000L).as("doc_id"),
+        array_join(slice(srcToks, 11, 30), " ").as("text"))
+    val base = docs.unionByName(clones)
+    val toks = TextFunctions.tokens(TextFunctions.normText(col("text")))
+    val tokRows = base.select(col("doc_id"), posexplode(toks))
+      .select(col("doc_id"), (col("pos") + 1).as("t"), col("col").as("tok"))
+    val starts = base
+      .select(col("doc_id"),
+        posexplode(graft.functions.GraftFunctions.shingleHashes(toks, L)))
+      .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("h"))
+    val firsts = starts.groupBy("h").agg(
+      count(lit(1)).as("n"), min(struct(col("doc_id"), col("p"))).as("first"))
+    val flagged = starts.join(firsts, "h")
+      .withColumn("scrub",
+        col("n") > 1 && struct(col("doc_id"), col("p")) =!= col("first"))
+    val deltas = flagged.select(col("doc_id"), col("p").as("t"),
+        when(col("scrub"), 1).otherwise(0).as("ds"),
+        when(col("scrub"), 0).otherwise(1).as("dn"))
+      .unionByName(flagged.select(col("doc_id"), (col("p") + L).as("t"),
+        when(col("scrub"), -1).otherwise(0).as("ds"),
+        when(col("scrub"), 0).otherwise(-1).as("dn")))
+      .groupBy("doc_id", "t").agg(sum("ds").as("ds"), sum("dn").as("dn"))
+    val w = Window.partitionBy("doc_id").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val covered = tokRows.join(deltas, Seq("doc_id", "t"), "left")
+      .select(col("doc_id"), col("t"), col("tok"),
+        coalesce(col("ds"), lit(0)).as("ds"), coalesce(col("dn"), lit(0)).as("dn"))
+      .withColumn("cs", sum(col("ds")).over(w))
+      .withColumn("cn", sum(col("dn")).over(w))
+      .withColumn("dropped", col("cs") > 0 && col("cn") === 0)
+    covered.groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(!col("dropped"), struct(col("t"), col("tok"))))),
+            c => c.getField("tok")),
+          " ").as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** TP2: the cluster-resolved cleaning pipeline — near-dups collapsed to
     * one representative per connected component (quality gate → exact dedup
     * → Jaccard pair graph → dupClusters → keep cluster minima). Full SQL
@@ -3524,6 +3589,7 @@ object Corpus {
     "q_tp3_clean_decontaminated" -> (cleanCorpusDecontaminated _),
     "q_tp4_passage_dedup" -> (passageDedup _),
     "q_tp9_span_dedup" -> (spanDedup _),
+    "q_tp10_span_scrub" -> (spanScrub _),
     "q_tp5_training_dataset" -> (trainingDataset _),
     "q_tp6_cdc_passage_dedup" -> (cdcPassageDedup _),
     "q_ml1_forecast_kpi" -> (mlForecastKpi _),

@@ -2372,6 +2372,61 @@ object Oracle {
         |FROM sp GROUP BY doc_id, span_id
         |ORDER BY doc_id, span_start""".stripMargin,
 
+    // Mirrors Corpus.spanScrub: same clone injection and shingle hashing as
+    // q_tp9; scrub = non-first occurrence of a duplicated hash (ROW_NUMBER
+    // over (doc_id, p) ≡ Spark's min-struct); the difference-array coverage
+    // cumsums and the keep rule replayed verbatim.
+    "q_tp10_span_scrub" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 4000000,
+        |         array_to_string(
+        |           regexp_extract_all(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\S+')[11:40], ' ')
+        |  FROM documents
+        |  WHERE doc_id < 60
+        |    AND len(regexp_extract_all(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\S+')) >= 40),
+        |t AS (
+        |  SELECT doc_id,
+        |         regexp_extract_all(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\S+') AS toks
+        |  FROM base),
+        |tr AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS t, toks[CAST(i AS INTEGER)] AS tok
+        |  FROM t, unnest(generate_series(1, len(toks))) AS g(i)),
+        |st AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS p,
+        |         md5(array_to_string(toks[CAST(i AS INTEGER) : CAST(i + 7 AS INTEGER)], ' ')) AS h
+        |  FROM t, unnest(generate_series(1, len(toks) - 7)) AS g(i)
+        |  WHERE len(toks) >= 8),
+        |fl AS (
+        |  SELECT doc_id, p,
+        |         (COUNT(*) OVER (PARTITION BY h)) > 1
+        |           AND ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, p) > 1 AS scrub
+        |  FROM st),
+        |dl AS (
+        |  SELECT doc_id, p AS t,
+        |         CASE WHEN scrub THEN 1 ELSE 0 END AS ds,
+        |         CASE WHEN scrub THEN 0 ELSE 1 END AS dn
+        |  FROM fl
+        |  UNION ALL
+        |  SELECT doc_id, p + 8,
+        |         CASE WHEN scrub THEN -1 ELSE 0 END,
+        |         CASE WHEN scrub THEN 0 ELSE -1 END
+        |  FROM fl),
+        |dg AS (SELECT doc_id, t, SUM(ds) AS ds, SUM(dn) AS dn FROM dl GROUP BY 1, 2),
+        |cv AS (
+        |  SELECT tr.doc_id, tr.t, tr.tok,
+        |         SUM(COALESCE(dg.ds, 0)) OVER (PARTITION BY tr.doc_id ORDER BY tr.t
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+        |         SUM(COALESCE(dg.dn, 0)) OVER (PARTITION BY tr.doc_id ORDER BY tr.t
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn
+        |  FROM tr LEFT JOIN dg ON dg.doc_id = tr.doc_id AND dg.t = tr.t)
+        |SELECT doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(CASE WHEN cs > 0 AND cn = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |       COALESCE(string_agg(tok, ' ' ORDER BY t) FILTER (WHERE NOT (cs > 0 AND cn = 0)), '') AS clean_text
+        |FROM cv GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q_tp1_clean_corpus" -> cleanChainSql(
       """SELECT ex.doc_id, q2.quality
         |FROM ex

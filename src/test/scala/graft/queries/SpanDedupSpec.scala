@@ -52,6 +52,64 @@ class SpanDedupSpec extends SparkSpec {
     }
   }
 
+  test("span scrub: clones fully dropped, kept set equals a driver-side replay") {
+    val rows = Corpus.spanScrub(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val cloneIds = rows.keys.filter(_ >= 4000000L)
+    assert(cloneIds.nonEmpty)
+    cloneIds.foreach { id =>
+      val (n, dropped, text) = rows(id)
+      // a clone is ALWAYS a later occurrence (its original's doc_id
+      // precedes), so every covering window is scrub → all tokens dropped
+      assert(dropped === n && text.isEmpty, s"clone $id kept ${n - dropped} tokens")
+    }
+    // reassembly conservation
+    rows.foreach { case (id, (n, dropped, text)) =>
+      val keptTokens = if (text.isEmpty) 0 else text.split(" ").length
+      assert(keptTokens === (n - dropped).toInt, s"doc $id reassembly mismatch")
+    }
+    // full independent replay in plain Scala: first-occurrence flags +
+    // difference-array coverage, token kept iff some covering window is
+    // novel. (Note: "originals keep everything" would be false — fixture
+    // docs can themselves be partial later copies of earlier docs.)
+    val toks = graft.Tables.documents(spark, d)
+      .selectExpr("doc_id", "regexp_replace(lower(trim(text)), '\\\\s+', ' ') AS n")
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val cloneToks = toks.collect {
+      case (id, ts) if id < 60 && ts.length >= 40 => (id + 4000000L) -> ts.slice(10, 40)
+    }
+    val all = (toks ++ cloneToks).toSeq.sortBy(_._1)
+    val occ = scala.collection.mutable.Map.empty[String, List[(Long, Int)]]
+    all.foreach { case (id, ts) =>
+      if (ts.length >= L) ts.sliding(L).zipWithIndex.foreach { case (sh, i) =>
+        val k = sh.mkString(" ")
+        occ(k) = (id, i + 1) :: occ.getOrElse(k, Nil)
+      }
+    }
+    val firstOf = occ.view.mapValues(v => (v.map(_._1).min, v.filter(_._1 == v.map(_._1).min).map(_._2).min)).toMap
+    val counts = occ.view.mapValues(_.size).toMap
+    val expected = all.map { case (id, ts) =>
+      val cs = new Array[Int](ts.length + L + 2)
+      val cn = new Array[Int](ts.length + L + 2)
+      if (ts.length >= L) ts.sliding(L).zipWithIndex.foreach { case (sh, i0) =>
+        val k = sh.mkString(" ")
+        val p = i0 + 1
+        val scrub = counts(k) > 1 && firstOf(k) != ((id, p))
+        val (a, b) = if (scrub) (cs, cn) else (cn, cs)
+        a(p) += 1; a(p + L) -= 1; val _ = b
+      }
+      var s = 0; var nvl = 0; var droppedN = 0
+      (1 to ts.length).foreach { t =>
+        s += cs(t); nvl += cn(t)
+        if (s > 0 && nvl == 0) droppedN += 1
+      }
+      id -> droppedN.toLong
+    }.toMap
+    rows.foreach { case (id, (_, dropped, _)) =>
+      assert(dropped === expected(id), s"doc $id dropped $dropped, replay says ${expected(id)}")
+    }
+  }
+
   test("fused shingle-hash kernel equals the naive md5-of-joined-slice path") {
     import org.apache.spark.sql.functions._
     val base = graft.Tables.documents(spark, d).limit(50)
