@@ -715,32 +715,25 @@ object Corpus {
     graft.pipeline.CorpusCleaner.cleanClassified(
       s, Tables.documents(s, d), classifierScores(s, d), minScore = 450.0)
 
-  /** The classifier's (doc_id, score) surface shared by q_t21 and q_tp7. */
-  private def classifierScores(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val tf = docs
-      .select(col("doc_id"),
-        explode(TextFunctions.tokens(TextFunctions.normText(col("text")))).as("term"))
-      .withColumn("bucket",
-        (conv(substring(md5(col("term")), 1, 4), 16, 10).cast("long") % 256).cast("int"))
-      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("tf"))
-    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val dfreq = tf.groupBy("bucket").agg(count(lit(1)).as("df"))
-    val feats = tf.join(broadcast(dfreq), Seq("bucket"))
-      .crossJoin(broadcast(nDocs))
-      .withColumn("w_micro",
-        floor(col("tf").cast("double") *
-          log((col("n_docs") + 1).cast("double") / (col("df") + 1).cast("double")) *
-          lit(1e6)).cast("long"))
-      .groupBy("doc_id")
-      .agg(sum(col("w_micro")).as("x1"),
-        count(lit(1)).as("x2"),
-        max(col("w_micro")).as("x3"))
-      .localCheckpoint(true) // feeds the fit AND the scoring pass
-    // Fit once per (session, sf) — the trainedMerges discipline: the model
-    // IS driver state (4 doubles), so repeat scorings (q_t21, q_tp7, bench
-    // re-runs) skip the label scan + stats aggregate entirely.
-    val bs = betasCache.getOrElseUpdate((s, d), {
+  /** The FROZEN classifier model: betas + the corpus-wide df table (256
+    * rows) + n_docs. This is what production ships to the scoring tier —
+    * per-doc features depend only on the doc's own tokens plus these
+    * frozen statistics, so any slice (a micro-batch, a new shard) scores
+    * identically to a full-corpus pass. */
+  private case class DocClassifier(betas: Seq[Double], dfreq: Seq[(Int, Long)], nDocs: Long)
+
+  /** Fit once per (session, sf) — the trainedMerges discipline: the model
+    * IS driver state (4 betas + 256 df rows + 1 count), so repeat scorings
+    * (q_t21, q_tp7, q_e13, bench re-runs) skip the label scan + stats
+    * aggregate entirely. */
+  private def classifierModel(s: SparkSession, d: String): DocClassifier =
+    modelCache.getOrElseUpdate((s, d), {
+      val docs = Tables.documents(s, d)
+      val tf = bucketTf(docs)
+      val nDocs = docs.count()
+      val dfreq = tf.groupBy("bucket").agg(count(lit(1)).as("df"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+      val feats = docFeatures(s, docs, dfreq, nDocs).localCheckpoint(true)
       val labeled = docs
         .select(col("doc_id"),
           floor(TextFunctions.qualityScore(col("text")) * 1000).cast("long").as("label_milli"))
@@ -751,20 +744,92 @@ object Corpus {
         labeled, Seq.empty, Seq(col("x1"), col("x2"), col("x3")),
         col("label_milli"), lambda = 10L)
         .select("beta_0", "beta_1", "beta_2", "beta_3").head()
-      (0 until 4).map(row.getDouble)
+      DocClassifier((0 until 4).map(row.getDouble), dfreq, nDocs)
     })
-    docs.select("doc_id")
-      .join(feats, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("x1", "x2", "x3"))
-      .withColumns(Map(
-        "beta_0" -> lit(bs(0)), "beta_1" -> lit(bs(1)),
-        "beta_2" -> lit(bs(2)), "beta_3" -> lit(bs(3))))
-      .selectExpr("doc_id", s"$ClassifierScoreExpr AS score")
+
+  private def bucketTf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(TextFunctions.normText(col("text")))).as("term"))
+      .withColumn("bucket",
+        (conv(substring(md5(col("term")), 1, 4), 16, 10).cast("long") % 256).cast("int"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("tf"))
+
+  /** (x1, x2, x3) per doc from the doc's own tokens + the frozen stats. */
+  private def docFeatures(
+      s: SparkSession, docs: DataFrame, dfreq: Seq[(Int, Long)], nDocs: Long): DataFrame = {
+    import s.implicits._
+    val dfTable = dfreq.toDF("bucket", "df")
+    bucketTf(docs).join(broadcast(dfTable), Seq("bucket"))
+      .withColumn("w_micro",
+        floor(col("tf").cast("double") *
+          log(lit(nDocs + 1).cast("double") / (col("df") + 1).cast("double")) *
+          lit(1e6)).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum(col("w_micro")).as("x1"),
+        count(lit(1)).as("x2"),
+        max(col("w_micro")).as("x3"))
   }
 
-  /** The fitted classifier per (session, sf) — 4 doubles of driver state
-    * (the bpeMergeCache discipline). */
-  private val betasCache = TrieMap.empty[(SparkSession, String), Seq[Double]]
+  /** Score any doc slice with the frozen model (stateless — the q_e13
+    * streaming scorer applies this per micro-batch). */
+  private def scoreWithModel(s: SparkSession, docs: DataFrame, m: DocClassifier): DataFrame =
+    docs.select("doc_id")
+      .join(docFeatures(s, docs, m.dfreq, m.nDocs), Seq("doc_id"), "left")
+      .na.fill(0L, Seq("x1", "x2", "x3"))
+      .withColumns(Map(
+        "beta_0" -> lit(m.betas(0)), "beta_1" -> lit(m.betas(1)),
+        "beta_2" -> lit(m.betas(2)), "beta_3" -> lit(m.betas(3))))
+      .selectExpr("doc_id", s"$ClassifierScoreExpr AS score")
+
+  /** The classifier's (doc_id, score) surface shared by q_t21 and q_tp7. */
+  private def classifierScores(s: SparkSession, d: String): DataFrame =
+    scoreWithModel(s, Tables.documents(s, d), classifierModel(s, d))
+
+  private val modelCache = TrieMap.empty[(SparkSession, String), DocClassifier]
+
+  /** E13: STREAMING CLASSIFIER SCORING — train offline, score the ingest
+    * stream: the frozen q_t21 model (betas + df table + n_docs, pure
+    * driver state) scores ordered single-file document micro-batches
+    * STATELESSLY in foreachBatch, with the batchId-derived idempotent sink
+    * (q_e8's exactly-once recipe). Because per-doc features depend only on
+    * the doc's own tokens plus the frozen statistics, incremental ≡ batch
+    * bit-for-bit — the query shares q_t21's oracle verbatim. This is the
+    * deployment shape of every quality gate at 100 TB: the model never
+    * re-fits on the serving path, and scoring parallelizes per batch with
+    * no cross-batch state at all. */
+  def streamedClassifierScores(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.{Dataset, Row}
+    val model = classifierModel(s, d)
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_cls").toString
+    val parts = (0 until 3).map(k => docs.filter(col("doc_id") % 3 === k))
+    val t0 = java.lang.System.currentTimeMillis() - 600000
+    parts.zipWithIndex.foreach { case (df, i) =>
+      val dir = s"$root/in/p$i"
+      df.coalesce(1).write.parquet(dir)
+      new java.io.File(dir).listFiles().foreach(_.setLastModified(t0 + i * 60000L))
+    }
+    val applyBatch: (Dataset[Row], Long) => Unit = (batch, id) => {
+      if (!batch.isEmpty) {
+        scoreWithModel(s, batch.toDF(), model)
+          .select(col("doc_id"), col("score"),
+            (col("score") >= lit(450.0)).as("kept"))
+          .write.mode("overwrite").parquet(s"$root/out/b$id")
+      }
+    }
+    val q = s.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$root/in/p*")
+      .writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch(applyBatch)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.read.parquet(s"$root/out/b*").orderBy("doc_id")
+  }
 
   /** P13: TEMPERATURE-BASED SOURCE MIXING — the multilingual/multi-source
     * balancing stage (α-sampling): per-source sampling weights w_s ∝
@@ -3522,6 +3587,7 @@ object Corpus {
     "q_e8_stream_merge" -> (streamedMerge _),
     "q_e11_stream_dedup_store" -> (streamedIncrementalDedup _),
     "q_e12_stream_countmin" -> (streamedCountMin _),
+    "q_e13_stream_classify" -> (streamedClassifierScores _),
     "q_e9_funnel" -> (eventFunnel _),
     "q_a24_ab_test" -> (abTest _),
     "q_a25_countmin" -> (countMinUsers _),

@@ -1303,6 +1303,14 @@ object Oracle {
          |SELECT doc_id, score, score >= 450.0 AS kept
          |FROM scored ORDER BY doc_id""".stripMargin,
 
+    // q_e13 shares q_t21's oracle verbatim: scoring with the frozen model
+    // is stateless, so the streamed micro-batches reproduce the batch pass
+    // bit-for-bit.
+    "q_e13_stream_classify" ->
+      s"""WITH $classifierCtes
+         |SELECT doc_id, score, score >= 450.0 AS kept
+         |FROM scored ORDER BY doc_id""".stripMargin,
+
     // Mirrors Corpus.classifierThresholdSweep: the classifier CTEs' scored
     // surface joined to heuristic labels on the held-out md5 folds (1-4),
     // exact confusion counts per threshold, and the identical fixed-order

@@ -181,6 +181,18 @@ class StreamingSpec extends SparkSpec {
     streamed.zip(batch).foreach { case (sr, br) => assert(sr === br) }
   }
 
+  test("streaming classifier scoring equals the batch pass bit-for-bit") {
+    // frozen-model scoring is stateless, so the micro-batched stream must
+    // reproduce q_t21's scores exactly (same doc set, same score bits)
+    val d = "/root/testdata/sf0.001"
+    val batch = graft.queries.Corpus.all("q_t21_quality_classifier")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    val streamed = graft.queries.Corpus.streamedClassifierScores(spark, d)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    assert(streamed.length === batch.length)
+    streamed.zip(batch).foreach { case (sr, br) => assert(sr === br) }
+  }
+
   test("batch session_window agrees with the stateful operator's grouping") {
     val batch = Seq(
       Event(1, ts(0), "click", 1.0),
