@@ -286,6 +286,33 @@ object Scratch {
               "NetDailyQuantity", days = 7, salts = 16, out = "trail7"))
         }
 
+      case "bpe1k" =>
+        // The 32k-vocabulary trajectory demo: greedy batching with a wide
+        // pool over MANY rounds on the 10x corpus — merges must keep
+        // outpacing jobs by a wide margin as the vocabulary grows (the
+        // whole point of batched rounds: job count is O(rounds), never
+        // O(merges)).
+        val dirV = ensureStaging10(d)
+        for ((rounds, poolK) <- Seq((64, 512), (128, 512))) {
+          val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+          val listener = new org.apache.spark.scheduler.SparkListener {
+            override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+              jobs.incrementAndGet()
+          }
+          spark.sparkContext.addSparkListener(listener)
+          val t0 = System.nanoTime()
+          val m = try {
+            val r = graft.text.BpeTrain.trainBatched(
+              Tables.documents(spark, dirV), "text",
+              rounds = rounds, poolK = poolK, greedy = true).collect()
+            Thread.sleep(500)
+            r
+          } finally spark.sparkContext.removeSparkListener(listener)
+          println(f"[scratch] bpe1k rounds=$rounds poolK=$poolK: ${m.length}%d merges / " +
+            f"${jobs.get()}%d jobs in ${(System.nanoTime() - t0) / 1e9}%.1fs " +
+            f"(${m.length.toDouble / jobs.get()}%.1f merges/job)")
+        }
+
       case "scale8b" =>
         // Round-8 second-wave spot-check: the new document-grain tier at
         // 10x sf0.1 (same copy-suffixed staging as scale10 — dup/span
