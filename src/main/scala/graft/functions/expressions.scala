@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftColumn, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
 
 /** Custom Catalyst expressions for the operators where a single-pass native
   * kernel beats composing built-ins: content fingerprints, SimHash sketches,
@@ -163,6 +163,18 @@ case class HyperplaneSigExpr(child: Expression, planes: Array[Array[Double]])
   * span-dedup front door: one fused byte-hashing pass per row replaces an
   * interpreted transform/slice/array_join/md5 lambda chain. */
 case class ShingleHashesExpr(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"shingle width must be >= 1, got $k")
+  // Analysis-time input check (the BpeMergeExpr discipline): fail with a
+  // clear error instead of a runtime ClassCastException.
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_shingle_hashes requires array<string> input, got ${other.sql}")
+    }
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override protected def nullSafeEval(input: Any): Any =
     HashUtil.shingleHashes(
@@ -181,6 +193,17 @@ case class ShingleHashesExpr(child: Expression, k: Int) extends UnaryExpression 
   * injected via addReferenceObj, so the whole kernel whole-stage-codegens. */
 case class Int8CosineExpr(child: Expression, q: Array[Long], qNorm: Long)
     extends UnaryExpression {
+  // Analysis-time input check: the kernel reads float elements, so any
+  // other element type must fail at analysis, not with a runtime CCE.
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_int8_cosine requires array<float> input, got ${other.sql}")
+    }
   override def dataType: DataType = DoubleType
   override protected def nullSafeEval(input: Any): Any =
     HashUtil.int8Cosine(

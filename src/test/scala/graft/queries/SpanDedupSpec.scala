@@ -134,6 +134,16 @@ class SpanDedupSpec extends SparkSpec {
     assert(interp === fused)
   }
 
+  test("non-array<string> input to the shingle kernel fails at analysis") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val bad = Seq((1L, Seq(1, 2, 3))).toDF("doc_id", "toks") // array<int>
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      bad.select(graft.functions.GraftFunctions.shingleHashes(col("toks"), L)).collect()
+    }
+    assert(ex.getMessage.contains("graft_shingle_hashes requires array<string>"))
+  }
+
   test("independent driver-side replay reproduces the exact span set") {
     // recompute shingle multiplicity and island merging from raw normalized
     // text (plain Scala, a completely different construction than the

@@ -53,6 +53,14 @@ class Int8AnnSpec extends SparkSpec {
     assert(run("CODEGEN_ONLY") === run("NO_CODEGEN"))
   }
 
+  test("non-float input fails at analysis with a clear error") {
+    val bad = Seq((1L, Seq(0.5, 0.25))).toDF("vec_id", "embedding") // array<double>
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      bad.select(GraftFunctions.int8Cosine(col("embedding"), Array(1L, 2L), 5L)).collect()
+    }
+    assert(ex.getMessage.contains("graft_int8_cosine requires array<float>"))
+  }
+
   test("int8 ranking recalls the exact top-20 almost perfectly") {
     val exact = Corpus.annCosineTopK(spark, d).select("vec_id").as[Long].collect().toSet
     val quant = Corpus.annInt8TopK(spark, d).select("vec_id").as[Long].collect().toSet
