@@ -3006,15 +3006,20 @@ object Corpus {
     * aggregate joined back (q_tp9's profile); everything after is per-doc.
     * md5 shingle hashes make the scrub geometry oracle-exact. */
   def spanScrub(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val L = 8
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val srcToks = TextFunctions.tokens(TextFunctions.normText(col("text")))
     val clones = docs
       .filter(col("doc_id") < 60 && size(srcToks) >= 40)
       .select((col("doc_id") + 4000000L).as("doc_id"),
         array_join(slice(srcToks, 11, 30), " ").as("text"))
-    val base = docs.unionByName(clones)
+    spanScrubCore(docs.unionByName(clones))
+  }
+
+  /** The q_tp10 scrub over any (doc_id, text) frame — also the stage-0 of
+    * the q_tp11 composition. */
+  private def spanScrubCore(base: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = 8
     val toks = TextFunctions.tokens(TextFunctions.normText(col("text")))
     val tokRows = base.select(col("doc_id"), posexplode(toks))
       .select(col("doc_id"), (col("pos") + 1).as("t"), col("col").as("tok"))
@@ -3053,6 +3058,19 @@ object Corpus {
             c => c.getField("tok")),
           " ").as("clean_text"))
       .orderBy("doc_id")
+  }
+
+  /** TP11: SCRUB-THEN-CLEAN — the q_tp10 span scrub (first copy survives,
+    * later copies cut) run as stage 0 of the tp1 cleaning chain: quality
+    * gate → exact dedup → near-dup removal over the SCRUBBED text. This is
+    * the order real pipelines use — substring-level dedup first, so the
+    * doc-level quality and near-dup signals are computed on text that no
+    * longer carries boilerplate copies. One composed SQL oracle gates the
+    * whole lineage (the scrub CTEs feed the shared clean chain). */
+  def cleanCorpusScrubbed(s: SparkSession, d: String): DataFrame = {
+    val scrubbed = spanScrubCore(Tables.documents(s, d).select("doc_id", "text"))
+      .select(col("doc_id"), col("clean_text").as("text"))
+    graft.pipeline.CorpusCleaner.clean(s, scrubbed)
   }
 
   /** TP2: the cluster-resolved cleaning pipeline — near-dups collapsed to
@@ -3656,6 +3674,7 @@ object Corpus {
     "q_tp4_passage_dedup" -> (passageDedup _),
     "q_tp9_span_dedup" -> (spanDedup _),
     "q_tp10_span_scrub" -> (spanScrub _),
+    "q_tp11_clean_scrubbed" -> (cleanCorpusScrubbed _),
     "q_tp5_training_dataset" -> (trainingDataset _),
     "q_tp6_cdc_passage_dedup" -> (cdcPassageDedup _),
     "q_ml1_forecast_kpi" -> (mlForecastKpi _),

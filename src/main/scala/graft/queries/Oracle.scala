@@ -2435,6 +2435,57 @@ object Oracle {
         |       COALESCE(string_agg(tok, ' ' ORDER BY t) FILTER (WHERE NOT (cs > 0 AND cn = 0)), '') AS clean_text
         |FROM cv GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // Mirrors Corpus.cleanCorpusScrubbed (q_tp11): the q_tp10 scrub chain
+    // (no clone injection — the natural corpus) feeding the shared tp1
+    // clean chain over the scrubbed text. CTEs are sc_-prefixed to avoid
+    // colliding with the quality/dedup chain's names.
+    "q_tp11_clean_scrubbed" -> cleanChainSql(
+      """SELECT ex.doc_id, q2.quality
+        |FROM ex
+        |JOIN q q2 ON q2.doc_id = ex.doc_id
+        |WHERE ex.doc_id NOT IN (SELECT doc_id FROM removed)
+        |ORDER BY ex.doc_id""".stripMargin,
+      src = "scrubbed",
+      pre = """sc_t AS (
+        |  SELECT doc_id,
+        |         regexp_extract_all(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\S+') AS toks
+        |  FROM documents),
+        |sc_tr AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS t, toks[CAST(i AS INTEGER)] AS tok
+        |  FROM sc_t, unnest(generate_series(1, len(toks))) AS g(i)),
+        |sc_st AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS p,
+        |         md5(array_to_string(toks[CAST(i AS INTEGER) : CAST(i + 7 AS INTEGER)], ' ')) AS h
+        |  FROM sc_t, unnest(generate_series(1, len(toks) - 7)) AS g(i)
+        |  WHERE len(toks) >= 8),
+        |sc_fl AS (
+        |  SELECT doc_id, p,
+        |         (COUNT(*) OVER (PARTITION BY h)) > 1
+        |           AND ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, p) > 1 AS scrub
+        |  FROM sc_st),
+        |sc_dl AS (
+        |  SELECT doc_id, p AS t,
+        |         CASE WHEN scrub THEN 1 ELSE 0 END AS ds,
+        |         CASE WHEN scrub THEN 0 ELSE 1 END AS dn
+        |  FROM sc_fl
+        |  UNION ALL
+        |  SELECT doc_id, p + 8,
+        |         CASE WHEN scrub THEN -1 ELSE 0 END,
+        |         CASE WHEN scrub THEN 0 ELSE -1 END
+        |  FROM sc_fl),
+        |sc_dg AS (SELECT doc_id, t, SUM(ds) AS ds, SUM(dn) AS dn FROM sc_dl GROUP BY 1, 2),
+        |sc_cv AS (
+        |  SELECT tr.doc_id, tr.t, tr.tok,
+        |         SUM(COALESCE(dg.ds, 0)) OVER (PARTITION BY tr.doc_id ORDER BY tr.t
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+        |         SUM(COALESCE(dg.dn, 0)) OVER (PARTITION BY tr.doc_id ORDER BY tr.t
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn
+        |  FROM sc_tr tr LEFT JOIN sc_dg dg ON dg.doc_id = tr.doc_id AND dg.t = tr.t),
+        |scrubbed AS (
+        |  SELECT doc_id,
+        |         COALESCE(string_agg(tok, ' ' ORDER BY t) FILTER (WHERE NOT (cs > 0 AND cn = 0)), '') AS text
+        |  FROM sc_cv GROUP BY doc_id)""".stripMargin),
+
     "q_tp1_clean_corpus" -> cleanChainSql(
       """SELECT ex.doc_id, q2.quality
         |FROM ex

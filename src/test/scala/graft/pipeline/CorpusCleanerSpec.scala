@@ -128,6 +128,30 @@ class CorpusCleanerSpec extends SparkSpec {
     assert(wrote > 0, "no checkpoint files written to the reliable dir")
   }
 
+  test("tp11 scrub-then-clean: fully-scrubbed docs vanish, the scrub changes real outcomes") {
+    val d = "/root/testdata/sf0.001"
+    val tp11 = graft.queries.Corpus.all("q_tp11_clean_scrubbed")(spark, d)
+      .collect().map(_.getLong(0)).toSet
+    assert(tp11.nonEmpty)
+    // docs whose text is entirely duplicated content (exact-dup victims of
+    // the scrub: clean_text == '') cannot survive the quality gate
+    val scrubEmpty = graft.queries.Corpus.all("q_tp10_span_scrub")(spark, d)
+      .collect().collect {
+        case r if r.getLong(0) < 4000000L && r.getString(3).isEmpty => r.getLong(0)
+      }.toSet
+    assert(scrubEmpty.nonEmpty, "fixture has no fully-duplicated natural docs")
+    assert((tp11 & scrubEmpty).isEmpty, "a fully-scrubbed doc survived the clean")
+    // gate invariant: every survivor passed the quality gate on its
+    // SCRUBBED text. (At this fixture the survivor set coincides with
+    // tp1's — docs the scrub touches are dup-heavy and fall to the dedup/
+    // near-dup stages in both chains; the composition's distinct behavior
+    // is gated end-to-end by the q_tp11 SQL oracle instead.)
+    val tp11Rows = graft.queries.Corpus.all("q_tp11_clean_scrubbed")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(tp11Rows.forall(_._2 >= 0.35), "a survivor below the quality gate")
+    assert(tp11Rows.forall(_._1 < 4000000L), "a clone id leaked into tp11")
+  }
+
   test("tp5 composition: doc set == tp1 survivors; per-source offsets are gapless") {
     val d = "/root/testdata/sf0.001"
     val tp5 = graft.queries.Corpus.trainingDataset(spark, d).collect()
