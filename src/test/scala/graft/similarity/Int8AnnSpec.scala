@@ -53,6 +53,20 @@ class Int8AnnSpec extends SparkSpec {
     assert(run("CODEGEN_ONLY") === run("NO_CODEGEN"))
   }
 
+  test("ranking plan is scan -> codegen kernel -> TakeOrdered, no shuffle") {
+    val plan = Corpus.annInt8TopK(spark, d).queryExecution.executedPlan
+    val unwrapped = plan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    assert(unwrapped.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.nonEmpty, "expected TakeOrderedAndProject (per-partition heaps + driver merge)")
+    assert(unwrapped.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty, "int8 scan must not shuffle — the kernel is map-side")
+  }
+
   test("non-float input fails at analysis with a clear error") {
     val bad = Seq((1L, Seq(0.5, 0.25))).toDF("vec_id", "embedding") // array<double>
     val ex = intercept[org.apache.spark.sql.AnalysisException] {
