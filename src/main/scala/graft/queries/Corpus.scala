@@ -2598,6 +2598,85 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** The injected crawl-shape fixtures for the Gopher rule set (the
+    * synthetic corpus is single-line word streams, so bullet lists,
+    * ellipsis endings, symbol spam, and short/numeric/long-word
+    * pathologies are planted — the q_t7/q_t22 injection construction):
+    * ids 4200000+ cover one pass-everything prose doc and one targeted
+    * violation per rule. */
+  private def gopherSamples(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      (4200000L, "the quick brown fox jumps over the lazy dog and then walks " +
+        "to the river of glass that shines have you seen it with your own " +
+        "eyes before the morning light fades away and the water runs clear " +
+        "beneath the old stone bridge where children play their games during " +
+        "long summer days that seem to last forever until dusk settles in"),
+      (4200001L, "intro line\n- alpha item one\n- beta item two\n- gamma item three\n" +
+        "- delta item four\n- epsilon item five\n- zeta item six\n- eta item seven\n" +
+        "- theta item eight\n- iota item nine"),
+      (4200002L, "first thought trails off ...\nsecond line is fine here\n" +
+        "third one also ends ...\nfourth stays normal"),
+      (4200003L, "# header # tag # more # hash # series # of # markers " +
+        "# everywhere # in # this # doc"),
+      (4200004L, "too short to pass"),
+      (4200005L, "12345 67890 11111 22222 33333 44444 55555 66666 77777 88888 99999 00000"),
+      (4200006L, "extraordinarily incomprehensibilities institutionalization " +
+        "internationalization characteristically disproportionately"))
+      .toDF("doc_id", "text")
+  }
+
+  /** T24: GOPHER QUALITY RULES (Rae et al. 2021, Appendix A) — the
+    * heuristic document gate every pre-training pipeline runs before the
+    * model-based filters: word-count bounds, mean-word-length bounds,
+    * symbol-to-word ratio, bullet-line and ellipsis-line fractions,
+    * alpha-word fraction, and a minimum-distinct-stopword requirement.
+    * Every rule is evaluated as an INTEGER cross-multiplication
+    * (3·n ≤ Σlen ≤ 10·n instead of a float mean), so the gate involves no
+    * IEEE arithmetic at all and replays bit-exactly in any engine; counts
+    * come from one codegen'd regexp/token scan per signal (no UDFs, no
+    * higher-order lambdas). Threshold orientation (strict `<` on the
+    * ratio caps, inclusive bounds on counts) follows the paper's "remove
+    * documents that ..." wording. */
+  def gopherRules(s: SparkSession, d: String): DataFrame = {
+    val txt = col("text")
+    val toks = TextFunctions.tokens(txt)
+    val nWords = size(toks).cast("long")
+    // Σ word length without a per-token lambda: every non-whitespace char
+    // belongs to exactly one token.
+    val sumWlen = length(regexp_replace(txt, "\\s+", "")).cast("long")
+    val nSym = size(regexp_extract_all(txt, lit("#|\\.\\.\\."), lit(0))).cast("long")
+    val nLines = size(split(txt, "\n")).cast("long")
+    val nBullet = size(regexp_extract_all(txt, lit("(?m)^[ \\t]*[-*] "), lit(0))).cast("long")
+    val nEll = size(regexp_extract_all(txt, lit("(?m)\\.\\.\\.$"), lit(0))).cast("long")
+    val nAlpha = size(regexp_extract_all(txt, lit("[^\\s]*\\p{L}[^\\s]*"), lit(0))).cast("long")
+    val lt = TextFunctions.tokens(lower(txt))
+    val nStop = GopherStopwords
+      .map(w => array_contains(lt, w).cast("int"))
+      .reduce(_ + _).cast("long")
+    val sig = Tables.documents(s, d).select("doc_id", "text")
+      .unionByName(gopherSamples(s))
+      .select(col("doc_id"),
+        nWords.as("n_words"), sumWlen.as("sum_wlen"), nSym.as("n_symbols"),
+        nLines.as("n_lines"), nBullet.as("n_bullet_lines"),
+        nEll.as("n_ellipsis_lines"), nAlpha.as("n_alpha_words"),
+        nStop.as("n_stopword_kinds"))
+    val pass =
+      col("n_words").between(50L, 100000L) &&
+      (col("sum_wlen") >= col("n_words") * 3) && (col("sum_wlen") <= col("n_words") * 10) &&
+      (col("n_symbols") * 10 < col("n_words")) &&
+      (col("n_bullet_lines") * 10 < col("n_lines") * 9) &&
+      (col("n_ellipsis_lines") * 10 < col("n_lines") * 3) &&
+      (col("n_alpha_words") * 10 > col("n_words") * 8) &&
+      (col("n_stopword_kinds") >= 2)
+    sig.withColumn("pass_gopher", pass).orderBy("doc_id")
+  }
+
+  /** Gopher's stopword-presence list (the paper's 8 words; distinct-kind
+    * presence, not token frequency). */
+  private[queries] val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   /** T8: repetition signals (the Gopher-style quality filters): duplicate-
     * token fraction and duplicate-char-5-gram fraction, plus the gate flag.
     * High repetition marks boilerplate/generated text — the standard
@@ -3592,6 +3671,7 @@ object Corpus {
     "q_tp7_clean_classified" -> (cleanCorpusClassified _),
     "q_t22_markup_strip" -> (markupStrip _),
     "q_t23_domain_curation" -> (domainCuration _),
+    "q_t24_gopher_rules" -> (gopherRules _),
     "q_tp8_clean_stripped" -> (cleanCorpusStripped _),
     "q_t19_bpe_encode" -> (bpeEncodeCounts _),
     "q_t20_bpe_vocab" -> (bpeVocab _),

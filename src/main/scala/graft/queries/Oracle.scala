@@ -300,6 +300,31 @@ object Oracle {
       |    (4100002, '<div class="x">nested <b>bold</b>&nbsp;text</div> tail &quot;quoted&quot;')
       |  ) AS v(doc_id, text))""".stripMargin
 
+  /** q_t24: the documents table plus the injected Gopher fixtures —
+    * multi-line strings assembled with chr(10) so the SQL literal carries
+    * the identical bytes as the Scala fixture. */
+  private val gopherBaseCte: String =
+    """gbase AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT CAST(v.doc_id AS BIGINT), v.text FROM (VALUES
+      |    (4200000, 'the quick brown fox jumps over the lazy dog and then walks to the river of glass that shines have you seen it with your own eyes before the morning light fades away and the water runs clear beneath the old stone bridge where children play their games during long summer days that seem to last forever until dusk settles in'),
+      |    (4200001, 'intro line' || chr(10) || '- alpha item one' || chr(10) || '- beta item two' || chr(10) || '- gamma item three' || chr(10) || '- delta item four' || chr(10) || '- epsilon item five' || chr(10) || '- zeta item six' || chr(10) || '- eta item seven' || chr(10) || '- theta item eight' || chr(10) || '- iota item nine'),
+      |    (4200002, 'first thought trails off ...' || chr(10) || 'second line is fine here' || chr(10) || 'third one also ends ...' || chr(10) || 'fourth stays normal'),
+      |    (4200003, '# header # tag # more # hash # series # of # markers # everywhere # in # this # doc'),
+      |    (4200004, 'too short to pass'),
+      |    (4200005, '12345 67890 11111 22222 33333 44444 55555 66666 77777 88888 99999 00000'),
+      |    (4200006, 'extraordinarily incomprehensibilities institutionalization internationalization characteristically disproportionately')
+      |  ) AS v(doc_id, text))""".stripMargin
+
+  /** q_t24: distinct-stopword-kind count — one list_contains per Gopher
+    * stopword over the lowercased token list (mirrors the Scala
+    * array_contains sum). */
+  private val gopherStopSql: String =
+    graft.queries.Corpus.GopherStopwords
+      .map(w => s"CASE WHEN list_contains(regexp_extract_all(lower(text), '\\S+'), '$w') THEN 1 ELSE 0 END")
+      .mkString("(", " + ", ")")
+
   /** q_t18: replay the BPE training rounds in SQL. Each word type rides as
     * ONE string of chr(1)<sym>chr(2)-wrapped segments, so DuckDB's plain
     * non-overlapping leftmost replace() IS the greedy BPE merge (adjacent
@@ -1400,6 +1425,32 @@ object Oracle {
         |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rk
         |  FROM ok)
         |SELECT doc_id, domain, rk FROM rk WHERE rk <= 5 ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Corpus.gopherRules: same injected fixtures (newlines as
+    // chr(10) concatenation), same RE2 count regexes, and the same
+    // integer cross-multiplied rule set — no IEEE arithmetic anywhere.
+    "q_t24_gopher_rules" ->
+      s"""WITH $gopherBaseCte,
+         |sig AS (
+         |  SELECT doc_id,
+         |         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words,
+         |         CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS sum_wlen,
+         |         CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT) AS n_symbols,
+         |         CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+         |         CAST(len(regexp_extract_all(text, '(?m)^[ \\t]*[-*] ')) AS BIGINT) AS n_bullet_lines,
+         |         CAST(len(regexp_extract_all(text, '(?m)\\.\\.\\.$$')) AS BIGINT) AS n_ellipsis_lines,
+         |         CAST(len(regexp_extract_all(text, '[^\\s]*\\p{L}[^\\s]*')) AS BIGINT) AS n_alpha_words,
+         |         CAST($gopherStopSql AS BIGINT) AS n_stopword_kinds
+         |  FROM gbase)
+         |SELECT *,
+         |       (n_words BETWEEN 50 AND 100000
+         |        AND sum_wlen >= n_words * 3 AND sum_wlen <= n_words * 10
+         |        AND n_symbols * 10 < n_words
+         |        AND n_bullet_lines * 10 < n_lines * 9
+         |        AND n_ellipsis_lines * 10 < n_lines * 3
+         |        AND n_alpha_words * 10 > n_words * 8
+         |        AND n_stopword_kinds >= 2) AS pass_gopher
+         |FROM sig ORDER BY doc_id""".stripMargin,
 
     // Mirrors Corpus.groupSplit: same synthesized URL and regexp domain,
     // fold = hex32(md5(domain)) mod 5 — the group-keyed split.

@@ -70,4 +70,28 @@ class CorpusSpec extends SparkSpec {
       if (tp + fn > 0) assert(math.abs(rec - tp.toDouble / (tp + fn)) < 1e-12)
     }
   }
+
+  test("gopher rules: each planted pathology fails exactly its intended rule") {
+    val df = Corpus.all("q_t24_gopher_rules")(spark, "/root/testdata/sf0.001")
+      .filter(org.apache.spark.sql.functions.col("doc_id") >= 4200000L)
+    val byId = df.collect().map { r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8), r.getBoolean(9))
+    }.toMap
+    assert(byId.keySet === (4200000L to 4200006L).toSet)
+    // prose control: every rule passes
+    assert(byId(4200000L)._9, "control prose doc should pass all rules")
+    // every pathology fails the gate
+    (4200001L to 4200006L).foreach(id => assert(!byId(id)._9, s"$id should fail"))
+    // bullet doc: 9 of 10 lines bulleted — exactly the >=90% boundary
+    val (_, _, _, bLines, bBullets, _, _, _, _) = byId(4200001L)
+    assert(bLines === 10L && bBullets === 9L)
+    // ellipsis doc, hand-computed signals
+    assert(byId(4200002L) ===
+      ((18L, 80L, 2L, 4L, 0L, 2L, 16L, 0L, false)))
+    // numeric doc: zero alpha words; long-word doc: mean word length > 10
+    assert(byId(4200005L)._7 === 0L)
+    val (lw, lSum, _, _, _, _, _, _, _) = byId(4200006L)
+    assert(lSum > lw * 10)
+  }
 }
