@@ -2677,6 +2677,62 @@ object Corpus {
   private[queries] val GopherStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** The injected messy-URL fixtures (hand-built case/port/param/slash
+    * pathologies; 4300003 canonicalizes INTO 4300000's URL so a
+    * cross-fixture dup group exists): ids 4300000+. */
+  private def urlSamples(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      (4300000L, "HTTPS://Site.Example.COM:443//a//b/?utm_source=x&utm_medium=y#frag"),
+      (4300001L, "https://site.example.com/a/b?id=2&utm_campaign=z"),
+      (4300002L, "http://host.example.com:80/x/"),
+      (4300003L, "https://site.example.com//a/b/"))
+      .toDF("doc_id", "url_raw")
+  }
+
+  /** T25: URL CANONICALIZATION + CANONICAL-URL DEDUP — the crawl
+    * front-door pass before any content fetch or text dedup: raw crawl
+    * URLs that differ only in case, default ports, `utm_*` tracking
+    * params, fragments, or duplicate/trailing slashes name the SAME
+    * resource, and deduping on the canonical form removes refetches at
+    * zero content cost. Messy raw URLs are synthesized deterministically
+    * from doc_id (the corpus has none): host keys off doc_id DIV 2, so
+    * each even/odd pair names one resource through two differently-messy
+    * URLs — the canonical group structure is known by construction.
+    * Canonicalization is [[TextFunctions.canonicalUrl]] (pure regexp,
+    * oracle-mirrored); dedup is one window over the canonical key (a
+    * single hash shuffle; group sizes are bounded by construction — at
+    * crawl scale canonical-URL groups are small, so no skew handling is
+    * needed where content-hash dedup would salt). */
+  def urlCanonicalDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val id = col("doc_id")
+    // Integer division, NOT (id / 2).cast("long"): Spark's double-cast
+    // truncates but DuckDB's rounds — DIV is exact in both engines.
+    val half = expr("doc_id DIV 2")
+    val schemeHost = when(id % 5 === 0,
+      concat(lit("HTTPS://WWW.SITE"), (half % 40).cast("string"),
+        lit(".EXAMPLE.COM")))
+      .otherwise(concat(lit("https://www.site"), (half % 40).cast("string"),
+        lit(".example.com")))
+    val raw = concat(
+      schemeHost,
+      when(id % 4 === 0, lit(":443")).otherwise(lit("")),
+      when(id % 2 === 1, lit("/doc//")).otherwise(lit("/doc/")),
+      half.cast("string"),
+      when(id % 11 === 0, lit("/")).otherwise(lit("")),
+      when(id % 3 === 0, lit("?utm_source=feed")).otherwise(lit("")),
+      when(id % 7 === 0, lit("#sec2")).otherwise(lit("")))
+    val w = Window.partitionBy("url_canon")
+    Tables.documents(s, d).select(id, raw.as("url_raw"))
+      .unionByName(urlSamples(s))
+      .withColumn("url_canon", TextFunctions.canonicalUrl(col("url_raw")))
+      .withColumn("keep", col("doc_id") === min("doc_id").over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .select("doc_id", "url_raw", "url_canon", "keep", "group_size")
+      .orderBy("doc_id")
+  }
+
   /** T8: repetition signals (the Gopher-style quality filters): duplicate-
     * token fraction and duplicate-char-5-gram fraction, plus the gate flag.
     * High repetition marks boilerplate/generated text — the standard
@@ -3672,6 +3728,7 @@ object Corpus {
     "q_t22_markup_strip" -> (markupStrip _),
     "q_t23_domain_curation" -> (domainCuration _),
     "q_t24_gopher_rules" -> (gopherRules _),
+    "q_t25_url_canonical" -> (urlCanonicalDedup _),
     "q_tp8_clean_stripped" -> (cleanCorpusStripped _),
     "q_t19_bpe_encode" -> (bpeEncodeCounts _),
     "q_t20_bpe_vocab" -> (bpeVocab _),

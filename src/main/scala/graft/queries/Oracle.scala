@@ -1452,6 +1452,50 @@ object Oracle {
          |        AND n_stopword_kinds >= 2) AS pass_gopher
          |FROM sig ORDER BY doc_id""".stripMargin,
 
+    // Mirrors Corpus.urlCanonicalDedup: same synthesized messy URLs (DIV-2
+    // host key, case/port/slash/param/fragment pathologies keyed off
+    // doc_id mods), the same canonicalization chain (DuckDB's \1 group
+    // syntax vs Spark's $1 — semantically identical), and the same
+    // min/count-per-canonical-key dedup.
+    "q_t25_url_canonical" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |         (CASE WHEN doc_id % 5 = 0
+        |            THEN 'HTTPS://WWW.SITE' || CAST((doc_id // 2) % 40 AS VARCHAR) || '.EXAMPLE.COM'
+        |            ELSE 'https://www.site' || CAST((doc_id // 2) % 40 AS VARCHAR) || '.example.com' END)
+        |         || (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END)
+        |         || (CASE WHEN doc_id % 2 = 1 THEN '/doc//' ELSE '/doc/' END)
+        |         || CAST(doc_id // 2 AS VARCHAR)
+        |         || (CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '' END)
+        |         || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed' ELSE '' END)
+        |         || (CASE WHEN doc_id % 7 = 0 THEN '#sec2' ELSE '' END) AS url_raw
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT CAST(v.doc_id AS BIGINT), v.url_raw FROM (VALUES
+        |    (4300000, 'HTTPS://Site.Example.COM:443//a//b/?utm_source=x&utm_medium=y#frag'),
+        |    (4300001, 'https://site.example.com/a/b?id=2&utm_campaign=z'),
+        |    (4300002, 'http://host.example.com:80/x/'),
+        |    (4300003, 'https://site.example.com//a/b/')
+        |  ) AS v(doc_id, url_raw)),
+        |step AS (
+        |  SELECT doc_id, url_raw,
+        |         regexp_replace(regexp_replace(regexp_replace(url_raw,
+        |           '#.*$', ''), 'utm_[^&#]*&?', '', 'g'), '[?&]+$', '') AS u1
+        |  FROM raw),
+        |canon AS (
+        |  SELECT doc_id, url_raw,
+        |         regexp_replace(regexp_replace(
+        |           lower(regexp_extract(u1, '^[^/]*//[^/]*')),
+        |           '^(https://[^:]*):443$', '\1'), '^(http://[^:]*):80$', '\1')
+        |         || regexp_replace(regexp_replace(
+        |              regexp_replace(u1, '^[^/]*//[^/]*', ''),
+        |              '//+', '/', 'g'), '/+$', '') AS url_canon
+        |  FROM step)
+        |SELECT doc_id, url_raw, url_canon,
+        |       doc_id = MIN(doc_id) OVER (PARTITION BY url_canon) AS keep,
+        |       COUNT(*) OVER (PARTITION BY url_canon) AS group_size
+        |FROM canon ORDER BY doc_id""".stripMargin,
+
     // Mirrors Corpus.groupSplit: same synthesized URL and regexp domain,
     // fold = hex32(md5(domain)) mod 5 — the group-keyed split.
     "q_p15_group_split" ->

@@ -51,6 +51,36 @@ object TextFunctions {
   def tagCount(c: Column): Column =
     size(regexp_extract_all(c, lit("<[^>]*>"), lit(0)))
 
+  /** URL canonicalization — the crawl-front normalization every URL-keyed
+    * dedup/blocklist/cap stage needs (raw crawl URLs differ in case,
+    * default ports, tracking params, duplicate/trailing slashes while
+    * naming the same resource). The chain, in order:
+    *   1. strip the fragment;
+    *   2. drop `utm_*` tracking params and repair dangling `?`/`&`;
+    *   3. lowercase scheme+host and strip the scheme's default port
+    *      (`:443` for https, `:80` for http);
+    *   4. collapse duplicate slashes in the path (never the `//` after
+    *      the scheme — the path is cut AFTER the host) and strip
+    *      trailing slashes.
+    * Pure RE2-compatible regexp expressions (codegen'd, one scan each);
+    * the DuckDB oracle runs the semantically identical chain (`\1` vs
+    * `$1` group syntax is the only divergence). Assumes `utm_` appears
+    * only in the query string (a path containing literal "utm_" would be
+    * rewritten — acceptable for crawl URLs, documented here). */
+  def canonicalUrl(c: Column): Column = {
+    val noFrag = regexp_replace(c, "#.*$", "")
+    val noUtm = regexp_replace(regexp_replace(noFrag, "utm_[^&#]*&?", ""), "[?&]+$", "")
+    val prefix = regexp_replace(
+      regexp_replace(
+        lower(regexp_extract(noUtm, "^[^/]*//[^/]*", 0)),
+        "^(https://[^:]*):443$", "$1"),
+      "^(http://[^:]*):80$", "$1")
+    val rest = regexp_replace(
+      regexp_replace(regexp_replace(noUtm, "^[^/]*//[^/]*", ""), "//+", "/"),
+      "/+$", "")
+    concat(prefix, rest)
+  }
+
   /** Whitespace-delimited tokens (\\S+ runs — stable across engines).
     * Fused byte-scan expression with exactly regexp_extract_all(c,'\\S+')
     * semantics (the regex path costs ~0.5ms/row on long docs). */

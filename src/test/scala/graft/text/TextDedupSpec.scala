@@ -167,4 +167,37 @@ class TextDedupSpec extends SparkSpec {
       org.apache.spark.unsafe.types.UTF8String.fromString(text))
     assert(row.getLong(0) === expectedRh)
   }
+
+  test("canonicalUrl normalizes case, ports, params, slashes, fragments") {
+    val cases = Seq(
+      "HTTPS://Site.Example.COM:443//a//b/?utm_source=x&utm_medium=y#frag" ->
+        "https://site.example.com/a/b",
+      "https://site.example.com/a/b?id=2&utm_campaign=z" ->
+        "https://site.example.com/a/b?id=2",
+      "http://host.example.com:80/x/" -> "http://host.example.com/x",
+      "https://site.example.com//a/b/" -> "https://site.example.com/a/b",
+      // non-default port survives; params other than utm_* survive in order
+      "https://h.example.com:8080/p?b=2&a=1" -> "https://h.example.com:8080/p?b=2&a=1",
+      // utm in the middle of the query repairs separators
+      "https://h.example.com/p?id=2&utm_a=1&x=3" -> "https://h.example.com/p?id=2&x=3")
+    val got = cases.map(_._1).toDF("url")
+      .select(TextFunctions.canonicalUrl($"url")).as[String].collect()
+    got.zip(cases.map(_._2)).foreach { case (g, e) => assert(g === e) }
+  }
+
+  test("canonical-url dedup: every even/odd doc pair collapses to one resource") {
+    val df = graft.queries.Corpus.all("q_t25_url_canonical")(spark, "/root/testdata/sf0.001")
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(2), r.getBoolean(3), r.getLong(4)))
+    val corpus = rows.filter(_._1 < 4300000L)
+    // pairs (2k, 2k+1) synthesize differently-messy URLs for the same
+    // resource: every corpus group has exactly 2 members, keeper = even id
+    assert(corpus.nonEmpty && corpus.forall(_._4 === 2L))
+    corpus.foreach { case (id, _, keep, _) => assert(keep === (id % 2 == 0)) }
+    // the planted cross-fixture dup group: 4300003 canonicalizes into
+    // 4300000's URL; 4300000 (lower id) is the keeper
+    val fx = rows.filter(_._1 >= 4300000L).map(r => r._1 -> r).toMap
+    assert(fx(4300000L)._2 === fx(4300003L)._2)
+    assert(fx(4300000L)._3 && !fx(4300003L)._3)
+    assert(fx(4300001L)._3 && fx(4300002L)._3)
+  }
 }
