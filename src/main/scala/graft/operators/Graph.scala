@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph computation over edge tables — the link-analysis tier of
+  * a crawl curation pipeline (host-level PageRank is the classic quality
+  * prior: Common Crawl publishes host ranks, and CCNet/RefinedWeb-style
+  * pipelines consume them as per-domain weights).
+  *
+  * Scale shape (the q_dd6 connected-components discipline applied to rank
+  * propagation):
+  *   - the graph lives as a distributed (src, dst, w) edge table keyed by
+  *     src; each round is ONE rank⋈edges join + one dst-keyed aggregate —
+  *     both co-partitioned hash shuffles whose size is |edges|, never
+  *     node²;
+  *   - the driver holds ROUNDS, not data: per-round state is nothing but
+  *     the loop counter; the rank table is localCheckpoint'ed every round
+  *     so plan depth stays O(1) at any round count;
+  *   - all arithmetic is int64 (mass-scaled integer division), so ranks
+  *     are bit-identical on any engine, partitioning, or round order —
+  *     the whole iteration replays as unrolled SQL CTEs in the oracle.
+  */
+object Graph {
+
+  /** Damped PageRank with integer mass arithmetic. `edges` must carry one
+    * row per directed edge with a positive integer weight. Total rank mass
+    * is `scale` (default 10^12): every node starts at `scale DIV n`, each
+    * round a node keeps `(15 * (scale DIV n)) DIV 100` base mass and
+    * receives `(85 * Σ inflow) DIV 100` where an edge's inflow is
+    * `(rank_src * w) DIV outw_src`. Dangling-node mass evaporates (the
+    * sink-loss PageRank variant — documented, deterministic). Floor
+    * division loses < 1 unit per edge per round; at the default scale
+    * that is a 1e-12 relative error — and, unlike float summation, the
+    * SAME error in every engine.
+    *
+    * Overflow headroom: rank ≤ scale, so rank*w needs scale·max(w) <
+    * 2^63. The default scale leaves room for per-edge weights up to ~9e6;
+    * shrink `scale` (or pre-normalize weights) for heavier multigraphs.
+    *
+    * Returns (node, rank, out_w, in_w) — rank after `rounds` rounds,
+    * plus total out/in edge weight (0 for pure sinks/sources). */
+  def pageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      wCol: String,
+      rounds: Int,
+      scale: Long = 1000000000000L): DataFrame = {
+    val e = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(wCol).cast("long").as("w"))
+      .filter(col("src") =!= col("dst"))
+      .persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().persist()
+    val n = nodes.count()
+    require(n > 0, "pageRank needs a non-empty edge set")
+    val init = scale / n
+    val base = 15L * init / 100L
+    // Pre-join the per-source out-weight once; each round reuses it.
+    val eo = e.join(e.groupBy("src").agg(sum("w").as("outw")), "src")
+      .select("src", "dst", "w", "outw").persist()
+    var r = nodes.select(col("node"), lit(init).as("rank"))
+    for (_ <- 1 to rounds) {
+      val inflow = r.join(eo, r("node") === eo("src"))
+        .select(col("dst").as("node"), expr("(rank * w) DIV outw").as("c"))
+        .groupBy("node").agg(sum("c").as("inflow"))
+      r = nodes.join(inflow, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr("(85 * coalesce(inflow, 0L)) DIV 100")).as("rank"))
+        .localCheckpoint(true)
+    }
+    val outw = e.groupBy(col("src").as("node")).agg(sum("w").as("out_w"))
+    val inw = e.groupBy(col("dst").as("node")).agg(sum("w").as("in_w"))
+    val res = r.join(outw, Seq("node"), "left").join(inw, Seq("node"), "left")
+      .select(col("node"), col("rank"),
+        coalesce(col("out_w"), lit(0L)).as("out_w"),
+        coalesce(col("in_w"), lit(0L)).as("in_w"))
+    e.unpersist(); nodes.unpersist(); eo.unpersist()
+    res
+  }
+}

@@ -2733,6 +2733,32 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** G1: HOST-GRAPH PAGERANK ([[graft.operators.Graph.pageRank]]) — the
+    * link-analysis quality prior of crawl curation (Common Crawl's host
+    * ranks; per-domain weights in CCNet/RefinedWeb-style pipelines). The
+    * corpus has no hyperlinks, so a deterministic host graph is
+    * synthesized: each doc's own domain (the q_t23 synthesis) links to a
+    * target domain keyed off hex32(md5(doc_id||"link")) in the same
+    * namespace; edge weight = link count. Three integer-exact damped
+    * rounds; the oracle unrolls the identical rounds as SQL CTEs (the
+    * q_t18/q_dd10b round-replay discipline lifted to rank propagation). */
+  def hostPageRank(s: SparkSession, d: String): DataFrame = {
+    val srcDom = concat(lit("www."), col("source"), lit("-"),
+      (col("doc_id") % 3).cast("string"), lit(".example.com"))
+    val h = conv(substring(md5(concat(col("doc_id").cast("string"), lit("link"))), 1, 8), 16, 10)
+      .cast("long")
+    val dstDom = concat(lit("www.src"), (col("h") % 20).cast("string"), lit("-"),
+      expr("(h DIV 20) % 3").cast("string"), lit(".example.com"))
+    val edges = Tables.documents(s, d)
+      .withColumn("h", h)
+      .select(srcDom.as("src"), dstDom.as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    graft.operators.Graph.pageRank(edges, "src", "dst", "w", rounds = 3)
+      .withColumnRenamed("node", "domain")
+      .orderBy("domain")
+  }
+
   /** T8: repetition signals (the Gopher-style quality filters): duplicate-
     * token fraction and duplicate-char-5-gram fraction, plus the gate flag.
     * High repetition marks boilerplate/generated text — the standard
@@ -3729,6 +3755,7 @@ object Corpus {
     "q_t23_domain_curation" -> (domainCuration _),
     "q_t24_gopher_rules" -> (gopherRules _),
     "q_t25_url_canonical" -> (urlCanonicalDedup _),
+    "q_g1_pagerank" -> (hostPageRank _),
     "q_tp8_clean_stripped" -> (cleanCorpusStripped _),
     "q_t19_bpe_encode" -> (bpeEncodeCounts _),
     "q_t20_bpe_vocab" -> (bpeVocab _),

@@ -325,6 +325,48 @@ object Oracle {
       .map(w => s"CASE WHEN list_contains(regexp_extract_all(lower(text), '\\S+'), '$w') THEN 1 ELSE 0 END")
       .mkString("(", " + ", ")")
 
+  /** q_g1: replay [[graft.operators.Graph.pageRank]]'s integer-exact
+    * rounds as unrolled CTEs (the q_t18 round-replay discipline lifted to
+    * rank propagation — same graph synthesis, same int64 floor-division
+    * mass arithmetic, so ranks match bit for bit). */
+  private def pageRankSql(rounds: Int): String = {
+    val scale = "1000000000000"
+    val roundCtes = (1 to rounds).map { k =>
+      s"""r$k AS (
+         |  SELECT n2.node,
+         |         (15 * ($scale // nn.n)) // 100
+         |           + (85 * COALESCE(inf.s, 0)) // 100 AS rank
+         |  FROM nodes n2 CROSS JOIN nn
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node, SUM((r.rank * e.w) // o.ow) AS s
+         |    FROM r${k - 1} r
+         |    JOIN edges e ON e.src = r.node
+         |    JOIN outw o ON o.src = e.src
+         |    GROUP BY 1) inf ON inf.node = n2.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT 'www.' || source || '-' || CAST(doc_id % 3 AS VARCHAR) || '.example.com' AS src,
+       |         'www.src' || CAST(h % 20 AS VARCHAR) || '-' || CAST((h // 20) % 3 AS VARCHAR) || '.example.com' AS dst
+       |  FROM (SELECT doc_id, source,
+       |          CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || 'link'), 1, 8)) AS BIGINT) AS h
+       |        FROM documents)),
+       |edges AS (
+       |  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM e0 WHERE src <> dst GROUP BY 1, 2),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+       |outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY 1),
+       |r0 AS (SELECT node, ($scale // nn.n) AS rank FROM nodes CROSS JOIN nn),
+       |$roundCtes
+       |SELECT n.node AS domain, r.rank,
+       |       COALESCE(o.ow, 0) AS out_w, COALESCE(i.iw, 0) AS in_w
+       |FROM nodes n
+       |JOIN r$rounds r ON r.node = n.node
+       |LEFT JOIN outw o ON o.src = n.node
+       |LEFT JOIN (SELECT dst, SUM(w) AS iw FROM edges GROUP BY 1) i ON i.dst = n.node
+       |ORDER BY domain""".stripMargin
+  }
+
   /** q_t18: replay the BPE training rounds in SQL. Each word type rides as
     * ONE string of chr(1)<sym>chr(2)-wrapped segments, so DuckDB's plain
     * non-overlapping leftmost replace() IS the greedy BPE merge (adjacent
@@ -1425,6 +1467,10 @@ object Oracle {
         |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rk
         |  FROM ok)
         |SELECT doc_id, domain, rk FROM rk WHERE rk <= 5 ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Corpus.hostPageRank: identical synthesized host graph and
+    // three unrolled integer-arithmetic damped rounds.
+    "q_g1_pagerank" -> pageRankSql(3),
 
     // Mirrors Corpus.gopherRules: same injected fixtures (newlines as
     // chr(10) concatenation), same RE2 count regexes, and the same

@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(String, String, Long)], rounds: Int): Map[String, (Long, Long, Long)] =
+    Graph.pageRank(edges.toDF("src", "dst", "w"), "src", "dst", "w", rounds)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+
+  test("one round matches hand-computed integer mass arithmetic") {
+    // A<->B plus C->A; n=3, init = 10^12 DIV 3 = 333333333333,
+    // base = (15*init) DIV 100 = 49999999999
+    val r = ranks(Seq(("A", "B", 1L), ("B", "A", 1L), ("C", "A", 1L)), rounds = 1)
+    // inflow(A) = rank(B) + rank(C) = 666666666666 -> 85% = 566666666666
+    assert(r("A")._1 === 49999999999L + 566666666666L)
+    // inflow(B) = rank(A) = 333333333333 -> 85% floor = 283333333333
+    assert(r("B")._1 === 49999999999L + 283333333333L)
+    // C has no inbound links: base mass only
+    assert(r("C")._1 === 49999999999L)
+    // degree diagnostics
+    assert(r("A")._2 === 1L && r("A")._3 === 2L)
+    assert(r("C")._2 === 1L && r("C")._3 === 0L)
+  }
+
+  test("mass is conserved up to floor loss and dangling leakage") {
+    val edges = Seq(("A", "B", 3L), ("B", "A", 1L), ("C", "A", 2L),
+      ("C", "D", 1L), ("A", "C", 1L))
+    val r = ranks(edges, rounds = 3)
+    val total = r.values.map(_._1).sum
+    // floor division and the dangling sink D only ever LOSE mass (D
+    // re-emits nothing, so ~a quarter of the mass evaporates per round);
+    // the total can never exceed the scale
+    assert(total <= 1000000000000L)
+    assert(total > 500000000000L, s"unexpectedly large mass loss: $total")
+    // D is a pure sink (no out-edges): receives mass but re-emits none
+    assert(r("D")._2 === 0L && r("D")._3 === 1L)
+    assert(r("D")._1 > 49999999999L / 2)
+  }
+
+  test("deterministic across runs and repartitionings") {
+    val edges = (0 until 200).map(i =>
+      (s"n${i % 17}", s"n${(i * 7 + 3) % 17}", (i % 5 + 1).toLong))
+      .filter { case (a, b, _) => a != b }
+    val df = edges.toDF("src", "dst", "w")
+      .groupBy("src", "dst").agg(org.apache.spark.sql.functions.sum("w").as("w"))
+    val r1 = Graph.pageRank(df, "src", "dst", "w", 4).collect().map(_.toSeq).toSet
+    val r2 = Graph.pageRank(df.repartition(13), "src", "dst", "w", 4)
+      .collect().map(_.toSeq).toSet
+    assert(r1 === r2)
+  }
+}
