@@ -2733,6 +2733,34 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** S13: SHARD MANIFEST — the dataset-publishing step after packing: docs
+    * are assigned to shards by a pure hash key (hex32(md5(doc_id)) mod 8 —
+    * the q_p12 k-fold function, so assignment is reproducible on any
+    * cluster and never needs a shuffle beyond the manifest aggregate
+    * itself), and each shard's manifest row carries the counts a consumer
+    * validates against after download: docs, chars, whitespace tokens,
+    * id range, and an ORDER-INDEPENDENT content checksum (commutative
+    * int64 sum of per-doc md5 fingerprints — the q_o8 anti-entropy
+    * primitive, so two replicas can be compared without sorting either
+    * side). One aggregate pass, map-side partials, 8 output rows. */
+  def shardManifest(s: SparkSession, d: String): DataFrame = {
+    val shard = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 8).cast("int")
+    Tables.documents(s, d)
+      .withColumn("shard", shard)
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("n_chars"),
+        sum(TextFunctions.tokenCount(col("text")).cast("long")).as("n_tokens"),
+        min("doc_id").as("min_doc_id"),
+        max("doc_id").as("max_doc_id"),
+        sum(conv(substring(md5(concat_ws("|",
+          col("doc_id").cast("string"), md5(col("text")))), 1, 8), 16, 10)
+          .cast("long")).as("checksum"))
+      .orderBy("shard")
+  }
+
   /** G1: HOST-GRAPH PAGERANK ([[graft.operators.Graph.pageRank]]) — the
     * link-analysis quality prior of crawl curation (Common Crawl's host
     * ranks; per-domain weights in CCNet/RefinedWeb-style pipelines). The
@@ -3756,6 +3784,7 @@ object Corpus {
     "q_t24_gopher_rules" -> (gopherRules _),
     "q_t25_url_canonical" -> (urlCanonicalDedup _),
     "q_g1_pagerank" -> (hostPageRank _),
+    "q_s13_shard_manifest" -> (shardManifest _),
     "q_tp8_clean_stripped" -> (cleanCorpusStripped _),
     "q_t19_bpe_encode" -> (bpeEncodeCounts _),
     "q_t20_bpe_vocab" -> (bpeVocab _),

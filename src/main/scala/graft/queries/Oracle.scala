@@ -1472,6 +1472,18 @@ object Oracle {
     // three unrolled integer-arithmetic damped rounds.
     "q_g1_pagerank" -> pageRankSql(3),
 
+    // Mirrors Corpus.shardManifest: same hash shard key, same
+    // commutative per-shard checksum.
+    "q_s13_shard_manifest" ->
+      """SELECT CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS INTEGER) AS shard,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       SUM(CAST(length(text) AS BIGINT)) AS n_chars,
+        |       SUM(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)) AS n_tokens,
+        |       MIN(doc_id) AS min_doc_id,
+        |       MAX(doc_id) AS max_doc_id,
+        |       SUM(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '|' || md5(text)), 1, 8)) AS BIGINT)) AS checksum
+        |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
+
     // Mirrors Corpus.gopherRules: same injected fixtures (newlines as
     // chr(10) concatenation), same RE2 count regexes, and the same
     // integer cross-multiplied rule set — no IEEE arithmetic anywhere.

@@ -268,4 +268,22 @@ class ExtendedOpsSpec extends SparkSpec {
       assert(bad === 0L, s"$bad docs where n_kept mismatches reassembled chunk count")
     } finally out.unpersist()
   }
+
+  test("shard manifest: exhaustive partition of the corpus, stable checksums") {
+    val d = "/root/testdata/sf0.001"
+    val m = Corpus.all("q_s13_shard_manifest")(spark, d).collect()
+    // hash sharding covers all 8 shards on even the small corpus
+    assert(m.map(_.getInt(0)).toSeq === (0 until 8))
+    // manifest totals reconcile with whole-corpus ground truth
+    val docs = Tables.documents(spark, d)
+    assert(m.map(_.getLong(1)).sum === docs.count())
+    assert(m.map(_.getLong(2)).sum ===
+      docs.agg(sum(length(col("text")))).head().getLong(0))
+    // id ranges are consistent and shards are disjoint by construction
+    m.foreach(r => assert(r.getLong(4) <= r.getLong(5)))
+    // the commutative checksum is invariant under physical layout
+    val again = Corpus.all("q_s13_shard_manifest")(spark, d).collect()
+    assert(m.map(r => (r.getInt(0), r.getLong(6))).toSeq ===
+      again.map(r => (r.getInt(0), r.getLong(6))).toSeq)
+  }
 }
