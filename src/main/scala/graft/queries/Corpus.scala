@@ -2677,6 +2677,78 @@ object Corpus {
   private[queries] val GopherStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** The q_t24 rule set as ONE boolean gate expression over a text column
+    * (for pipeline composition). `stopMin` parameterizes the
+    * distinct-stopword floor: the paper's 2 suits English prose; the
+    * synthetic corpus carries only "the" from the list, so q_tp12 gates
+    * at 1 — the knob a real pipeline tunes per-language. */
+  private def gopherPassCol(txt: Column, stopMin: Int): Column = {
+    val nWords = size(TextFunctions.tokens(txt)).cast("long")
+    val sumWlen = length(regexp_replace(txt, "\\s+", "")).cast("long")
+    val nSym = size(regexp_extract_all(txt, lit("#|\\.\\.\\."), lit(0))).cast("long")
+    val nLines = size(split(txt, "\n")).cast("long")
+    val nBullet = size(regexp_extract_all(txt, lit("(?m)^[ \\t]*[-*] "), lit(0))).cast("long")
+    val nEll = size(regexp_extract_all(txt, lit("(?m)\\.\\.\\.$"), lit(0))).cast("long")
+    val nAlpha = size(regexp_extract_all(txt, lit("[^\\s]*\\p{L}[^\\s]*"), lit(0))).cast("long")
+    val nStop = GopherStopwords
+      .map(w => array_contains(TextFunctions.tokens(lower(txt)), w).cast("int"))
+      .reduce(_ + _).cast("long")
+    nWords.between(50L, 100000L) &&
+      (sumWlen >= nWords * 3) && (sumWlen <= nWords * 10) &&
+      (nSym * 10 < nWords) &&
+      (nBullet * 10 < nLines * 9) &&
+      (nEll * 10 < nLines * 3) &&
+      (nAlpha * 10 > nWords * 8) &&
+      (nStop >= stopMin)
+  }
+
+  /** TP12: CRAWL-FRONT CAPSTONE — the full pre-content half of a crawl
+    * pipeline as ONE composed, oracle-gated chain, in production order:
+    *   1. canonical-URL dedup (q_t25; refetches die before any text work),
+    *   2. markup strip (q_t22),
+    *   3. Gopher heuristic gate (q_t24 rules at stopMin=1) on the
+    *      STRIPPED text,
+    *   4. per-domain cap of 5 in md5 order (q_t23; domain from the
+    *      CANONICAL host, not the raw URL),
+    *   5. exact content dedup on the stripped fingerprint.
+    * Inputs are documents plus BOTH fixture families (markup + gopher),
+    * so every stage has planted rows proving it fires; fixture URLs key
+    * off doc_id itself (each fixture is its own resource) while corpus
+    * URLs keep the q_t25 DIV-2 pairing, so stage-1 halves the corpus by
+    * construction. Every stage is a hash shuffle or a bounded window —
+    * the same shapes as its stand-alone query — and the whole chain is
+    * replayed by ONE SQL oracle (the tp5 composition discipline). */
+  def crawlPipeline(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val id = col("doc_id")
+    val base = Tables.documents(s, d).select("doc_id", "text")
+      .unionByName(markupSamples(s))
+      .unionByName(gopherSamples(s))
+    val key = expr("CASE WHEN doc_id >= 4000000 THEN doc_id ELSE doc_id DIV 2 END")
+    val wUrl = Window.partitionBy("url_canon")
+    val afterUrl = base
+      .withColumn("url_raw", messyUrl(id, key))
+      .withColumn("url_canon", TextFunctions.canonicalUrl(col("url_raw")))
+      .withColumn("u_min", min("doc_id").over(wUrl))
+      .filter(id === col("u_min"))
+    val gated = afterUrl
+      .withColumn("text_clean", TextFunctions.stripMarkup(col("text")))
+      .filter(gopherPassCol(col("text_clean"), stopMin = 1))
+      .withColumn("domain", regexp_extract(col("url_canon"), "https?://([^/:]+)", 1))
+    val wDom = Window.partitionBy("domain")
+      .orderBy(md5(id.cast("string")), id)
+    val wFp = Window.partitionBy("fp")
+    gated
+      .withColumn("rk", row_number().over(wDom))
+      .filter(col("rk") <= 5)
+      .withColumn("fp", md5(TextFunctions.normText(col("text_clean"))))
+      .withColumn("fp_min", min("doc_id").over(wFp))
+      .filter(id === col("fp_min"))
+      .select(id, col("domain"), col("rk"),
+        size(TextFunctions.tokens(col("text_clean"))).cast("long").as("n_words"))
+      .orderBy("doc_id")
+  }
+
   /** The injected messy-URL fixtures (hand-built case/port/param/slash
     * pathologies; 4300003 canonicalizes INTO 4300000's URL so a
     * cross-fixture dup group exists): ids 4300000+. */
@@ -2704,25 +2776,32 @@ object Corpus {
     * single hash shuffle; group sizes are bounded by construction — at
     * crawl scale canonical-URL groups are small, so no skew handling is
     * needed where content-hash dedup would salt). */
-  def urlCanonicalDedup(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val id = col("doc_id")
-    // Integer division, NOT (id / 2).cast("long"): Spark's double-cast
-    // truncates but DuckDB's rounds — DIV is exact in both engines.
-    val half = expr("doc_id DIV 2")
+  /** Deterministic messy-URL synthesis shared by q_t25/q_tp12: `key` names
+    * the RESOURCE (equal keys collide after canonicalization), `id` keys
+    * the messiness pattern (case, port, duplicate slash, trailing slash,
+    * tracking param, fragment). Integer division callers must pass DIV
+    * expressions, NOT (x/2).cast("long"): Spark's double-cast truncates
+    * but DuckDB's rounds — DIV is exact in both engines. */
+  private def messyUrl(id: Column, key: Column): Column = {
     val schemeHost = when(id % 5 === 0,
-      concat(lit("HTTPS://WWW.SITE"), (half % 40).cast("string"),
+      concat(lit("HTTPS://WWW.SITE"), (key % 40).cast("string"),
         lit(".EXAMPLE.COM")))
-      .otherwise(concat(lit("https://www.site"), (half % 40).cast("string"),
+      .otherwise(concat(lit("https://www.site"), (key % 40).cast("string"),
         lit(".example.com")))
-    val raw = concat(
+    concat(
       schemeHost,
       when(id % 4 === 0, lit(":443")).otherwise(lit("")),
       when(id % 2 === 1, lit("/doc//")).otherwise(lit("/doc/")),
-      half.cast("string"),
+      key.cast("string"),
       when(id % 11 === 0, lit("/")).otherwise(lit("")),
       when(id % 3 === 0, lit("?utm_source=feed")).otherwise(lit("")),
       when(id % 7 === 0, lit("#sec2")).otherwise(lit("")))
+  }
+
+  def urlCanonicalDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val id = col("doc_id")
+    val raw = messyUrl(id, expr("doc_id DIV 2"))
     val w = Window.partitionBy("url_canon")
     Tables.documents(s, d).select(id, raw.as("url_raw"))
       .unionByName(urlSamples(s))
@@ -3785,6 +3864,7 @@ object Corpus {
     "q_t25_url_canonical" -> (urlCanonicalDedup _),
     "q_g1_pagerank" -> (hostPageRank _),
     "q_s13_shard_manifest" -> (shardManifest _),
+    "q_tp12_crawl_pipeline" -> (crawlPipeline _),
     "q_tp8_clean_stripped" -> (cleanCorpusStripped _),
     "q_t19_bpe_encode" -> (bpeEncodeCounts _),
     "q_t20_bpe_vocab" -> (bpeVocab _),

@@ -288,26 +288,26 @@ object Oracle {
     s"trim(regexp_replace($inner, '\\s+', ' ', 'g'))"
   }
 
-  /** The injected markup fixtures as a VALUES CTE — literal-identical to
-    * Corpus.markupSamples. */
-  private val markupBaseCte: String =
-    """base AS (
-      |  SELECT doc_id, text FROM documents
-      |  UNION ALL
-      |  SELECT CAST(v.doc_id AS BIGINT), v.text FROM (VALUES
+  /** The injected markup fixtures as a VALUES select — literal-identical
+    * to Corpus.markupSamples (shared by q_t22/q_tp8 and q_tp12). */
+  private val markupValuesSql: String =
+    """SELECT CAST(v.doc_id AS BIGINT), v.text FROM (VALUES
       |    (4100000, '<html><body><h1>Hello &amp; welcome</h1><p>A &lt;tag&gt; isn&#39;t text.</p></body></html>'),
       |    (4100001, 'plain text stays untouched'),
       |    (4100002, '<div class="x">nested <b>bold</b>&nbsp;text</div> tail &quot;quoted&quot;')
-      |  ) AS v(doc_id, text))""".stripMargin
+      |  ) AS v(doc_id, text)""".stripMargin
 
-  /** q_t24: the documents table plus the injected Gopher fixtures —
-    * multi-line strings assembled with chr(10) so the SQL literal carries
-    * the identical bytes as the Scala fixture. */
-  private val gopherBaseCte: String =
-    """gbase AS (
-      |  SELECT doc_id, text FROM documents
-      |  UNION ALL
-      |  SELECT CAST(v.doc_id AS BIGINT), v.text FROM (VALUES
+  private val markupBaseCte: String =
+    s"""base AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  $markupValuesSql)""".stripMargin
+
+  /** The injected Gopher fixtures as a VALUES select — multi-line strings
+    * assembled with chr(10) so the SQL literal carries the identical
+    * bytes as the Scala fixture (shared by q_t24 and q_tp12). */
+  private val gopherValuesSql: String =
+    """SELECT CAST(v.doc_id AS BIGINT), v.text FROM (VALUES
       |    (4200000, 'the quick brown fox jumps over the lazy dog and then walks to the river of glass that shines have you seen it with your own eyes before the morning light fades away and the water runs clear beneath the old stone bridge where children play their games during long summer days that seem to last forever until dusk settles in'),
       |    (4200001, 'intro line' || chr(10) || '- alpha item one' || chr(10) || '- beta item two' || chr(10) || '- gamma item three' || chr(10) || '- delta item four' || chr(10) || '- epsilon item five' || chr(10) || '- zeta item six' || chr(10) || '- eta item seven' || chr(10) || '- theta item eight' || chr(10) || '- iota item nine'),
       |    (4200002, 'first thought trails off ...' || chr(10) || 'second line is fine here' || chr(10) || 'third one also ends ...' || chr(10) || 'fourth stays normal'),
@@ -315,15 +315,65 @@ object Oracle {
       |    (4200004, 'too short to pass'),
       |    (4200005, '12345 67890 11111 22222 33333 44444 55555 66666 77777 88888 99999 00000'),
       |    (4200006, 'extraordinarily incomprehensibilities institutionalization internationalization characteristically disproportionately')
-      |  ) AS v(doc_id, text))""".stripMargin
+      |  ) AS v(doc_id, text)""".stripMargin
 
-  /** q_t24: distinct-stopword-kind count — one list_contains per Gopher
-    * stopword over the lowercased token list (mirrors the Scala
-    * array_contains sum). */
-  private val gopherStopSql: String =
+  private val gopherBaseCte: String =
+    s"""gbase AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  $gopherValuesSql)""".stripMargin
+
+  /** q_t24/q_tp12: distinct-stopword-kind count over a text column — one
+    * list_contains per Gopher stopword on the lowercased token list
+    * (mirrors the Scala array_contains sum). */
+  private def gopherStopSqlFor(c: String): String =
     graft.queries.Corpus.GopherStopwords
-      .map(w => s"CASE WHEN list_contains(regexp_extract_all(lower(text), '\\S+'), '$w') THEN 1 ELSE 0 END")
+      .map(w => s"CASE WHEN list_contains(regexp_extract_all(lower($c), '\\S+'), '$w') THEN 1 ELSE 0 END")
       .mkString("(", " + ", ")")
+
+  private val gopherStopSql: String = gopherStopSqlFor("text")
+
+  /** q_tp12: the q_t24 rule set as one WHERE predicate over column `c`
+    * (integer cross-multiplication form, stopMin knob — mirrors
+    * Corpus.gopherPassCol exactly). */
+  private def gopherPassSql(c: String, stopMin: Int): String =
+    s"""(len(regexp_extract_all($c, '\\S+')) BETWEEN 50 AND 100000
+       | AND length(regexp_replace($c, '\\s+', '', 'g')) >= len(regexp_extract_all($c, '\\S+')) * 3
+       | AND length(regexp_replace($c, '\\s+', '', 'g')) <= len(regexp_extract_all($c, '\\S+')) * 10
+       | AND len(regexp_extract_all($c, '#|\\.\\.\\.')) * 10 < len(regexp_extract_all($c, '\\S+'))
+       | AND len(regexp_extract_all($c, '(?m)^[ \\t]*[-*] ')) * 10 < len(string_split($c, chr(10))) * 9
+       | AND len(regexp_extract_all($c, '(?m)\\.\\.\\.$$')) * 10 < len(string_split($c, chr(10))) * 3
+       | AND len(regexp_extract_all($c, '[^\\s]*\\p{L}[^\\s]*')) * 10 > len(regexp_extract_all($c, '\\S+')) * 8
+       | AND ${gopherStopSqlFor(c)} >= $stopMin)""".stripMargin.replace("\n", "")
+
+  /** q_t25/q_tp12: the deterministic messy-URL synthesis (mirrors
+    * Corpus.messyUrl — `keyExpr` names the resource, doc_id mods pick the
+    * messiness pattern). */
+  private def messyUrlSql(keyExpr: String): String =
+    s"""(CASE WHEN doc_id % 5 = 0
+       |    THEN 'HTTPS://WWW.SITE' || CAST(($keyExpr) % 40 AS VARCHAR) || '.EXAMPLE.COM'
+       |    ELSE 'https://www.site' || CAST(($keyExpr) % 40 AS VARCHAR) || '.example.com' END)
+       | || (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END)
+       | || (CASE WHEN doc_id % 2 = 1 THEN '/doc//' ELSE '/doc/' END)
+       | || CAST(($keyExpr) AS VARCHAR)
+       | || (CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '' END)
+       | || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed' ELSE '' END)
+       | || (CASE WHEN doc_id % 7 = 0 THEN '#sec2' ELSE '' END)""".stripMargin.replace("\n", "")
+
+  /** q_t25/q_tp12: the canonicalization chain over a url column (mirrors
+    * TextFunctions.canonicalUrl; DuckDB's \1 group syntax vs Spark's $1 is
+    * the only divergence). Emits the canonical url given the stripped
+    * intermediate `u1` — callers first compute u1 via [[urlStripSql]]. */
+  private def urlStripSql(c: String): String =
+    s"regexp_replace(regexp_replace(regexp_replace($c, '#.*$$', ''), 'utm_[^&#]*&?', '', 'g'), '[?&]+$$', '')"
+
+  private def urlCanonSql(u1: String): String =
+    s"""regexp_replace(regexp_replace(
+       |  lower(regexp_extract($u1, '^[^/]*//[^/]*')),
+       |  '^(https://[^:]*):443$$', '\\1'), '^(http://[^:]*):80$$', '\\1')
+       ||| regexp_replace(regexp_replace(
+       |     regexp_replace($u1, '^[^/]*//[^/]*', ''),
+       |     '//+', '/', 'g'), '/+$$', '')""".stripMargin.replace("\n", " ")
 
   /** q_g1: replay [[graft.operators.Graph.pageRank]]'s integer-exact
     * rounds as unrolled CTEs (the q_t18 round-replay discipline lifted to
@@ -1516,43 +1566,68 @@ object Oracle {
     // syntax vs Spark's $1 — semantically identical), and the same
     // min/count-per-canonical-key dedup.
     "q_t25_url_canonical" ->
-      """WITH raw AS (
-        |  SELECT doc_id,
-        |         (CASE WHEN doc_id % 5 = 0
-        |            THEN 'HTTPS://WWW.SITE' || CAST((doc_id // 2) % 40 AS VARCHAR) || '.EXAMPLE.COM'
-        |            ELSE 'https://www.site' || CAST((doc_id // 2) % 40 AS VARCHAR) || '.example.com' END)
-        |         || (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END)
-        |         || (CASE WHEN doc_id % 2 = 1 THEN '/doc//' ELSE '/doc/' END)
-        |         || CAST(doc_id // 2 AS VARCHAR)
-        |         || (CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '' END)
-        |         || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed' ELSE '' END)
-        |         || (CASE WHEN doc_id % 7 = 0 THEN '#sec2' ELSE '' END) AS url_raw
-        |  FROM documents
-        |  UNION ALL
-        |  SELECT CAST(v.doc_id AS BIGINT), v.url_raw FROM (VALUES
-        |    (4300000, 'HTTPS://Site.Example.COM:443//a//b/?utm_source=x&utm_medium=y#frag'),
-        |    (4300001, 'https://site.example.com/a/b?id=2&utm_campaign=z'),
-        |    (4300002, 'http://host.example.com:80/x/'),
-        |    (4300003, 'https://site.example.com//a/b/')
-        |  ) AS v(doc_id, url_raw)),
-        |step AS (
-        |  SELECT doc_id, url_raw,
-        |         regexp_replace(regexp_replace(regexp_replace(url_raw,
-        |           '#.*$', ''), 'utm_[^&#]*&?', '', 'g'), '[?&]+$', '') AS u1
-        |  FROM raw),
-        |canon AS (
-        |  SELECT doc_id, url_raw,
-        |         regexp_replace(regexp_replace(
-        |           lower(regexp_extract(u1, '^[^/]*//[^/]*')),
-        |           '^(https://[^:]*):443$', '\1'), '^(http://[^:]*):80$', '\1')
-        |         || regexp_replace(regexp_replace(
-        |              regexp_replace(u1, '^[^/]*//[^/]*', ''),
-        |              '//+', '/', 'g'), '/+$', '') AS url_canon
-        |  FROM step)
-        |SELECT doc_id, url_raw, url_canon,
-        |       doc_id = MIN(doc_id) OVER (PARTITION BY url_canon) AS keep,
-        |       COUNT(*) OVER (PARTITION BY url_canon) AS group_size
-        |FROM canon ORDER BY doc_id""".stripMargin,
+      s"""WITH raw AS (
+         |  SELECT doc_id, ${messyUrlSql("doc_id // 2")} AS url_raw
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT CAST(v.doc_id AS BIGINT), v.url_raw FROM (VALUES
+         |    (4300000, 'HTTPS://Site.Example.COM:443//a//b/?utm_source=x&utm_medium=y#frag'),
+         |    (4300001, 'https://site.example.com/a/b?id=2&utm_campaign=z'),
+         |    (4300002, 'http://host.example.com:80/x/'),
+         |    (4300003, 'https://site.example.com//a/b/')
+         |  ) AS v(doc_id, url_raw)),
+         |step AS (
+         |  SELECT doc_id, url_raw, ${urlStripSql("url_raw")} AS u1
+         |  FROM raw),
+         |canon AS (
+         |  SELECT doc_id, url_raw, ${urlCanonSql("u1")} AS url_canon
+         |  FROM step)
+         |SELECT doc_id, url_raw, url_canon,
+         |       doc_id = MIN(doc_id) OVER (PARTITION BY url_canon) AS keep,
+         |       COUNT(*) OVER (PARTITION BY url_canon) AS group_size
+         |FROM canon ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Corpus.crawlPipeline (q_tp12): ONE composed replay of the
+    // crawl front door — canonical-URL dedup, markup strip, Gopher gate
+    // (stopMin=1) on the stripped text, per-domain cap, exact content
+    // dedup — over documents plus BOTH fixture families.
+    "q_tp12_crawl_pipeline" ->
+      s"""WITH cb AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  $markupValuesSql
+         |  UNION ALL
+         |  $gopherValuesSql),
+         |curl AS (
+         |  SELECT doc_id, text,
+         |         ${messyUrlSql("CASE WHEN doc_id >= 4000000 THEN doc_id ELSE doc_id // 2 END")} AS url_raw
+         |  FROM cb),
+         |cstep AS (SELECT doc_id, text, ${urlStripSql("url_raw")} AS u1 FROM curl),
+         |ccanon AS (SELECT doc_id, text, ${urlCanonSql("u1")} AS url_canon FROM cstep),
+         |ukeep AS (
+         |  SELECT doc_id, text, url_canon FROM (
+         |    SELECT *, MIN(doc_id) OVER (PARTITION BY url_canon) AS u_min FROM ccanon)
+         |  WHERE doc_id = u_min),
+         |cstrip AS (
+         |  SELECT doc_id, url_canon, ${stripSqlExpr("text")} AS text_clean FROM ukeep),
+         |cgate AS (
+         |  SELECT *, regexp_extract(url_canon, 'https?://([^/:]+)', 1) AS domain
+         |  FROM cstrip
+         |  WHERE ${gopherPassSql("text_clean", 1)}),
+         |ccap AS (
+         |  SELECT * FROM (
+         |    SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY domain
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rk
+         |    FROM cgate)
+         |  WHERE rk <= 5),
+         |cfp AS (
+         |  SELECT *, md5(regexp_replace(lower(trim(text_clean)), '\\s+', ' ', 'g')) AS fp
+         |  FROM ccap)
+         |SELECT doc_id, domain, rk,
+         |       CAST(len(regexp_extract_all(text_clean, '\\S+')) AS BIGINT) AS n_words
+         |FROM (SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS fp_min FROM cfp)
+         |WHERE doc_id = fp_min
+         |ORDER BY doc_id""".stripMargin,
 
     // Mirrors Corpus.groupSplit: same synthesized URL and regexp domain,
     // fold = hex32(md5(domain)) mod 5 — the group-keyed split.

@@ -169,4 +169,27 @@ class CorpusCleanerSpec extends SparkSpec {
       }
     }
   }
+
+  test("crawl pipeline: URL pairs collapse, gate fires, domain cap holds") {
+    val rows = graft.queries.Corpus.all("q_tp12_crawl_pipeline")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    val ids = rows.map(_.getLong(0)).toSet
+    // stage 1 (canonical-URL dedup) keeps only the even member of every
+    // corpus even/odd pair; fixtures are their own resources
+    assert(ids.filter(_ < 4000000L).forall(_ % 2 == 0))
+    // the pass-everything Gopher prose fixture survives the whole chain;
+    // every planted pathology (markup docs are far under the 50-word
+    // floor once stripped; 4200001..6 violate their rules) is gone
+    assert(ids.contains(4200000L))
+    assert((4100000L to 4100002L).forall(id => !ids.contains(id)))
+    assert((4200001L to 4200006L).forall(id => !ids.contains(id)))
+    // the gate's floor holds for every survivor
+    rows.foreach(r => assert(r.getLong(3) >= 50L))
+    // per-domain cap: never more than 5 survivors per canonical domain
+    rows.groupBy(_.getString(1)).foreach { case (dom, g) =>
+      assert(g.length <= 5, s"domain $dom over cap: ${g.length}")
+      assert(g.map(_.getInt(2)).forall(_ <= 5))
+    }
+  }
 }
