@@ -2849,21 +2849,48 @@ object Corpus {
     * namespace; edge weight = link count. Three integer-exact damped
     * rounds; the oracle unrolls the identical rounds as SQL CTEs (the
     * q_t18/q_dd10b round-replay discipline lifted to rank propagation). */
-  def hostPageRank(s: SparkSession, d: String): DataFrame = {
-    val srcDom = concat(lit("www."), col("source"), lit("-"),
+  /** A doc's own domain (the q_t23 synthesis). */
+  private def docDomain: Column =
+    concat(lit("www."), col("source"), lit("-"),
       (col("doc_id") % 3).cast("string"), lit(".example.com"))
+
+  /** The synthesized host link graph shared by q_g1/q_g2. */
+  private def hostGraphEdges(s: SparkSession, d: String): DataFrame = {
     val h = conv(substring(md5(concat(col("doc_id").cast("string"), lit("link"))), 1, 8), 16, 10)
       .cast("long")
     val dstDom = concat(lit("www.src"), (col("h") % 20).cast("string"), lit("-"),
       expr("(h DIV 20) % 3").cast("string"), lit(".example.com"))
-    val edges = Tables.documents(s, d)
+    Tables.documents(s, d)
       .withColumn("h", h)
-      .select(srcDom.as("src"), dstDom.as("dst"))
+      .select(docDomain.as("src"), dstDom.as("dst"))
       .filter(col("src") =!= col("dst"))
       .groupBy("src", "dst").agg(count(lit(1)).as("w"))
-    graft.operators.Graph.pageRank(edges, "src", "dst", "w", rounds = 3)
+  }
+
+  def hostPageRank(s: SparkSession, d: String): DataFrame =
+    graft.operators.Graph.pageRank(hostGraphEdges(s, d), "src", "dst", "w", rounds = 3)
       .withColumnRenamed("node", "domain")
       .orderBy("domain")
+
+  /** G2: RANK-GATED CURATION — the link-analysis prior APPLIED: every doc
+    * joins its domain's PageRank (the 60-row rank table broadcasts — the
+    * per-domain-prior join is always a broadcast at any corpus scale,
+    * because the domain table is ~10⁷ rows when the doc table is 10¹¹)
+    * and keeps iff its domain holds an above-uniform rank share
+    * (rank·n > scale — integer cross-multiplication, no division). The
+    * CCNet/RefinedWeb pattern of consuming Common Crawl host ranks as a
+    * per-domain quality weight. */
+  def rankGatedDocs(s: SparkSession, d: String): DataFrame = {
+    val ranks = graft.operators.Graph
+      .pageRank(hostGraphEdges(s, d), "src", "dst", "w", rounds = 3)
+      .select(col("node").as("domain"), col("rank"))
+    val n = ranks.count()
+    Tables.documents(s, d)
+      .select(col("doc_id"), docDomain.as("domain"))
+      .join(broadcast(ranks), Seq("domain"))
+      .select(col("doc_id"), col("domain"), col("rank"),
+        (col("rank") * n > 1000000000000L).as("keep"))
+      .orderBy("doc_id")
   }
 
   /** T8: repetition signals (the Gopher-style quality filters): duplicate-
@@ -3863,6 +3890,7 @@ object Corpus {
     "q_t24_gopher_rules" -> (gopherRules _),
     "q_t25_url_canonical" -> (urlCanonicalDedup _),
     "q_g1_pagerank" -> (hostPageRank _),
+    "q_g2_rank_gate" -> (rankGatedDocs _),
     "q_s13_shard_manifest" -> (shardManifest _),
     "q_tp12_crawl_pipeline" -> (crawlPipeline _),
     "q_tp8_clean_stripped" -> (cleanCorpusStripped _),

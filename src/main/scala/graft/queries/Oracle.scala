@@ -378,8 +378,9 @@ object Oracle {
   /** q_g1: replay [[graft.operators.Graph.pageRank]]'s integer-exact
     * rounds as unrolled CTEs (the q_t18 round-replay discipline lifted to
     * rank propagation — same graph synthesis, same int64 floor-division
-    * mass arithmetic, so ranks match bit for bit). */
-  private def pageRankSql(rounds: Int): String = {
+    * mass arithmetic, so ranks match bit for bit). The CTE body is shared
+    * with q_g2's rank-gated curation. */
+  private def pageRankCtes(rounds: Int): String = {
     val scale = "1000000000000"
     val roundCtes = (1 to rounds).map { k =>
       s"""r$k AS (
@@ -394,7 +395,7 @@ object Oracle {
          |    JOIN outw o ON o.src = e.src
          |    GROUP BY 1) inf ON inf.node = n2.node)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e0 AS (
+    s"""e0 AS (
        |  SELECT 'www.' || source || '-' || CAST(doc_id % 3 AS VARCHAR) || '.example.com' AS src,
        |         'www.src' || CAST(h % 20 AS VARCHAR) || '-' || CAST((h // 20) % 3 AS VARCHAR) || '.example.com' AS dst
        |  FROM (SELECT doc_id, source,
@@ -407,7 +408,11 @@ object Oracle {
        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
        |outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY 1),
        |r0 AS (SELECT node, ($scale // nn.n) AS rank FROM nodes CROSS JOIN nn),
-       |$roundCtes
+       |$roundCtes""".stripMargin
+  }
+
+  private def pageRankSql(rounds: Int): String =
+    s"""WITH ${pageRankCtes(rounds)}
        |SELECT n.node AS domain, r.rank,
        |       COALESCE(o.ow, 0) AS out_w, COALESCE(i.iw, 0) AS in_w
        |FROM nodes n
@@ -415,7 +420,6 @@ object Oracle {
        |LEFT JOIN outw o ON o.src = n.node
        |LEFT JOIN (SELECT dst, SUM(w) AS iw FROM edges GROUP BY 1) i ON i.dst = n.node
        |ORDER BY domain""".stripMargin
-  }
 
   /** q_t18: replay the BPE training rounds in SQL. Each word type rides as
     * ONE string of chr(1)<sym>chr(2)-wrapped segments, so DuckDB's plain
@@ -1521,6 +1525,21 @@ object Oracle {
     // Mirrors Corpus.hostPageRank: identical synthesized host graph and
     // three unrolled integer-arithmetic damped rounds.
     "q_g1_pagerank" -> pageRankSql(3),
+
+    // Mirrors Corpus.rankGatedDocs: the shared PageRank CTEs joined back
+    // onto documents by domain; keep = above-uniform rank share.
+    "q_g2_rank_gate" ->
+      s"""WITH ${pageRankCtes(3)},
+         |docdom AS (
+         |  SELECT doc_id,
+         |         'www.' || source || '-' || CAST(doc_id % 3 AS VARCHAR) || '.example.com' AS domain
+         |  FROM documents)
+         |SELECT dd.doc_id, dd.domain, r.rank,
+         |       (r.rank * nn.n > 1000000000000) AS keep
+         |FROM docdom dd
+         |JOIN r3 r ON r.node = dd.domain
+         |CROSS JOIN nn
+         |ORDER BY dd.doc_id""".stripMargin,
 
     // Mirrors Corpus.shardManifest: same hash shard key, same
     // commutative per-shard checksum.

@@ -41,6 +41,18 @@ class GraphSpec extends SparkSpec {
     assert(r("D")._1 > 49999999999L / 2)
   }
 
+  test("rank gate joins the domain prior as a broadcast and splits the corpus") {
+    val df = graft.queries.Corpus.all("q_g2_rank_gate")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"domain-prior join must broadcast the rank table:\n$plan")
+    val rows = df.collect()
+    assert(rows.length === graft.Tables.documents(spark, "/root/testdata/sf0.001").count())
+    // the gate genuinely splits: some domains above, some below uniform share
+    val keeps = rows.map(_.getBoolean(3)).toSet
+    assert(keeps === Set(true, false))
+  }
+
   test("deterministic across runs and repartitionings") {
     val edges = (0 until 200).map(i =>
       (s"n${i % 17}", s"n${(i * 7 + 3) % 17}", (i % 5 + 1).toLong))
