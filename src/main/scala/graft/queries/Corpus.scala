@@ -3355,6 +3355,65 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** TP13: BENCHMARK SPAN DECONTAMINATION — the span-grain sibling of
+    * q_tp3 (which drops WHOLE contaminated docs): any L-token window that
+    * exactly matches a window of the benchmark set is cut out of the
+    * training text, keeping the rest of the document — the GPT-3/PaLM
+    * n-gram decontamination method. The benchmark is the q_t9 convention
+    * (doc_id % 17 == 0 held out as eval suites); planted rows
+    * (id+4500000: fresh prefix + a 20-token benchmark slice + fresh
+    * suffix) prove interior spans are excised while novel text survives.
+    *
+    * Scale shape: the benchmark shingle set BROADCASTS (eval suites are
+    * millions of n-grams where the corpus is trillions of tokens) and the
+    * probe is one left-semi join against it — the corpus-side windows
+    * never shuffle on the hash key at all, unlike q_tp9/q_tp10 whose
+    * global first-occurrence requires it. Coverage is the tp10
+    * difference-array cumsum (one per-doc window), with the simpler
+    * policy "dropped iff ANY covering window matches" — benchmark text
+    * has no novel-window amnesty. */
+  def decontamScrub(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = 8
+    val toks = TextFunctions.tokens(TextFunctions.normText(col("text")))
+    val docsAll = Tables.documents(s, d).select("doc_id", "text")
+    val bench = docsAll.filter(col("doc_id") % 17 === 0)
+    val planted = bench
+      .filter(size(toks) >= 40 && col("doc_id") < 120)
+      .select((col("doc_id") + 4500000L).as("doc_id"),
+        concat(lit("fresh opening words "), array_join(slice(toks, 5, 20), " "),
+          lit(" fresh closing words")).as("text"))
+    val corpus = docsAll.filter(col("doc_id") % 17 =!= 0).unionByName(planted)
+    val benchH = bench
+      .select(explode(graft.functions.GraftFunctions.shingleHashes(toks, L)).as("h"))
+      .distinct()
+    val tokRows = corpus.select(col("doc_id"), posexplode(toks))
+      .select(col("doc_id"), (col("pos") + 1).as("t"), col("col").as("tok"))
+    val starts = corpus
+      .select(col("doc_id"), posexplode(graft.functions.GraftFunctions.shingleHashes(toks, L)))
+      .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("h"))
+    val hits = starts.join(broadcast(benchH), Seq("h"), "left_semi")
+    val deltas = hits.select(col("doc_id"), col("p").as("t"), lit(1).as("ds"))
+      .unionByName(hits.select(col("doc_id"), (col("p") + L).as("t"), lit(-1).as("ds")))
+      .groupBy("doc_id", "t").agg(sum("ds").as("ds"))
+    val w = Window.partitionBy("doc_id").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tokRows.join(deltas, Seq("doc_id", "t"), "left")
+      .withColumn("cs", sum(coalesce(col("ds"), lit(0))).over(w))
+      .withColumn("dropped", col("cs") > 0)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(!col("dropped"), struct(col("t"), col("tok"))))),
+            c => c.getField("tok")),
+          " ").as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** TP11: SCRUB-THEN-CLEAN — the q_tp10 span scrub (first copy survives,
     * later copies cut) run as stage 0 of the tp1 cleaning chain: quality
     * gate → exact dedup → near-dup removal over the SCRUBBED text. This is
@@ -3893,6 +3952,7 @@ object Corpus {
     "q_g2_rank_gate" -> (rankGatedDocs _),
     "q_s13_shard_manifest" -> (shardManifest _),
     "q_tp12_crawl_pipeline" -> (crawlPipeline _),
+    "q_tp13_decontam_scrub" -> (decontamScrub _),
     "q_tp8_clean_stripped" -> (cleanCorpusStripped _),
     "q_t19_bpe_encode" -> (bpeEncodeCounts _),
     "q_t20_bpe_vocab" -> (bpeVocab _),

@@ -2682,6 +2682,53 @@ object Oracle {
         |       COALESCE(string_agg(tok, ' ' ORDER BY t) FILTER (WHERE NOT (cs > 0 AND cn = 0)), '') AS clean_text
         |FROM cv GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // Mirrors Corpus.decontamScrub (q_tp13): benchmark = doc_id % 17 == 0;
+    // planted rows carry an interior benchmark slice; a token drops iff
+    // ANY covering 8-window matches a benchmark window.
+    "q_tp13_decontam_scrub" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, text,
+        |         regexp_extract_all(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\S+') AS toks
+        |  FROM documents),
+        |bh AS (
+        |  SELECT DISTINCT md5(array_to_string(toks[CAST(i AS INTEGER) : CAST(i + 7 AS INTEGER)], ' ')) AS h
+        |  FROM t0, unnest(generate_series(1, len(toks) - 7)) AS g(i)
+        |  WHERE doc_id % 17 = 0 AND len(toks) >= 8),
+        |base AS (
+        |  SELECT doc_id, text FROM t0 WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 4500000,
+        |         'fresh opening words ' || array_to_string(toks[5:24], ' ') || ' fresh closing words'
+        |  FROM t0 WHERE doc_id % 17 = 0 AND doc_id < 120 AND len(toks) >= 40),
+        |t AS (
+        |  SELECT doc_id,
+        |         regexp_extract_all(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\S+') AS toks
+        |  FROM base),
+        |tr AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS t, toks[CAST(i AS INTEGER)] AS tok
+        |  FROM t, unnest(generate_series(1, len(toks))) AS g(i)),
+        |st AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS p,
+        |         md5(array_to_string(toks[CAST(i AS INTEGER) : CAST(i + 7 AS INTEGER)], ' ')) AS h
+        |  FROM t, unnest(generate_series(1, len(toks) - 7)) AS g(i)
+        |  WHERE len(toks) >= 8),
+        |hits AS (SELECT doc_id, p FROM st WHERE h IN (SELECT h FROM bh)),
+        |dl AS (
+        |  SELECT doc_id, p AS t, 1 AS ds FROM hits
+        |  UNION ALL
+        |  SELECT doc_id, p + 8, -1 FROM hits),
+        |dg AS (SELECT doc_id, t, SUM(ds) AS ds FROM dl GROUP BY 1, 2),
+        |cv AS (
+        |  SELECT tr.doc_id, tr.t, tr.tok,
+        |         SUM(COALESCE(dg.ds, 0)) OVER (PARTITION BY tr.doc_id ORDER BY tr.t
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+        |  FROM tr LEFT JOIN dg ON dg.doc_id = tr.doc_id AND dg.t = tr.t)
+        |SELECT doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(CASE WHEN cs > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |       COALESCE(string_agg(tok, ' ' ORDER BY t) FILTER (WHERE cs <= 0), '') AS clean_text
+        |FROM cv GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // Mirrors Corpus.cleanCorpusScrubbed (q_tp11): the q_tp10 scrub chain
     // (no clone injection — the natural corpus) feeding the shared tp1
     // clean chain over the scrubbed text. CTEs are sc_-prefixed to avoid

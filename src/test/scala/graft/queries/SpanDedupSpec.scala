@@ -168,4 +168,27 @@ class SpanDedupSpec extends SparkSpec {
     }.toSet
     assert(spans.map(t => (t._1, t._2, t._3)).toSet == expected)
   }
+
+  test("tp13 decontamination: planted benchmark slices are excised exactly") {
+    val df = Corpus.all("q_tp13_decontam_scrub")(spark, "/root/testdata/sf0.001")
+    // the benchmark probe must broadcast (the corpus side never shuffles
+    // on the shingle key)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"benchmark probe should be a broadcast left-semi join:\n$plan")
+    val rows = df.collect()
+    // no benchmark docs in the output; planted rows present
+    assert(rows.forall(_.getLong(0) % 17 != 0 || rows.isEmpty))
+    val planted = rows.filter(_.getLong(0) >= 4500000L)
+    assert(planted.nonEmpty, "no planted contaminated rows")
+    planted.foreach { r =>
+      // 3 fresh prefix + 20 benchmark + 3 fresh suffix tokens: exactly the
+      // 20 benchmark-slice tokens are cut, the fresh framing survives
+      assert(r.getLong(1) === 26L, s"doc ${r.getLong(0)}: n_tokens ${r.getLong(1)}")
+      assert(r.getLong(2) === 20L, s"doc ${r.getLong(0)}: n_dropped ${r.getLong(2)}")
+      assert(r.getString(3) === "fresh opening words fresh closing words")
+    }
+    // clean corpus docs with no benchmark overlap pass through untouched
+    assert(rows.exists(r => r.getLong(2) === 0L && r.getLong(1) > 0L))
+  }
 }
