@@ -3414,6 +3414,54 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** The injected multi-line fixtures for line dedup (the corpus is
+    * single-line; three docs share boilerplate footer lines, one is
+    * boilerplate-free): ids 4600000+. */
+  private def lineSamples(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      (4600000L, "Breaking news about mountain weather\nSubscribe to our newsletter\nAll rights reserved"),
+      (4600001L, "Local sports results from yesterday\nSubscribe to our newsletter\nAll rights reserved"),
+      (4600002L, "Recipes for the summer season\nSubscribe to our newsletter\nAll rights reserved"),
+      (4600003L, "A unique essay with no boilerplate at all"))
+      .toDF("doc_id", "text")
+  }
+
+  /** TP14: LINE-LEVEL BOILERPLATE DEDUP — C4's "discard any line that
+    * occurs 3+ times in the corpus" rule (nav bars, cookie banners,
+    * subscribe footers repeat across pages of a site; they dominate
+    * naive token counts and poison LM training). Lines key on the md5 of
+    * their normalized form; ONE line-key window (count over the hash
+    * partition — the 32-char key is the only thing that crosses the
+    * wire, never the line text twice) classifies every occurrence, and
+    * per-doc reassembly preserves original line order. Single-line
+    * corpus docs make the rule degenerate to whole-doc boilerplate
+    * detection (a doc text repeated 3+ times vanishes entirely) — the
+    * planted multi-line fixtures prove the line-grain path. */
+  def lineDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = Tables.documents(s, d).select("doc_id", "text")
+      .unionByName(lineSamples(s))
+      .select(col("doc_id"), posexplode(split(col("text"), "\n")))
+      .select(col("doc_id"), (col("pos") + 1).as("ln"), col("col").as("line"))
+      .withColumn("lkey", md5(TextFunctions.normText(col("line"))))
+    val wKey = Window.partitionBy("lkey")
+    lines
+      .withColumn("n", count(lit(1)).over(wKey))
+      .withColumn("dropped", col("n") >= 3)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(!col("dropped"), struct(col("ln"), col("line"))))),
+            c => c.getField("line")),
+          "\n").as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** TP11: SCRUB-THEN-CLEAN — the q_tp10 span scrub (first copy survives,
     * later copies cut) run as stage 0 of the tp1 cleaning chain: quality
     * gate → exact dedup → near-dup removal over the SCRUBBED text. This is
@@ -3953,6 +4001,7 @@ object Corpus {
     "q_s13_shard_manifest" -> (shardManifest _),
     "q_tp12_crawl_pipeline" -> (crawlPipeline _),
     "q_tp13_decontam_scrub" -> (decontamScrub _),
+    "q_tp14_line_dedup" -> (lineDedup _),
     "q_tp8_clean_stripped" -> (cleanCorpusStripped _),
     "q_t19_bpe_encode" -> (bpeEncodeCounts _),
     "q_t20_bpe_vocab" -> (bpeVocab _),

@@ -2729,6 +2729,31 @@ object Oracle {
         |       COALESCE(string_agg(tok, ' ' ORDER BY t) FILTER (WHERE cs <= 0), '') AS clean_text
         |FROM cv GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // Mirrors Corpus.lineDedup (q_tp14): same fixtures (chr(10) lines),
+    // same md5-of-normalized-line key, same count>=3 discard rule.
+    "q_tp14_line_dedup" ->
+      """WITH lbase AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT CAST(v.doc_id AS BIGINT), v.text FROM (VALUES
+        |    (4600000, 'Breaking news about mountain weather' || chr(10) || 'Subscribe to our newsletter' || chr(10) || 'All rights reserved'),
+        |    (4600001, 'Local sports results from yesterday' || chr(10) || 'Subscribe to our newsletter' || chr(10) || 'All rights reserved'),
+        |    (4600002, 'Recipes for the summer season' || chr(10) || 'Subscribe to our newsletter' || chr(10) || 'All rights reserved'),
+        |    (4600003, 'A unique essay with no boilerplate at all')
+        |  ) AS v(doc_id, text)),
+        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM lbase),
+        |l AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS ln, lines[CAST(i AS INTEGER)] AS line
+        |  FROM ls, unnest(generate_series(1, len(lines))) AS g(i)),
+        |k AS (
+        |  SELECT *, md5(regexp_replace(lower(trim(line)), '\s+', ' ', 'g')) AS lkey FROM l),
+        |c AS (SELECT *, COUNT(*) OVER (PARTITION BY lkey) AS n FROM k)
+        |SELECT doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |       CAST(SUM(CASE WHEN n >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |       COALESCE(string_agg(line, chr(10) ORDER BY ln) FILTER (WHERE n < 3), '') AS clean_text
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // Mirrors Corpus.cleanCorpusScrubbed (q_tp11): the q_tp10 scrub chain
     // (no clone injection — the natural corpus) feeding the shared tp1
     // clean chain over the scrubbed text. CTEs are sc_-prefixed to avoid

@@ -269,6 +269,24 @@ class ExtendedOpsSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("line dedup: shared boilerplate lines vanish, content lines survive") {
+    val rows = Corpus.all("q_tp14_line_dedup")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // the three fixture docs share two footer lines (3 occurrences each):
+    // both die, each doc keeps only its unique first line
+    assert(rows(4600000L) === ((3L, 2L, "Breaking news about mountain weather")))
+    assert(rows(4600001L) === ((3L, 2L, "Local sports results from yesterday")))
+    assert(rows(4600002L) === ((3L, 2L, "Recipes for the summer season")))
+    // the boilerplate-free doc is untouched
+    assert(rows(4600003L) === ((1L, 0L, "A unique essay with no boilerplate at all")))
+    // single-line corpus docs: the rule degenerates to whole-doc
+    // boilerplate detection; counts stay consistent either way
+    rows.collect { case (id, v) if id < 4600000L => v }.foreach { case (nl, nd, txt) =>
+      assert(nl === 1L && (nd === 0L || txt === ""))
+    }
+  }
+
   test("shard manifest: exhaustive partition of the corpus, stable checksums") {
     val d = "/root/testdata/sf0.001"
     val m = Corpus.all("q_s13_shard_manifest")(spark, d).collect()
