@@ -2798,18 +2798,95 @@ object Corpus {
       when(id % 7 === 0, lit("#sec2")).otherwise(lit("")))
   }
 
+  /** The q_t25/q_e14 input: corpus URLs (DIV-2 resource key) plus the
+    * messy fixtures. */
+  private def urlRawFrame(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), messyUrl(col("doc_id"), expr("doc_id DIV 2")).as("url_raw"))
+      .unionByName(urlSamples(s))
+
   def urlCanonicalDedup(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val id = col("doc_id")
-    val raw = messyUrl(id, expr("doc_id DIV 2"))
     val w = Window.partitionBy("url_canon")
-    Tables.documents(s, d).select(id, raw.as("url_raw"))
-      .unionByName(urlSamples(s))
+    urlRawFrame(s, d)
       .withColumn("url_canon", TextFunctions.canonicalUrl(col("url_raw")))
       .withColumn("keep", col("doc_id") === min("doc_id").over(w))
       .withColumn("group_size", count(lit(1)).over(w))
       .select("doc_id", "url_raw", "url_canon", "keep", "group_size")
       .orderBy("doc_id")
+  }
+
+  /** E14: STREAMING URL FRONTIER — the crawl frontier's "have we seen this
+    * URL?" check as a Structured Streaming pipeline: canonical-URL
+    * batches (ascending doc_id ranges — a crawl queue drains roughly in
+    * discovery order) are classified against a parquet-backed frontier
+    * store of every canonical URL already kept. Within a batch the q_t25
+    * min rule applies; across batches the store decides — and because
+    * batches arrive in ascending ranges, the composition is EXACTLY the
+    * one-shot q_t25 min rule, so this query shares q_t25's oracle (minus
+    * group_size, which needs future knowledge no frontier has).
+    *
+    * Scale shape (the q_dd9/q_e11 discipline): the frontier store is only
+    * ever probed by a BROADCAST of the current batch's canonical keys —
+    * the store itself never shuffles; per-batch state updates append only
+    * kept keys; outputs are batchId-keyed + overwrite = idempotent under
+    * retry. */
+  def streamedUrlFrontier(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.{Dataset, Row}
+    import org.apache.spark.sql.expressions.Window
+    val all = urlRawFrame(s, d).localCheckpoint(true)
+    val n = Tables.documents(s, d).count()
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_e14").toString
+    val parts = Seq(
+      all.filter(col("doc_id") < n / 3),
+      all.filter(col("doc_id") >= n / 3 && col("doc_id") < 2 * n / 3),
+      all.filter(col("doc_id") >= 2 * n / 3))
+    val t0 = java.lang.System.currentTimeMillis() - 600000
+    parts.zipWithIndex.foreach { case (df, i) =>
+      val dir = s"$root/in/p$i"
+      df.coalesce(1).write.parquet(dir)
+      new java.io.File(dir).listFiles().foreach(_.setLastModified(t0 + i * 60000L))
+    }
+    var stateDir: Option[String] = None
+    val applyBatch: (Dataset[Row], Long) => Unit = (batch, id) => {
+      if (!batch.isEmpty) {
+        val withCanon = batch.toDF()
+          .withColumn("url_canon", TextFunctions.canonicalUrl(col("url_raw")))
+          .localCheckpoint(true)
+        // the store is probed by a broadcast semi-join of the BATCH's keys
+        // — the (unboundedly growing) store side never shuffles
+        val seen = stateDir
+          .map(p => s.read.parquet(p).join(
+            broadcast(withCanon.select("url_canon").distinct()),
+            Seq("url_canon"), "left_semi"))
+          .getOrElse(withCanon.select("url_canon").limit(0))
+          .withColumn("in_store", lit(1))
+        val wc = Window.partitionBy("url_canon")
+        val marked = withCanon
+          .withColumn("b_min", min("doc_id").over(wc))
+          .join(broadcast(seen), Seq("url_canon"), "left")
+          .withColumn("keep",
+            col("in_store").isNull && col("doc_id") === col("b_min"))
+        marked.select("doc_id", "url_raw", "url_canon", "keep")
+          .write.mode("overwrite").parquet(s"$root/out/b$id")
+        val nextState = s"$root/state$id"
+        stateDir.map(s.read.parquet(_)).getOrElse(withCanon.select("url_canon").limit(0))
+          .unionByName(marked.filter(col("keep")).select("url_canon"))
+          .write.mode("overwrite").parquet(nextState)
+        stateDir = Some(nextState)
+      }
+    }
+    val q = s.readStream
+      .schema("doc_id BIGINT, url_raw STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$root/in/p*")
+      .writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch(applyBatch)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.read.parquet(s"$root/out/b*").orderBy("doc_id")
   }
 
   /** S13: SHARD MANIFEST — the dataset-publishing step after packing: docs
@@ -4002,6 +4079,7 @@ object Corpus {
     "q_tp12_crawl_pipeline" -> (crawlPipeline _),
     "q_tp13_decontam_scrub" -> (decontamScrub _),
     "q_tp14_line_dedup" -> (lineDedup _),
+    "q_e14_stream_urls" -> (streamedUrlFrontier _),
     "q_tp8_clean_stripped" -> (cleanCorpusStripped _),
     "q_t19_bpe_encode" -> (bpeEncodeCounts _),
     "q_t20_bpe_vocab" -> (bpeVocab _),

@@ -367,6 +367,28 @@ object Oracle {
   private def urlStripSql(c: String): String =
     s"regexp_replace(regexp_replace(regexp_replace($c, '#.*$$', ''), 'utm_[^&#]*&?', '', 'g'), '[?&]+$$', '')"
 
+  /** q_t25/q_e14: the messy-URL synthesis + canonicalization CTE chain
+    * with a caller-chosen final select over `canon(doc_id, url_raw,
+    * url_canon)`. */
+  private def urlDedupOracle(finalSelect: String): String =
+    s"""WITH raw AS (
+       |  SELECT doc_id, ${messyUrlSql("doc_id // 2")} AS url_raw
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT CAST(v.doc_id AS BIGINT), v.url_raw FROM (VALUES
+       |    (4300000, 'HTTPS://Site.Example.COM:443//a//b/?utm_source=x&utm_medium=y#frag'),
+       |    (4300001, 'https://site.example.com/a/b?id=2&utm_campaign=z'),
+       |    (4300002, 'http://host.example.com:80/x/'),
+       |    (4300003, 'https://site.example.com//a/b/')
+       |  ) AS v(doc_id, url_raw)),
+       |step AS (
+       |  SELECT doc_id, url_raw, ${urlStripSql("url_raw")} AS u1
+       |  FROM raw),
+       |canon AS (
+       |  SELECT doc_id, url_raw, ${urlCanonSql("u1")} AS url_canon
+       |  FROM step)
+       |$finalSelect""".stripMargin
+
   private def urlCanonSql(u1: String): String =
     s"""regexp_replace(regexp_replace(
        |  lower(regexp_extract($u1, '^[^/]*//[^/]*')),
@@ -1584,27 +1606,21 @@ object Oracle {
     // doc_id mods), the same canonicalization chain (DuckDB's \1 group
     // syntax vs Spark's $1 — semantically identical), and the same
     // min/count-per-canonical-key dedup.
-    "q_t25_url_canonical" ->
-      s"""WITH raw AS (
-         |  SELECT doc_id, ${messyUrlSql("doc_id // 2")} AS url_raw
-         |  FROM documents
-         |  UNION ALL
-         |  SELECT CAST(v.doc_id AS BIGINT), v.url_raw FROM (VALUES
-         |    (4300000, 'HTTPS://Site.Example.COM:443//a//b/?utm_source=x&utm_medium=y#frag'),
-         |    (4300001, 'https://site.example.com/a/b?id=2&utm_campaign=z'),
-         |    (4300002, 'http://host.example.com:80/x/'),
-         |    (4300003, 'https://site.example.com//a/b/')
-         |  ) AS v(doc_id, url_raw)),
-         |step AS (
-         |  SELECT doc_id, url_raw, ${urlStripSql("url_raw")} AS u1
-         |  FROM raw),
-         |canon AS (
-         |  SELECT doc_id, url_raw, ${urlCanonSql("u1")} AS url_canon
-         |  FROM step)
-         |SELECT doc_id, url_raw, url_canon,
-         |       doc_id = MIN(doc_id) OVER (PARTITION BY url_canon) AS keep,
-         |       COUNT(*) OVER (PARTITION BY url_canon) AS group_size
-         |FROM canon ORDER BY doc_id""".stripMargin,
+    "q_t25_url_canonical" -> urlDedupOracle(
+      """SELECT doc_id, url_raw, url_canon,
+        |       doc_id = MIN(doc_id) OVER (PARTITION BY url_canon) AS keep,
+        |       COUNT(*) OVER (PARTITION BY url_canon) AS group_size
+        |FROM canon ORDER BY doc_id""".stripMargin),
+
+    // Mirrors Corpus.streamedUrlFrontier (q_e14): ascending-range
+    // micro-batches + a canonical-URL frontier store make the streaming
+    // keep/dup classification IDENTICAL to the one-shot q_t25 min rule,
+    // so the oracle is q_t25's chain minus the (future-knowledge)
+    // group_size column.
+    "q_e14_stream_urls" -> urlDedupOracle(
+      """SELECT doc_id, url_raw, url_canon,
+        |       doc_id = MIN(doc_id) OVER (PARTITION BY url_canon) AS keep
+        |FROM canon ORDER BY doc_id""".stripMargin),
 
     // Mirrors Corpus.crawlPipeline (q_tp12): ONE composed replay of the
     // crawl front door — canonical-URL dedup, markup strip, Gopher gate

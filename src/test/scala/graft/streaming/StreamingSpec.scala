@@ -203,4 +203,20 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))
     assert(sessions.toSeq === Seq((2L, 3.0), (1L, 3.0)))
   }
+
+  test("streaming URL frontier classifies exactly like the one-shot batch dedup") {
+    val d = "/root/testdata/sf0.001"
+    val streamed = graft.queries.Corpus.all("q_e14_stream_urls")(spark, d)
+      .collect().map(r => r.getLong(0) -> ((r.getString(2), r.getBoolean(3)))).toMap
+    val batch = graft.queries.Corpus.all("q_t25_url_canonical")(spark, d)
+      .collect().map(r => r.getLong(0) -> ((r.getString(2), r.getBoolean(3)))).toMap
+    assert(streamed.keySet === batch.keySet)
+    streamed.foreach { case (id, v) =>
+      assert(v === batch(id), s"doc $id: streaming $v != batch ${batch(id)}")
+    }
+    // cross-batch dups really occur (a canon kept in an early batch must
+    // mark later arrivals dup): every odd corpus id pairs with an earlier
+    // even keeper, possibly in a previous micro-batch
+    assert(streamed.exists { case (id, (_, keep)) => id % 2 == 1 && !keep })
+  }
 }
