@@ -332,6 +332,24 @@ object Scratch {
           bench2(s"$q 10x")(graft.queries.Corpus.all(q)(spark, dir10))
         }
 
+      case "scale8c" =>
+        // Round-8 third-wave spot-check: crawl-front tier at 10x sf0.1.
+        val dir10 = ensureStaging10(d)
+        def bench3(label: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+          val times = (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            df.write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(f"[scratch] $label: min ${times.min}%.1fs (passes ${times.map(t => f"$t%.1f").mkString("/")})")
+        }
+        for (q <- Seq("q_t24_gopher_rules", "q_t25_url_canonical",
+            "q_g1_pagerank", "q_s13_shard_manifest", "q_tp12_crawl_pipeline",
+            "q_tp13_decontam_scrub", "q_tp14_line_dedup")) {
+          bench3(s"$q sf0.1")(graft.queries.Corpus.all(q)(spark, d))
+          bench3(s"$q 10x")(graft.queries.Corpus.all(q)(spark, dir10))
+        }
+
       case "ml1" =>
         // attribute q_ml1_forecast_kpi cost stage by stage
         import graft.ml.ForecastModels

@@ -231,4 +231,33 @@ class BpeTrainSpec extends SparkSpec {
         assert((sets(i) & sets(j)).isEmpty)
     }
   }
+
+  test("decode round-trip: concatenating final symbols reproduces every word") {
+    import org.apache.spark.sql.functions._
+    // merges only ever concatenate adjacent symbols, so the decode
+    // (join the symbol sequence with no separator) must be lossless for
+    // EVERY word in the corpus — the tokenizer-shipping guarantee
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val merges = BpeTrain.train(docs, "text", rounds = 8)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val words = docs
+      .select(explode(TextFunctions.tokens(TextFunctions.normText(col("text")))).as("word"))
+      .distinct()
+    val symsFinal = merges.foldLeft(
+      array_remove(split(col("word"), "(?!^)"), ""): org.apache.spark.sql.Column) {
+      case (c, (a, b)) => graft.functions.GraftFunctions.bpeMerge(c, a, b)
+    }
+    val broken = words
+      .select(col("word"), array_join(symsFinal, "").as("decoded"),
+        size(symsFinal).as("n_sym"))
+      .filter(col("decoded") =!= col("word") || col("n_sym") < 1)
+    assert(broken.count() === 0L)
+    // and the merges genuinely compress: some word ends with fewer symbols
+    // than characters
+    val compressed = words
+      .select((size(symsFinal) < length(col("word"))).as("c"))
+      .filter(col("c")).count()
+    assert(compressed > 0L)
+  }
 }
