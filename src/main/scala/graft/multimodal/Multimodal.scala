@@ -95,6 +95,48 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Seeded PNG blobs: like [[toPngBlobs]] but dimensions AND pixels come
+    * from a `seed` column instead of the doc id — two rows sharing a seed
+    * carry byte-identical images under different ids (the planted-clone
+    * construction for perceptual dedup). */
+  def toPngBlobsSeeded(spark: SparkSession, idSeed: DataFrame): DataFrame = {
+    import spark.implicits._
+    idSeed.select(col("doc_id").cast("long"), col("seed").cast("long"))
+      .as[(Long, Long)].mapPartitions { it =>
+        it.map { case (id, seed) =>
+          val w = 8 + (seed % 32).toInt
+          val h = 8 + ((seed / 7) % 32).toInt
+          Blob(id, pngBytes(w, h, seed), "image/png")
+        }
+      }.toDF()
+  }
+
+  case class ImageHash(doc_id: Long, width: Int, height: Int, ahash: String)
+
+  /** Perceptual average-hash from the DECODED pixels (the pHash-family
+    * image-dedup signature): sample an 8×8 grid (nearest-neighbor at
+    * (gx·w/8, gy·h/8)), integer gray = (r+g+b)/3, threshold each cell
+    * against the floor mean — 64 bits, carried as a '0'/'1' string so the
+    * key is engine-neutral (a packed int64 would overflow BIGINT at bit
+    * 63 in the SQL mirror). Integer-only arithmetic end to end: the hash
+    * is bit-reproducible on any engine that can see the pixels. */
+  def imageAHash(spark: SparkSession, blobs: DataFrame): Dataset[ImageHash] = {
+    import spark.implicits._
+    blobs.as[Blob].mapPartitions { it =>
+      it.map { b =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b.content))
+        require(img != null, s"undecodable payload for doc ${b.doc_id}")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val grays = for (gy <- 0 until 8; gx <- 0 until 8) yield {
+          val v = img.getRGB(gx * w / 8, gy * h / 8)
+          (((v >> 16) & 0xff) + ((v >> 8) & 0xff) + (v & 0xff)) / 3
+        }
+        val mean = grays.sum / 64
+        ImageHash(b.doc_id, w, h, grays.map(g => if (g > mean) '1' else '0').mkString)
+      }
+    }
+  }
+
   /** REAL image decode: javax.imageio parses the PNG header + pixel data
     * inside the per-partition loop (the reader is the "codec handle" a JNI
     * codec would be). Same mapPartitions batch shape as [[decodeStub]];

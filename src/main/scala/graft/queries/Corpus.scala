@@ -3791,6 +3791,32 @@ object Corpus {
       cachedBlobs(s, d, "png")(Multimodal.toPngBlobs(s, Tables.documents(s, d))))
       .orderBy("doc_id").toDF()
 
+  /** MM7: IMAGE PERCEPTUAL DEDUP — dedup crosses into the image modality:
+    * every PNG is REALLY decoded (javax.imageio in the mapPartitions batch
+    * stage) and reduced to a 64-bit average-hash
+    * ([[Multimodal.imageAHash]]); images sharing a hash collapse to the
+    * lowest doc_id (the q_t25 window rule). Planted clones (ids +4700000
+    * reuse the ORIGINAL id as pixel seed, so the blob bytes are identical
+    * under a new id) guarantee non-trivial groups. The oracle recomputes
+    * each hash from the fixture pixel FORMULA — the engine must actually
+    * decode pixels to match it. Scale shape: hash extraction is the
+    * embarrassing-parallel decode pass; dedup shuffles only (doc_id,
+    * 64-char hash) — never image bytes. */
+  def imageHashDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val ids = Tables.documents(s, d)
+      .select(col("doc_id"), col("doc_id").as("seed"))
+      .unionByName(Tables.documents(s, d).filter(col("doc_id") < 50)
+        .select((col("doc_id") + 4700000L).as("doc_id"), col("doc_id").as("seed")))
+    val blobs = cachedBlobs(s, d, "png_clone")(Multimodal.toPngBlobsSeeded(s, ids))
+    val w = Window.partitionBy("ahash")
+    Multimodal.imageAHash(s, blobs).toDF()
+      .withColumn("keep", col("doc_id") === min("doc_id").over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .orderBy("doc_id")
+  }
+
   /** MM5: REAL video demux — bespoke GVID container (length-prefixed real
     * PNG frames) parsed byte-by-byte, evenly-spaced frames decoded and
     * reduced to mean red. Replaces the last declared stub in the multimodal
@@ -4187,7 +4213,8 @@ object Corpus {
     "q_mm3_audio_meta" -> (audioMeta _),
     "q_mm6_audio_features" -> (audioFeatures _),
     "q_mm4_resize_features" -> (resizeFeatures _),
-    "q_mm5_video_demux" -> (videoDemux _)
+    "q_mm5_video_demux" -> (videoDemux _),
+    "q_mm7_image_dedup" -> (imageHashDedup _)
   )
 
   val all: Map[String, Q] = raw.map { case (name, fn) =>

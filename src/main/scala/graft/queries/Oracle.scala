@@ -3448,6 +3448,42 @@ object Oracle {
     // (Multimodal.pngBytes: rgb(x,y) = (id·31 + y·w + x) & 0xffffff): the
     // nearest-neighbor sample reads in(2x, 2y), red = bits 16-23. The Spark
     // side must really decode, resample, and reduce the pixels to match.
+    // Mirrors Corpus.imageHashDedup (q_mm7): the aHash recomputed from the
+    // pngBytes pixel formula (v = (seed*31 + y*w + x) & 0xffffff, gray =
+    // (r+g+b)//3, 8x8 nearest-neighbor grid, floor-mean threshold) — the
+    // Spark side must really decode the PNGs to reproduce these bits.
+    "q_mm7_image_dedup" ->
+      """WITH ids AS (
+        |  SELECT doc_id, doc_id AS seed FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 4700000, doc_id FROM documents WHERE doc_id < 50),
+        |dim AS (
+        |  SELECT doc_id, seed,
+        |         CAST(8 + (seed % 32) AS BIGINT) AS w,
+        |         CAST(8 + ((seed // 7) % 32) AS BIGINT) AS h
+        |  FROM ids),
+        |g AS (SELECT *, unnest(generate_series(0, 7)) AS gx FROM dim),
+        |gxy AS (SELECT *, unnest(generate_series(0, 7)) AS gy FROM g),
+        |px AS (
+        |  SELECT doc_id, seed, w, h, gx, gy,
+        |         ((seed * 31 + (gy * h // 8) * w + (gx * w // 8)) & 16777215) AS v
+        |  FROM gxy),
+        |gr AS (
+        |  SELECT *, (((v >> 16) & 255) + ((v >> 8) & 255) + (v & 255)) // 3 AS gray
+        |  FROM px),
+        |mn AS (SELECT doc_id, SUM(gray) // 64 AS m FROM gr GROUP BY 1),
+        |hsh AS (
+        |  SELECT gr.doc_id,
+        |         CAST(MIN(gr.w) AS INTEGER) AS width, CAST(MIN(gr.h) AS INTEGER) AS height,
+        |         string_agg(CASE WHEN gray > m THEN '1' ELSE '0' END, ''
+        |           ORDER BY gy, gx) AS ahash
+        |  FROM gr JOIN mn ON mn.doc_id = gr.doc_id
+        |  GROUP BY 1)
+        |SELECT doc_id, width, height, ahash,
+        |       doc_id = MIN(doc_id) OVER (PARTITION BY ahash) AS keep,
+        |       COUNT(*) OVER (PARTITION BY ahash) AS group_size
+        |FROM hsh ORDER BY doc_id""".stripMargin,
+
     "q_mm4_resize_features" ->
       """WITH dim AS (
         |  SELECT doc_id,

@@ -131,4 +131,24 @@ class MultimodalSpec extends SparkSpec {
     assert(frames(9L).length === 3 && frames(9L).forall(_.frame_bytes === 2L))
     assert(frames.values.forall(fs => fs.length >= 1 && fs.length <= 5))
   }
+
+  test("image perceptual dedup: byte-identical clones share the aHash and lose the keep race") {
+    val rows = graft.queries.Corpus.all("q_mm7_image_dedup")(
+      spark, "/root/testdata/sf0.001").collect()
+    val byId = rows.map(r => r.getLong(0) ->
+      ((r.getString(3), r.getBoolean(4), r.getLong(5)))).toMap
+    val cloneIds = byId.keySet.filter(_ >= 4700000L)
+    assert(cloneIds.nonEmpty)
+    cloneIds.foreach { c =>
+      val orig = c - 4700000L
+      // the clone decodes to the same 64-bit signature as its original...
+      assert(byId(c)._1 === byId(orig)._1, s"clone $c hash != original")
+      // ...and never wins the keep race against the lower id
+      assert(!byId(c)._2, s"clone $c unexpectedly kept")
+      assert(byId(c)._3 >= 2L)
+    }
+    // hashes are well-formed 64-bit strings
+    rows.foreach(r => assert(r.getString(3).length === 64 &&
+      r.getString(3).forall(ch => ch == '0' || ch == '1')))
+  }
 }
