@@ -2917,6 +2917,41 @@ object Corpus {
       .orderBy("shard")
   }
 
+  /** T26: FILTER FUNNEL — the per-stage rejection report every production
+    * cleaning pipeline ships (how many docs each gate kills, in order):
+    * length floor → repetition cap (integer cross-multiplied, the q_t8
+    * signal) → language evidence → the tp1 quality gate. ONE corpus scan
+    * computes every gate flag; the funnel is a 1-row aggregate exploded
+    * into ordered stage rows — at any corpus size the report costs one
+    * pass and ships 4 rows. */
+  def filterFunnel(s: SparkSession, d: String): DataFrame = {
+    val norm = TextFunctions.normText(col("text"))
+    val toks = TextFunctions.tokens(norm)
+    val nTok = size(toks)
+    val nDist = size(array_distinct(toks))
+    val g1 = nTok >= 20
+    val g2 = (nTok - nDist) * 10 <= nTok * 3
+    val g3 = array_contains(toks, "the")
+    val g4 = TextFunctions.qualityScore(col("text")) >= 0.5
+    val agg = Tables.documents(s, d)
+      .select(g1.as("g1"), (g1 && g2).as("s2"), (g1 && g2 && g3).as("s3"),
+        (g1 && g2 && g3 && g4).as("s4"))
+      .agg(
+        count(lit(1)).as("n0"),
+        sum(col("g1").cast("long")).as("s1"),
+        sum(col("s2").cast("long")).as("s2"),
+        sum(col("s3").cast("long")).as("s3"),
+        sum(col("s4").cast("long")).as("s4"))
+    agg.selectExpr(
+      """stack(4,
+        |  '1_length',     n0, s1,
+        |  '2_repetition', s1, s2,
+        |  '3_language',   s2, s3,
+        |  '4_quality',    s3, s4) AS (stage, docs_in, docs_out)""".stripMargin)
+      .withColumn("dropped", col("docs_in") - col("docs_out"))
+      .orderBy("stage")
+  }
+
   /** G1: HOST-GRAPH PAGERANK ([[graft.operators.Graph.pageRank]]) — the
     * link-analysis quality prior of crawl curation (Common Crawl's host
     * ranks; per-domain weights in CCNet/RefinedWeb-style pipelines). The
@@ -4099,6 +4134,7 @@ object Corpus {
     "q_t23_domain_curation" -> (domainCuration _),
     "q_t24_gopher_rules" -> (gopherRules _),
     "q_t25_url_canonical" -> (urlCanonicalDedup _),
+    "q_t26_filter_funnel" -> (filterFunnel _),
     "q_g1_pagerank" -> (hostPageRank _),
     "q_g2_rank_gate" -> (rankGatedDocs _),
     "q_s13_shard_manifest" -> (shardManifest _),

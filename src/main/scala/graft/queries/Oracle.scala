@@ -1575,6 +1575,44 @@ object Oracle {
         |       SUM(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '|' || md5(text)), 1, 8)) AS BIGINT)) AS checksum
         |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
 
+    // Mirrors Corpus.filterFunnel: one scan computes every gate flag
+    // (length floor, integer repetition cap, language evidence, the tp1
+    // quality formula verbatim), funnel = staged survivor sums.
+    "q_t26_filter_funnel" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |         regexp_extract_all(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), '\\S+') AS tn,
+         |         regexp_extract_all(text, '\\S+') AS toks
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |         (len(tn) >= 20) AS g1,
+         |         ((len(tn) - len(list_distinct(tn))) * 10 <= len(tn) * 3) AS g2,
+         |         list_contains(tn, 'the') AS g3,
+         |         (least(CAST(1.0 AS DOUBLE), CAST(len(toks) AS DOUBLE) / 100.0) * 0.5
+         |           + (CASE WHEN len(toks) > 0
+         |                THEN CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE)
+         |                     / CAST(len(toks) AS DOUBLE)
+         |                ELSE CAST(0.0 AS DOUBLE) END) * 0.3
+         |           + least(CAST(1.0 AS DOUBLE),
+         |               (CASE WHEN len(toks) > 0
+         |                  THEN CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE)
+         |                       / CAST(len(toks) AS DOUBLE)
+         |                  ELSE CAST(0.0 AS DOUBLE) END) / 8.0) * 0.2 >= 0.5) AS g4
+         |  FROM f),
+         |a AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+         |         CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+         |         CAST(SUM(CASE WHEN g1 AND g2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+         |         CAST(SUM(CASE WHEN g1 AND g2 AND g3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+         |         CAST(SUM(CASE WHEN g1 AND g2 AND g3 AND g4 THEN 1 ELSE 0 END) AS BIGINT) AS s4
+         |  FROM g)
+         |SELECT '1_length' AS stage, n0 AS docs_in, s1 AS docs_out, n0 - s1 AS dropped FROM a
+         |UNION ALL SELECT '2_repetition', s1, s2, s1 - s2 FROM a
+         |UNION ALL SELECT '3_language', s2, s3, s2 - s3 FROM a
+         |UNION ALL SELECT '4_quality', s3, s4, s3 - s4 FROM a
+         |ORDER BY stage""".stripMargin,
+
     // Mirrors Corpus.gopherRules: same injected fixtures (newlines as
     // chr(10) concatenation), same RE2 count regexes, and the same
     // integer cross-multiplied rule set — no IEEE arithmetic anywhere.

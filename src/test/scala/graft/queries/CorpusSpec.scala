@@ -71,6 +71,24 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("filter funnel: stages chain, counts are monotone, drops reconcile") {
+    val rows = Corpus.all("q_t26_filter_funnel")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq ===
+      Seq("1_length", "2_repetition", "3_language", "4_quality"))
+    // stage k's input is stage k-1's output; stage 1's input is the corpus
+    assert(rows.head._2 ===
+      graft.Tables.documents(spark, "/root/testdata/sf0.001").count())
+    rows.sliding(2).foreach {
+      case Array((_, _, out1, _), (_, in2, _, _)) => assert(out1 === in2)
+      case _ => ()
+    }
+    rows.foreach { case (st, in, out, dropped) =>
+      assert(out <= in, s"$st grew")
+      assert(dropped === in - out, s"$st drop mismatch")
+    }
+  }
+
   test("gopher rules: each planted pathology fails exactly its intended rule") {
     val df = Corpus.all("q_t24_gopher_rules")(spark, "/root/testdata/sf0.001")
       .filter(org.apache.spark.sql.functions.col("doc_id") >= 4200000L)
