@@ -202,6 +202,64 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Seeded WAV blobs: like [[toWavBlobs]] but format AND samples key off a
+    * `seed` column — rows sharing a seed are byte-identical audio under
+    * different ids (the planted-clone construction for audio dedup). */
+  def toWavBlobsSeeded(spark: SparkSession, idSeed: DataFrame): DataFrame = {
+    import spark.implicits._
+    idSeed.select(col("doc_id").cast("long"), col("seed").cast("long"))
+      .as[(Long, Long)].mapPartitions { it =>
+        it.map { case (id, seed) =>
+          val channels = 1 + (seed % 2).toInt
+          val nFrames = 100 + (seed % 400).toInt
+          Blob(id, wavBytes(8000, channels, nFrames, seed), "audio/wav")
+        }
+      }.toDF()
+  }
+
+  case class AudioFingerprint(doc_id: Long, n_samples: Long, sig: String)
+
+  /** Acoustic content fingerprint from the DECODED PCM stream: the sample
+    * sequence splits into 4 equal windows (window of sample i =
+    * (i·4) DIV n — deterministic boundaries at any length) and each
+    * window reduces to its integer mean-square energy (Σ s² DIV count).
+    * The 4-number profile joined as a string is the dedup key: integer
+    * end to end, so re-encoded copies of the same signal collide on any
+    * engine. The windowed-energy shape (not one global number) is the
+    * skeleton real audio fingerprints (Chromaprint-style) hang their
+    * spectral features on. */
+  def audioFingerprint(spark: SparkSession, blobs: DataFrame): Dataset[AudioFingerprint] = {
+    import spark.implicits._
+    blobs.as[Blob].mapPartitions { it =>
+      it.map { b =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(b.content))
+        try {
+          val fmt = in.getFormat
+          require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+            s"expected 16-bit LE PCM for doc ${b.doc_id}")
+          val bytes = in.readAllBytes()
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val n = bytes.length / 2
+          require(n > 0, s"empty PCM payload for doc ${b.doc_id}")
+          val sums = new Array[Long](4)
+          val counts = new Array[Long](4)
+          var i = 0
+          while (bb.remaining() >= 2) {
+            val s = bb.getShort.toLong
+            val w = ((i.toLong * 4) / n).toInt
+            sums(w) += s * s
+            counts(w) += 1
+            i += 1
+          }
+          val sig = (0 until 4).map(k => (sums(k) / counts(k)).toString).mkString(":")
+          AudioFingerprint(b.doc_id, n.toLong, sig)
+        } finally in.close()
+      }
+    }
+  }
+
   /** REAL audio decode: javax.sound.sampled parses the RIFF/WAVE structure
     * inside the per-partition loop. duration_ms is integer math on decoded
     * fields (frames * 1000 / rate) — deterministic and oracle-mirrorable. */

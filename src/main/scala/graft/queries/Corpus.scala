@@ -3852,6 +3852,27 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** MM8: AUDIO CONTENT DEDUP — the audio sibling of q_mm7: every WAV is
+    * really decoded (javax.sound.sampled) and reduced to a 4-window
+    * integer energy fingerprint ([[Multimodal.audioFingerprint]]); blobs
+    * sharing the profile collapse to the lowest doc_id. Clones (ids
+    * +4800000, original id as seed → byte-identical audio) plant the
+    * groups; the oracle recomputes each window energy from the PCM sample
+    * FORMULA, so header-only parsing cannot fake the fingerprint. */
+  def audioHashDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ids = Tables.documents(s, d)
+      .select(col("doc_id"), col("doc_id").as("seed"))
+      .unionByName(Tables.documents(s, d).filter(col("doc_id") < 50)
+        .select((col("doc_id") + 4800000L).as("doc_id"), col("doc_id").as("seed")))
+    val blobs = cachedBlobs(s, d, "wav_clone")(Multimodal.toWavBlobsSeeded(s, ids))
+    val w = Window.partitionBy("sig")
+    Multimodal.audioFingerprint(s, blobs).toDF()
+      .withColumn("keep", col("doc_id") === min("doc_id").over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .orderBy("doc_id")
+  }
+
   /** MM5: REAL video demux — bespoke GVID container (length-prefixed real
     * PNG frames) parsed byte-by-byte, evenly-spaced frames decoded and
     * reduced to mean red. Replaces the last declared stub in the multimodal
@@ -4250,7 +4271,8 @@ object Corpus {
     "q_mm6_audio_features" -> (audioFeatures _),
     "q_mm4_resize_features" -> (resizeFeatures _),
     "q_mm5_video_demux" -> (videoDemux _),
-    "q_mm7_image_dedup" -> (imageHashDedup _)
+    "q_mm7_image_dedup" -> (imageHashDedup _),
+    "q_mm8_audio_dedup" -> (audioHashDedup _)
   )
 
   val all: Map[String, Q] = raw.map { case (name, fn) =>

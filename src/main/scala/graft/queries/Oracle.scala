@@ -3684,6 +3684,38 @@ object Oracle {
     // sample_i = int16((doc_id*131 + i*7919) & 0xffff), interleaved over
     // channels): peak and the square sum are exact integers, the RMS is one
     // IEEE division + sqrt — the Spark side must decode the actual waveform.
+    // Mirrors Corpus.audioHashDedup (q_mm8): the 4-window integer energy
+    // profile recomputed from the WAV sample formula (smp = signed 16-bit
+    // of (seed*131 + i*7919) & 0xffff, window = (i*4)//n) — the Spark
+    // side must decode real PCM to reproduce the fingerprint.
+    "q_mm8_audio_dedup" ->
+      """WITH ids AS (
+        |  SELECT doc_id, doc_id AS seed FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 4800000, doc_id FROM documents WHERE doc_id < 50),
+        |d AS (
+        |  SELECT doc_id, seed,
+        |         CAST((100 + seed % 400) * (1 + seed % 2) AS BIGINT) AS n
+        |  FROM ids),
+        |s AS (SELECT doc_id, seed, n, unnest(generate_series(0, n - 1)) AS i FROM d),
+        |v AS (
+        |  SELECT doc_id, n, (i * 4) // n AS w,
+        |         CASE WHEN ((seed * 131 + i * 7919) & 65535) >= 32768
+        |              THEN ((seed * 131 + i * 7919) & 65535) - 65536
+        |              ELSE ((seed * 131 + i * 7919) & 65535) END AS smp
+        |  FROM s),
+        |wi AS (
+        |  SELECT doc_id, n, w, SUM(smp * smp) // COUNT(*) AS m
+        |  FROM v GROUP BY 1, 2, 3),
+        |sig AS (
+        |  SELECT doc_id, MIN(n) AS n_samples,
+        |         string_agg(CAST(m AS VARCHAR), ':' ORDER BY w) AS sig
+        |  FROM wi GROUP BY 1)
+        |SELECT doc_id, n_samples, sig,
+        |       doc_id = MIN(doc_id) OVER (PARTITION BY sig) AS keep,
+        |       COUNT(*) OVER (PARTITION BY sig) AS group_size
+        |FROM sig ORDER BY doc_id""".stripMargin,
+
     "q_mm6_audio_features" ->
       """WITH d AS (
         |  SELECT doc_id,

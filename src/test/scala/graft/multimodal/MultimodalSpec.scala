@@ -151,4 +151,22 @@ class MultimodalSpec extends SparkSpec {
     rows.foreach(r => assert(r.getString(3).length === 64 &&
       r.getString(3).forall(ch => ch == '0' || ch == '1')))
   }
+
+  test("audio content dedup: cloned PCM shares the energy fingerprint") {
+    val rows = graft.queries.Corpus.all("q_mm8_audio_dedup")(
+      spark, "/root/testdata/sf0.001").collect()
+    val byId = rows.map(r => r.getLong(0) ->
+      ((r.getString(2), r.getBoolean(3), r.getLong(4)))).toMap
+    val cloneIds = byId.keySet.filter(_ >= 4800000L)
+    assert(cloneIds.nonEmpty)
+    cloneIds.foreach { c =>
+      val orig = c - 4800000L
+      assert(byId(c)._1 === byId(orig)._1, s"clone $c fingerprint != original")
+      assert(!byId(c)._2, s"clone $c unexpectedly kept")
+      assert(byId(c)._3 >= 2L)
+    }
+    // fingerprints are 4 window energies and discriminate across signals
+    rows.foreach(r => assert(r.getString(2).split(":").length === 4))
+    assert(rows.map(_.getString(2)).distinct.length > rows.length / 2)
+  }
 }
