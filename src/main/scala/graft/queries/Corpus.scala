@@ -2917,6 +2917,41 @@ object Corpus {
       .orderBy("shard")
   }
 
+  /** P16: EPOCH REPETITION MIX — materialized per-source up/down-sampling
+    * (the "repeat Wikipedia 3×, subsample CommonCrawl to 75%" step of
+    * every pre-training mix): a broadcast config maps each source to an
+    * integer epoch count plus a fractional md5-threshold extra epoch, and
+    * docs explode into (doc_id, copy) instances — epochs=0 + fractional
+    * expresses pure subsampling with the same rule. Deterministic (no
+    * RNG: the fractional epoch is the q_p9 hash-threshold), so the
+    * instance multiset is reproducible on any cluster; the output gates
+    * it with an order-independent instance checksum (the q_o8 primitive).
+    * Scale shape: config broadcasts, the explode is map-side, and only
+    * the per-source aggregate shuffles. */
+  def epochRepeat(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cfg = ((0 to 4).map(i => (s"src$i", 3, "80")) ++
+      (5 to 9).map(i => (s"src$i", 1, "40")) ++
+      (10 to 19).map(i => (s"src$i", 0, "c0")))
+      .toDF("source", "epochs", "fthr")
+    Tables.documents(s, d).join(broadcast(cfg), Seq("source"))
+      .withColumn("extra",
+        (substring(md5(concat(col("doc_id").cast("string"), lit("epoch"))), 1, 2)
+          < col("fthr")).cast("int"))
+      .withColumn("n_copies", col("epochs") + col("extra"))
+      .filter(col("n_copies") > 0)
+      .select(col("source"), col("doc_id"),
+        explode(sequence(lit(1), col("n_copies"))).as("copy"))
+      .groupBy("source")
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_instances"),
+        sum(conv(substring(md5(concat_ws("#",
+          col("doc_id").cast("string"), col("copy").cast("string"))), 1, 8), 16, 10)
+          .cast("long")).as("instance_checksum"))
+      .orderBy("source")
+  }
+
   /** T26: FILTER FUNNEL — the per-stage rejection report every production
     * cleaning pipeline ships (how many docs each gate kills, in order):
     * length floor → repetition cap (integer cross-multiplied, the q_t8
@@ -4156,6 +4191,7 @@ object Corpus {
     "q_t24_gopher_rules" -> (gopherRules _),
     "q_t25_url_canonical" -> (urlCanonicalDedup _),
     "q_t26_filter_funnel" -> (filterFunnel _),
+    "q_p16_epoch_repeat" -> (epochRepeat _),
     "q_g1_pagerank" -> (hostPageRank _),
     "q_g2_rank_gate" -> (rankGatedDocs _),
     "q_s13_shard_manifest" -> (shardManifest _),

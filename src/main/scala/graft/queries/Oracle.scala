@@ -1575,6 +1575,32 @@ object Oracle {
         |       SUM(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '|' || md5(text)), 1, 8)) AS BIGINT)) AS checksum
         |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
 
+    // Mirrors Corpus.epochRepeat: same broadcast config, same fractional
+    // md5 epoch, same instance checksum.
+    "q_p16_epoch_repeat" ->
+      """WITH cfg(source, epochs, fthr) AS (VALUES
+        |    ('src0', 3, '80'), ('src1', 3, '80'), ('src2', 3, '80'),
+        |    ('src3', 3, '80'), ('src4', 3, '80'),
+        |    ('src5', 1, '40'), ('src6', 1, '40'), ('src7', 1, '40'),
+        |    ('src8', 1, '40'), ('src9', 1, '40'),
+        |    ('src10', 0, 'c0'), ('src11', 0, 'c0'), ('src12', 0, 'c0'),
+        |    ('src13', 0, 'c0'), ('src14', 0, 'c0'), ('src15', 0, 'c0'),
+        |    ('src16', 0, 'c0'), ('src17', 0, 'c0'), ('src18', 0, 'c0'),
+        |    ('src19', 0, 'c0')),
+        |nc AS (
+        |  SELECT d.source, d.doc_id,
+        |         cfg.epochs + (CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR) || 'epoch'), 1, 2) < cfg.fthr
+        |                       THEN 1 ELSE 0 END) AS n_copies
+        |  FROM documents d JOIN cfg ON cfg.source = d.source),
+        |inst AS (
+        |  SELECT source, doc_id, unnest(generate_series(1, n_copies)) AS copy
+        |  FROM nc WHERE n_copies > 0)
+        |SELECT source,
+        |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       CAST(COUNT(*) AS BIGINT) AS n_instances,
+        |       SUM(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(copy AS VARCHAR)), 1, 8)) AS BIGINT)) AS instance_checksum
+        |FROM inst GROUP BY source ORDER BY source""".stripMargin,
+
     // Mirrors Corpus.filterFunnel: one scan computes every gate flag
     // (length floor, integer repetition cap, language evidence, the tp1
     // quality formula verbatim), funnel = staged survivor sums.

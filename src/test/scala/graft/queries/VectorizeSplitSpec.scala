@@ -110,4 +110,33 @@ class VectorizeSplitSpec extends SparkSpec {
     // every doc got assigned exactly once
     assert(rows.length === 500 && rows.map(_._1).distinct.length === 500)
   }
+
+  test("epoch repeat: upsampled sources multiply, downsampled shrink, deterministic") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val erows = Corpus.all("q_p16_epoch_repeat")(spark, d)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val perSrc = graft.Tables.documents(spark, d)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    erows.foreach { case (src, (nDocs, nInst, _)) =>
+      val base = perSrc(src)
+      val idx = src.stripPrefix("src").toInt
+      if (idx <= 4) {
+        // 3 guaranteed epochs + ~50% fractional: instances in [3n, 4n]
+        assert(nDocs === base)
+        assert(nInst >= 3 * base && nInst <= 4 * base)
+      } else if (idx <= 9) {
+        assert(nDocs === base)
+        assert(nInst >= base && nInst <= 2 * base)
+      } else {
+        // epochs=0: pure subsample — docs shrink, one instance each
+        assert(nDocs <= base && nInst === nDocs)
+      }
+    }
+    // determinism: identical run, identical checksums
+    val again = Corpus.all("q_p16_epoch_repeat")(spark, d)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    erows.foreach { case (src, (_, _, ck)) => assert(again(src) === ck) }
+  }
 }
