@@ -2917,6 +2917,35 @@ object Corpus {
       .orderBy("shard")
   }
 
+  /** TP15: ENSEMBLE QUALITY GATE — the FineWeb-Edu-style decision layer:
+    * a document survives only if the TRAINED classifier (q_t21 score ≥
+    * its operating point), the heuristic Gopher rule set (q_t24 at
+    * stopMin=1), and the repetition cap (q_t8, integer form) all agree.
+    * Signals that fail ship as per-rule booleans, not just a verdict —
+    * the per-rule rejection attribution production filters log. One
+    * corpus scan computes both heuristic signals; the classifier join
+    * reuses the cached per-(session, sf) model. */
+  def ensembleGate(s: SparkSession, d: String): DataFrame = {
+    val norm = TextFunctions.normText(col("text"))
+    val toks = TextFunctions.tokens(norm)
+    val nTok = size(toks)
+    val nDist = size(array_distinct(toks))
+    val sigs = Tables.documents(s, d).select(
+      col("doc_id"),
+      gopherPassCol(col("text"), stopMin = 1).as("pass_gopher"),
+      // cap 0.9, not q_t8's 0.3: the synthetic corpus is a 40-word
+      // vocabulary, so natural long docs all carry ~0.85 dup-token ratio
+      // — the cap is the per-corpus operating point, like stopMin
+      ((nTok - nDist) * 10 <= nTok * 9).as("pass_repetition"))
+    classifierScores(s, d).join(sigs, Seq("doc_id"))
+      .select(col("doc_id"), col("score"),
+        (col("score") >= lit(450.0)).as("pass_classifier"),
+        col("pass_gopher"), col("pass_repetition"))
+      .withColumn("keep",
+        col("pass_classifier") && col("pass_gopher") && col("pass_repetition"))
+      .orderBy("doc_id")
+  }
+
   /** P16: EPOCH REPETITION MIX — materialized per-source up/down-sampling
     * (the "repeat Wikipedia 3×, subsample CommonCrawl to 75%" step of
     * every pre-training mix): a broadcast config maps each source to an
@@ -4192,6 +4221,7 @@ object Corpus {
     "q_t25_url_canonical" -> (urlCanonicalDedup _),
     "q_t26_filter_funnel" -> (filterFunnel _),
     "q_p16_epoch_repeat" -> (epochRepeat _),
+    "q_tp15_ensemble_gate" -> (ensembleGate _),
     "q_g1_pagerank" -> (hostPageRank _),
     "q_g2_rank_gate" -> (rankGatedDocs _),
     "q_s13_shard_manifest" -> (shardManifest _),

@@ -1575,6 +1575,25 @@ object Oracle {
         |       SUM(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '|' || md5(text)), 1, 8)) AS BIGINT)) AS checksum
         |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
 
+    // Mirrors Corpus.ensembleGate (q_tp15): the shared classifier CTEs
+    // (ending in `scored`) joined with the Gopher predicate (stopMin=1)
+    // and the integer repetition cap.
+    "q_tp15_ensemble_gate" ->
+      s"""WITH $classifierCtes,
+         |esig AS (
+         |  SELECT doc_id,
+         |         ${gopherPassSql("text", 1)} AS pass_gopher,
+         |         ((len(tn) - len(list_distinct(tn))) * 10 <= len(tn) * 9) AS pass_repetition
+         |  FROM (SELECT doc_id, text,
+         |          regexp_extract_all(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), '\\S+') AS tn
+         |        FROM documents))
+         |SELECT s.doc_id, s.score,
+         |       (s.score >= 450.0) AS pass_classifier,
+         |       g.pass_gopher, g.pass_repetition,
+         |       ((s.score >= 450.0) AND g.pass_gopher AND g.pass_repetition) AS keep
+         |FROM scored s JOIN esig g USING (doc_id)
+         |ORDER BY s.doc_id""".stripMargin,
+
     // Mirrors Corpus.epochRepeat: same broadcast config, same fractional
     // md5 epoch, same instance checksum.
     "q_p16_epoch_repeat" ->

@@ -71,6 +71,21 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("ensemble gate: keep is the conjunction; rules carry independent signal") {
+    val rows = Corpus.all("q_tp15_ensemble_gate")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4), r.getBoolean(5)))
+    assert(rows.length ===
+      graft.Tables.documents(spark, "/root/testdata/sf0.001").count())
+    rows.foreach { case (id, c, g, rep, keep) =>
+      assert(keep === (c && g && rep), s"doc $id keep != conjunction")
+    }
+    // the gate is non-trivial in both directions and no single rule
+    // subsumes the verdict
+    assert(rows.exists(_._5) && rows.exists(!_._5))
+    assert(rows.exists { case (_, c, g, _, _) => c && !g })
+  }
+
   test("filter funnel: stages chain, counts are monotone, drops reconcile") {
     val rows = Corpus.all("q_t26_filter_funnel")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
