@@ -47,6 +47,37 @@ object Skew {
       .agg(aggs.head._2, aggs.tail.map(_._2): _*)
   }
 
+  /** Skew-safe per-key top-k: the two-phase form of
+    * `row_number().over(partitionBy(keys).orderBy(ord)) <= k`. A naive
+    * window funnels a hot key's ENTIRE row set through one reducer (a
+    * domain with 10⁹ crawled pages at 100 TB); here phase 1 takes a
+    * per-(keys, salt) partial top-k — the hot key spreads over `salts`
+    * reducers — and phase 2 ranks only the surviving ≤ k·salts candidate
+    * rows per key. Result-identical to the direct window (the global
+    * top-k is a subset of the union of per-salt top-ks, a selectable
+    * property of rank selection; NOT true of e.g. windowed cumsums, which
+    * is why [[saltedTrailingSum]] needs its different recombine). The
+    * salt is deterministic (row-hash mod salts — no RNG). Returns the
+    * input columns plus `rk` (1-based within key, in `ord` order). */
+  def saltedTopK(
+      df: DataFrame,
+      keys: Seq[String],
+      ord: Seq[Column],
+      k: Int,
+      salts: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val salted = df.withColumn(
+      "_salt", pmod(hash(df.columns.map(col): _*), lit(salts)))
+    val w1 = Window.partitionBy((keys :+ "_salt").map(col): _*).orderBy(ord: _*)
+    val w2 = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    salted
+      .withColumn("_rk1", row_number().over(w1))
+      .filter(col("_rk1") <= k)
+      .withColumn("rk", row_number().over(w2))
+      .filter(col("rk") <= k)
+      .drop("_salt", "_rk1")
+  }
+
   /** Trailing date-range sum at a COARSE key grain (e.g. Country only) over
     * a row stream where one key dominates — the window side of the UK-skew
     * hazard. A naive `sum().over(Window.partitionBy(key).orderBy(date))`

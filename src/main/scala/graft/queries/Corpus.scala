@@ -2578,6 +2578,29 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** T23b: the q_t23 domain cap through [[graft.operators.Skew.saltedTopK]]
+    * — RESULT-IDENTICAL to the direct window (it shares q_t23's oracle
+    * verbatim) but skew-safe: a domain with 10⁹ pages spreads over the
+    * salt fan-out in phase 1 and only ≤ k·salts candidates per domain
+    * reach the phase-2 rank. The shape the cap stage actually ships at
+    * crawl scale. */
+  def domainCurationSalted(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val url = concat(lit("https://www."), col("source"), lit("-"),
+      (col("doc_id") % 3).cast("string"),
+      lit(".example.com/doc/"), col("doc_id").cast("string"))
+    val blocklist = Seq("www.src0-0.example.com", "www.src5-2.example.com").toDF("domain")
+    val withDomain = Tables.documents(s, d)
+      .select(col("doc_id"), url.as("url"))
+      .withColumn("domain", regexp_extract(col("url"), "https?://([^/]+)/", 1))
+      .join(broadcast(blocklist), Seq("domain"), "left_anti")
+    graft.operators.Skew.saltedTopK(
+        withDomain, Seq("domain"),
+        Seq(md5(col("doc_id").cast("string")), col("doc_id")), k = 5)
+      .select("doc_id", "domain", "rk")
+      .orderBy("doc_id")
+  }
+
   /** P15: LEAKAGE-FREE GROUP SPLIT — train/validation folds keyed by
     * DOMAIN, not document: fold = hex32(md5(domain)) mod 5, so every page
     * from a site lands in the same fold and near-duplicate boilerplate can
@@ -4217,6 +4240,7 @@ object Corpus {
     "q_tp7_clean_classified" -> (cleanCorpusClassified _),
     "q_t22_markup_strip" -> (markupStrip _),
     "q_t23_domain_curation" -> (domainCuration _),
+    "q_t23b_salted_cap" -> (domainCurationSalted _),
     "q_t24_gopher_rules" -> (gopherRules _),
     "q_t25_url_canonical" -> (urlCanonicalDedup _),
     "q_t26_filter_funnel" -> (filterFunnel _),

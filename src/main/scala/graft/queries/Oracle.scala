@@ -367,6 +367,26 @@ object Oracle {
   private def urlStripSql(c: String): String =
     s"regexp_replace(regexp_replace(regexp_replace($c, '#.*$$', ''), 'utm_[^&#]*&?', '', 'g'), '[?&]+$$', '')"
 
+  /** q_t23/q_t23b: blocklist + md5-ordered per-domain cap (the salted
+    * two-phase variant is result-identical, so both keys share this). */
+  private val domainCurationSql: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |         'https://www.' || source || '-' || CAST(doc_id % 3 AS VARCHAR)
+      |           || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url
+      |  FROM documents),
+      |dom AS (
+      |  SELECT doc_id, regexp_extract(url, 'https?://([^/]+)/', 1) AS domain FROM u),
+      |ok AS (
+      |  SELECT * FROM dom
+      |  WHERE domain NOT IN ('www.src0-0.example.com', 'www.src5-2.example.com')),
+      |rk AS (
+      |  SELECT doc_id, domain,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY domain
+      |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rk
+      |  FROM ok)
+      |SELECT doc_id, domain, rk FROM rk WHERE rk <= 5 ORDER BY doc_id""".stripMargin
+
   /** q_t25/q_e14: the messy-URL synthesis + canonicalization CTE chain
     * with a caller-chosen final select over `canon(doc_id, url_raw,
     * url_canon)`. */
@@ -1526,23 +1546,10 @@ object Oracle {
 
     // Mirrors Corpus.domainCuration: same synthesized URL, same regexp
     // domain extraction, same blocklist, same md5-ordered per-domain cap.
-    "q_t23_domain_curation" ->
-      """WITH u AS (
-        |  SELECT doc_id,
-        |         'https://www.' || source || '-' || CAST(doc_id % 3 AS VARCHAR)
-        |           || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url
-        |  FROM documents),
-        |dom AS (
-        |  SELECT doc_id, regexp_extract(url, 'https?://([^/]+)/', 1) AS domain FROM u),
-        |ok AS (
-        |  SELECT * FROM dom
-        |  WHERE domain NOT IN ('www.src0-0.example.com', 'www.src5-2.example.com')),
-        |rk AS (
-        |  SELECT doc_id, domain,
-        |         CAST(ROW_NUMBER() OVER (PARTITION BY domain
-        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rk
-        |  FROM ok)
-        |SELECT doc_id, domain, rk FROM rk WHERE rk <= 5 ORDER BY doc_id""".stripMargin,
+    // q_t23b (the salted two-phase cap) is RESULT-identical by the
+    // rank-selectability property, so it shares this oracle verbatim.
+    "q_t23_domain_curation" -> domainCurationSql,
+    "q_t23b_salted_cap" -> domainCurationSql,
 
     // Mirrors Corpus.hostPageRank: identical synthesized host graph and
     // three unrolled integer-arithmetic damped rounds.

@@ -385,4 +385,27 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
     assert(got === Seq((1L, 1.0), (2L, 5.0), (3L, 3.0)))
   }
+
+  test("saltedTopK equals the direct window on planted skew, phase 1 spreads the hot key") {
+    import org.apache.spark.sql.expressions.Window
+    // one hot key (80% of rows) + a long tail
+    val rows = (0 until 4000).map { i =>
+      val k = if (i % 5 != 0) "hot" else s"k${i % 37}"
+      (k, i.toLong)
+    }
+    val df = rows.toDF("key", "id")
+    val direct = df
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("key").orderBy(md5(col("id").cast("string")), col("id"))))
+      .filter(col("rk") <= 7)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val salted = Skew.saltedTopK(df, Seq("key"),
+        Seq(md5(col("id").cast("string")), col("id")), k = 7, salts = 8)
+    val got = salted.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === direct)
+    // the plan really runs two windows, the first over (key, _salt)
+    val plan = salted.queryExecution.executedPlan.toString
+    assert("(?s)Window.*Window".r.findFirstIn(plan).isDefined, s"expected two windows:\n$plan")
+    assert(plan.contains("_salt"), s"phase 1 must partition by the salt:\n$plan")
+  }
 }
