@@ -2922,10 +2922,10 @@ object Corpus {
     * int64 sum of per-doc md5 fingerprints — the q_o8 anti-entropy
     * primitive, so two replicas can be compared without sorting either
     * side). One aggregate pass, map-side partials, 8 output rows. */
-  def shardManifest(s: SparkSession, d: String): DataFrame = {
+  private def manifestOf(docs: DataFrame): DataFrame = {
     val shard = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
       .cast("long") % 8).cast("int")
-    Tables.documents(s, d)
+    docs
       .withColumn("shard", shard)
       .groupBy("shard")
       .agg(
@@ -2937,6 +2937,36 @@ object Corpus {
         sum(conv(substring(md5(concat_ws("|",
           col("doc_id").cast("string"), md5(col("text")))), 1, 8), 16, 10)
           .cast("long")).as("checksum"))
+  }
+
+  def shardManifest(s: SparkSession, d: String): DataFrame =
+    manifestOf(Tables.documents(s, d)).orderBy("shard")
+
+  /** S14: INCREMENTAL MANIFEST MAINTENANCE — when a new batch lands, the
+    * published manifest updates by MERGING the batch's partial manifest
+    * into the existing one (sums add, id ranges min/max-combine, the
+    * commutative checksum adds) instead of rescanning the whole dataset —
+    * the q_a22 incremental-rollup discipline applied to the publishing
+    * metadata. Every manifest column is an algebraic aggregate, so
+    * incremental ≡ from-scratch EXACTLY: this query merges a 90% base
+    * with a 10% delta and shares q_s13's from-scratch oracle verbatim.
+    * Merge cost is 8+8 rows — independent of data size. */
+  def incrementalManifest(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val base = manifestOf(docs.filter(col("doc_id") % 10 =!= 0))
+    val delta = manifestOf(docs.filter(col("doc_id") % 10 === 0))
+    def m(b: String, d0: String, how: (Column, Column) => Column, out: String) =
+      how(col(s"b.$b"), col(s"d.$d0")).as(out)
+    def addL(a: Column, b: Column) = coalesce(a, lit(0L)) + coalesce(b, lit(0L))
+    base.as("b").join(delta.as("d"), col("b.shard") === col("d.shard"), "full")
+      .select(
+        coalesce(col("b.shard"), col("d.shard")).as("shard"),
+        m("n_docs", "n_docs", addL, "n_docs"),
+        m("n_chars", "n_chars", addL, "n_chars"),
+        m("n_tokens", "n_tokens", addL, "n_tokens"),
+        m("min_doc_id", "min_doc_id", (a, b) => least(a, b), "min_doc_id"),
+        m("max_doc_id", "max_doc_id", (a, b) => greatest(a, b), "max_doc_id"),
+        m("checksum", "checksum", addL, "checksum"))
       .orderBy("shard")
   }
 
@@ -4249,6 +4279,7 @@ object Corpus {
     "q_g1_pagerank" -> (hostPageRank _),
     "q_g2_rank_gate" -> (rankGatedDocs _),
     "q_s13_shard_manifest" -> (shardManifest _),
+    "q_s14_incr_manifest" -> (incrementalManifest _),
     "q_tp12_crawl_pipeline" -> (crawlPipeline _),
     "q_tp13_decontam_scrub" -> (decontamScrub _),
     "q_tp14_line_dedup" -> (lineDedup _),

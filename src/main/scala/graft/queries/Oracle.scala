@@ -367,6 +367,18 @@ object Oracle {
   private def urlStripSql(c: String): String =
     s"regexp_replace(regexp_replace(regexp_replace($c, '#.*$$', ''), 'utm_[^&#]*&?', '', 'g'), '[?&]+$$', '')"
 
+  /** q_s13/q_s14: the from-scratch shard manifest (the incremental merge
+    * is algebraically identical, so both keys share this). */
+  private val shardManifestSql: String =
+    """SELECT CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS INTEGER) AS shard,
+      |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       SUM(CAST(length(text) AS BIGINT)) AS n_chars,
+      |       SUM(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)) AS n_tokens,
+      |       MIN(doc_id) AS min_doc_id,
+      |       MAX(doc_id) AS max_doc_id,
+      |       SUM(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '|' || md5(text)), 1, 8)) AS BIGINT)) AS checksum
+      |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin
+
   /** q_t23/q_t23b: blocklist + md5-ordered per-domain cap (the salted
     * two-phase variant is result-identical, so both keys share this). */
   private val domainCurationSql: String =
@@ -1571,16 +1583,10 @@ object Oracle {
          |ORDER BY dd.doc_id""".stripMargin,
 
     // Mirrors Corpus.shardManifest: same hash shard key, same
-    // commutative per-shard checksum.
-    "q_s13_shard_manifest" ->
-      """SELECT CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS INTEGER) AS shard,
-        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |       SUM(CAST(length(text) AS BIGINT)) AS n_chars,
-        |       SUM(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)) AS n_tokens,
-        |       MIN(doc_id) AS min_doc_id,
-        |       MAX(doc_id) AS max_doc_id,
-        |       SUM(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '|' || md5(text)), 1, 8)) AS BIGINT)) AS checksum
-        |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
+    // commutative per-shard checksum. q_s14 (merge of base+delta partial
+    // manifests) is algebraically identical, so it shares this oracle.
+    "q_s14_incr_manifest" -> shardManifestSql,
+    "q_s13_shard_manifest" -> shardManifestSql,
 
     // Mirrors Corpus.ensembleGate (q_tp15): the shared classifier CTEs
     // (ending in `scored`) joined with the Gopher predicate (stopMin=1)

@@ -303,5 +303,9 @@ class ExtendedOpsSpec extends SparkSpec {
     val again = Corpus.all("q_s13_shard_manifest")(spark, d).collect()
     assert(m.map(r => (r.getInt(0), r.getLong(6))).toSeq ===
       again.map(r => (r.getInt(0), r.getLong(6))).toSeq)
+    // incremental maintenance: merging base+delta partials reproduces the
+    // from-scratch manifest bit for bit
+    val incr = Corpus.all("q_s14_incr_manifest")(spark, d).collect()
+    assert(incr.map(_.toSeq).toSeq === m.map(_.toSeq).toSeq)
   }
 }
