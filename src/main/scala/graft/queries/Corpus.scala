@@ -2282,6 +2282,43 @@ object Corpus {
       .orderBy("symbol")
   }
 
+  /** T27: BPE TOKEN-ID SEQUENCES — the artifact a training run actually
+    * consumes: vocabulary symbols get dense ids (rank in byte order — the
+    * vocab table is bounded, so the single ranking window is over ~50k
+    * rows at any corpus size, never corpus-sized), every document's words
+    * expand to their trained symbol sequences, and each doc ships its id
+    * count plus an ORDER-SENSITIVE checksum (Σ id·position) proving the
+    * exact sequence, not just the multiset. Corpus cost: the distinct-word
+    * table expands once (the q_t19 decomposition); per-doc sequence order
+    * comes from one (doc, word-pos, sym-pos) window. */
+  def bpeTokenIds(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val merges = trainedMerges(bpeMergeCache, (s, d), Tables.documents(s, d))
+    val symsFinal = merges.foldLeft(
+      array_remove(split(col("word"), "(?!^)"), ""): Column) {
+      case (c, (a, b)) => graft.functions.GraftFunctions.bpeMerge(c, a, b)
+    }
+    val docw = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(TextFunctions.tokens(TextFunctions.normText(col("text")))))
+      .select(col("doc_id"), col("pos").as("wpos"), col("col").as("word"))
+    val wordSyms = docw.select("word").distinct()
+      .select(col("word"), symsFinal.as("syms"))
+    val vid = wordSyms.select(explode(col("syms")).as("symbol")).distinct()
+      .withColumn("id", row_number().over(Window.orderBy("symbol")).cast("long"))
+    val seq0 = docw.join(wordSyms, Seq("word"))
+      .select(col("doc_id"), col("wpos"), posexplode(col("syms")))
+      .select(col("doc_id"), col("wpos"), col("pos").as("spos"), col("col").as("symbol"))
+      .join(broadcast(vid), Seq("symbol"))
+    val wSeq = Window.partitionBy("doc_id").orderBy("wpos", "spos")
+    seq0
+      .withColumn("tok_idx", row_number().over(wSeq).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ids"),
+        sum(col("id") * col("tok_idx")).as("ids_checksum"))
+      .orderBy("doc_id")
+  }
+
   /** T14: BPE-ish token budget — whitespace tokens vs GPT-2-style pre-token
     * counts plus the chars-per-pretoken compression ratio (the number a
     * pipeline sizes context windows with). Same regex text in both engines
@@ -4287,6 +4324,7 @@ object Corpus {
     "q_tp8_clean_stripped" -> (cleanCorpusStripped _),
     "q_t19_bpe_encode" -> (bpeEncodeCounts _),
     "q_t20_bpe_vocab" -> (bpeVocab _),
+    "q_t27_bpe_token_ids" -> (bpeTokenIds _),
     "q_f6_datetime" -> (datetimeFunctions _),
     "q_s7_partitioned_scan" -> (partitionedScan _),
     "q_s9_dpp_join" -> (dppJoin _),

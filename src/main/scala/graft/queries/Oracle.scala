@@ -615,6 +615,34 @@ object Oracle {
        |       CAST(COUNT(DISTINCT word) AS BIGINT) AS n_word_types
        |FROM sy GROUP BY 1 ORDER BY symbol""".stripMargin
 
+  /** q_t27: dense vocab ids (byte-order rank over the final symbols), each
+    * doc's words expanded to symbol sequences, order-sensitive Σ id·pos
+    * checksum. */
+  private def bpeTokenIdsSql(rounds: Int): String =
+    s"""WITH ${bpeRoundCtes(rounds)},
+       |fs AS MATERIALIZED (
+       |  SELECT word, regexp_extract_all(s, chr(1) || '([^' || chr(2) || ']*)' || chr(2), 1) AS syms
+       |  FROM w$rounds),
+       |vid AS (
+       |  SELECT symbol, CAST(ROW_NUMBER() OVER (ORDER BY symbol) AS BIGINT) AS id
+       |  FROM (SELECT DISTINCT unnest(syms) AS symbol FROM fs)),
+       |docw AS (
+       |  SELECT doc_id, CAST(i AS INTEGER) AS wpos, toks[CAST(i AS INTEGER)] AS word
+       |  FROM (SELECT doc_id, regexp_extract_all(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), '\\S+') AS toks
+       |        FROM documents),
+       |       unnest(generate_series(1, len(toks))) AS g(i)),
+       |sq AS (
+       |  SELECT d.doc_id, d.wpos, CAST(j AS INTEGER) AS spos, fs.syms[CAST(j AS INTEGER)] AS symbol
+       |  FROM docw d JOIN fs ON fs.word = d.word,
+       |       unnest(generate_series(1, len(fs.syms))) AS h(j)),
+       |wt AS (
+       |  SELECT sq.doc_id, vid.id,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY sq.doc_id ORDER BY sq.wpos, sq.spos) AS BIGINT) AS tok_idx
+       |  FROM sq JOIN vid ON vid.symbol = sq.symbol)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ids,
+       |       SUM(id * tok_idx) AS ids_checksum
+       |FROM wt GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   /** Count-min grid + top-20 point queries (q_a25); q_e12 builds the same
     * grid through Structured Streaming and shares it. */
   private val countMinSql: String =
@@ -1406,6 +1434,7 @@ object Oracle {
     // Mirrors Corpus.bpeVocab: the final-round symbol multiset per word
     // type, aggregated to the vocab artifact.
     "q_t20_bpe_vocab" -> bpeVocabSql(8),
+    "q_t27_bpe_token_ids" -> bpeTokenIdsSql(8),
 
     // Mirrors Corpus.temperatureMix: identical BPE-pretoken counts, sqrt
     // weights, floor-quantized exact weight total, floor quotas, md5-ordered

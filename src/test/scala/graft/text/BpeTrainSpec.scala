@@ -232,6 +232,18 @@ class BpeTrainSpec extends SparkSpec {
     }
   }
 
+  test("token-id sequences agree with encode counts doc for doc") {
+    val d = "/root/testdata/sf0.001"
+    val ids = graft.queries.Corpus.all("q_t27_bpe_token_ids")(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val counts = graft.queries.Corpus.all("q_t19_bpe_encode")(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(ids.keySet === counts.keySet)
+    ids.foreach { case (doc, n) =>
+      assert(n === counts(doc), s"doc $doc: id-sequence length $n != encode count ${counts(doc)}")
+    }
+  }
+
   test("decode round-trip: concatenating final symbols reproduces every word") {
     import org.apache.spark.sql.functions._
     // merges only ever concatenate adjacent symbols, so the decode
