@@ -3047,13 +3047,15 @@ object Corpus {
     * it with an order-independent instance checksum (the q_o8 primitive).
     * Scale shape: config broadcasts, the explode is map-side, and only
     * the per-source aggregate shuffles. */
-  def epochRepeat(s: SparkSession, d: String): DataFrame = {
+  /** The q_p16 instance generator over any (doc_id, source) frame —
+    * shared with the q_tp16 publish capstone. */
+  private def epochInstances(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
     val cfg = ((0 to 4).map(i => (s"src$i", 3, "80")) ++
       (5 to 9).map(i => (s"src$i", 1, "40")) ++
       (10 to 19).map(i => (s"src$i", 0, "c0")))
       .toDF("source", "epochs", "fthr")
-    Tables.documents(s, d).join(broadcast(cfg), Seq("source"))
+    docs.join(broadcast(cfg), Seq("source"))
       .withColumn("extra",
         (substring(md5(concat(col("doc_id").cast("string"), lit("epoch"))), 1, 2)
           < col("fthr")).cast("int"))
@@ -3061,6 +3063,10 @@ object Corpus {
       .filter(col("n_copies") > 0)
       .select(col("source"), col("doc_id"),
         explode(sequence(lit(1), col("n_copies"))).as("copy"))
+  }
+
+  def epochRepeat(s: SparkSession, d: String): DataFrame = {
+    epochInstances(s, Tables.documents(s, d))
       .groupBy("source")
       .agg(
         countDistinct(col("doc_id")).as("n_docs"),
@@ -3069,6 +3075,35 @@ object Corpus {
           col("doc_id").cast("string"), col("copy").cast("string"))), 1, 8), 16, 10)
           .cast("long")).as("instance_checksum"))
       .orderBy("source")
+  }
+
+  /** TP16: PUBLISH CAPSTONE — the back half of the pipeline as ONE
+    * composed, oracle-gated chain: decide (q_tp15 ensemble gate) → mix
+    * (q_p16 epoch repetition over the SURVIVORS) → publish (per-shard
+    * manifest over the instance multiset, sharded by md5(doc_id#copy) so
+    * repeated instances spread across shards instead of clustering).
+    * Pairs with q_tp12 (the crawl FRONT half) to close the loop:
+    * raw crawl → clean → gate → mix → published shards, every stage
+    * hash-gated. The manifest checksum commits to the exact instance
+    * multiset the gate and mix produced — one wrong survivor or one
+    * wrong repeat count and the hash moves. */
+  def publishPipeline(s: SparkSession, d: String): DataFrame = {
+    val kept = ensembleGate(s, d).filter(col("keep")).select("doc_id")
+    val survivors = Tables.documents(s, d)
+      .join(kept, Seq("doc_id"), "left_semi")
+    val inst = epochInstances(s, survivors)
+      .withColumn("ikey", concat_ws("#",
+        col("doc_id").cast("string"), col("copy").cast("string")))
+    inst
+      .withColumn("shard",
+        (conv(substring(md5(col("ikey")), 1, 8), 16, 10).cast("long") % 8).cast("int"))
+      .groupBy("shard")
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_instances"),
+        sum(conv(substring(md5(concat(lit("i|"), col("ikey"))), 1, 8), 16, 10)
+          .cast("long")).as("checksum"))
+      .orderBy("shard")
   }
 
   /** T26: FILTER FUNNEL — the per-stage rejection report every production
@@ -4313,6 +4348,7 @@ object Corpus {
     "q_t26_filter_funnel" -> (filterFunnel _),
     "q_p16_epoch_repeat" -> (epochRepeat _),
     "q_tp15_ensemble_gate" -> (ensembleGate _),
+    "q_tp16_publish" -> (publishPipeline _),
     "q_g1_pagerank" -> (hostPageRank _),
     "q_g2_rank_gate" -> (rankGatedDocs _),
     "q_s13_shard_manifest" -> (shardManifest _),

@@ -1636,6 +1636,48 @@ object Oracle {
          |FROM scored s JOIN esig g USING (doc_id)
          |ORDER BY s.doc_id""".stripMargin,
 
+    // Mirrors Corpus.publishPipeline (q_tp16): ensemble-gate survivors →
+    // epoch instances → md5(doc_id#copy)-sharded manifest, one composed
+    // replay.
+    "q_tp16_publish" ->
+      s"""WITH $classifierCtes,
+         |esig AS (
+         |  SELECT doc_id,
+         |         ${gopherPassSql("text", 1)} AS pass_gopher,
+         |         ((len(tn) - len(list_distinct(tn))) * 10 <= len(tn) * 9) AS pass_repetition
+         |  FROM (SELECT doc_id, text,
+         |          regexp_extract_all(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), '\\S+') AS tn
+         |        FROM documents)),
+         |keepers AS (
+         |  SELECT s.doc_id
+         |  FROM scored s JOIN esig g USING (doc_id)
+         |  WHERE s.score >= 450.0 AND g.pass_gopher AND g.pass_repetition),
+         |pcfg(source, epochs, fthr) AS (VALUES
+         |    ('src0', 3, '80'), ('src1', 3, '80'), ('src2', 3, '80'),
+         |    ('src3', 3, '80'), ('src4', 3, '80'),
+         |    ('src5', 1, '40'), ('src6', 1, '40'), ('src7', 1, '40'),
+         |    ('src8', 1, '40'), ('src9', 1, '40'),
+         |    ('src10', 0, 'c0'), ('src11', 0, 'c0'), ('src12', 0, 'c0'),
+         |    ('src13', 0, 'c0'), ('src14', 0, 'c0'), ('src15', 0, 'c0'),
+         |    ('src16', 0, 'c0'), ('src17', 0, 'c0'), ('src18', 0, 'c0'),
+         |    ('src19', 0, 'c0')),
+         |pnc AS (
+         |  SELECT d.source, d.doc_id,
+         |         pcfg.epochs + (CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR) || 'epoch'), 1, 2) < pcfg.fthr
+         |                       THEN 1 ELSE 0 END) AS n_copies
+         |  FROM documents d
+         |  JOIN keepers k ON k.doc_id = d.doc_id
+         |  JOIN pcfg ON pcfg.source = d.source),
+         |pinst AS (
+         |  SELECT doc_id,
+         |         CAST(doc_id AS VARCHAR) || '#' || CAST(unnest(generate_series(1, n_copies)) AS VARCHAR) AS ikey
+         |  FROM pnc WHERE n_copies > 0)
+         |SELECT CAST(CAST(concat('0x', substr(md5(ikey), 1, 8)) AS BIGINT) % 8 AS INTEGER) AS shard,
+         |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |       CAST(COUNT(*) AS BIGINT) AS n_instances,
+         |       SUM(CAST(concat('0x', substr(md5('i|' || ikey), 1, 8)) AS BIGINT)) AS checksum
+         |FROM pinst GROUP BY 1 ORDER BY shard""".stripMargin,
+
     // Mirrors Corpus.epochRepeat: same broadcast config, same fractional
     // md5 epoch, same instance checksum.
     "q_p16_epoch_repeat" ->

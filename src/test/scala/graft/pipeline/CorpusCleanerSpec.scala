@@ -170,6 +170,28 @@ class CorpusCleanerSpec extends SparkSpec {
     }
   }
 
+  test("publish capstone: instance totals reconcile with gate survivors and mix config") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val shards = graft.queries.Corpus.all("q_tp16_publish")(spark, d).collect()
+    assert(shards.nonEmpty && shards.map(_.getInt(0)).distinct.length === shards.length)
+    val totalInstances = shards.map(_.getLong(2)).sum
+    // recompute the expected instance count from the gate output + config
+    val keepers = graft.queries.Corpus.all("q_tp15_ensemble_gate")(spark, d)
+      .filter(col("keep")).select("doc_id")
+    val expected = graft.Tables.documents(spark, d)
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("source"),
+        (substring(md5(concat(col("doc_id").cast("string"), lit("epoch"))), 1, 2)).as("h"))
+      .collect().map { r =>
+        val idx = r.getString(1).stripPrefix("src").toInt
+        val (epochs, thr) = if (idx <= 4) (3, "80") else if (idx <= 9) (1, "40") else (0, "c0")
+        epochs + (if (r.getString(2) < thr) 1 else 0)
+      }.sum
+    assert(totalInstances === expected.toLong,
+      s"shard instances $totalInstances != gate+mix expectation $expected")
+  }
+
   test("crawl pipeline: URL pairs collapse, gate fires, domain cap holds") {
     val rows = graft.queries.Corpus.all("q_tp12_crawl_pipeline")(
       spark, "/root/testdata/sf0.001").collect()
