@@ -350,6 +350,25 @@ object Scratch {
           bench3(s"$q 10x")(graft.queries.Corpus.all(q)(spark, dir10))
         }
 
+      case "scale8d" =>
+        // Round-8 fourth/fifth-wave spot-check at 10x sf0.1.
+        val dir10 = ensureStaging10(d)
+        def bench4(label: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+          val times = (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            df.write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(f"[scratch] $label: min ${times.min}%.1fs (passes ${times.map(t => f"$t%.1f").mkString("/")})")
+        }
+        for (q <- Seq("q_mm7_image_dedup", "q_mm8_audio_dedup",
+            "q_t26_filter_funnel", "q_p16_epoch_repeat", "q_tp15_ensemble_gate",
+            "q_tp16_publish", "q_t27_bpe_token_ids", "q_t23b_salted_cap",
+            "q_s14_incr_manifest")) {
+          bench4(s"$q sf0.1")(graft.queries.Corpus.all(q)(spark, d))
+          bench4(s"$q 10x")(graft.queries.Corpus.all(q)(spark, dir10))
+        }
+
       case "ml1" =>
         // attribute q_ml1_forecast_kpi cost stage by stage
         import graft.ml.ForecastModels
