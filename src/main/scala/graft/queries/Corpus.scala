@@ -2995,22 +2995,75 @@ object Corpus {
     * incremental ≡ from-scratch EXACTLY: this query merges a 90% base
     * with a 10% delta and shares q_s13's from-scratch oracle verbatim.
     * Merge cost is 8+8 rows — independent of data size. */
-  def incrementalManifest(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val base = manifestOf(docs.filter(col("doc_id") % 10 =!= 0))
-    val delta = manifestOf(docs.filter(col("doc_id") % 10 === 0))
-    def m(b: String, d0: String, how: (Column, Column) => Column, out: String) =
-      how(col(s"b.$b"), col(s"d.$d0")).as(out)
+  /** The algebraic manifest merge shared by q_s14 and q_e15: sums add, id
+    * ranges min/max-combine, the commutative checksum adds. */
+  private def mergeManifests(base: DataFrame, delta: DataFrame): DataFrame = {
+    def m(c: String, how: (Column, Column) => Column) =
+      how(col(s"b.$c"), col(s"d.$c")).as(c)
     def addL(a: Column, b: Column) = coalesce(a, lit(0L)) + coalesce(b, lit(0L))
     base.as("b").join(delta.as("d"), col("b.shard") === col("d.shard"), "full")
       .select(
         coalesce(col("b.shard"), col("d.shard")).as("shard"),
-        m("n_docs", "n_docs", addL, "n_docs"),
-        m("n_chars", "n_chars", addL, "n_chars"),
-        m("n_tokens", "n_tokens", addL, "n_tokens"),
-        m("min_doc_id", "min_doc_id", (a, b) => least(a, b), "min_doc_id"),
-        m("max_doc_id", "max_doc_id", (a, b) => greatest(a, b), "max_doc_id"),
-        m("checksum", "checksum", addL, "checksum"))
+        m("n_docs", addL), m("n_chars", addL), m("n_tokens", addL),
+        m("min_doc_id", (a, b) => least(a, b)),
+        m("max_doc_id", (a, b) => greatest(a, b)),
+        m("checksum", addL))
+  }
+
+  def incrementalManifest(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    mergeManifests(
+      manifestOf(docs.filter(col("doc_id") % 10 =!= 0)),
+      manifestOf(docs.filter(col("doc_id") % 10 === 0)))
+      .orderBy("shard")
+  }
+
+  /** E15: STREAMING MANIFEST MAINTENANCE — the publishing metadata kept
+    * current BY the ingest stream: each micro-batch's partial manifest
+    * merges into the parquet-backed running manifest (8 rows of state,
+    * [[mergeManifests]] algebra), so after the last batch the maintained
+    * manifest IS the from-scratch one — this query shares q_s13's oracle
+    * verbatim (the q_e11/q_e12 incremental ≡ batch discipline, applied
+    * to the q_s14 merge). batchId-keyed output + overwrite = idempotent
+    * under retry. */
+  def streamedManifest(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.{Dataset, Row}
+    val docs = Tables.documents(s, d).select("doc_id", "text").localCheckpoint(true)
+    val n = docs.count()
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_e15").toString
+    val parts = Seq(
+      docs.filter(col("doc_id") < n / 3),
+      docs.filter(col("doc_id") >= n / 3 && col("doc_id") < 2 * n / 3),
+      docs.filter(col("doc_id") >= 2 * n / 3))
+    val t0 = java.lang.System.currentTimeMillis() - 600000
+    parts.zipWithIndex.foreach { case (df, i) =>
+      val dir = s"$root/in/p$i"
+      df.coalesce(1).write.parquet(dir)
+      new java.io.File(dir).listFiles().foreach(_.setLastModified(t0 + i * 60000L))
+    }
+    var stateDir: Option[String] = None
+    val applyBatch: (Dataset[Row], Long) => Unit = (batch, id) => {
+      if (!batch.isEmpty) {
+        val partial = manifestOf(batch.toDF()).localCheckpoint(true)
+        val merged = stateDir
+          .map(p => mergeManifests(s.read.parquet(p), partial))
+          .getOrElse(partial)
+        val nextState = s"$root/state$id"
+        merged.write.mode("overwrite").parquet(nextState)
+        stateDir = Some(nextState)
+      }
+    }
+    val q = s.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$root/in/p*")
+      .writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch(applyBatch)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.read.parquet(stateDir.getOrElse(sys.error("no batches arrived")))
       .orderBy("shard")
   }
 
@@ -4069,6 +4122,29 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** MM9: IMAGE–TEXT PAIR CURATION — the LAION-style multimodal gate:
+    * every (caption, image) pair joins the REAL decoded dimensions with
+    * caption token stats and keeps only pairs whose image is big enough
+    * (area ≥ 400 px), not degenerate in aspect (longest side ≤ 3× the
+    * shortest — integer cross-multiplied), and whose caption is neither
+    * empty nor a document (5..60 tokens). The decode runs in the
+    * mapPartitions batch stage; everything after is one map-side
+    * projection — no shuffle beyond the output sort. */
+  def imageTextPairs(s: SparkSession, d: String): DataFrame = {
+    val meta = Multimodal.decodeImages(s,
+      cachedBlobs(s, d, "png")(Multimodal.toPngBlobs(s, Tables.documents(s, d))))
+      .toDF().select("doc_id", "width", "height")
+    val caps = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_caption_tokens"))
+    meta.join(caps, Seq("doc_id"))
+      .withColumn("keep",
+        (col("width") * col("height") >= 400) &&
+        (greatest(col("width"), col("height")) <= least(col("width"), col("height")) * 3) &&
+        col("n_caption_tokens").between(5L, 60L))
+      .orderBy("doc_id")
+  }
+
   /** MM5: REAL video demux — bespoke GVID container (length-prefixed real
     * PNG frames) parsed byte-by-byte, evenly-spaced frames decoded and
     * reduced to mean red. Replaces the last declared stub in the multimodal
@@ -4360,6 +4436,7 @@ object Corpus {
     "q_g2_rank_gate" -> (rankGatedDocs _),
     "q_s13_shard_manifest" -> (shardManifest _),
     "q_s14_incr_manifest" -> (incrementalManifest _),
+    "q_e15_stream_manifest" -> (streamedManifest _),
     "q_tp12_crawl_pipeline" -> (crawlPipeline _),
     "q_tp13_decontam_scrub" -> (decontamScrub _),
     "q_tp14_line_dedup" -> (lineDedup _),
@@ -4474,7 +4551,8 @@ object Corpus {
     "q_mm4_resize_features" -> (resizeFeatures _),
     "q_mm5_video_demux" -> (videoDemux _),
     "q_mm7_image_dedup" -> (imageHashDedup _),
-    "q_mm8_audio_dedup" -> (audioHashDedup _)
+    "q_mm8_audio_dedup" -> (audioHashDedup _),
+    "q_mm9_pair_curation" -> (imageTextPairs _)
   )
 
   val all: Map[String, Q] = raw.map { case (name, fn) =>

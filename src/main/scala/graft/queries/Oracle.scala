@@ -1615,6 +1615,7 @@ object Oracle {
     // commutative per-shard checksum. q_s14 (merge of base+delta partial
     // manifests) is algebraically identical, so it shares this oracle.
     "q_s14_incr_manifest" -> shardManifestSql,
+    "q_e15_stream_manifest" -> shardManifestSql,
     "q_s13_shard_manifest" -> shardManifestSql,
 
     // Mirrors Corpus.ensembleGate (q_tp15): the shared classifier CTEs
@@ -3813,6 +3814,21 @@ object Oracle {
     // sample_i = int16((doc_id*131 + i*7919) & 0xffff), interleaved over
     // channels): peak and the square sum are exact integers, the RMS is one
     // IEEE division + sqrt — the Spark side must decode the actual waveform.
+    // Mirrors Corpus.imageTextPairs (q_mm9): decoded dims from the PNG
+    // fixture formulas + caption token stats + the integer-exact gate.
+    "q_mm9_pair_curation" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         CAST(8 + (doc_id % 32) AS INTEGER) AS width,
+        |         CAST(8 + ((doc_id // 7) % 32) AS INTEGER) AS height,
+        |         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_caption_tokens
+        |  FROM documents)
+        |SELECT doc_id, width, height, n_caption_tokens,
+        |       (width * height >= 400
+        |        AND greatest(width, height) <= least(width, height) * 3
+        |        AND n_caption_tokens BETWEEN 5 AND 60) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+
     // Mirrors Corpus.audioHashDedup (q_mm8): the 4-window integer energy
     // profile recomputed from the WAV sample formula (smp = signed 16-bit
     // of (seed*131 + i*7919) & 0xffff, window = (i*4)//n) — the Spark

@@ -152,6 +152,19 @@ class MultimodalSpec extends SparkSpec {
       r.getString(3).forall(ch => ch == '0' || ch == '1')))
   }
 
+  test("pair curation: keep recomputes from decoded dims and caption stats") {
+    val rows = graft.queries.Corpus.all("q_mm9_pair_curation")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, h, n, keep) = (r.getInt(1), r.getInt(2), r.getLong(3), r.getBoolean(4))
+      val expect = w * h >= 400 && math.max(w, h) <= math.min(w, h) * 3 &&
+        n >= 5 && n <= 60
+      assert(keep === expect, s"doc ${r.getLong(0)}: keep $keep != $expect ($w x $h, $n toks)")
+    }
+    assert(rows.exists(_.getBoolean(4)) && rows.exists(!_.getBoolean(4)))
+  }
+
   test("audio content dedup: cloned PCM shares the energy fingerprint") {
     val rows = graft.queries.Corpus.all("q_mm8_audio_dedup")(
       spark, "/root/testdata/sf0.001").collect()

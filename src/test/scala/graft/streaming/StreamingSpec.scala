@@ -204,6 +204,15 @@ class StreamingSpec extends SparkSpec {
     assert(sessions.toSeq === Seq((2L, 3.0), (1L, 3.0)))
   }
 
+  test("streaming manifest maintenance converges to the from-scratch manifest") {
+    val d = "/root/testdata/sf0.001"
+    val streamed = graft.queries.Corpus.all("q_e15_stream_manifest")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.queries.Corpus.all("q_s13_shard_manifest")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+  }
+
   test("streaming URL frontier classifies exactly like the one-shot batch dedup") {
     val d = "/root/testdata/sf0.001"
     val streamed = graft.queries.Corpus.all("q_e14_stream_urls")(spark, d)
