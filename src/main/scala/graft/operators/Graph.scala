@@ -40,6 +40,53 @@ object Graph {
     *
     * Returns (node, rank, out_w, in_w) — rank after `rounds` rounds,
     * plus total out/in edge weight (0 for pure sinks/sources). */
+  /** [[pageRank]]'s convergence telemetry: the L1 rank movement
+    * Σ|r_k − r_{k−1}| per round — the number an iterative-operator owner
+    * watches to pick the round budget (and to stop early at a plateau).
+    * One extra co-partitioned join+aggregate per round; driver state is
+    * one Long per round. Integer arithmetic end to end, so the series is
+    * engine-exact like the ranks themselves. */
+  def pageRankDeltas(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      wCol: String,
+      rounds: Int,
+      scale: Long = 1000000000000L): Seq[(Int, Long)] = {
+    val e = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(wCol).cast("long").as("w"))
+      .filter(col("src") =!= col("dst"))
+      .persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().persist()
+    val n = nodes.count()
+    require(n > 0, "pageRankDeltas needs a non-empty edge set")
+    val init = scale / n
+    val base = 15L * init / 100L
+    val eo = e.join(e.groupBy("src").agg(sum("w").as("outw")), "src")
+      .select("src", "dst", "w", "outw").persist()
+    var r = nodes.select(col("node"), lit(init).as("rank"))
+    val deltas = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    for (k <- 1 to rounds) {
+      val inflow = r.join(eo, r("node") === eo("src"))
+        .select(col("dst").as("node"), expr("(rank * w) DIV outw").as("c"))
+        .groupBy("node").agg(sum("c").as("inflow"))
+      val next = nodes.join(inflow, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr("(85 * coalesce(inflow, 0L)) DIV 100")).as("rank"))
+        .localCheckpoint(true)
+      val d = next.as("a").join(r.as("b"), col("a.node") === col("b.node"))
+        .agg(sum(abs(col("a.rank") - col("b.rank"))).as("d"))
+        .head().getLong(0)
+      deltas += ((k, d))
+      r = next
+    }
+    e.unpersist(); nodes.unpersist(); eo.unpersist()
+    deltas.toSeq
+  }
+
   def pageRank(
       edges: DataFrame,
       srcCol: String,

@@ -3233,6 +3233,19 @@ object Corpus {
       .withColumnRenamed("node", "domain")
       .orderBy("domain")
 
+  /** G3: PAGERANK CONVERGENCE SERIES — the per-round L1 rank movement of
+    * the q_g1 iteration ([[graft.operators.Graph.pageRankDeltas]]): the
+    * telemetry that picks a round budget and detects a plateau without
+    * materializing intermediate rank tables for inspection. Driver state:
+    * one Long per round. */
+  def pageRankConvergence(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Graph
+      .pageRankDeltas(hostGraphEdges(s, d), "src", "dst", "w", rounds = 3)
+      .toDF("round", "l1_delta")
+      .orderBy("round")
+  }
+
   /** G2: RANK-GATED CURATION — the link-analysis prior APPLIED: every doc
     * joins its domain's PageRank (the 60-row rank table broadcasts — the
     * per-domain-prior join is always a broadcast at any corpus scale,
@@ -4434,6 +4447,7 @@ object Corpus {
     "q_tp16_publish" -> (publishPipeline _),
     "q_g1_pagerank" -> (hostPageRank _),
     "q_g2_rank_gate" -> (rankGatedDocs _),
+    "q_g3_rank_convergence" -> (pageRankConvergence _),
     "q_s13_shard_manifest" -> (shardManifest _),
     "q_s14_incr_manifest" -> (incrementalManifest _),
     "q_e15_stream_manifest" -> (streamedManifest _),

@@ -1596,6 +1596,18 @@ object Oracle {
     // three unrolled integer-arithmetic damped rounds.
     "q_g1_pagerank" -> pageRankSql(3),
 
+    // Mirrors Corpus.pageRankConvergence: L1 deltas between consecutive
+    // unrolled rounds of the shared CTEs.
+    "q_g3_rank_convergence" ->
+      s"""WITH ${pageRankCtes(3)}
+         |SELECT 1 AS round, SUM(ABS(a.rank - b.rank)) AS l1_delta
+         |FROM r1 a JOIN r0 b ON b.node = a.node
+         |UNION ALL
+         |SELECT 2, SUM(ABS(a.rank - b.rank)) FROM r2 a JOIN r1 b ON b.node = a.node
+         |UNION ALL
+         |SELECT 3, SUM(ABS(a.rank - b.rank)) FROM r3 a JOIN r2 b ON b.node = a.node
+         |ORDER BY round""".stripMargin,
+
     // Mirrors Corpus.rankGatedDocs: the shared PageRank CTEs joined back
     // onto documents by domain; keep = above-uniform rank share.
     "q_g2_rank_gate" ->

@@ -53,6 +53,19 @@ class GraphSpec extends SparkSpec {
     assert(keeps === Set(true, false))
   }
 
+  test("convergence deltas: hand-computed round 1, shrinking tail") {
+    import spark.implicits._
+    val edges = Seq(("A", "B", 1L), ("B", "A", 1L), ("C", "A", 1L))
+      .toDF("src", "dst", "w")
+    val ds = Graph.pageRankDeltas(edges, "src", "dst", "w", rounds = 3)
+    assert(ds.map(_._1) === Seq(1, 2, 3))
+    // round 1 against the hand-computed ranks of the first test:
+    // |616666666665-init| + |333333333332-init| + |49999999999-init|
+    assert(ds.head._2 === 283333333332L + 1L + 283333333334L)
+    // the damped iteration settles: movement shrinks from round 1 to 3
+    assert(ds.last._2 < ds.head._2 && ds.forall(_._2 >= 0L))
+  }
+
   test("deterministic across runs and repartitionings") {
     val edges = (0 until 200).map(i =>
       (s"n${i % 17}", s"n${(i * 7 + 3) % 17}", (i % 5 + 1).toLong))
