@@ -4158,6 +4158,43 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** MM10: IMAGE NEAR-DUP PAIRS — the hamming tier above q_mm7's exact
+    * match: re-encoded/slightly-retouched copies land within a few aHash
+    * bits of each other. Candidates come from a 4×16-bit band join
+    * (pigeonhole: distance ≤ 3 GUARANTEES an exact band match, so recall
+    * at the threshold is structural, not probabilistic — the q_dd3
+    * SimHash discipline on decoded-pixel signatures); the exact distance
+    * is bit_count(xor) over the band integers — codegen'd, no lambda.
+    * Output: all pairs at distance 1..3 (0 = q_mm7's exact tier). */
+  def imageNearDups(s: SparkSession, d: String): DataFrame = {
+    val blobs = cachedBlobs(s, d, "png")(Multimodal.toPngBlobs(s, Tables.documents(s, d)))
+    val bandCols = (0 until 4).map(b =>
+      conv(substring(col("ahash"), b * 16 + 1, 16), 2, 10).cast("long").as(s"b$b"))
+    val h = Multimodal.imageAHash(s, blobs).toDF()
+      .select(col("doc_id") +: bandCols: _*)
+      .localCheckpoint(true)
+    val cand = (0 until 4).map { b =>
+        h.select(col("doc_id").as("i"), col(s"b$b").as("bk"), lit(b).as("bi"))
+          .join(h.select(col("doc_id").as("j"), col(s"b$b").as("bk"), lit(b).as("bi")),
+            Seq("bk", "bi"))
+          .filter(col("i") < col("j"))
+          .select("i", "j")
+      }.reduce(_ unionByName _).distinct()
+    val hi = h.columns.filter(_ != "doc_id")
+      .foldLeft(h)((df, c) => df.withColumnRenamed(c, c + "_i"))
+      .withColumnRenamed("doc_id", "i")
+    val hj = h.columns.filter(_ != "doc_id")
+      .foldLeft(h)((df, c) => df.withColumnRenamed(c, c + "_j"))
+      .withColumnRenamed("doc_id", "j")
+    val dist = (0 until 4).map(b =>
+      bit_count(expr(s"b${b}_i ^ b${b}_j"))).reduce(_ + _)
+    cand.join(hi, Seq("i")).join(hj, Seq("j"))
+      .withColumn("dist", dist.cast("int"))
+      .filter(col("dist").between(1, 3))
+      .select("i", "j", "dist")
+      .orderBy("i", "j")
+  }
+
   /** MM5: REAL video demux — bespoke GVID container (length-prefixed real
     * PNG frames) parsed byte-by-byte, evenly-spaced frames decoded and
     * reduced to mean red. Replaces the last declared stub in the multimodal
@@ -4566,7 +4603,8 @@ object Corpus {
     "q_mm5_video_demux" -> (videoDemux _),
     "q_mm7_image_dedup" -> (imageHashDedup _),
     "q_mm8_audio_dedup" -> (audioHashDedup _),
-    "q_mm9_pair_curation" -> (imageTextPairs _)
+    "q_mm9_pair_curation" -> (imageTextPairs _),
+    "q_mm10_image_neardup" -> (imageNearDups _)
   )
 
   val all: Map[String, Q] = raw.map { case (name, fn) =>

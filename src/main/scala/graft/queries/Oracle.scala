@@ -3826,6 +3826,41 @@ object Oracle {
     // sample_i = int16((doc_id*131 + i*7919) & 0xffff), interleaved over
     // channels): peak and the square sum are exact integers, the RMS is one
     // IEEE division + sqrt — the Spark side must decode the actual waveform.
+    // Mirrors Corpus.imageNearDups (q_mm10): aHash from the pixel formula,
+    // then ALL-PAIRS hamming at the oracle's scale — the engine must
+    // reproduce exactly this pair set through its banded join (pigeonhole
+    // recall at dist <= 3 is structural).
+    "q_mm10_image_neardup" ->
+      """WITH dim AS (
+        |  SELECT doc_id,
+        |         CAST(8 + (doc_id % 32) AS BIGINT) AS w,
+        |         CAST(8 + ((doc_id // 7) % 32) AS BIGINT) AS h
+        |  FROM documents),
+        |g AS (SELECT *, unnest(generate_series(0, 7)) AS gx FROM dim),
+        |gxy AS (SELECT *, unnest(generate_series(0, 7)) AS gy FROM g),
+        |px AS (
+        |  SELECT doc_id, w, h, gx, gy,
+        |         ((doc_id * 31 + (gy * h // 8) * w + (gx * w // 8)) & 16777215) AS v
+        |  FROM gxy),
+        |gr AS (
+        |  SELECT *, (((v >> 16) & 255) + ((v >> 8) & 255) + (v & 255)) // 3 AS gray
+        |  FROM px),
+        |mn AS (SELECT doc_id, SUM(gray) // 64 AS m FROM gr GROUP BY 1),
+        |hsh AS (
+        |  SELECT gr.doc_id,
+        |         string_agg(CASE WHEN gray > m THEN '1' ELSE '0' END, ''
+        |           ORDER BY gy, gx) AS ahash
+        |  FROM gr JOIN mn ON mn.doc_id = gr.doc_id
+        |  GROUP BY 1),
+        |pr AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j,
+        |         (SELECT CAST(COUNT(*) AS INTEGER)
+        |          FROM unnest(generate_series(1, 64)) t(k)
+        |          WHERE substr(a.ahash, CAST(k AS INTEGER), 1)
+        |             <> substr(b.ahash, CAST(k AS INTEGER), 1)) AS dist
+        |  FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id)
+        |SELECT i, j, dist FROM pr WHERE dist BETWEEN 1 AND 3 ORDER BY i, j""".stripMargin,
+
     // Mirrors Corpus.imageTextPairs (q_mm9): decoded dims from the PNG
     // fixture formulas + caption token stats + the integer-exact gate.
     "q_mm9_pair_curation" ->

@@ -165,6 +165,23 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.exists(_.getBoolean(4)) && rows.exists(!_.getBoolean(4)))
   }
 
+  test("image near-dup pairs: banded candidates reproduce the all-pairs truth") {
+    val d = "/root/testdata/sf0.001"
+    val got = graft.queries.Corpus.all("q_mm10_image_neardup")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // driver-side all-pairs replay over the decoded hashes
+    val hashes = Multimodal.imageAHash(spark,
+      Multimodal.toPngBlobs(spark, graft.Tables.documents(spark, d)))
+      .collect().map(h => h.doc_id -> h.ahash)
+    val truth = (for {
+      (i, ha) <- hashes; (j, hb) <- hashes if i < j
+      dist = ha.zip(hb).count { case (x, y) => x != y }
+      if dist >= 1 && dist <= 3
+    } yield (i, j, dist)).toSet
+    assert(got === truth)
+    assert(got.nonEmpty && got.forall(p => p._3 >= 1 && p._3 <= 3 && p._1 < p._2))
+  }
+
   test("audio content dedup: cloned PCM shares the energy fingerprint") {
     val rows = graft.queries.Corpus.all("q_mm8_audio_dedup")(
       spark, "/root/testdata/sf0.001").collect()
