@@ -2693,6 +2693,34 @@ object Corpus {
       .toDF("doc_id", "text")
   }
 
+  /** The injected mojibake fixtures (ids 4950000+): classic UTF-8-as-
+    * Latin-1 artifacts plus one clean control row. */
+  private def mojibakeSamples(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      (4950000L, "CafÃ© rÃ©sumÃ© â€“ itâ€™s naÃ¯ve"),
+      (4950001L, "â€œquotedâ€“dashâ€¦ and Ã¼ber Ã¶l Ã± Ã¨"),
+      (4950002L, "perfectly clean ascii text here"))
+      .toDF("doc_id", "text")
+  }
+
+  /** T28: MOJIBAKE DETECTION + REPAIR — the ftfy pass of crawl cleaning:
+    * UTF-8 text decoded as Latin-1 somewhere upstream leaves artifact
+    * sequences ("Ã©" for "é", "â€™" for "’") that poison tokenization,
+    * language ID, and dedup keys. One ordered literal replacement chain
+    * ([[TextFunctions.fixMojibake]]) repairs them; the artifact count is
+    * the detection signal. Map-side only; oracle applies the identical
+    * byte-level replaces. */
+  def mojibakeRepair(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select("doc_id", "text")
+      .unionByName(mojibakeSamples(s))
+      .select(
+        col("doc_id"),
+        TextFunctions.fixMojibake(col("text")).as("fixed_text"),
+        TextFunctions.mojibakeCount(col("text")).cast("long").as("n_artifacts"),
+        (TextFunctions.mojibakeCount(col("text")) > 0).as("had_mojibake"))
+      .orderBy("doc_id")
+
   /** T24: GOPHER QUALITY RULES (Rae et al. 2021, Appendix A) — the
     * heuristic document gate every pre-training pipeline runs before the
     * model-based filters: word-count bounds, mean-word-length bounds,
@@ -4479,6 +4507,7 @@ object Corpus {
     "q_t24_gopher_rules" -> (gopherRules _),
     "q_t25_url_canonical" -> (urlCanonicalDedup _),
     "q_t26_filter_funnel" -> (filterFunnel _),
+    "q_t28_mojibake" -> (mojibakeRepair _),
     "q_p16_epoch_repeat" -> (epochRepeat _),
     "q_tp15_ensemble_gate" -> (ensembleGate _),
     "q_tp16_publish" -> (publishPipeline _),

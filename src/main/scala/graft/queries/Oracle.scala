@@ -1755,6 +1755,28 @@ object Oracle {
          |UNION ALL SELECT '4_quality', s3, s4, s3 - s4 FROM a
          |ORDER BY stage""".stripMargin,
 
+    // Mirrors Corpus.mojibakeRepair: same fixtures, the identical ordered
+    // literal replacement chain (DuckDB replace() is global, matching
+    // Spark's regexp_replace on the quoted literal).
+    "q_t28_mojibake" -> {
+      val fixed = graft.text.TextFunctions.MojibakeReplacements
+        .foldLeft("text") { case (acc, (bad, good)) => s"replace($acc, '$bad', '$good')" }
+      val pat = graft.text.TextFunctions.MojibakeReplacements.map(_._1).mkString("|")
+      s"""WITH mb AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT CAST(v.doc_id AS BIGINT), v.text FROM (VALUES
+         |    (4950000, 'CafÃ© rÃ©sumÃ© â€“ itâ€™s naÃ¯ve'),
+         |    (4950001, 'â€œquotedâ€“dashâ€¦ and Ã¼ber Ã¶l Ã± Ã¨'),
+         |    (4950002, 'perfectly clean ascii text here')
+         |  ) AS v(doc_id, text))
+         |SELECT doc_id,
+         |       $fixed AS fixed_text,
+         |       CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_artifacts,
+         |       (len(regexp_extract_all(text, '$pat')) > 0) AS had_mojibake
+         |FROM mb ORDER BY doc_id""".stripMargin
+    },
+
     // Mirrors Corpus.gopherRules: same injected fixtures (newlines as
     // chr(10) concatenation), same RE2 count regexes, and the same
     // integer cross-multiplied rule set — no IEEE arithmetic anywhere.

@@ -51,6 +51,28 @@ object TextFunctions {
   def tagCount(c: Column): Column =
     size(regexp_extract_all(c, lit("<[^>]*>"), lit(0)))
 
+  /** The classic UTF-8-decoded-as-Latin-1 artifacts (mojibake) a crawled
+    * corpus carries, with their intended characters — ordered so longer
+    * multi-byte artifacts repair before their prefixes could. Literal
+    * (metachar-free) pairs: both engines apply them as plain global
+    * replaces, byte-identically. */
+  val MojibakeReplacements: Seq[(String, String)] = Seq(
+    "â€™" -> "’", "â€œ" -> "“", "â€“" -> "–", "â€¦" -> "…",
+    "Ã©" -> "é", "Ã¨" -> "è", "Ã¼" -> "ü", "Ã¶" -> "ö",
+    "Ã±" -> "ñ", "Ã¯" -> "ï")
+
+  /** ftfy-style mojibake repair: fix the common double-encoding artifacts
+    * in one ordered replacement chain (codegen'd regexp_replace on literal
+    * patterns — global, like the oracle's replace()). */
+  def fixMojibake(c: Column): Column =
+    MojibakeReplacements.foldLeft(c) { case (acc, (bad, good)) =>
+      regexp_replace(acc, java.util.regex.Pattern.quote(bad), good)
+    }
+
+  /** Count of mojibake artifact occurrences (the detection signal). */
+  def mojibakeCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(MojibakeReplacements.map(_._1).mkString("|")), lit(0)))
+
   /** URL canonicalization — the crawl-front normalization every URL-keyed
     * dedup/blocklist/cap stage needs (raw crawl URLs differ in case,
     * default ports, tracking params, duplicate/trailing slashes while

@@ -168,6 +168,16 @@ class TextDedupSpec extends SparkSpec {
     assert(row.getLong(0) === expectedRh)
   }
 
+  test("mojibake repair: planted artifacts fix to the intended characters") {
+    val rows = graft.queries.Corpus.all("q_t28_mojibake")(spark, "/root/testdata/sf0.001")
+      .filter($"doc_id" >= 4950000L)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(rows(4950000L) === (("Café résumé – it’s naïve", 6L, true)))
+    assert(rows(4950001L) === (("“quoted–dash… and über öl ñ è", 7L, true)))
+    assert(rows(4950002L) === (("perfectly clean ascii text here", 0L, false)))
+  }
+
   test("canonicalUrl normalizes case, ports, params, slashes, fragments") {
     val cases = Seq(
       "HTTPS://Site.Example.COM:443//a//b/?utm_source=x&utm_medium=y#frag" ->
