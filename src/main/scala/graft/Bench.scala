@@ -88,7 +88,12 @@ object Bench {
     // recorded one), so the complete per-query record always exists as a
     // file regardless of log-buffer luck.
     if (only.isEmpty) {
-      val prev = Option(new java.io.File(".").listFiles()).toSeq.flatten
+      // anchor the round scan on the primary output's directory, not the
+      // process CWD — launched from elsewhere, a CWD listing would find
+      // no BENCH_r*.json and silently mislabel the run as r00
+      val anchor = Option(out.toAbsolutePath.getParent)
+        .map(_.toFile).getOrElse(new java.io.File("."))
+      val prev = Option(anchor.listFiles()).toSeq.flatten
         .flatMap(f => "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(f.getName))
         .map(_.group(1).toInt)
       val round = if (prev.isEmpty) 0 else prev.max + 1

@@ -240,7 +240,11 @@ object HashUtil {
     * sentinel (below any cosine) instead of dividing by zero. Fused loop:
     * one amax pass + one quantize-and-accumulate pass per row. */
   def int8Cosine(vec: ArrayData, q: Array[Long], qNorm: Long): Double = {
-    val n = math.min(vec.numElements(), q.length)
+    // a truncated dot against the FULL-query qNorm would be a plausible-
+    // but-wrong score — dimension drift must fail loudly, not rank quietly
+    require(vec.numElements() == q.length,
+      s"int8Cosine dimension mismatch: vector ${vec.numElements()} vs query ${q.length}")
+    val n = q.length
     var amax = 0.0
     var i = 0
     while (i < n) {

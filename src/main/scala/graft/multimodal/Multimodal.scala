@@ -242,7 +242,10 @@ object Multimodal {
           val bb = java.nio.ByteBuffer.wrap(bytes)
             .order(java.nio.ByteOrder.LITTLE_ENDIAN)
           val n = bytes.length / 2
-          require(n > 0, s"empty PCM payload for doc ${b.doc_id}")
+          // 4 windows need >= 4 samples or a window is empty and the
+          // mean-square division would throw a bare / by zero
+          require(n >= 4, s"need >= 4 PCM samples for a 4-window fingerprint, " +
+            s"got $n for doc ${b.doc_id}")
           val sums = new Array[Long](4)
           val counts = new Array[Long](4)
           var i = 0

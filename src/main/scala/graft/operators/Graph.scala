@@ -15,13 +15,67 @@ import org.apache.spark.sql.functions._
   *     both co-partitioned hash shuffles whose size is |edges|, never
   *     node²;
   *   - the driver holds ROUNDS, not data: per-round state is nothing but
-  *     the loop counter; the rank table is localCheckpoint'ed every round
-  *     so plan depth stays O(1) at any round count;
+  *     the loop counter (plus one Long per round when delta telemetry is
+  *     requested); the rank table is localCheckpoint'ed every round so
+  *     plan depth stays O(1) at any round count;
   *   - all arithmetic is int64 (mass-scaled integer division), so ranks
   *     are bit-identical on any engine, partitioning, or round order —
   *     the whole iteration replays as unrolled SQL CTEs in the oracle.
   */
 object Graph {
+
+  /** The prepared graph state shared by every entry point: the cleaned
+    * edge table, the node set, and the out-weight-joined edges, all
+    * persisted for the round loop. */
+  private case class Prepared(
+      e: DataFrame, nodes: DataFrame, eo: DataFrame,
+      n: Long, init: Long, base: Long) {
+    def release(): Unit = { e.unpersist(); nodes.unpersist(); eo.unpersist() }
+  }
+
+  private def prepare(
+      edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
+      scale: Long): Prepared = {
+    val e = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(wCol).cast("long").as("w"))
+      .filter(col("src") =!= col("dst"))
+      .persist()
+    val nodesDf = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().persist()
+    val n = nodesDf.count()
+    require(n > 0, "pageRank needs a non-empty edge set")
+    val eo = e.join(e.groupBy("src").agg(sum("w").as("outw")), "src")
+      .select("src", "dst", "w", "outw").persist()
+    Prepared(e, nodesDf, eo, n, scale / n, 15L * (scale / n) / 100L)
+  }
+
+  /** THE round body (one definition — [[pageRank]] and [[pageRankDeltas]]
+    * iterate the identical rule): returns the final rank table, plus the
+    * per-round L1 movement when `trackDeltas` (one extra co-partitioned
+    * join+aggregate per tracked round). */
+  private def iterate(
+      p: Prepared, rounds: Int, trackDeltas: Boolean): (DataFrame, Seq[(Int, Long)]) = {
+    var r = p.nodes.select(col("node"), lit(p.init).as("rank"))
+    val deltas = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    for (k <- 1 to rounds) {
+      val inflow = r.join(p.eo, r("node") === p.eo("src"))
+        .select(col("dst").as("node"), expr("(rank * w) DIV outw").as("c"))
+        .groupBy("node").agg(sum("c").as("inflow"))
+      val next = p.nodes.join(inflow, Seq("node"), "left")
+        .select(col("node"),
+          (lit(p.base) + expr("(85 * coalesce(inflow, 0L)) DIV 100")).as("rank"))
+        .localCheckpoint(true)
+      if (trackDeltas) {
+        deltas += ((k, next.as("a").join(r.as("b"), col("a.node") === col("b.node"))
+          .agg(sum(abs(col("a.rank") - col("b.rank"))).as("d"))
+          .head().getLong(0)))
+      }
+      r = next
+    }
+    (r, deltas.toSeq)
+  }
 
   /** Damped PageRank with integer mass arithmetic. `edges` must carry one
     * row per directed edge with a positive integer weight. Total rank mass
@@ -40,53 +94,6 @@ object Graph {
     *
     * Returns (node, rank, out_w, in_w) — rank after `rounds` rounds,
     * plus total out/in edge weight (0 for pure sinks/sources). */
-  /** [[pageRank]]'s convergence telemetry: the L1 rank movement
-    * Σ|r_k − r_{k−1}| per round — the number an iterative-operator owner
-    * watches to pick the round budget (and to stop early at a plateau).
-    * One extra co-partitioned join+aggregate per round; driver state is
-    * one Long per round. Integer arithmetic end to end, so the series is
-    * engine-exact like the ranks themselves. */
-  def pageRankDeltas(
-      edges: DataFrame,
-      srcCol: String,
-      dstCol: String,
-      wCol: String,
-      rounds: Int,
-      scale: Long = 1000000000000L): Seq[(Int, Long)] = {
-    val e = edges
-      .select(col(srcCol).as("src"), col(dstCol).as("dst"),
-        col(wCol).cast("long").as("w"))
-      .filter(col("src") =!= col("dst"))
-      .persist()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .distinct().persist()
-    val n = nodes.count()
-    require(n > 0, "pageRankDeltas needs a non-empty edge set")
-    val init = scale / n
-    val base = 15L * init / 100L
-    val eo = e.join(e.groupBy("src").agg(sum("w").as("outw")), "src")
-      .select("src", "dst", "w", "outw").persist()
-    var r = nodes.select(col("node"), lit(init).as("rank"))
-    val deltas = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
-    for (k <- 1 to rounds) {
-      val inflow = r.join(eo, r("node") === eo("src"))
-        .select(col("dst").as("node"), expr("(rank * w) DIV outw").as("c"))
-        .groupBy("node").agg(sum("c").as("inflow"))
-      val next = nodes.join(inflow, Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) + expr("(85 * coalesce(inflow, 0L)) DIV 100")).as("rank"))
-        .localCheckpoint(true)
-      val d = next.as("a").join(r.as("b"), col("a.node") === col("b.node"))
-        .agg(sum(abs(col("a.rank") - col("b.rank"))).as("d"))
-        .head().getLong(0)
-      deltas += ((k, d))
-      r = next
-    }
-    e.unpersist(); nodes.unpersist(); eo.unpersist()
-    deltas.toSeq
-  }
-
   def pageRank(
       edges: DataFrame,
       srcCol: String,
@@ -94,38 +101,33 @@ object Graph {
       wCol: String,
       rounds: Int,
       scale: Long = 1000000000000L): DataFrame = {
-    val e = edges
-      .select(col(srcCol).as("src"), col(dstCol).as("dst"),
-        col(wCol).cast("long").as("w"))
-      .filter(col("src") =!= col("dst"))
-      .persist()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .distinct().persist()
-    val n = nodes.count()
-    require(n > 0, "pageRank needs a non-empty edge set")
-    val init = scale / n
-    val base = 15L * init / 100L
-    // Pre-join the per-source out-weight once; each round reuses it.
-    val eo = e.join(e.groupBy("src").agg(sum("w").as("outw")), "src")
-      .select("src", "dst", "w", "outw").persist()
-    var r = nodes.select(col("node"), lit(init).as("rank"))
-    for (_ <- 1 to rounds) {
-      val inflow = r.join(eo, r("node") === eo("src"))
-        .select(col("dst").as("node"), expr("(rank * w) DIV outw").as("c"))
-        .groupBy("node").agg(sum("c").as("inflow"))
-      r = nodes.join(inflow, Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) + expr("(85 * coalesce(inflow, 0L)) DIV 100")).as("rank"))
-        .localCheckpoint(true)
-    }
-    val outw = e.groupBy(col("src").as("node")).agg(sum("w").as("out_w"))
-    val inw = e.groupBy(col("dst").as("node")).agg(sum("w").as("in_w"))
+    val p = prepare(edges, srcCol, dstCol, wCol, scale)
+    val (r, _) = iterate(p, rounds, trackDeltas = false)
+    val outw = p.e.groupBy(col("src").as("node")).agg(sum("w").as("out_w"))
+    val inw = p.e.groupBy(col("dst").as("node")).agg(sum("w").as("in_w"))
     val res = r.join(outw, Seq("node"), "left").join(inw, Seq("node"), "left")
       .select(col("node"), col("rank"),
         coalesce(col("out_w"), lit(0L)).as("out_w"),
         coalesce(col("in_w"), lit(0L)).as("in_w"))
-    e.unpersist(); nodes.unpersist(); eo.unpersist()
+    p.release()
     res
+  }
+
+  /** [[pageRank]]'s convergence telemetry: the L1 rank movement
+    * Σ|r_k − r_{k−1}| per round — the number an iterative-operator owner
+    * watches to pick the round budget (and to stop early at a plateau).
+    * Same [[iterate]] body as the ranks themselves, so the telemetry can
+    * never describe a different iteration than the one ranked. */
+  def pageRankDeltas(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      wCol: String,
+      rounds: Int,
+      scale: Long = 1000000000000L): Seq[(Int, Long)] = {
+    val p = prepare(edges, srcCol, dstCol, wCol, scale)
+    val (_, deltas) = iterate(p, rounds, trackDeltas = true)
+    p.release()
+    deltas
   }
 }

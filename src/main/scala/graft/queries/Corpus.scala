@@ -2733,38 +2733,48 @@ object Corpus {
     * higher-order lambdas). Threshold orientation (strict `<` on the
     * ratio caps, inclusive bounds on counts) follows the paper's "remove
     * documents that ..." wording. */
-  def gopherRules(s: SparkSession, d: String): DataFrame = {
-    val txt = col("text")
+  /** The eight Gopher signal expressions over a raw text column — THE
+    * single source both q_t24 (named columns) and the composed gates
+    * (q_tp12/q_tp15/q_tp16 via [[gopherPassCol]]) evaluate, so a
+    * rule/regex fix can never diverge the standalone query from the
+    * pipelines. Σ word length needs no per-token lambda: every
+    * non-whitespace char belongs to exactly one token. */
+  private def gopherSignalCols(txt: Column): Seq[(String, Column)] = {
     val toks = TextFunctions.tokens(txt)
-    val nWords = size(toks).cast("long")
-    // Σ word length without a per-token lambda: every non-whitespace char
-    // belongs to exactly one token.
-    val sumWlen = length(regexp_replace(txt, "\\s+", "")).cast("long")
-    val nSym = size(regexp_extract_all(txt, lit("#|\\.\\.\\."), lit(0))).cast("long")
-    val nLines = size(split(txt, "\n")).cast("long")
-    val nBullet = size(regexp_extract_all(txt, lit("(?m)^[ \\t]*[-*] "), lit(0))).cast("long")
-    val nEll = size(regexp_extract_all(txt, lit("(?m)\\.\\.\\.$"), lit(0))).cast("long")
-    val nAlpha = size(regexp_extract_all(txt, lit("[^\\s]*\\p{L}[^\\s]*"), lit(0))).cast("long")
     val lt = TextFunctions.tokens(lower(txt))
-    val nStop = GopherStopwords
-      .map(w => array_contains(lt, w).cast("int"))
-      .reduce(_ + _).cast("long")
+    Seq(
+      "n_words" -> size(toks).cast("long"),
+      "sum_wlen" -> length(regexp_replace(txt, "\\s+", "")).cast("long"),
+      "n_symbols" -> size(regexp_extract_all(txt, lit("#|\\.\\.\\."), lit(0))).cast("long"),
+      "n_lines" -> size(split(txt, "\n")).cast("long"),
+      "n_bullet_lines" ->
+        size(regexp_extract_all(txt, lit("(?m)^[ \\t]*[-*] "), lit(0))).cast("long"),
+      "n_ellipsis_lines" ->
+        size(regexp_extract_all(txt, lit("(?m)\\.\\.\\.$"), lit(0))).cast("long"),
+      "n_alpha_words" ->
+        size(regexp_extract_all(txt, lit("[^\\s]*\\p{L}[^\\s]*"), lit(0))).cast("long"),
+      "n_stopword_kinds" -> GopherStopwords
+        .map(w => array_contains(lt, w).cast("int"))
+        .reduce(_ + _).cast("long"))
+  }
+
+  /** The rule conjunction over the (named or inline) signal columns. */
+  private def gopherRuleSet(c: String => Column, stopMin: Int): Column =
+    c("n_words").between(50L, 100000L) &&
+      (c("sum_wlen") >= c("n_words") * 3) && (c("sum_wlen") <= c("n_words") * 10) &&
+      (c("n_symbols") * 10 < c("n_words")) &&
+      (c("n_bullet_lines") * 10 < c("n_lines") * 9) &&
+      (c("n_ellipsis_lines") * 10 < c("n_lines") * 3) &&
+      (c("n_alpha_words") * 10 > c("n_words") * 8) &&
+      (c("n_stopword_kinds") >= stopMin)
+
+  def gopherRules(s: SparkSession, d: String): DataFrame = {
     val sig = Tables.documents(s, d).select("doc_id", "text")
       .unionByName(gopherSamples(s))
-      .select(col("doc_id"),
-        nWords.as("n_words"), sumWlen.as("sum_wlen"), nSym.as("n_symbols"),
-        nLines.as("n_lines"), nBullet.as("n_bullet_lines"),
-        nEll.as("n_ellipsis_lines"), nAlpha.as("n_alpha_words"),
-        nStop.as("n_stopword_kinds"))
-    val pass =
-      col("n_words").between(50L, 100000L) &&
-      (col("sum_wlen") >= col("n_words") * 3) && (col("sum_wlen") <= col("n_words") * 10) &&
-      (col("n_symbols") * 10 < col("n_words")) &&
-      (col("n_bullet_lines") * 10 < col("n_lines") * 9) &&
-      (col("n_ellipsis_lines") * 10 < col("n_lines") * 3) &&
-      (col("n_alpha_words") * 10 > col("n_words") * 8) &&
-      (col("n_stopword_kinds") >= 2)
-    sig.withColumn("pass_gopher", pass).orderBy("doc_id")
+      .select(col("doc_id") +:
+        gopherSignalCols(col("text")).map { case (n, c) => c.as(n) }: _*)
+    sig.withColumn("pass_gopher", gopherRuleSet(col, stopMin = 2))
+      .orderBy("doc_id")
   }
 
   /** Gopher's stopword-presence list (the paper's 8 words; distinct-kind
@@ -2778,23 +2788,8 @@ object Corpus {
     * synthetic corpus carries only "the" from the list, so q_tp12 gates
     * at 1 — the knob a real pipeline tunes per-language. */
   private def gopherPassCol(txt: Column, stopMin: Int): Column = {
-    val nWords = size(TextFunctions.tokens(txt)).cast("long")
-    val sumWlen = length(regexp_replace(txt, "\\s+", "")).cast("long")
-    val nSym = size(regexp_extract_all(txt, lit("#|\\.\\.\\."), lit(0))).cast("long")
-    val nLines = size(split(txt, "\n")).cast("long")
-    val nBullet = size(regexp_extract_all(txt, lit("(?m)^[ \\t]*[-*] "), lit(0))).cast("long")
-    val nEll = size(regexp_extract_all(txt, lit("(?m)\\.\\.\\.$"), lit(0))).cast("long")
-    val nAlpha = size(regexp_extract_all(txt, lit("[^\\s]*\\p{L}[^\\s]*"), lit(0))).cast("long")
-    val nStop = GopherStopwords
-      .map(w => array_contains(TextFunctions.tokens(lower(txt)), w).cast("int"))
-      .reduce(_ + _).cast("long")
-    nWords.between(50L, 100000L) &&
-      (sumWlen >= nWords * 3) && (sumWlen <= nWords * 10) &&
-      (nSym * 10 < nWords) &&
-      (nBullet * 10 < nLines * 9) &&
-      (nEll * 10 < nLines * 3) &&
-      (nAlpha * 10 > nWords * 8) &&
-      (nStop >= stopMin)
+    val sigs = gopherSignalCols(txt).toMap
+    gopherRuleSet(sigs, stopMin)
   }
 
   /** TP12: CRAWL-FRONT CAPSTONE — the full pre-content half of a crawl
@@ -3650,18 +3645,25 @@ object Corpus {
     * profile as q_tp4's first-occurrence resolve); the island window is
     * per-doc over only the duplicated positions. The md5 shingle hash makes
     * the whole span geometry oracle-exact — no recall hedge. */
+  /** The planted interior-slice clones shared by q_tp9 and q_tp10 (and
+    * hard-coded identically in both oracles): a 30-token slice (tokens
+    * 11..40) of long-enough originals under id+4000000 — a guaranteed
+    * cross-doc duplicated span, interior so the island merge has real
+    * boundaries to find. ONE definition keeps the two span queries and
+    * their SQL mirrors in lockstep. */
+  private def spanCloneFrame(docs: DataFrame): DataFrame = {
+    val srcToks = TextFunctions.tokens(TextFunctions.normText(col("text")))
+    docs
+      .filter(col("doc_id") < 60 && size(srcToks) >= 40)
+      .select((col("doc_id") + 4000000L).as("doc_id"),
+        array_join(slice(srcToks, 11, 30), " ").as("text"))
+  }
+
   def spanDedup(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val L = 8
     val docs = Tables.documents(s, d).select("doc_id", "text")
-    val srcToks = TextFunctions.tokens(TextFunctions.normText(col("text")))
-    // clones: a 30-token interior slice (tokens 11..40) of long-enough
-    // originals — a guaranteed cross-doc duplicated span, interior so the
-    // island merge has real boundaries to find
-    val clones = docs
-      .filter(col("doc_id") < 60 && size(srcToks) >= 40)
-      .select((col("doc_id") + 4000000L).as("doc_id"),
-        array_join(slice(srcToks, 11, 30), " ").as("text"))
+    val clones = spanCloneFrame(docs)
     val toks = TextFunctions.tokens(TextFunctions.normText(col("text")))
     val starts = docs.unionByName(clones)
       .select(col("doc_id"),
@@ -3704,12 +3706,7 @@ object Corpus {
     * md5 shingle hashes make the scrub geometry oracle-exact. */
   def spanScrub(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
-    val srcToks = TextFunctions.tokens(TextFunctions.normText(col("text")))
-    val clones = docs
-      .filter(col("doc_id") < 60 && size(srcToks) >= 40)
-      .select((col("doc_id") + 4000000L).as("doc_id"),
-        array_join(slice(srcToks, 11, 30), " ").as("text"))
-    spanScrubCore(docs.unionByName(clones))
+    spanScrubCore(docs.unionByName(spanCloneFrame(docs)))
   }
 
   /** The q_tp10 scrub over any (doc_id, text) frame — also the stage-0 of

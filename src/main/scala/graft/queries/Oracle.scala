@@ -365,7 +365,7 @@ object Oracle {
     * the only divergence). Emits the canonical url given the stripped
     * intermediate `u1` — callers first compute u1 via [[urlStripSql]]. */
   private def urlStripSql(c: String): String =
-    s"regexp_replace(regexp_replace(regexp_replace($c, '#.*$$', ''), 'utm_[^&#]*&?', '', 'g'), '[?&]+$$', '')"
+    s"regexp_replace(regexp_replace(regexp_replace(regexp_replace($c, '#.*$$', ''), '&utm_[^&#]*', '', 'g'), '\\?utm_[^&#]*&', '?'), '\\?utm_[^&#]*$$', '')"
 
   /** q_s13/q_s14: the from-scratch shard manifest (the incremental merge
     * is algebraically identical, so both keys share this). */

@@ -60,6 +60,12 @@ object TextFunctions {
     "â€™" -> "’", "â€œ" -> "“", "â€“" -> "–", "â€¦" -> "…",
     "Ã©" -> "é", "Ã¨" -> "è", "Ã¼" -> "ü", "Ã¶" -> "ö",
     "Ã±" -> "ñ", "Ã¯" -> "ï")
+  // fixMojibake quotes each pattern but mojibakeCount (and the DuckDB
+  // mirror) build a raw alternation — a metachar in a future artifact
+  // would silently diverge the two surfaces, so reject it here.
+  require(MojibakeReplacements.forall { case (bad, _) =>
+    !bad.exists("\\.[]{}()*+?^$|".contains(_)) },
+    "mojibake artifact patterns must be regex-metachar-free")
 
   /** ftfy-style mojibake repair: fix the common double-encoding artifacts
     * in one ordered replacement chain (codegen'd regexp_replace on literal
@@ -86,12 +92,18 @@ object TextFunctions {
     *      trailing slashes.
     * Pure RE2-compatible regexp expressions (codegen'd, one scan each);
     * the DuckDB oracle runs the semantically identical chain (`\1` vs
-    * `$1` group syntax is the only divergence). Assumes `utm_` appears
-    * only in the query string (a path containing literal "utm_" would be
-    * rewritten — acceptable for crawl URLs, documented here). */
+    * `$1` group syntax is the only divergence). Tracking-param removal is
+    * anchored to a parameter BOUNDARY (`&utm_…` / leading `?utm_…`), so
+    * "utm_" occurring inside a path, another parameter's name, or a
+    * value is never touched — an unanchored strip would corrupt such
+    * URLs into false canonical collisions. */
   def canonicalUrl(c: Column): Column = {
     val noFrag = regexp_replace(c, "#.*$", "")
-    val noUtm = regexp_replace(regexp_replace(noFrag, "utm_[^&#]*&?", ""), "[?&]+$", "")
+    val noUtm = regexp_replace(
+      regexp_replace(
+        regexp_replace(noFrag, "&utm_[^&#]*", ""),
+        "\\?utm_[^&#]*&", "?"),
+      "\\?utm_[^&#]*$", "")
     val prefix = regexp_replace(
       regexp_replace(
         lower(regexp_extract(noUtm, "^[^/]*//[^/]*", 0)),

@@ -189,7 +189,14 @@ class TextDedupSpec extends SparkSpec {
       // non-default port survives; params other than utm_* survive in order
       "https://h.example.com:8080/p?b=2&a=1" -> "https://h.example.com:8080/p?b=2&a=1",
       // utm in the middle of the query repairs separators
-      "https://h.example.com/p?id=2&utm_a=1&x=3" -> "https://h.example.com/p?id=2&x=3")
+      "https://h.example.com/p?id=2&utm_a=1&x=3" -> "https://h.example.com/p?id=2&x=3",
+      // "utm_" inside another param's VALUE or name is NOT a tracking
+      // param — boundary anchoring must leave these alone
+      "https://h.example.com/p?a=1xutm_p=1" -> "https://h.example.com/p?a=1xutm_p=1",
+      "https://h.example.com/p?latitude_utm_zone=31" -> "https://h.example.com/p?latitude_utm_zone=31",
+      // leading utm followed by a real param; several utms stacked
+      "https://h.example.com/p?utm_a=1&id=2" -> "https://h.example.com/p?id=2",
+      "https://h.example.com/p?utm_a=1&utm_b=2&id=3" -> "https://h.example.com/p?id=3")
     val got = cases.map(_._1).toDF("url")
       .select(TextFunctions.canonicalUrl($"url")).as[String].collect()
     got.zip(cases.map(_._2)).foreach { case (g, e) => assert(g === e) }
