@@ -153,6 +153,111 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** ENGINE-PORTABLE MinHash LSH candidates via the classic universal-hash
+    * minwise family (Broder): each shingle is hashed ONCE with a portable
+    * base hash `h = hex32(md5(shingle)) mod p`, and slot i of a doc's
+    * signature is `min over its shingle set of (a_i·h + b_i) mod p` with
+    * p = 2^31−1 (Mersenne) and per-seed md5-derived a_i ∈ [1, p),
+    * b_i ∈ [0, p) — a true bijection on [0, p) per slot. md5 + int64
+    * arithmetic exist in every engine, so unlike [[withMinhash]] (fused
+    * murmur3, JVM-only, faster) this signature replays bit-exactly in SQL
+    * and the FULL production fuzzy-dedup pairing (banded candidate
+    * generation → exact verify tier) becomes oracle-checkable end to end,
+    * not just the threshold-1.0 degenerate case (q_dd2b's construction).
+    * Overflow headroom: a_i, h < 2^31 ⇒ a·h + b < 2^62 — never wraps.
+    *
+    * Scale shape: one shingle explode × numHashes map-side hash rows (the
+    * standard MinHash cost, linear in corpus shingle mass), one
+    * (doc, slot)-keyed min aggregate, one (doc, band)-keyed band-key
+    * aggregate, and a band-bucket self-join with an explicit bucket-size
+    * cap (`maxBucket`) pruning pathological buckets BEFORE pair expansion
+    * — the same LSH skew guard as [[minhashNearDups]], deterministic and
+    * SQL-mirrored. Returns distinct (id1, id2) candidate pairs,
+    * id1 < id2. */
+  def portableMinhashCandidates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      maxBucket: Int = 100): DataFrame =
+    portableMinhashCandidatesShingled(
+      withShingles(docs, textCol, k).select(col(idCol).as("doc"), col("shingles")),
+      numHashes, bands, maxBucket)
+
+  /** [[portableMinhashCandidates]] over a pre-shingled (doc, shingles)
+    * frame — lets a composed pipeline (q_dd11) shingle ONCE and share the
+    * frame with its verify tier instead of tokenizing the corpus twice. */
+  def portableMinhashCandidatesShingled(
+      shingled: DataFrame,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      maxBucket: Int = 100): DataFrame = {
+    val r = numHashes / bands
+    require(r * bands == numHashes, "numHashes must divide into bands")
+    // the whole signature is computed MAP-SIDE in one pass over each doc's
+    // shingle array (higher-order transform/array_min — no 16× row explode
+    // shuffled through a (doc, slot) aggregate; one md5 per shingle, the
+    // slots are integer mixes of it); the first shuffle in the plan is the
+    // bucket-cap groupBy over skinny (doc, band, bkey) rows
+    // the permutation family must be a true bijection on the hash domain
+    // or slots CORRELATE and junk pairs share whole bands (two failed
+    // designs live in this file's history: near-constant a_i never
+    // wrapped the modulus — every slot collapsed to a function of
+    // min(h); and p = 2^61−1 ≫ range(h) made each slot a few ordered
+    // ramps of h — the min kept tracking the globally smallest h). The
+    // textbook fix: Mersenne p = 2^31−1, h reduced into [0, p), per-seed
+    // md5-derived a ∈ [1, p), b ∈ [0, p) — (a·h + b) mod p is a bijection
+    // on [0, p), products stay < 2^62 (no int64 wrap), and every engine
+    // replays it. The coefficients are CONSTANTS, computed driver-side
+    // (same md5 derivation the oracle runs in SQL) and embedded as
+    // literal arrays; the signature is ONE aggregate pass over the hash
+    // array — md5 runs exactly once per shingle even after Catalyst
+    // collapses projections (16 array_min passes each referencing the
+    // hvals alias would inline — and recompute — the md5 transform 16×).
+    val P = 2147483647L
+    def hex32md5(s: String): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString,
+        16)
+    val aArr = array((0 until numHashes)
+      .map(i => lit(hex32md5("a" + i) % (P - 1) + 1L)): _*)
+    val bArr = array((0 until numHashes).map(i => lit(hex32md5("b" + i) % P)): _*)
+    val sigArr = aggregate(
+      transform(col("shingles"), sh0 =>
+        conv(substring(md5(sh0), 1, 8), 16, 10).cast("long") % lit(P)),
+      array_repeat(lit(P), numHashes),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
+        (m, i) => least(m,
+          (element_at(aArr, i + 1) * h + element_at(bArr, i + 1)) % lit(P))))
+    val withSig = shingled
+      .filter(size(col("shingles")) > 0)
+      .select(col("doc"), sigArr.as("sig"))
+    // band key = the band's slot values joined in seed order (portable —
+    // no engine hash of the band tuple needed)
+    val buckets = withSig
+      .select(col("doc"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          array_join(
+            transform(slice(col("sig"), b * r + lit(1), lit(r)),
+              x => x.cast("string")), ","))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bkey"))
+    val hot = buckets.groupBy("band", "bkey").count()
+      .filter(col("count") > maxBucket).select("band", "bkey")
+    val pruned = buckets.join(hot, Seq("band", "bkey"), "left_anti")
+    val left = pruned.select(col("doc").as("id1"), col("band"), col("bkey"))
+    val right = pruned.select(col("doc").as("id2"),
+      col("band").as("band_r"), col("bkey").as("bkey_r"))
+    left
+      .join(right,
+        col("band") === col("band_r") && col("bkey") === col("bkey_r") &&
+          col("id1") < col("id2"))
+      .select("id1", "id2")
+      .distinct()
+  }
+
   /** SimHash sketch per document (custom codegen'd expression); near-dups =
     * sketches within a small Hamming distance, candidates via identical
     * sub-blocks of the sketch. */

@@ -56,17 +56,37 @@ object Graph {
     * per-round L1 movement when `trackDeltas` (one extra co-partitioned
     * join+aggregate per tracked round). */
   private def iterate(
-      p: Prepared, rounds: Int, trackDeltas: Boolean): (DataFrame, Seq[(Int, Long)]) = {
+      p: Prepared, rounds: Int, trackDeltas: Boolean,
+      redistribute: Boolean = false): (DataFrame, Seq[(Int, Long)]) = {
+    // sink (dangling) node set — only materialized for the redistribute
+    // variant; an anti-join of nodes against distinct edge sources
+    val dang =
+      if (redistribute)
+        p.nodes.join(p.e.select(col("src").as("node")).distinct(),
+          Seq("node"), "left_anti").persist()
+      else null
     var r = p.nodes.select(col("node"), lit(p.init).as("rank"))
     val deltas = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
     for (k <- 1 to rounds) {
       val inflow = r.join(p.eo, r("node") === p.eo("src"))
         .select(col("dst").as("node"), expr("(rank * w) DIV outw").as("c"))
         .groupBy("node").agg(sum("c").as("inflow"))
-      val next = p.nodes.join(inflow, Seq("node"), "left")
-        .select(col("node"),
-          (lit(p.base) + expr("(85 * coalesce(inflow, 0L)) DIV 100")).as("rank"))
-        .localCheckpoint(true)
+      val next = (if (redistribute) {
+        // one extra SCALAR aggregate per round: the rank mass sitting on
+        // sinks this round, shared back uniformly (dm DIV n per node) and
+        // damped exactly like edge inflow — the standard dangling-mass
+        // redistribution rule in the same integer arithmetic
+        val dm = r.join(dang, Seq("node")) // sinks' current rank mass
+          .agg(coalesce(sum("rank"), lit(0L)).as("dm"))
+        p.nodes.join(inflow, Seq("node"), "left").crossJoin(broadcast(dm))
+          .select(col("node"),
+            (lit(p.base) +
+              expr(s"(85 * (coalesce(inflow, 0L) + dm DIV ${p.n}L)) DIV 100")).as("rank"))
+      } else {
+        p.nodes.join(inflow, Seq("node"), "left")
+          .select(col("node"),
+            (lit(p.base) + expr("(85 * coalesce(inflow, 0L)) DIV 100")).as("rank"))
+      }).localCheckpoint(true)
       if (trackDeltas) {
         deltas += ((k, next.as("a").join(r.as("b"), col("a.node") === col("b.node"))
           .agg(sum(abs(col("a.rank") - col("b.rank"))).as("d"))
@@ -74,6 +94,7 @@ object Graph {
       }
       r = next
     }
+    if (dang != null) dang.unpersist()
     (r, deltas.toSeq)
   }
 
@@ -82,8 +103,15 @@ object Graph {
     * is `scale` (default 10^12): every node starts at `scale DIV n`, each
     * round a node keeps `(15 * (scale DIV n)) DIV 100` base mass and
     * receives `(85 * Σ inflow) DIV 100` where an edge's inflow is
-    * `(rank_src * w) DIV outw_src`. Dangling-node mass evaporates (the
-    * sink-loss PageRank variant — documented, deterministic). Floor
+    * `(rank_src * w) DIV outw_src`. Dangling-node mass evaporates by
+    * default (the sink-loss PageRank variant — documented,
+    * deterministic); with `redistributeDangling = true` each round
+    * instead measures the rank mass sitting on sinks (one scalar
+    * aggregate over the sink anti-join set) and shares it back uniformly
+    * — `dm DIV n` joins each node's inflow before damping, the standard
+    * redistribution rule. Real host graphs are sink-heavy (crawls link
+    * out to hosts never fetched), so the redistribute variant is the one
+    * production curation wants; both replay exactly in SQL. Floor
     * division loses < 1 unit per edge per round; at the default scale
     * that is a 1e-12 relative error — and, unlike float summation, the
     * SAME error in every engine.
@@ -100,15 +128,21 @@ object Graph {
       dstCol: String,
       wCol: String,
       rounds: Int,
-      scale: Long = 1000000000000L): DataFrame = {
+      scale: Long = 1000000000000L,
+      redistributeDangling: Boolean = false): DataFrame = {
     val p = prepare(edges, srcCol, dstCol, wCol, scale)
-    val (r, _) = iterate(p, rounds, trackDeltas = false)
+    val (r, _) = iterate(p, rounds, trackDeltas = false,
+      redistribute = redistributeDangling)
     val outw = p.e.groupBy(col("src").as("node")).agg(sum("w").as("out_w"))
     val inw = p.e.groupBy(col("dst").as("node")).agg(sum("w").as("in_w"))
     val res = r.join(outw, Seq("node"), "left").join(inw, Seq("node"), "left")
       .select(col("node"), col("rank"),
         coalesce(col("out_w"), lit(0L)).as("out_w"),
         coalesce(col("in_w"), lit(0L)).as("in_w"))
+      // materialize BEFORE releasing the prepared tables — otherwise the
+      // caller's first action recomputes the edge lineage from source and
+      // the round-loop persists bought nothing for the final plan
+      .localCheckpoint(true)
     p.release()
     res
   }

@@ -56,18 +56,34 @@ object Skew {
     * rows per key. Result-identical to the direct window (the global
     * top-k is a subset of the union of per-salt top-ks, a selectable
     * property of rank selection; NOT true of e.g. windowed cumsums, which
-    * is why [[saltedTrailingSum]] needs its different recombine). The
-    * salt is deterministic (row-hash mod salts — no RNG). Returns the
-    * input columns plus `rk` (1-based within key, in `ord` order). */
+    * is why [[saltedTrailingSum]] needs its different recombine).
+    *
+    * REQUIREMENT: `ord` must be a TOTAL order within each key (append a
+    * unique tie-break column — every call site here orders by a unique
+    * id last). With ties the selectability property breaks: phase 1's
+    * per-salt row_number may prune a tied row that the direct window
+    * would have ranked ≤ k, so the two forms could keep different (both
+    * "valid") representatives. A total order makes rank selection
+    * unambiguous and the equivalence exact.
+    *
+    * The salt is deterministic (row-hash mod salts — no RNG). Pass
+    * `saltOn` (a row-unique column, e.g. the id) when rows can be exact
+    * duplicates: duplicate rows hash identically over all columns, so a
+    * hot key made of clones would otherwise still funnel through one
+    * reducer. Returns the input columns plus `rk` (1-based within key,
+    * in `ord` order). */
   def saltedTopK(
       df: DataFrame,
       keys: Seq[String],
       ord: Seq[Column],
       k: Int,
-      salts: Int = 16): DataFrame = {
+      salts: Int = 16,
+      saltOn: Option[Column] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val salted = df.withColumn(
-      "_salt", pmod(hash(df.columns.map(col): _*), lit(salts)))
+      "_salt",
+      pmod(hash(saltOn.map(Seq(_)).getOrElse(df.columns.toSeq.map(col)): _*),
+        lit(salts)))
     val w1 = Window.partitionBy((keys :+ "_salt").map(col): _*).orderBy(ord: _*)
     val w2 = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
     salted

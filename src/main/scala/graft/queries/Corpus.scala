@@ -2730,9 +2730,11 @@ object Corpus {
     * (3·n ≤ Σlen ≤ 10·n instead of a float mean), so the gate involves no
     * IEEE arithmetic at all and replays bit-exactly in any engine; counts
     * come from one codegen'd regexp/token scan per signal (no UDFs, no
-    * higher-order lambdas). Threshold orientation (strict `<` on the
-    * ratio caps, inclusive bounds on counts) follows the paper's "remove
-    * documents that ..." wording. */
+    * higher-order lambdas). Threshold orientation: the paper removes
+    * documents strictly BEYOND each ratio cap (symbol ratio > 0.1,
+    * bullet fraction > 0.9, ellipsis fraction > 0.3, alpha-word fraction
+    * < 0.8), so a document sitting exactly AT a threshold is KEPT —
+    * hence `<=`/`>=` in the integer cross-multiplied forms. */
   /** The eight Gopher signal expressions over a raw text column — THE
     * single source both q_t24 (named columns) and the composed gates
     * (q_tp12/q_tp15/q_tp16 via [[gopherPassCol]]) evaluate, so a
@@ -2762,10 +2764,10 @@ object Corpus {
   private def gopherRuleSet(c: String => Column, stopMin: Int): Column =
     c("n_words").between(50L, 100000L) &&
       (c("sum_wlen") >= c("n_words") * 3) && (c("sum_wlen") <= c("n_words") * 10) &&
-      (c("n_symbols") * 10 < c("n_words")) &&
-      (c("n_bullet_lines") * 10 < c("n_lines") * 9) &&
-      (c("n_ellipsis_lines") * 10 < c("n_lines") * 3) &&
-      (c("n_alpha_words") * 10 > c("n_words") * 8) &&
+      (c("n_symbols") * 10 <= c("n_words")) &&
+      (c("n_bullet_lines") * 10 <= c("n_lines") * 9) &&
+      (c("n_ellipsis_lines") * 10 <= c("n_lines") * 3) &&
+      (c("n_alpha_words") * 10 >= c("n_words") * 8) &&
       (c("n_stopword_kinds") >= stopMin)
 
   def gopherRules(s: SparkSession, d: String): DataFrame = {
@@ -2841,14 +2843,19 @@ object Corpus {
 
   /** The injected messy-URL fixtures (hand-built case/port/param/slash
     * pathologies; 4300003 canonicalizes INTO 4300000's URL so a
-    * cross-fixture dup group exists): ids 4300000+. */
+    * cross-fixture dup group exists; 4300004/4300005 are PATH-LESS URLs
+    * with a query — host lowercasing must stop at `?`, the query's case
+    * must survive, and the default-port strip must still anchor): ids
+    * 4300000+. */
   private def urlSamples(s: SparkSession): DataFrame = {
     import s.implicits._
     Seq(
       (4300000L, "HTTPS://Site.Example.COM:443//a//b/?utm_source=x&utm_medium=y#frag"),
       (4300001L, "https://site.example.com/a/b?id=2&utm_campaign=z"),
       (4300002L, "http://host.example.com:80/x/"),
-      (4300003L, "https://site.example.com//a/b/"))
+      (4300003L, "https://site.example.com//a/b/"),
+      (4300004L, "https://Path-Less.Example.com?id=AbC&utm_source=x"),
+      (4300005L, "https://path-less.example.com:443?id=AbC"))
       .toDF("doc_id", "url_raw")
   }
 
@@ -3256,6 +3263,40 @@ object Corpus {
       .withColumnRenamed("node", "domain")
       .orderBy("domain")
 
+  /** The q_g1b graph: [[hostGraphEdges]] plus one external link per doc to
+    * a `www.extN` host that never appears as a source — genuine sinks, the
+    * shape of a real crawl graph (pages link out to hosts never fetched).
+    * Namespaces are disjoint (srcX-Y vs extN), so the union stays one row
+    * per (src, dst). */
+  private def hostGraphEdgesWithSinks(s: SparkSession, d: String): DataFrame = {
+    val h2 = conv(substring(md5(concat(col("doc_id").cast("string"), lit("extlink"))), 1, 8), 16, 10)
+      .cast("long")
+    val extDom = concat(lit("www.ext"), (col("h2") % 25).cast("string"),
+      lit(".example.com"))
+    hostGraphEdges(s, d).unionByName(
+      Tables.documents(s, d)
+        .withColumn("h2", h2)
+        .select(docDomain.as("src"), extDom.as("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w")))
+  }
+
+  /** G1b: PAGERANK WITH DANGLING-MASS REDISTRIBUTION — the sink-aware
+    * variant of q_g1 ([[graft.operators.Graph.pageRank]] with
+    * `redistributeDangling = true`) over a sink-HEAVY graph (every doc
+    * also links to an external host that is never crawled — ~30% of
+    * nodes are pure sinks here). Each round measures the rank mass
+    * sitting on sinks (one scalar aggregate over the sink anti-join set)
+    * and shares it back uniformly before damping, so total mass no longer
+    * evaporates through sinks — the variant real host-graph curation
+    * wants, since crawl graphs are sink-heavy by construction. Same
+    * integer arithmetic; the oracle unrolls the identical rounds with a
+    * per-round dangling-mass scalar CTE. */
+  def hostPageRankRedistributed(s: SparkSession, d: String): DataFrame =
+    graft.operators.Graph.pageRank(hostGraphEdgesWithSinks(s, d), "src", "dst", "w",
+      rounds = 3, redistributeDangling = true)
+      .withColumnRenamed("node", "domain")
+      .orderBy("domain")
+
   /** G3: PAGERANK CONVERGENCE SERIES — the per-round L1 rank movement of
     * the q_g1 iteration ([[graft.operators.Graph.pageRankDeltas]]): the
     * telemetry that picks a round budget and detects a plateau without
@@ -3393,6 +3434,55 @@ object Corpus {
         (dist.cast("double")
           / greatest(length(col("norm1")), length(col("norm2"))).cast("double"))
           .as("edit_ratio"))
+      .orderBy("id1", "id2")
+  }
+
+  /** DD11: THE PRODUCTION FUZZY-DEDUP PAIRING — banded MinHash candidate
+    * generation ([[Dedup.portableMinhashCandidates]]: the tier that scales,
+    * linear shingle-hash mass + bucket-capped band self-join, never
+    * all-pairs) feeding the EXACT verify tier (full-set Jaccard + classic
+    * Levenshtein + length-normalized ratio) — the composition a real
+    * pipeline runs, where q_dd7 verified behind the q_dd1 Jaccard index
+    * instead. The md5-based signature replays bit-exactly in SQL, so the
+    * oracle mirrors BOTH tiers (not just a threshold-1.0 degenerate
+    * construction): whatever candidate set the banding yields, the oracle
+    * yields the identical set. Near-clones of the first 60 docs (planted
+    * under ids +3000000 with a 5-word suffix) guarantee the verify tier
+    * sees nonzero edit distances with high-but-sub-1.0 Jaccard. */
+  def fuzzyDedupPipeline(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select("doc_id", "text")
+    val clones = base.filter(col("doc_id") < 60)
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        concat(col("text"), lit(" qq zz qq zz qq")).as("text"))
+    val docs = base.unionByName(clones)
+    // shingle + normalize ONCE; both tiers read the checkpointed frame
+    val prepped = docs
+      .withColumn("norm", TextFunctions.normText(col("text")))
+      .withColumn("shingles",
+        TextFunctions.wordShingles(TextFunctions.tokens(col("norm")), 3))
+      .select("doc_id", "norm", "shingles")
+      .localCheckpoint(true)
+    val cands = Dedup.portableMinhashCandidatesShingled(
+      prepped.select(col("doc_id").as("doc"), col("shingles")),
+      numHashes = 16, bands = 4, maxBucket = 100)
+    val sets = prepped.select(col("doc_id"), col("shingles"))
+    val norms = prepped.select(col("doc_id"), col("norm"))
+    val dist = levenshtein(col("norm1"), col("norm2"))
+    val jac = col("n_common").cast("double") / col("n_union").cast("double")
+    val ratio = dist.cast("double") /
+      greatest(length(col("norm1")), length(col("norm2"))).cast("double")
+    cands
+      .join(sets.select(col("doc_id").as("id1"), col("shingles").as("sh1")), "id1")
+      .join(sets.select(col("doc_id").as("id2"), col("shingles").as("sh2")), "id2")
+      .join(norms.select(col("doc_id").as("id1"), col("norm").as("norm1")), "id1")
+      .join(norms.select(col("doc_id").as("id2"), col("norm").as("norm2")), "id2")
+      .withColumn("n_common", size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
+      .withColumn("n_union", size(array_union(col("sh1"), col("sh2"))).cast("long"))
+      .select(col("id1"), col("id2"), col("n_common"), col("n_union"),
+        jac.as("jaccard"),
+        dist.as("edit_dist"),
+        ratio.as("edit_ratio"),
+        (jac >= 0.5 && ratio <= 0.2).as("is_dup"))
       .orderBy("id1", "id2")
   }
 
@@ -4509,6 +4599,7 @@ object Corpus {
     "q_tp15_ensemble_gate" -> (ensembleGate _),
     "q_tp16_publish" -> (publishPipeline _),
     "q_g1_pagerank" -> (hostPageRank _),
+    "q_g1b_pagerank_redist" -> (hostPageRankRedistributed _),
     "q_g2_rank_gate" -> (rankGatedDocs _),
     "q_g3_rank_convergence" -> (pageRankConvergence _),
     "q_s13_shard_manifest" -> (shardManifest _),
@@ -4586,6 +4677,7 @@ object Corpus {
     "q_dd6_dup_clusters" -> (dupClusterLabels _),
     "q_dd8_star_clusters" -> (dupClusterLabelsStar _),
     "q_dd7_edit_verify" -> (editDistanceVerify _),
+    "q_dd11_fuzzy_pipeline" -> (fuzzyDedupPipeline _),
     "q_j8_bucketed_join" -> (bucketedOrdersJoin _),
     "q_j9_shuffle_hash" -> (joinShuffleHash _),
     "q_j13_bloom_join" -> (bloomPrunedJoin _),

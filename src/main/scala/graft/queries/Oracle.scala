@@ -340,10 +340,10 @@ object Oracle {
     s"""(len(regexp_extract_all($c, '\\S+')) BETWEEN 50 AND 100000
        | AND length(regexp_replace($c, '\\s+', '', 'g')) >= len(regexp_extract_all($c, '\\S+')) * 3
        | AND length(regexp_replace($c, '\\s+', '', 'g')) <= len(regexp_extract_all($c, '\\S+')) * 10
-       | AND len(regexp_extract_all($c, '#|\\.\\.\\.')) * 10 < len(regexp_extract_all($c, '\\S+'))
-       | AND len(regexp_extract_all($c, '(?m)^[ \\t]*[-*] ')) * 10 < len(string_split($c, chr(10))) * 9
-       | AND len(regexp_extract_all($c, '(?m)\\.\\.\\.$$')) * 10 < len(string_split($c, chr(10))) * 3
-       | AND len(regexp_extract_all($c, '[^\\s]*\\p{L}[^\\s]*')) * 10 > len(regexp_extract_all($c, '\\S+')) * 8
+       | AND len(regexp_extract_all($c, '#|\\.\\.\\.')) * 10 <= len(regexp_extract_all($c, '\\S+'))
+       | AND len(regexp_extract_all($c, '(?m)^[ \\t]*[-*] ')) * 10 <= len(string_split($c, chr(10))) * 9
+       | AND len(regexp_extract_all($c, '(?m)\\.\\.\\.$$')) * 10 <= len(string_split($c, chr(10))) * 3
+       | AND len(regexp_extract_all($c, '[^\\s]*\\p{L}[^\\s]*')) * 10 >= len(regexp_extract_all($c, '\\S+')) * 8
        | AND ${gopherStopSqlFor(c)} >= $stopMin)""".stripMargin.replace("\n", "")
 
   /** q_t25/q_tp12: the deterministic messy-URL synthesis (mirrors
@@ -372,11 +372,11 @@ object Oracle {
   private val shardManifestSql: String =
     """SELECT CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS INTEGER) AS shard,
       |       CAST(COUNT(*) AS BIGINT) AS n_docs,
-      |       SUM(CAST(length(text) AS BIGINT)) AS n_chars,
-      |       SUM(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)) AS n_tokens,
+      |       CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS n_chars,
+      |       CAST(SUM(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)) AS BIGINT) AS n_tokens,
       |       MIN(doc_id) AS min_doc_id,
       |       MAX(doc_id) AS max_doc_id,
-      |       SUM(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '|' || md5(text)), 1, 8)) AS BIGINT)) AS checksum
+      |       CAST(SUM(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '|' || md5(text)), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum
       |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin
 
   /** q_t23/q_t23b: blocklist + md5-ordered per-domain cap (the salted
@@ -411,7 +411,9 @@ object Oracle {
        |    (4300000, 'HTTPS://Site.Example.COM:443//a//b/?utm_source=x&utm_medium=y#frag'),
        |    (4300001, 'https://site.example.com/a/b?id=2&utm_campaign=z'),
        |    (4300002, 'http://host.example.com:80/x/'),
-       |    (4300003, 'https://site.example.com//a/b/')
+       |    (4300003, 'https://site.example.com//a/b/'),
+       |    (4300004, 'https://Path-Less.Example.com?id=AbC&utm_source=x'),
+       |    (4300005, 'https://path-less.example.com:443?id=AbC')
        |  ) AS v(doc_id, url_raw)),
        |step AS (
        |  SELECT doc_id, url_raw, ${urlStripSql("url_raw")} AS u1
@@ -423,10 +425,10 @@ object Oracle {
 
   private def urlCanonSql(u1: String): String =
     s"""regexp_replace(regexp_replace(
-       |  lower(regexp_extract($u1, '^[^/]*//[^/]*')),
+       |  lower(regexp_extract($u1, '^[^/?#]*//[^/?#]*')),
        |  '^(https://[^:]*):443$$', '\\1'), '^(http://[^:]*):80$$', '\\1')
        ||| regexp_replace(regexp_replace(
-       |     regexp_replace($u1, '^[^/]*//[^/]*', ''),
+       |     regexp_replace($u1, '^[^/?#]*//[^/?#]*', ''),
        |     '//+', '/', 'g'), '/+$$', '')""".stripMargin.replace("\n", " ")
 
   /** q_g1: replay [[graft.operators.Graph.pageRank]]'s integer-exact
@@ -439,8 +441,8 @@ object Oracle {
     val roundCtes = (1 to rounds).map { k =>
       s"""r$k AS (
          |  SELECT n2.node,
-         |         (15 * ($scale // nn.n)) // 100
-         |           + (85 * COALESCE(inf.s, 0)) // 100 AS rank
+         |         CAST((15 * ($scale // nn.n)) // 100
+         |           + (85 * COALESCE(inf.s, 0)) // 100 AS BIGINT) AS rank
          |  FROM nodes n2 CROSS JOIN nn
          |  LEFT JOIN (
          |    SELECT e.dst AS node, SUM((r.rank * e.w) // o.ow) AS s
@@ -465,10 +467,60 @@ object Oracle {
        |$roundCtes""".stripMargin
   }
 
+  /** q_g1b: the dangling-mass-REDISTRIBUTION rounds over the sink-heavy
+    * graph (hostGraphEdges plus one external 'www.extN' link per doc —
+    * hosts never crawled, so pure sinks). Each round adds a scalar CTE
+    * d_k = the rank mass sitting on sinks after round k−1; every node's
+    * inflow gains `dm // n` before damping — exactly
+    * [[graft.operators.Graph]]'s `redistributeDangling` rule. */
+  private def pageRankRedistCtes(rounds: Int): String = {
+    val scale = "1000000000000"
+    val roundCtes = (1 to rounds).map { k =>
+      s"""d$k AS (
+         |  SELECT CAST(COALESCE(SUM(r.rank), 0) AS BIGINT) AS dm
+         |  FROM r${k - 1} r LEFT JOIN outw o ON o.src = r.node
+         |  WHERE o.src IS NULL),
+         |r$k AS (
+         |  SELECT n2.node,
+         |         CAST((15 * ($scale // nn.n)) // 100
+         |           + (85 * (COALESCE(inf.s, 0) + (d$k.dm // nn.n))) // 100 AS BIGINT) AS rank
+         |  FROM nodes n2 CROSS JOIN nn CROSS JOIN d$k
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node, SUM((r.rank * e.w) // o.ow) AS s
+         |    FROM r${k - 1} r
+         |    JOIN edges e ON e.src = r.node
+         |    JOIN outw o ON o.src = e.src
+         |    GROUP BY 1) inf ON inf.node = n2.node)""".stripMargin
+    }.mkString(",\n")
+    s"""e0 AS (
+       |  SELECT 'www.' || source || '-' || CAST(doc_id % 3 AS VARCHAR) || '.example.com' AS src,
+       |         'www.src' || CAST(h % 20 AS VARCHAR) || '-' || CAST((h // 20) % 3 AS VARCHAR) || '.example.com' AS dst
+       |  FROM (SELECT doc_id, source,
+       |          CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || 'link'), 1, 8)) AS BIGINT) AS h
+       |        FROM documents)),
+       |x0 AS (
+       |  SELECT 'www.' || source || '-' || CAST(doc_id % 3 AS VARCHAR) || '.example.com' AS src,
+       |         'www.ext' || CAST(h2 % 25 AS VARCHAR) || '.example.com' AS dst
+       |  FROM (SELECT doc_id, source,
+       |          CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || 'extlink'), 1, 8)) AS BIGINT) AS h2
+       |        FROM documents)),
+       |edges AS (
+       |  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM e0 WHERE src <> dst GROUP BY 1, 2
+       |  UNION ALL
+       |  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM x0 GROUP BY 1, 2),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+       |outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY 1),
+       |r0 AS (SELECT node, ($scale // nn.n) AS rank FROM nodes CROSS JOIN nn),
+       |$roundCtes""".stripMargin
+  }
+
   private def pageRankSql(rounds: Int): String =
     s"""WITH ${pageRankCtes(rounds)}
        |SELECT n.node AS domain, r.rank,
-       |       COALESCE(o.ow, 0) AS out_w, COALESCE(i.iw, 0) AS in_w
+       |       CAST(COALESCE(o.ow, 0) AS BIGINT) AS out_w,
+       |       CAST(COALESCE(i.iw, 0) AS BIGINT) AS in_w
        |FROM nodes n
        |JOIN r$rounds r ON r.node = n.node
        |LEFT JOIN outw o ON o.src = n.node
@@ -640,7 +692,7 @@ object Oracle {
        |         CAST(ROW_NUMBER() OVER (PARTITION BY sq.doc_id ORDER BY sq.wpos, sq.spos) AS BIGINT) AS tok_idx
        |  FROM sq JOIN vid ON vid.symbol = sq.symbol)
        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ids,
-       |       SUM(id * tok_idx) AS ids_checksum
+       |       CAST(SUM(id * tok_idx) AS BIGINT) AS ids_checksum
        |FROM wt GROUP BY 1 ORDER BY doc_id""".stripMargin
 
   /** Count-min grid + top-20 point queries (q_a25); q_e12 builds the same
@@ -1596,16 +1648,30 @@ object Oracle {
     // three unrolled integer-arithmetic damped rounds.
     "q_g1_pagerank" -> pageRankSql(3),
 
+    // Mirrors Corpus.hostPageRankRedistributed: sink-heavy graph (extra
+    // www.extN links), per-round dangling-mass scalar redistributed
+    // uniformly before damping.
+    "q_g1b_pagerank_redist" ->
+      s"""WITH ${pageRankRedistCtes(3)}
+         |SELECT n.node AS domain, r.rank,
+         |       CAST(COALESCE(o.ow, 0) AS BIGINT) AS out_w,
+         |       CAST(COALESCE(i.iw, 0) AS BIGINT) AS in_w
+         |FROM nodes n
+         |JOIN r3 r ON r.node = n.node
+         |LEFT JOIN outw o ON o.src = n.node
+         |LEFT JOIN (SELECT dst, SUM(w) AS iw FROM edges GROUP BY 1) i ON i.dst = n.node
+         |ORDER BY domain""".stripMargin,
+
     // Mirrors Corpus.pageRankConvergence: L1 deltas between consecutive
     // unrolled rounds of the shared CTEs.
     "q_g3_rank_convergence" ->
       s"""WITH ${pageRankCtes(3)}
-         |SELECT 1 AS round, SUM(ABS(a.rank - b.rank)) AS l1_delta
+         |SELECT 1 AS round, CAST(SUM(ABS(a.rank - b.rank)) AS BIGINT) AS l1_delta
          |FROM r1 a JOIN r0 b ON b.node = a.node
          |UNION ALL
-         |SELECT 2, SUM(ABS(a.rank - b.rank)) FROM r2 a JOIN r1 b ON b.node = a.node
+         |SELECT 2, CAST(SUM(ABS(a.rank - b.rank)) AS BIGINT) FROM r2 a JOIN r1 b ON b.node = a.node
          |UNION ALL
-         |SELECT 3, SUM(ABS(a.rank - b.rank)) FROM r3 a JOIN r2 b ON b.node = a.node
+         |SELECT 3, CAST(SUM(ABS(a.rank - b.rank)) AS BIGINT) FROM r3 a JOIN r2 b ON b.node = a.node
          |ORDER BY round""".stripMargin,
 
     // Mirrors Corpus.rankGatedDocs: the shared PageRank CTEs joined back
@@ -1688,7 +1754,7 @@ object Oracle {
          |SELECT CAST(CAST(concat('0x', substr(md5(ikey), 1, 8)) AS BIGINT) % 8 AS INTEGER) AS shard,
          |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
          |       CAST(COUNT(*) AS BIGINT) AS n_instances,
-         |       SUM(CAST(concat('0x', substr(md5('i|' || ikey), 1, 8)) AS BIGINT)) AS checksum
+         |       CAST(SUM(CAST(concat('0x', substr(md5('i|' || ikey), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum
          |FROM pinst GROUP BY 1 ORDER BY shard""".stripMargin,
 
     // Mirrors Corpus.epochRepeat: same broadcast config, same fractional
@@ -1714,7 +1780,7 @@ object Oracle {
         |SELECT source,
         |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
         |       CAST(COUNT(*) AS BIGINT) AS n_instances,
-        |       SUM(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(copy AS VARCHAR)), 1, 8)) AS BIGINT)) AS instance_checksum
+        |       CAST(SUM(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(copy AS VARCHAR)), 1, 8)) AS BIGINT)) AS BIGINT) AS instance_checksum
         |FROM inst GROUP BY source ORDER BY source""".stripMargin,
 
     // Mirrors Corpus.filterFunnel: one scan computes every gate flag
@@ -1796,10 +1862,10 @@ object Oracle {
          |SELECT *,
          |       (n_words BETWEEN 50 AND 100000
          |        AND sum_wlen >= n_words * 3 AND sum_wlen <= n_words * 10
-         |        AND n_symbols * 10 < n_words
-         |        AND n_bullet_lines * 10 < n_lines * 9
-         |        AND n_ellipsis_lines * 10 < n_lines * 3
-         |        AND n_alpha_words * 10 > n_words * 8
+         |        AND n_symbols * 10 <= n_words
+         |        AND n_bullet_lines * 10 <= n_lines * 9
+         |        AND n_ellipsis_lines * 10 <= n_lines * 3
+         |        AND n_alpha_words * 10 >= n_words * 8
          |        AND n_stopword_kinds >= 2) AS pass_gopher
          |FROM sig ORDER BY doc_id""".stripMargin,
 
@@ -2583,6 +2649,74 @@ object Oracle {
         |JOIN n n1 ON n1.doc_id = id1
         |JOIN n n2 ON n2.doc_id = id2
         |ORDER BY id1, id2""".stripMargin,
+
+    // Mirrors Corpus.fuzzyDedupPipeline: BOTH tiers of the production
+    // pairing — the universal-hash minwise banding (base h =
+    // hex32(md5(shingle)), slot i = min of (a_i·h + b_i) mod (2^61−1),
+    // band key = slot values joined in seed order, bucket cap 100)
+    // generates the IDENTICAL candidate set, then the exact verify tier
+    // (full-set Jaccard + Levenshtein) scores it.
+    "q_dd11_fuzzy_pipeline" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, text || ' qq zz qq zz qq'
+        |  FROM documents WHERE doc_id < 60),
+        |n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM docs),
+        |tk AS (SELECT doc_id, norm, regexp_extract_all(norm, '\S+') AS toks FROM n),
+        |wp AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+        |  FROM tk WHERE len(toks) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         array_to_string(toks[CAST(i AS INTEGER):CAST(i AS INTEGER)+2], ' ') AS shingle
+        |  FROM wp),
+        |hv AS (
+        |  SELECT doc_id, CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) % 2147483647 AS h
+        |  FROM sh),
+        |hs AS (
+        |  SELECT doc_id, sd.seed,
+        |         MIN(((CAST(concat('0x', substr(md5('a' || CAST(sd.seed AS VARCHAR)), 1, 8)) AS BIGINT) % 2147483646 + 1) * h
+        |              + CAST(concat('0x', substr(md5('b' || CAST(sd.seed AS VARCHAR)), 1, 8)) AS BIGINT) % 2147483647) % 2147483647) AS sig
+        |  FROM hv CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed) sd
+        |  GROUP BY 1, 2),
+        |bk AS (
+        |  SELECT doc_id, seed // 4 AS band,
+        |         string_agg(CAST(sig AS VARCHAR), ',' ORDER BY seed) AS bkey
+        |  FROM hs GROUP BY 1, 2),
+        |hotb AS (SELECT band, bkey FROM bk GROUP BY 1, 2 HAVING COUNT(*) > 100),
+        |pb AS (
+        |  SELECT bk.* FROM bk
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM hotb h WHERE h.band = bk.band AND h.bkey = bk.bkey)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM pb a JOIN pb b
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nsh FROM sh GROUP BY 1),
+        |ip AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(COUNT(*) AS BIGINT) AS nc
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT c.id1, c.id2,
+        |         CAST(COALESCE(i.nc, 0) AS BIGINT) AS n_common,
+        |         ca.nsh + cb.nsh - CAST(COALESCE(i.nc, 0) AS BIGINT) AS n_union,
+        |         CAST(levenshtein(n1.norm, n2.norm) AS INTEGER) AS edit_dist,
+        |         CAST(levenshtein(n1.norm, n2.norm) AS DOUBLE)
+        |           / CAST(greatest(length(n1.norm), length(n2.norm)) AS DOUBLE) AS edit_ratio
+        |  FROM cand c
+        |  LEFT JOIN ip i ON i.id1 = c.id1 AND i.id2 = c.id2
+        |  JOIN cnt ca ON ca.doc_id = c.id1
+        |  JOIN cnt cb ON cb.doc_id = c.id2
+        |  JOIN n n1 ON n1.doc_id = c.id1
+        |  JOIN n n2 ON n2.doc_id = c.id2)
+        |SELECT id1, id2, n_common, n_union,
+        |       CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard,
+        |       edit_dist, edit_ratio,
+        |       (CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) >= 0.5
+        |        AND edit_ratio <= 0.2) AS is_dup
+        |FROM scored ORDER BY id1, id2""".stripMargin,
 
     // Mirrors Corpus.labelCentroids: float→double widening is exact in both
     // engines; the floor-scaled mean matches Exact.floorAvg(v, 9).

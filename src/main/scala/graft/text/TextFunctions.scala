@@ -96,7 +96,13 @@ object TextFunctions {
     * anchored to a parameter BOUNDARY (`&utm_…` / leading `?utm_…`), so
     * "utm_" occurring inside a path, another parameter's name, or a
     * value is never touched — an unanchored strip would corrupt such
-    * URLs into false canonical collisions. */
+    * URLs into false canonical collisions. Host extraction excludes all
+    * of slash, question mark, and hash from the host character class
+    * (not just slash): a path-less URL with a query
+    * (`https://Host.com?id=AbC`, `https://host:443?x=1`) must lowercase
+    * ONLY the scheme+host — a slash-only-delimited prefix would swallow
+    * the query (falsely colliding case-distinct resources) and un-anchor
+    * the `:443$`/`:80$` default-port strip. */
   def canonicalUrl(c: Column): Column = {
     val noFrag = regexp_replace(c, "#.*$", "")
     val noUtm = regexp_replace(
@@ -106,11 +112,11 @@ object TextFunctions {
       "\\?utm_[^&#]*$", "")
     val prefix = regexp_replace(
       regexp_replace(
-        lower(regexp_extract(noUtm, "^[^/]*//[^/]*", 0)),
+        lower(regexp_extract(noUtm, "^[^/?#]*//[^/?#]*", 0)),
         "^(https://[^:]*):443$", "$1"),
       "^(http://[^:]*):80$", "$1")
     val rest = regexp_replace(
-      regexp_replace(regexp_replace(noUtm, "^[^/]*//[^/]*", ""), "//+", "/"),
+      regexp_replace(regexp_replace(noUtm, "^[^/?#]*//[^/?#]*", ""), "//+", "/"),
       "/+$", "")
     concat(prefix, rest)
   }

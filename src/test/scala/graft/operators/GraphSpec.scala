@@ -66,6 +66,40 @@ class GraphSpec extends SparkSpec {
     assert(ds.last._2 < ds.head._2 && ds.forall(_._2 >= 0L))
   }
 
+  test("redistributeDangling: hand-computed round, mass conserved up to floor loss") {
+    import org.apache.spark.sql.functions.sum
+    // B->A, A->D; D is a pure sink. n=3, init = 10^12 DIV 3 = 333333333333,
+    // base = 49999999999, per-round sink share = dm DIV 3
+    val edges = Seq(("B", "A", 1L), ("A", "D", 1L)).toDF("src", "dst", "w")
+    val r = Graph.pageRank(edges, "src", "dst", "w", rounds = 1,
+        redistributeDangling = true)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    // dm = rank(D) = init; share = 111111111111
+    // A: base + (85*(333333333333 + 111111111111)) DIV 100 = 427777777776
+    assert(r("A") === 427777777776L)
+    // B: base + (85*111111111111) DIV 100 = 49999999999 + 94444444444
+    assert(r("B") === 144444444443L)
+    // D: inflow = rank(A) = init, same as A
+    assert(r("D") === 427777777776L)
+    // no evaporation: total within floor loss (a few units/node/round)
+    val total = r.values.sum
+    assert(total > 1000000000000L - 100L && total <= 1000000000000L,
+      s"mass not conserved: $total")
+    // whereas the evaporate default LOSES D's 85% share
+    val ev = Graph.pageRank(edges, "src", "dst", "w", rounds = 1)
+      .agg(sum("rank")).head().getLong(0)
+    assert(ev < total - 100000000000L, s"evaporate variant should lose mass: $ev")
+  }
+
+  test("redistributeDangling is a no-op on sink-free graphs") {
+    val edges = Seq(("A", "B", 1L), ("B", "C", 2L), ("C", "A", 1L))
+      .toDF("src", "dst", "w")
+    val a = Graph.pageRank(edges, "src", "dst", "w", 3).collect().map(_.toSeq).toSet
+    val b = Graph.pageRank(edges, "src", "dst", "w", 3, redistributeDangling = true)
+      .collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
+
   test("deterministic across runs and repartitionings") {
     val edges = (0 until 200).map(i =>
       (s"n${i % 17}", s"n${(i * 7 + 3) % 17}", (i % 5 + 1).toLong))

@@ -408,4 +408,27 @@ class OperatorsSpec extends SparkSpec {
     assert("(?s)Window.*Window".r.findFirstIn(plan).isDefined, s"expected two windows:\n$plan")
     assert(plan.contains("_salt"), s"phase 1 must partition by the salt:\n$plan")
   }
+
+  test("saltedTopK saltOn spreads exact-duplicate rows across salts") {
+    import org.apache.spark.sql.expressions.Window
+    // a hot key whose rows are IDENTICAL except for a unique id column:
+    // salting on the all-columns hash would put the payload-identical rows
+    // in few buckets; saltOn(id) spreads them uniformly
+    val rows = (0 until 1000).map(i => ("hot", "same-payload", i.toLong))
+    val df = rows.toDF("key", "payload", "id")
+    val salted = Skew.saltedTopK(df, Seq("key"), Seq(col("id")), k = 5,
+      salts = 8, saltOn = Some(col("id")))
+    // still result-identical to the direct window (ord is total via id)
+    val direct = df
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("key").orderBy(col("id"))))
+      .filter(col("rk") <= 5)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getInt(3))).toSet
+    val got = salted.collect().map(r => (r.getString(0), r.getLong(2), r.getInt(3))).toSet
+    assert(got === direct)
+    // and the salt really keys off id: all 8 salt values are populated
+    val nSalts = df.withColumn("_salt", pmod(hash(col("id")), lit(8)))
+      .select("_salt").distinct().count()
+    assert(nSalts === 8L)
+  }
 }

@@ -196,7 +196,14 @@ class TextDedupSpec extends SparkSpec {
       "https://h.example.com/p?latitude_utm_zone=31" -> "https://h.example.com/p?latitude_utm_zone=31",
       // leading utm followed by a real param; several utms stacked
       "https://h.example.com/p?utm_a=1&id=2" -> "https://h.example.com/p?id=2",
-      "https://h.example.com/p?utm_a=1&utm_b=2&id=3" -> "https://h.example.com/p?id=3")
+      "https://h.example.com/p?utm_a=1&utm_b=2&id=3" -> "https://h.example.com/p?id=3",
+      // PATH-LESS URLs: host lowercasing must stop at '?' — the query's
+      // case survives (case-distinct resources must NOT collide), and
+      // the default-port strip still anchors without a path
+      "https://Path-Less.Example.com?id=AbC&utm_source=x" -> "https://path-less.example.com?id=AbC",
+      "https://path-less.example.com:443?id=AbC" -> "https://path-less.example.com?id=AbC",
+      "http://Host.Example.com:80?q=MiXeD" -> "http://host.example.com?q=MiXeD",
+      "https://host.example.com:8443?q=X" -> "https://host.example.com:8443?q=X")
     val got = cases.map(_._1).toDF("url")
       .select(TextFunctions.canonicalUrl($"url")).as[String].collect()
     got.zip(cases.map(_._2)).foreach { case (g, e) => assert(g === e) }
@@ -216,5 +223,46 @@ class TextDedupSpec extends SparkSpec {
     assert(fx(4300000L)._2 === fx(4300003L)._2)
     assert(fx(4300000L)._3 && !fx(4300003L)._3)
     assert(fx(4300001L)._3 && fx(4300002L)._3)
+  }
+
+  test("portableMinhashCandidates: exact clones always collide, disjoint docs never") {
+    // 30 distinct base docs of 12 unique words each + an exact clone of
+    // every doc under id+100: identical shingle sets => identical
+    // signatures => every band collides => every clone pair MUST appear
+    // (the deterministic recall floor); disjoint-vocabulary docs share no
+    // shingle, so a pair of them can only appear via a 4-slot band
+    // collision of a bijective family — assert none at this tiny scale
+    val words = (0 until 500).map(i => s"w$i")
+    val base = (0L until 30L).map { d =>
+      (d, (0 until 12).map(j => words((d * 12 + j).toInt)).mkString(" "))
+    }
+    val all = (base ++ base.map { case (d, t) => (d + 100L, t) }).toDF("doc_id", "text")
+    val pairs = Dedup.portableMinhashCandidates(all, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 30L).foreach { d =>
+      assert(pairs.contains((d, d + 100L)), s"clone pair $d missing")
+    }
+    assert(pairs.size === 30, s"spurious cross-doc candidates: ${pairs.size - 30}")
+  }
+
+  test("fuzzy pipeline q_dd11: planted near-clones surface as is_dup with small edit_ratio") {
+    val df = graft.queries.Corpus.all("q_dd11_fuzzy_pipeline")(spark, "/root/testdata/sf0.001")
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getDouble(4), r.getInt(5), r.getDouble(6), r.getBoolean(7)))
+    // the planted (d, d+3000000) suffix-perturbed clones: high-but-sub-1
+    // jaccard, nonzero edit distance = exactly the suffix length, and the
+    // is_dup gate must be the (jaccard, edit_ratio) conjunction (on the
+    // shortest sf0.001 docs the 15-char suffix legitimately pushes
+    // edit_ratio past the 0.2 cap — the verify tier REJECTING a
+    // high-jaccard candidate is the tier doing its job)
+    val planted = rows.filter { case (a, b, _, _, _, _) => b === a + 3000000L }
+    assert(planted.nonEmpty, "no planted clone pair survived banding")
+    planted.foreach { case (_, _, j, ed, er, dup) =>
+      assert(j > 0.5 && j < 1.0)
+      assert(ed > 0 && ed <= " qq zz qq zz qq".length)
+      assert(er > 0.0 && er < 0.5)
+      assert(dup === (j >= 0.5 && er <= 0.2))
+    }
+    assert(planted.exists(_._6), "no planted pair passed the verify gate")
   }
 }
