@@ -19,6 +19,16 @@ object GraftSession {
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE skew-join at harness scale: the default 256MB skew threshold
+      // is sized for cluster executors; local hot partitions (e.g. one
+      // canonical URL holding 80% of a 20M-row frame — q_t25b's planted
+      // experiment) compress under it and would never split. 64MB trips
+      // on genuinely hot keys while leaving balanced plans untouched;
+      // splits aim at the 64MB advisory target, i.e. executor-memory-
+      // bounded tasks — the same knob a 100 TB deployment sizes to its
+      // executors.
+      .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", sys.env.getOrElse("GRAFT_SKEW_THR", "64m"))
+      .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", sys.env.getOrElse("GRAFT_SKEW_FACTOR", "5.0"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // The reference ran Spark 3.5 (pre-ANSI default): APE = abs_err/actual

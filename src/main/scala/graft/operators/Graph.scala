@@ -147,6 +147,68 @@ object Graph {
     res
   }
 
+  /** HITS (Kleinberg): hub and authority scores over a directed weighted
+    * edge table — the OTHER classic link-analysis prior (a good hub links
+    * to good authorities; crawl curation uses authority as a
+    * quality-source signal and hub scores to seed frontier expansion).
+    *
+    * Same integer discipline as [[pageRank]], with L1 (sum) normalization
+    * replacing the float L2 of the textbook formulation: every round,
+    * raw authority ra(v) = Σ_{(u,v)∈E} hub(u)·w, rescaled to
+    * a(v) = (ra(v)·scale) DIV Σra — so scores always lie in [0, scale],
+    * sum to ~scale (floor loss < 1 unit per node), and replay bit-exactly
+    * as unrolled SQL CTEs; hubs symmetrically from the new authorities.
+    * Each round: two co-partitioned join+aggregates + two 1-row scalar
+    * sums (broadcast), rank tables localCheckpoint'ed — rounds-not-data
+    * on the driver, plan depth O(1) in rounds.
+    *
+    * Overflow headroom: values ≤ scale and ra ≤ scale·Σw, so the rescale
+    * product needs scale²·Σw < 2^63 — the default 10^6 leaves room for
+    * total edge weight up to ~9·10^6; shrink `scale` for heavier graphs
+    * (precision is 1/scale of the score mass, ample for gating). */
+  def hits(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      wCol: String,
+      rounds: Int,
+      scale: Long = 1000000L): DataFrame = {
+    val e = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(wCol).cast("long").as("w"))
+      .filter(col("src") =!= col("dst"))
+      .persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().persist()
+    require(!nodes.isEmpty, "hits needs a non-empty edge set")
+    var h = nodes.select(col("node"), lit(scale).as("hub"))
+    var a: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val ra = h.join(e, h("node") === e("src"))
+        .select(col("dst").as("node"), (col("hub") * col("w")).as("c"))
+        .groupBy("node").agg(sum("c").as("ra"))
+      val sa = ra.agg(coalesce(sum("ra"), lit(1L)).as("sa"))
+      a = nodes.join(ra, Seq("node"), "left").crossJoin(broadcast(sa))
+        .select(col("node"),
+          expr(s"(coalesce(ra, 0L) * ${scale}L) DIV sa").as("authority"))
+        .localCheckpoint(true)
+      val rh = a.join(e, a("node") === e("dst"))
+        .select(col("src").as("node"), (col("authority") * col("w")).as("c"))
+        .groupBy("node").agg(sum("c").as("rh"))
+      val sh = rh.agg(coalesce(sum("rh"), lit(1L)).as("sh"))
+      h = nodes.join(rh, Seq("node"), "left").crossJoin(broadcast(sh))
+        .select(col("node"),
+          expr(s"(coalesce(rh, 0L) * ${scale}L) DIV sh").as("hub"))
+        .localCheckpoint(true)
+    }
+    val res = h.join(a, Seq("node"))
+      .select(col("node"), col("hub"), col("authority"))
+      .localCheckpoint(true)
+    e.unpersist(); nodes.unpersist()
+    res
+  }
+
   /** [[pageRank]]'s convergence telemetry: the L1 rank movement
     * Σ|r_k − r_{k−1}| per round — the number an iterative-operator owner
     * watches to pick the round budget (and to stop early at a plateau).

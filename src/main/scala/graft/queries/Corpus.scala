@@ -2913,6 +2913,51 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** T25b: SKEW-SAFE CANONICAL-URL DEDUP — q_t25's window re-expressed as
+    * salted aggregate + salted hash-join recombine, each piece chosen
+    * against a measured failure mode (20M rows, one canonical URL holding
+    * 80% — the crawl-loop shape):
+    *   1. group stats (keep_id = min doc_id, group_size = count) come
+    *      from a per-(key, salt) partial aggregate: ALGEBRAIC aggregates
+    *      partial-combine map-side, so the stats shuffle is skinny no
+    *      matter how hot the key — where q_t25's window must BUFFER the
+    *      hot key's entire row set in one task;
+    *   2. the recombine join back to rows is keyed on (url_canon, _salt),
+    *      so the hot key's rows spread over 16 reducers BY CONSTRUCTION.
+    *      Relying on AQE's skew-join instead does NOT work here, for a
+    *      reason worth recording: AQE detects skew on COMPRESSED BYTES,
+    *      and a hot key's near-identical rows compress so well (measured:
+    *      the 16M-row hot partition and the 130k-row tail partitions both
+    *      read ~18MB) that the skewed partition is byte-invisible while
+    *      still carrying 100x the rows through sorting and downstream
+    *      operators;
+    *   3. the recombine is hinted SHUFFLE_HASH: a sort-merge join would
+    *      SORT the full raw frame — measured 2x the window's own cost,
+    *      spending exactly what the salting saved.
+    * min and count are algebraic, so the result is EXACTLY q_t25's (this
+    * query shares q_t25's oracle verbatim). */
+  def urlCanonicalDedupSalted(s: SparkSession, d: String): DataFrame =
+    skewSplitUrlDedup(
+      urlRawFrame(s, d)
+        .withColumn("url_canon", TextFunctions.canonicalUrl(col("url_raw"))))
+      .orderBy("doc_id")
+
+  /** The q_t25b kernel over any (doc_id, url_raw, url_canon) frame —
+    * shared by the query surface and the Scratch hot-key experiment. */
+  private[graft] def skewSplitUrlDedup(rawIn: DataFrame): DataFrame = {
+    val raw = rawIn.withColumn("_salt", pmod(hash(col("doc_id")), lit(16)))
+    val g1 = raw.groupBy("url_canon", "_salt")
+      .agg(min("doc_id").as("pmin"), count(lit(1)).as("pcnt"))
+    val g2 = g1.groupBy("url_canon")
+      .agg(min("pmin").as("keep_id"), sum("pcnt").as("group_size"))
+    raw.join(
+      g1.select("url_canon", "_salt").join(g2, Seq("url_canon"))
+        .hint("SHUFFLE_HASH"),
+      Seq("url_canon", "_salt"))
+      .select(col("doc_id"), col("url_raw"), col("url_canon"),
+        (col("doc_id") === col("keep_id")).as("keep"), col("group_size"))
+  }
+
   /** E14: STREAMING URL FRONTIER — the crawl frontier's "have we seen this
     * URL?" check as a Structured Streaming pipeline: canonical-URL
     * batches (ascending doc_id ranges — a crawl queue drains roughly in
@@ -3246,7 +3291,7 @@ object Corpus {
       (col("doc_id") % 3).cast("string"), lit(".example.com"))
 
   /** The synthesized host link graph shared by q_g1/q_g2. */
-  private def hostGraphEdges(s: SparkSession, d: String): DataFrame = {
+  private[graft] def hostGraphEdges(s: SparkSession, d: String): DataFrame = {
     val h = conv(substring(md5(concat(col("doc_id").cast("string"), lit("link"))), 1, 8), 16, 10)
       .cast("long")
     val dstDom = concat(lit("www.src"), (col("h") % 20).cast("string"), lit("-"),
@@ -3294,6 +3339,18 @@ object Corpus {
   def hostPageRankRedistributed(s: SparkSession, d: String): DataFrame =
     graft.operators.Graph.pageRank(hostGraphEdgesWithSinks(s, d), "src", "dst", "w",
       rounds = 3, redistributeDangling = true)
+      .withColumnRenamed("node", "domain")
+      .orderBy("domain")
+
+  /** G4: HITS HUB/AUTHORITY SCORES ([[graft.operators.Graph.hits]]) over
+    * the q_g1 host graph — the second classic link-analysis prior:
+    * authority marks domains good hubs point at (a quality-source
+    * signal), hub marks domains that point at good authorities (frontier
+    * seeds). Two integer-exact L1-normalized rounds; the oracle unrolls
+    * the identical authority/hub alternation as SQL CTEs with per-round
+    * scalar-sum rescale CTEs. */
+  def hostHits(s: SparkSession, d: String): DataFrame =
+    graft.operators.Graph.hits(hostGraphEdges(s, d), "src", "dst", "w", rounds = 2)
       .withColumnRenamed("node", "domain")
       .orderBy("domain")
 
@@ -4593,6 +4650,7 @@ object Corpus {
     "q_t23b_salted_cap" -> (domainCurationSalted _),
     "q_t24_gopher_rules" -> (gopherRules _),
     "q_t25_url_canonical" -> (urlCanonicalDedup _),
+    "q_t25b_salted_urls" -> (urlCanonicalDedupSalted _),
     "q_t26_filter_funnel" -> (filterFunnel _),
     "q_t28_mojibake" -> (mojibakeRepair _),
     "q_p16_epoch_repeat" -> (epochRepeat _),
@@ -4601,6 +4659,7 @@ object Corpus {
     "q_g1_pagerank" -> (hostPageRank _),
     "q_g1b_pagerank_redist" -> (hostPageRankRedistributed _),
     "q_g2_rank_gate" -> (rankGatedDocs _),
+    "q_g4_hits" -> (hostHits _),
     "q_g3_rank_convergence" -> (pageRankConvergence _),
     "q_s13_shard_manifest" -> (shardManifest _),
     "q_s14_incr_manifest" -> (incrementalManifest _),

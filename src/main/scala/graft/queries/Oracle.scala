@@ -516,6 +516,48 @@ object Oracle {
        |$roundCtes""".stripMargin
   }
 
+  /** q_g4: HITS replayed as unrolled CTEs over the q_g1 graph — each
+    * round's authority/hub alternation with its two scalar L1-rescale
+    * CTEs, mirroring [[graft.operators.Graph.hits]]'s integer rule. */
+  private def hitsSql(rounds: Int): String = {
+    val scale = "1000000"
+    val roundCtes = (1 to rounds).map { k =>
+      s"""ra$k AS (
+         |  SELECT e.dst AS node, SUM(h.hub * e.w) AS ra
+         |  FROM h${k - 1} h JOIN edges e ON e.src = h.node GROUP BY 1),
+         |sa$k AS (SELECT CAST(COALESCE(SUM(ra), 1) AS BIGINT) AS sa FROM ra$k),
+         |a$k AS (
+         |  SELECT n.node,
+         |         CAST((COALESCE(r.ra, 0) * $scale) // s.sa AS BIGINT) AS authority
+         |  FROM nodes n CROSS JOIN sa$k s LEFT JOIN ra$k r ON r.node = n.node),
+         |rh$k AS (
+         |  SELECT e.src AS node, SUM(a.authority * e.w) AS rh
+         |  FROM a$k a JOIN edges e ON e.dst = a.node GROUP BY 1),
+         |sh$k AS (SELECT CAST(COALESCE(SUM(rh), 1) AS BIGINT) AS sh FROM rh$k),
+         |h$k AS (
+         |  SELECT n.node,
+         |         CAST((COALESCE(r.rh, 0) * $scale) // s.sh AS BIGINT) AS hub
+         |  FROM nodes n CROSS JOIN sh$k s LEFT JOIN rh$k r ON r.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT 'www.' || source || '-' || CAST(doc_id % 3 AS VARCHAR) || '.example.com' AS src,
+       |         'www.src' || CAST(h % 20 AS VARCHAR) || '-' || CAST((h // 20) % 3 AS VARCHAR) || '.example.com' AS dst
+       |  FROM (SELECT doc_id, source,
+       |          CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || 'link'), 1, 8)) AS BIGINT) AS h
+       |        FROM documents)),
+       |edges AS (
+       |  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM e0 WHERE src <> dst GROUP BY 1, 2),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |h0 AS (SELECT node, CAST($scale AS BIGINT) AS hub FROM nodes),
+       |$roundCtes
+       |SELECT n.node AS domain, h.hub, a.authority
+       |FROM nodes n
+       |JOIN h$rounds h ON h.node = n.node
+       |JOIN a$rounds a ON a.node = n.node
+       |ORDER BY domain""".stripMargin
+  }
+
   private def pageRankSql(rounds: Int): String =
     s"""WITH ${pageRankCtes(rounds)}
        |SELECT n.node AS domain, r.rank,
@@ -1648,6 +1690,10 @@ object Oracle {
     // three unrolled integer-arithmetic damped rounds.
     "q_g1_pagerank" -> pageRankSql(3),
 
+    // Mirrors Corpus.hostHits: two unrolled authority/hub rounds with
+    // integer L1 rescale, same synthesized host graph as q_g1.
+    "q_g4_hits" -> hitsSql(2),
+
     // Mirrors Corpus.hostPageRankRedistributed: sink-heavy graph (extra
     // www.extN links), per-round dangling-mass scalar redistributed
     // uniformly before damping.
@@ -1875,6 +1921,15 @@ object Oracle {
     // syntax vs Spark's $1 — semantically identical), and the same
     // min/count-per-canonical-key dedup.
     "q_t25_url_canonical" -> urlDedupOracle(
+      """SELECT doc_id, url_raw, url_canon,
+        |       doc_id = MIN(doc_id) OVER (PARTITION BY url_canon) AS keep,
+        |       COUNT(*) OVER (PARTITION BY url_canon) AS group_size
+        |FROM canon ORDER BY doc_id""".stripMargin),
+
+    // q_t25b (salted two-phase min/count) is RESULT-identical to the
+    // direct window — min and count are algebraic — so it shares q_t25's
+    // oracle verbatim (the q_t23/q_t23b pattern).
+    "q_t25b_salted_urls" -> urlDedupOracle(
       """SELECT doc_id, url_raw, url_canon,
         |       doc_id = MIN(doc_id) OVER (PARTITION BY url_canon) AS keep,
         |       COUNT(*) OVER (PARTITION BY url_canon) AS group_size

@@ -313,6 +313,204 @@ object Scratch {
             f"(${m.length.toDouble / jobs.get()}%.1f merges/job)")
         }
 
+      case "bpe1kv" =>
+        // Round-9 directive: demonstrate >=1k merges with jobs << merges.
+        // The copy-suffix 10x staging tops out at 427 merges (its COMPLETE
+        // mergeable vocabulary — every word type collapses to one symbol,
+        // measured r8). A web corpus's vocabulary is effectively
+        // inexhaustible, so this harness diversifies the staging's
+        // vocabulary instead of its volume: each token gains a 2-hex-char
+        // code keyed off (token, doc_id mod 64) — up to 64 variants per
+        // base type, a vocabulary deep enough that the trainer runs out of
+        // ROUNDS, not material.
+        val dirV9 = ensureStaging10(d)
+        val vocabDir = "/tmp/sf1x10_vocab"
+        if (!new java.io.File(s"$vocabDir/documents.parquet").exists()) {
+          new java.io.File(vocabDir).mkdirs()
+          time("build vocab-diversified staging") {
+            Tables.documents(spark, dirV9)
+              .select(col("doc_id"),
+                array_join(
+                  transform(split(col("text"), "\\s+"), t =>
+                    concat(t, substring(md5(concat(t,
+                      (col("doc_id") % 64).cast("string"))), 1, 2))),
+                  " ").as("text"),
+                col("source"), col("lang"), col("n_chars"))
+              .coalesce(8)
+              .write.mode("overwrite").parquet(s"$vocabDir/documents.parquet")
+          }
+        }
+        for ((rounds, poolK) <- Seq((192, 2048))) {
+          val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+          val roundWalls = scala.collection.mutable.ArrayBuffer.empty[Double]
+          val listener = new org.apache.spark.scheduler.SparkListener {
+            override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+              jobs.incrementAndGet()
+          }
+          spark.sparkContext.addSparkListener(listener)
+          val t0 = System.nanoTime()
+          val m = try {
+            val r = graft.text.BpeTrain.trainBatched(
+              Tables.documents(spark, vocabDir), "text",
+              rounds = rounds, poolK = poolK, greedy = true).collect()
+            Thread.sleep(500)
+            r
+          } finally spark.sparkContext.removeSparkListener(listener)
+          val wall = (System.nanoTime() - t0) / 1e9
+          val nRounds = m.map(_.getInt(1)).max
+          val perRound = m.groupBy(_.getInt(1)).view.mapValues(_.length)
+          val firstQ = (1 to nRounds / 4).map(perRound.getOrElse(_, 0)).sum
+          val lastQ = (3 * nRounds / 4 + 1 to nRounds).map(perRound.getOrElse(_, 0)).sum
+          println(f"[scratch] bpe1kv rounds=$rounds poolK=$poolK: ${m.length}%d merges / " +
+            f"$nRounds%d rounds / ${jobs.get()}%d jobs in $wall%.1fs " +
+            f"(${m.length.toDouble / jobs.get()}%.1f merges/job, " +
+            f"${wall / nRounds}%.2fs/round; merges in first/last round-quartile: $firstQ/$lastQ)")
+        }
+
+      case "scale9" =>
+        // Round-9 scale spot-check: graph tier round-count telemetry, the
+        // streaming frontier, and the three new r9 queries at 10x.
+        val dir9 = ensureStaging10(d)
+        def bench9(label: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+          val times = (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            df.write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(f"[scratch] $label: min ${times.min}%.1fs (passes ${times.map(t => f"$t%.1f").mkString("/")})")
+        }
+        for (q <- Seq("q_g1_pagerank", "q_g1b_pagerank_redist",
+            "q_g3_rank_convergence", "q_e14_stream_urls",
+            "q_dd11_fuzzy_pipeline", "q_t25b_salted_urls")) {
+          bench9(s"$q sf0.1")(graft.queries.Corpus.all(q)(spark, d))
+          bench9(s"$q 10x")(graft.queries.Corpus.all(q)(spark, dir9))
+        }
+        // g3 telemetry at both scales: the L1 series is the round-budget
+        // evidence — print it so the PERF row can carry round counts.
+        for (dd <- Seq(("sf0.1", d), ("10x", dir9))) {
+          val ds = graft.queries.Corpus.all("q_g3_rank_convergence")(spark, dd._2)
+            .collect().map(r => (r.getInt(0), r.getLong(1)))
+          println(s"[scratch] g3 ${dd._1} L1 deltas: ${ds.mkString(", ")}")
+        }
+      case "dd11x" =>
+        // isolated re-measure (scale9's first capture overlapped a
+        // concurrent build JVM)
+        val dirX = ensureStaging10(d)
+        def benchX(label: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+          val times = (1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            df.write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(f"[scratch] $label: min ${times.min}%.1fs (passes ${times.map(t => f"$t%.1f").mkString("/")})")
+        }
+        benchX("q_dd11_fuzzy_pipeline sf0.1")(
+          graft.queries.Corpus.all("q_dd11_fuzzy_pipeline")(spark, d))
+        benchX("q_dd11_fuzzy_pipeline 10x")(
+          graft.queries.Corpus.all("q_dd11_fuzzy_pipeline")(spark, dirX))
+        benchX("q_g4_hits sf0.1")(
+          graft.queries.Corpus.all("q_g4_hits")(spark, d))
+        benchX("q_g4_hits 10x")(
+          graft.queries.Corpus.all("q_g4_hits")(spark, dirX))
+
+      case "t25skew" =>
+        // URL-layer hot-key evidence (the q_t23b experiment for t25b): a
+        // crawl-loop-shaped frame where 80% of raw URLs canonicalize to
+        // ONE url; the windowed form funnels them through one partition,
+        // the salted two-phase must stay flat and agree exactly.
+        locally {
+          import org.apache.spark.sql.expressions.Window
+          val n = 20000000L
+          val hotRaw = spark.range(n).select(
+            col("id").as("doc_id"),
+            when(col("id") % 5 < 4,
+              concat(lit("https://Loop.Example.com:443/cal//page/?utm_source=x&p="),
+                (col("id") % 7).cast("string"), lit("#frag")))
+              .otherwise(concat(lit("https://ok.example.com/doc/"),
+                col("id").cast("string"))).as("url_raw"))
+            .localCheckpoint(true)
+          def canon = graft.text.TextFunctions.canonicalUrl(col("url_raw"))
+          def timeIt(label: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+            val t0 = System.nanoTime()
+            df.write.format("noop").mode("overwrite").save()
+            println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.1fs")
+          }
+          val w = Window.partitionBy("url_canon")
+          // doubles as the JIT/codegen warmup: the FIRST 20M-row regexp
+          // pass in a JVM runs ~3x slower than warm (measured 41s vs 13s)
+          timeIt("canon-only pass (warmup + cost attribution)") {
+            hotRaw.withColumn("url_canon", canon).select(length(col("url_canon")).as("x"))
+          }
+          timeIt("canon-only pass (warm)") {
+            hotRaw.withColumn("url_canon", canon).select(length(col("url_canon")).as("x"))
+          }
+          timeIt("t25 window, 80% hot canonical key") {
+            hotRaw.withColumn("url_canon", canon)
+              .withColumn("keep", col("doc_id") === min("doc_id").over(w))
+              .withColumn("group_size", count(lit(1)).over(w))
+          }
+          timeIt("t25b aggregate+join (AQE skew-split), same input") {
+            graft.queries.Corpus.skewSplitUrlDedup(
+              hotRaw.withColumn("url_canon", canon))
+          }
+          // show AQE actually split the hot partition: re-run and print
+          // the final adaptive plan's skew markers + shuffle volume
+          locally {
+            val sc = spark.sparkContext
+            var shuffleWrite = 0L
+            val reads = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]()
+            val lst = new org.apache.spark.scheduler.SparkListener {
+              override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+                if (te.taskMetrics != null) {
+                  shuffleWrite += te.taskMetrics.shuffleWriteMetrics.bytesWritten
+                  val rb = te.taskMetrics.shuffleReadMetrics.totalBytesRead
+                  if (rb > 0) reads.add((te.stageId, rb))
+                }
+            }
+            sc.addSparkListener(lst)
+            val df = graft.queries.Corpus.skewSplitUrlDedup(
+              hotRaw.withColumn("url_canon", canon))
+            // drive the AdaptiveSparkPlanExec itself: Dataset actions
+            // (.write, .foreach) each build their OWN QueryExecution, so
+            // the df's plan would stay isFinalPlan=false forever
+            val aqe = df.queryExecution.executedPlan
+            aqe.execute().foreach(_ => ())
+            Thread.sleep(500)
+            sc.removeSparkListener(lst)
+            val plan = aqe.toString
+            val skewMarks = "skew=true".r.findAllIn(plan).length
+            println(f"[scratch] t25b final plan skew=true markers: $skewMarks, " +
+              f"total shuffle write ${shuffleWrite / 1e6}%.0f MB")
+            println("[scratch] t25b join line: " +
+              plan.linesIterator.filter(_.contains("Join")).mkString(" | "))
+            import scala.jdk.CollectionConverters._
+            val topReads = reads.asScala.toSeq.sortBy(-_._2).take(6)
+              .map { case (st, b) => f"stage$st:${b / 1e6}%.0fMB" }.mkString(", ")
+            println(s"[scratch] top shuffle-read tasks: $topReads")
+            println("[scratch] FULL FINAL PLAN:\n" + plan)
+            println("[scratch] skew conf: thr=" +
+              spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes") +
+              " factor=" + spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionFactor") +
+              " enabled=" + spark.conf.get("spark.sql.adaptive.skewJoin.enabled") +
+              " advisory=" + spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes"))
+          }
+        }
+
+      case "g4" =>
+        // q_g4 phase attribution
+        val he = time("edges materialize") {
+          val e = graft.queries.Corpus.hostGraphEdges(spark, d).localCheckpoint(true)
+          e.count(); e
+        }
+        for (r <- Seq(1, 2)) {
+          time(s"hits rounds=$r") {
+            graft.operators.Graph.hits(he, "src", "dst", "w", rounds = r).count()
+          }
+        }
+        time("pagerank rounds=3 (comparison)") {
+          graft.operators.Graph.pageRank(he, "src", "dst", "w", rounds = 3).count()
+        }
+
       case "scale8b" =>
         // Round-8 second-wave spot-check: the new document-grain tier at
         // 10x sf0.1 (same copy-suffixed staging as scale10 — dup/span

@@ -91,6 +91,37 @@ class GraphSpec extends SparkSpec {
     assert(ev < total - 100000000000L, s"evaporate variant should lose mass: $ev")
   }
 
+  test("hits: one round matches hand-computed L1-normalized integer arithmetic") {
+    // A<->B plus C->A, scale 10^6, every hub starts at 10^6.
+    // ra: A<-{B,C}=2e6, B<-A=1e6; Sa=3e6
+    //   a(A) = 2e12 DIV 3e6 = 666666; a(B) = 1e12 DIV 3e6 = 333333; a(C)=0
+    // rh: A->B: a(B)=333333; B->A: a(A)=666666; C->A: 666666; Sh=1666665
+    //   h(A) = 333333e6 DIV 1666665 = 200000 (exact)
+    //   h(B) = h(C) = 666666e6 DIV 1666665 = 400000 (exact)
+    val edges = Seq(("A", "B", 1L), ("B", "A", 1L), ("C", "A", 1L))
+      .toDF("src", "dst", "w")
+    val r = Graph.hits(edges, "src", "dst", "w", rounds = 1)
+      .collect().map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r("A") === ((200000L, 666666L)))
+    assert(r("B") === ((400000L, 333333L)))
+    assert(r("C") === ((400000L, 0L)))
+    // L1 mass conserved up to floor loss on both score families
+    assert(r.values.map(_._1).sum > 999990L && r.values.map(_._1).sum <= 1000000L)
+    assert(r.values.map(_._2).sum > 999990L && r.values.map(_._2).sum <= 1000000L)
+  }
+
+  test("hits is deterministic across repartitionings") {
+    val edges = (0 until 200).map(i =>
+      (s"n${i % 17}", s"n${(i * 7 + 3) % 17}", (i % 5 + 1).toLong))
+      .filter { case (a, b, _) => a != b }
+    val df = edges.toDF("src", "dst", "w")
+      .groupBy("src", "dst").agg(org.apache.spark.sql.functions.sum("w").as("w"))
+    val r1 = Graph.hits(df, "src", "dst", "w", 3).collect().map(_.toSeq).toSet
+    val r2 = Graph.hits(df.repartition(13), "src", "dst", "w", 3)
+      .collect().map(_.toSeq).toSet
+    assert(r1 === r2)
+  }
+
   test("redistributeDangling is a no-op on sink-free graphs") {
     val edges = Seq(("A", "B", 1L), ("B", "C", 2L), ("C", "A", 1L))
       .toDF("src", "dst", "w")

@@ -409,6 +409,21 @@ class OperatorsSpec extends SparkSpec {
     assert(plan.contains("_salt"), s"phase 1 must partition by the salt:\n$plan")
   }
 
+  test("salted url dedup (q_t25b) equals the window form; both phases key on _salt") {
+    val d = "/root/testdata/sf0.001"
+    val direct = graft.queries.Corpus.all("q_t25_url_canonical")(spark, d)
+      .collect().map(_.toSeq).toSet
+    val saltedDf = graft.queries.Corpus.all("q_t25b_salted_urls")(spark, d)
+    val salted = saltedDf.collect().map(_.toSeq).toSet
+    assert(salted === direct)
+    // the plan is the two-phase aggregate shape: a (url_canon, _salt)
+    // partial aggregate, a url_canon combine, and NO window over the raw
+    // rows (the single-partition hot-key funnel q_t25b exists to avoid)
+    val plan = saltedDf.queryExecution.executedPlan.toString
+    assert(plan.contains("_salt"), s"phase 1 must key on the salt:\n$plan")
+    assert(!plan.contains("Window"), s"salted form must not fall back to a window:\n$plan")
+  }
+
   test("saltedTopK saltOn spreads exact-duplicate rows across salts") {
     import org.apache.spark.sql.expressions.Window
     // a hot key whose rows are IDENTICAL except for a unique id column:
