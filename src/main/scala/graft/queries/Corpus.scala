@@ -3212,6 +3212,92 @@ object Corpus {
       .orderBy("source")
   }
 
+  /** P17: DSIR-STYLE IMPORTANCE RESAMPLING (Xie et al. 2023) — the
+    * data-SELECTION method production pretraining uses to tilt a raw
+    * crawl toward a target distribution:
+    *   1. hashed bag-of-ngrams features (unigrams + word bigrams →
+    *      md5-hash buckets, K = 1024 — the q_t17 hashing discipline);
+    *   2. per-bucket log importance ratios between the TARGET slice
+    *      (sources src0–src4, the curated half of the mix config) and
+    *      the RAW corpus, Laplace-smoothed, floor-scaled to integer
+    *      micro-logs (the q_t6/q_t16 construction — ln ulps collapse
+    *      under floor(·1e6), and everything after is exact int64);
+    *   3. per-doc log-weight = Σ micro-λ over its grams (one broadcast
+    *      join of the 1024-row ratio table + a map-side-combined sum);
+    *   4. GUMBEL TOP-K resampling — sampling ∝ exp(weight) without
+    *      replacement ≡ taking the k largest (log-weight + Gumbel) keys,
+    *      with the Gumbel noise derived deterministically from
+    *      md5(doc_id): g = floor(−1e6·ln(−ln(u))), u = (hex32+0.5)/2^32.
+    *      Selection uses the distributed top-k THRESHOLD (TakeOrdered of
+    *      the k-th key, broadcast back) — no global single-partition
+    *      window at any scale.
+    * Scale shape: two skinny K-bucket aggregates, one broadcast of 1024
+    * rows, one map-side-combined per-doc sum, one distributed top-k; the
+    * corpus text is scanned once. */
+  def importanceResample(s: SparkSession, d: String): DataFrame = {
+    val kBuckets = 1024
+    val target = (0 to 4).map(i => s"src$i")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        TextFunctions.tokens(TextFunctions.normText(col("text"))).as("toks"))
+    // bag-of-ngrams = the token MULTISET plus every adjacent bigram
+    // (TextFunctions.wordShingles dedups — wrong for count features)
+    val bigrams = when(size(col("toks")) >= 2,
+      transform(sequence(lit(1), size(col("toks")) - 1), i =>
+        concat(element_at(col("toks"), i), lit(" "),
+          element_at(col("toks"), i + 1))))
+      .otherwise(typedlit(Seq.empty[String]))
+    val grams = docs.select(col("doc_id"), col("source"),
+      explode(concat(col("toks"), bigrams)).as("gram"))
+      .withColumn("bucket",
+        (conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long")
+          % kBuckets).cast("int"))
+    val raw = grams.groupBy("bucket").agg(count(lit(1)).as("cr"))
+    val tgt = grams.filter(col("source").isin(target: _*))
+      .groupBy("bucket").agg(count(lit(1)).as("ct"))
+    val totals = raw.agg(sum("cr").as("rtot")).crossJoin(tgt.agg(sum("ct").as("ttot")))
+    // λ[k] = floor(1e6 · ln( (ct+1)/(T+K) · (R+K)/(cr+1) )), evaluated as
+    // one double ratio with an identical operation order in the oracle
+    val lam = s.range(kBuckets).select(col("id").cast("int").as("bucket"))
+      .join(raw, Seq("bucket"), "left")
+      .join(tgt, Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        floor(log(
+          ((coalesce(col("ct"), lit(0L)) + 1).cast("double") *
+            (col("rtot") + kBuckets).cast("double")) /
+            ((coalesce(col("cr"), lit(0L)) + 1).cast("double") *
+              (col("ttot") + kBuckets).cast("double"))) * lit(1e6))
+          .cast("long").as("lam_micro"))
+    val scored = grams
+      .join(broadcast(lam), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(sum("lam_micro").as("w_micro"), count(lit(1)).as("n_grams"))
+    val u = (conv(substring(md5(concat(col("doc_id").cast("string"), lit("gum"))),
+      1, 8), 16, 10).cast("double") + lit(0.5)) / lit(4294967296.0)
+    val keyed = docs.select("doc_id")
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("w_micro"), lit(0L)).as("w_micro"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"))
+      .withColumn("gumbel_key",
+        col("w_micro") + floor(-log(-log(u)) * lit(1e6)).cast("long"))
+    val k = (Tables.documents(s, d).count() / 4L).toInt
+    // the k-th (gumbel_key desc, doc_id asc) pair — distributed
+    // TakeOrderedAndProject, then ONE broadcast threshold row; the kept
+    // set is everything lexicographically <= the k-th key (ties split by
+    // doc_id, so exactly k rows select at any scale)
+    val kth = keyed.orderBy(col("gumbel_key").desc, col("doc_id"))
+      .limit(k)
+      .agg(max(struct((-col("gumbel_key")).as("ng"), col("doc_id").as("kd")))
+        .as("th"))
+    keyed.crossJoin(broadcast(kth))
+      .select(col("doc_id"), col("n_grams"), col("w_micro"), col("gumbel_key"),
+        (struct((-col("gumbel_key")).as("ng"), col("doc_id").as("kd"))
+          <= col("th")).as("selected"))
+      .orderBy("doc_id")
+  }
+
   /** TP16: PUBLISH CAPSTONE — the back half of the pipeline as ONE
     * composed, oracle-gated chain: decide (q_tp15 ensemble gate) → mix
     * (q_p16 epoch repetition over the SURVIVORS) → publish (per-shard
@@ -3506,12 +3592,17 @@ object Corpus {
     * yields the identical set. Near-clones of the first 60 docs (planted
     * under ids +3000000 with a 5-word suffix) guarantee the verify tier
     * sees nonzero edit distances with high-but-sub-1.0 Jaccard. */
-  def fuzzyDedupPipeline(s: SparkSession, d: String): DataFrame = {
+  /** The q_dd11/q_dd12 input universe: the corpus plus suffix-perturbed
+    * near-clones of the first 60 docs under ids +3000000. */
+  private def fuzzyDocs(s: SparkSession, d: String): DataFrame = {
     val base = Tables.documents(s, d).select("doc_id", "text")
-    val clones = base.filter(col("doc_id") < 60)
+    base.unionByName(base.filter(col("doc_id") < 60)
       .select((col("doc_id") + 3000000L).as("doc_id"),
-        concat(col("text"), lit(" qq zz qq zz qq")).as("text"))
-    val docs = base.unionByName(clones)
+        concat(col("text"), lit(" qq zz qq zz qq")).as("text")))
+  }
+
+  def fuzzyDedupPipeline(s: SparkSession, d: String): DataFrame = {
+    val docs = fuzzyDocs(s, d)
     // shingle + normalize ONCE; both tiers read the checkpointed frame
     val prepped = docs
       .withColumn("norm", TextFunctions.normText(col("text")))
@@ -3541,6 +3632,33 @@ object Corpus {
         ratio.as("edit_ratio"),
         (jac >= 0.5 && ratio <= 0.2).as("is_dup"))
       .orderBy("id1", "id2")
+  }
+
+  /** DD12: FUZZY-DEDUP CAPSTONE — the complete production chain as ONE
+    * oracle-gated query: banded portable-MinHash candidates → exact
+    * Jaccard + edit-distance verify (q_dd11's two tiers) → verified dup
+    * pairs resolved to clusters by min-label-propagation connected
+    * components ([[Dedup.dupClusters]], the q_dd6 iterative operator) →
+    * the per-doc KEEP LIST (keeper = minimum id reachable through
+    * verified-dup edges; singletons keep themselves). The oracle replays
+    * the candidate+verify chain and closes the pair graph with a
+    * recursive CTE — the engine's iterative CC and the oracle's
+    * transitive closure must land on identical labels. Cluster sizes come
+    * from a map-side-combined groupBy joined back (no window over the
+    * keeper key — dup families are exactly the keys that go hot). */
+  def fuzzyDedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = fuzzyDedupPipeline(s, d)
+      .filter(col("is_dup")).select("id1", "id2")
+    val labels = Dedup.dupClusters(pairs)
+    val kl = fuzzyDocs(s, d).select(col("doc_id"))
+      .join(labels.select(col("id").as("doc_id"), col("label")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("keeper"))
+    val sizes = kl.groupBy("keeper").agg(count(lit(1)).as("cluster_size"))
+    kl.join(sizes, Seq("keeper"))
+      .select(col("doc_id"), col("keeper"),
+        (col("doc_id") === col("keeper")).as("keep"), col("cluster_size"))
+      .orderBy("doc_id")
   }
 
   /** MinHash+LSH near-dup pairs (murmur3 signatures — rows-only check). */
@@ -4654,6 +4772,7 @@ object Corpus {
     "q_t26_filter_funnel" -> (filterFunnel _),
     "q_t28_mojibake" -> (mojibakeRepair _),
     "q_p16_epoch_repeat" -> (epochRepeat _),
+    "q_p17_importance_resample" -> (importanceResample _),
     "q_tp15_ensemble_gate" -> (ensembleGate _),
     "q_tp16_publish" -> (publishPipeline _),
     "q_g1_pagerank" -> (hostPageRank _),
@@ -4737,6 +4856,7 @@ object Corpus {
     "q_dd8_star_clusters" -> (dupClusterLabelsStar _),
     "q_dd7_edit_verify" -> (editDistanceVerify _),
     "q_dd11_fuzzy_pipeline" -> (fuzzyDedupPipeline _),
+    "q_dd12_fuzzy_clusters" -> (fuzzyDedupClusters _),
     "q_j8_bucketed_join" -> (bucketedOrdersJoin _),
     "q_j9_shuffle_hash" -> (joinShuffleHash _),
     "q_j13_bloom_join" -> (bloomPrunedJoin _),

@@ -932,6 +932,69 @@ object Oracle {
         |SELECT CAST(id AS BIGINT) AS id, CAST(MIN(r) AS BIGINT) AS label
         |FROM reach GROUP BY id ORDER BY id""".stripMargin
 
+  /** q_dd11/q_dd12: the shared fuzzy-dedup CTE chain — corpus + planted
+    * near-clones, shingles, portable universal-hash minwise signatures
+    * (base h = hex32(md5(shingle)) mod p, slot i = min of (a_i·h + b_i)
+    * mod p with p = 2^31−1 and md5-derived coefficients — mirrors
+    * Dedup.portableMinhashCandidatesShingled exactly), 4-band bucket-
+    * capped candidates, and the exact verify tier, ending in
+    * `scored(id1, id2, n_common, n_union, edit_dist, edit_ratio)`. */
+  private val fuzzyPairCtes: String =
+    """docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, text || ' qq zz qq zz qq'
+      |  FROM documents WHERE doc_id < 60),
+      |n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM docs),
+      |tk AS (SELECT doc_id, norm, regexp_extract_all(norm, '\S+') AS toks FROM n),
+      |wp AS (
+      |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+      |  FROM tk WHERE len(toks) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |         array_to_string(toks[CAST(i AS INTEGER):CAST(i AS INTEGER)+2], ' ') AS shingle
+      |  FROM wp),
+      |hv AS (
+      |  SELECT doc_id, CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) % 2147483647 AS h
+      |  FROM sh),
+      |hs AS (
+      |  SELECT doc_id, sd.seed,
+      |         MIN(((CAST(concat('0x', substr(md5('a' || CAST(sd.seed AS VARCHAR)), 1, 8)) AS BIGINT) % 2147483646 + 1) * h
+      |              + CAST(concat('0x', substr(md5('b' || CAST(sd.seed AS VARCHAR)), 1, 8)) AS BIGINT) % 2147483647) % 2147483647) AS sig
+      |  FROM hv CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed) sd
+      |  GROUP BY 1, 2),
+      |bk AS (
+      |  SELECT doc_id, seed // 4 AS band,
+      |         string_agg(CAST(sig AS VARCHAR), ',' ORDER BY seed) AS bkey
+      |  FROM hs GROUP BY 1, 2),
+      |hotb AS (SELECT band, bkey FROM bk GROUP BY 1, 2 HAVING COUNT(*) > 100),
+      |pb AS (
+      |  SELECT bk.* FROM bk
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM hotb h WHERE h.band = bk.band AND h.bkey = bk.bkey)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM pb a JOIN pb b
+      |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nsh FROM sh GROUP BY 1),
+      |ip AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(COUNT(*) AS BIGINT) AS nc
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT c.id1, c.id2,
+      |         CAST(COALESCE(i.nc, 0) AS BIGINT) AS n_common,
+      |         ca.nsh + cb.nsh - CAST(COALESCE(i.nc, 0) AS BIGINT) AS n_union,
+      |         CAST(levenshtein(n1.norm, n2.norm) AS INTEGER) AS edit_dist,
+      |         CAST(levenshtein(n1.norm, n2.norm) AS DOUBLE)
+      |           / CAST(greatest(length(n1.norm), length(n2.norm)) AS DOUBLE) AS edit_ratio
+      |  FROM cand c
+      |  LEFT JOIN ip i ON i.id1 = c.id1 AND i.id2 = c.id2
+      |  JOIN cnt ca ON ca.doc_id = c.id1
+      |  JOIN cnt cb ON cb.doc_id = c.id2
+      |  JOIN n n1 ON n1.doc_id = c.id1
+      |  JOIN n n2 ON n2.doc_id = c.id2)""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q_a1_scan_count" ->
       "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem",
@@ -1829,6 +1892,62 @@ object Oracle {
         |       CAST(SUM(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(copy AS VARCHAR)), 1, 8)) AS BIGINT)) AS BIGINT) AS instance_checksum
         |FROM inst GROUP BY source ORDER BY source""".stripMargin,
 
+    // Mirrors Corpus.importanceResample: hashed unigram+bigram bag
+    // features, Laplace-smoothed floor-scaled log importance ratios
+    // (target = src0-src4 vs raw), per-doc integer weight sums, and
+    // deterministic Gumbel top-k selection (k = n//4). The oracle selects
+    // via a rank window; the engine via the broadcast k-th-key threshold
+    // — identical sets under the (key desc, doc_id asc) total order.
+    "q_p17_importance_resample" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source,
+        |         regexp_extract_all(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\S+') AS toks
+        |  FROM documents),
+        |uni AS (SELECT doc_id, source, unnest(toks) AS gram FROM tk),
+        |bi AS (
+        |  SELECT doc_id, source,
+        |         toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i AS INTEGER) + 1] AS gram
+        |  FROM tk, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+        |  WHERE len(toks) >= 2),
+        |grams AS (
+        |  SELECT doc_id, source, gram,
+        |         CAST(CAST(concat('0x', substr(md5(gram), 1, 8)) AS BIGINT) % 1024 AS INTEGER) AS bucket
+        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+        |raw AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cr FROM grams GROUP BY 1),
+        |tgt AS (
+        |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS ct FROM grams
+        |  WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4') GROUP BY 1),
+        |tot AS (
+        |  SELECT (SELECT SUM(cr) FROM raw) AS rtot,
+        |         (SELECT SUM(ct) FROM tgt) AS ttot),
+        |lam AS (
+        |  SELECT raw.bucket,
+        |         CAST(floor(ln(
+        |           (CAST(COALESCE(ct, 0) + 1 AS DOUBLE) * CAST(rtot + 1024 AS DOUBLE))
+        |             / (CAST(COALESCE(cr, 0) + 1 AS DOUBLE) * CAST(ttot + 1024 AS DOUBLE))
+        |         ) * 1.0E6) AS BIGINT) AS lam_micro
+        |  FROM raw LEFT JOIN tgt ON tgt.bucket = raw.bucket CROSS JOIN tot),
+        |scored AS (
+        |  SELECT g.doc_id,
+        |         CAST(SUM(l.lam_micro) AS BIGINT) AS w_micro,
+        |         CAST(COUNT(*) AS BIGINT) AS n_grams
+        |  FROM grams g JOIN lam l ON l.bucket = g.bucket GROUP BY 1),
+        |keyed AS (
+        |  SELECT d.doc_id,
+        |         COALESCE(s.n_grams, 0) AS n_grams,
+        |         COALESCE(s.w_micro, 0) AS w_micro,
+        |         COALESCE(s.w_micro, 0)
+        |           + CAST(floor(-ln(-ln(
+        |               (CAST(CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR) || 'gum'), 1, 8)) AS BIGINT) AS DOUBLE) + 0.5)
+        |                 / 4294967296.0)) * 1.0E6) AS BIGINT) AS gumbel_key
+        |  FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id),
+        |rk AS (
+        |  SELECT *, ROW_NUMBER() OVER (ORDER BY gumbel_key DESC, doc_id) AS r
+        |  FROM keyed)
+        |SELECT doc_id, n_grams, w_micro, gumbel_key,
+        |       (r <= (SELECT COUNT(*) // 4 FROM documents)) AS selected
+        |FROM rk ORDER BY doc_id""".stripMargin,
+
     // Mirrors Corpus.filterFunnel: one scan computes every gate flag
     // (length floor, integer repetition cap, language evidence, the tp1
     // quality formula verbatim), funnel = staged survivor sums.
@@ -2707,71 +2826,43 @@ object Oracle {
 
     // Mirrors Corpus.fuzzyDedupPipeline: BOTH tiers of the production
     // pairing — the universal-hash minwise banding (base h =
-    // hex32(md5(shingle)), slot i = min of (a_i·h + b_i) mod (2^61−1),
-    // band key = slot values joined in seed order, bucket cap 100)
-    // generates the IDENTICAL candidate set, then the exact verify tier
-    // (full-set Jaccard + Levenshtein) scores it.
+    // hex32(md5(shingle)) mod p, slot i = min of (a_i·h + b_i) mod p,
+    // p = 2^31−1, band key = slot values joined in seed order, bucket
+    // cap 100) generates the IDENTICAL candidate set, then the exact
+    // verify tier (full-set Jaccard + Levenshtein) scores it.
     "q_dd11_fuzzy_pipeline" ->
-      """WITH docs AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 3000000, text || ' qq zz qq zz qq'
-        |  FROM documents WHERE doc_id < 60),
-        |n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM docs),
-        |tk AS (SELECT doc_id, norm, regexp_extract_all(norm, '\S+') AS toks FROM n),
-        |wp AS (
-        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
-        |  FROM tk WHERE len(toks) >= 3),
-        |sh AS (
-        |  SELECT DISTINCT doc_id,
-        |         array_to_string(toks[CAST(i AS INTEGER):CAST(i AS INTEGER)+2], ' ') AS shingle
-        |  FROM wp),
-        |hv AS (
-        |  SELECT doc_id, CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) % 2147483647 AS h
-        |  FROM sh),
-        |hs AS (
-        |  SELECT doc_id, sd.seed,
-        |         MIN(((CAST(concat('0x', substr(md5('a' || CAST(sd.seed AS VARCHAR)), 1, 8)) AS BIGINT) % 2147483646 + 1) * h
-        |              + CAST(concat('0x', substr(md5('b' || CAST(sd.seed AS VARCHAR)), 1, 8)) AS BIGINT) % 2147483647) % 2147483647) AS sig
-        |  FROM hv CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed) sd
-        |  GROUP BY 1, 2),
-        |bk AS (
-        |  SELECT doc_id, seed // 4 AS band,
-        |         string_agg(CAST(sig AS VARCHAR), ',' ORDER BY seed) AS bkey
-        |  FROM hs GROUP BY 1, 2),
-        |hotb AS (SELECT band, bkey FROM bk GROUP BY 1, 2 HAVING COUNT(*) > 100),
-        |pb AS (
-        |  SELECT bk.* FROM bk
-        |  WHERE NOT EXISTS (
-        |    SELECT 1 FROM hotb h WHERE h.band = bk.band AND h.bkey = bk.bkey)),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-        |  FROM pb a JOIN pb b
-        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-        |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nsh FROM sh GROUP BY 1),
-        |ip AS (
-        |  SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(COUNT(*) AS BIGINT) AS nc
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |scored AS (
-        |  SELECT c.id1, c.id2,
-        |         CAST(COALESCE(i.nc, 0) AS BIGINT) AS n_common,
-        |         ca.nsh + cb.nsh - CAST(COALESCE(i.nc, 0) AS BIGINT) AS n_union,
-        |         CAST(levenshtein(n1.norm, n2.norm) AS INTEGER) AS edit_dist,
-        |         CAST(levenshtein(n1.norm, n2.norm) AS DOUBLE)
-        |           / CAST(greatest(length(n1.norm), length(n2.norm)) AS DOUBLE) AS edit_ratio
-        |  FROM cand c
-        |  LEFT JOIN ip i ON i.id1 = c.id1 AND i.id2 = c.id2
-        |  JOIN cnt ca ON ca.doc_id = c.id1
-        |  JOIN cnt cb ON cb.doc_id = c.id2
-        |  JOIN n n1 ON n1.doc_id = c.id1
-        |  JOIN n n2 ON n2.doc_id = c.id2)
+      s"""WITH $fuzzyPairCtes
         |SELECT id1, id2, n_common, n_union,
         |       CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard,
         |       edit_dist, edit_ratio,
         |       (CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) >= 0.5
         |        AND edit_ratio <= 0.2) AS is_dup
         |FROM scored ORDER BY id1, id2""".stripMargin,
+
+    // Mirrors Corpus.fuzzyDedupClusters: the q_dd11 verified pairs closed
+    // into clusters — the engine's iterative min-label CC vs the oracle's
+    // recursive-CTE transitive closure, one hash-gated keep list.
+    "q_dd12_fuzzy_clusters" ->
+      s"""WITH RECURSIVE $fuzzyPairCtes,
+        |dpairs AS (
+        |  SELECT id1, id2 FROM scored
+        |  WHERE CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) >= 0.5
+        |    AND edit_ratio <= 0.2),
+        |e AS (SELECT id1 AS s, id2 AS t FROM dpairs UNION SELECT id2, id1 FROM dpairs),
+        |cnodes AS (SELECT DISTINCT s AS id FROM e),
+        |reach AS (
+        |  SELECT id, id AS r FROM cnodes
+        |  UNION
+        |  SELECT reach.id, e.t AS r FROM reach JOIN e ON e.s = reach.r),
+        |lab AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id),
+        |kl AS (
+        |  SELECT d.doc_id,
+        |         CAST(COALESCE(l.label, d.doc_id) AS BIGINT) AS keeper
+        |  FROM docs d LEFT JOIN lab l ON l.id = d.doc_id),
+        |sz AS (SELECT keeper, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM kl GROUP BY 1)
+        |SELECT kl.doc_id, kl.keeper, (kl.doc_id = kl.keeper) AS keep, sz.cluster_size
+        |FROM kl JOIN sz ON sz.keeper = kl.keeper
+        |ORDER BY kl.doc_id""".stripMargin,
 
     // Mirrors Corpus.labelCentroids: float→double widening is exact in both
     // engines; the floor-scaled mean matches Exact.floorAvg(v, 9).

@@ -412,6 +412,14 @@ object Scratch {
           graft.queries.Corpus.all("q_g4_hits")(spark, d))
         benchX("q_g4_hits 10x")(
           graft.queries.Corpus.all("q_g4_hits")(spark, dirX))
+        benchX("q_dd12_fuzzy_clusters sf0.1")(
+          graft.queries.Corpus.all("q_dd12_fuzzy_clusters")(spark, d))
+        benchX("q_dd12_fuzzy_clusters 10x")(
+          graft.queries.Corpus.all("q_dd12_fuzzy_clusters")(spark, dirX))
+        benchX("q_p17_importance_resample sf0.1")(
+          graft.queries.Corpus.all("q_p17_importance_resample")(spark, d))
+        benchX("q_p17_importance_resample 10x")(
+          graft.queries.Corpus.all("q_p17_importance_resample")(spark, dirX))
 
       case "t25skew" =>
         // URL-layer hot-key evidence (the q_t23b experiment for t25b): a

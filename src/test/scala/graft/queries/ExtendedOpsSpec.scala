@@ -308,4 +308,29 @@ class ExtendedOpsSpec extends SparkSpec {
     val incr = Corpus.all("q_s14_incr_manifest")(spark, d).collect()
     assert(incr.map(_.toSeq).toSeq === m.map(_.toSeq).toSeq)
   }
+
+  test("importance resampling: exactly n/4 selected, tilted toward the target sources") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = Corpus.all("q_p17_importance_resample")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(rows.length === docs.size)
+    // the Gumbel-key threshold selects EXACTLY k = n/4 (total order, no
+    // ties left unbroken)
+    val selected = rows.filter(_._5)
+    assert(selected.length === docs.size / 4)
+    // the tilt works: the target slice (src0-src4) is overrepresented
+    // among the selected docs relative to its corpus share
+    val tgt = Set("src0", "src1", "src2", "src3", "src4")
+    val shareAll = docs.values.count(tgt).toDouble / docs.size
+    val shareSel = selected.count(r => tgt(docs(r._1))).toDouble / selected.length
+    assert(shareSel > shareAll,
+      s"target share $shareSel should exceed corpus share $shareAll")
+    // weights: a doc made ONLY of target-leaning grams scores above one
+    // of raw-only grams — proxy: selected docs' mean weight > global mean
+    val meanSel = selected.map(_._3).sum.toDouble / selected.length
+    val meanAll = rows.map(_._3).sum.toDouble / rows.length
+    assert(meanSel > meanAll)
+  }
 }

@@ -265,4 +265,30 @@ class TextDedupSpec extends SparkSpec {
     }
     assert(planted.exists(_._6), "no planted pair passed the verify gate")
   }
+
+  test("fuzzy capstone q_dd12: clone clusters resolve to the base keeper") {
+    val d = "/root/testdata/sf0.001"
+    val pairs = graft.queries.Corpus.all("q_dd11_fuzzy_pipeline")(spark, d)
+      .filter(col("is_dup"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = graft.queries.Corpus.all("q_dd12_fuzzy_clusters")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3)))
+    val byId = rows.map(r => r._1 -> r).toMap
+    // every universe doc appears exactly once; keepers keep themselves
+    rows.foreach { case (id, keeper, keep, size) =>
+      assert(keeper <= id && size >= 1L)
+      assert(keep === (id === keeper))
+      assert(byId(keeper)._3, s"keeper $keeper of $id must itself be kept")
+    }
+    // every verified dup pair landed in one cluster, keeper = min reachable
+    pairs.foreach { case (a, b) =>
+      assert(byId(a)._2 === byId(b)._2, s"pair ($a,$b) split across clusters")
+      assert(byId(a)._2 <= math.min(a, b))
+    }
+    // singletons (no verified pair) keep themselves with cluster_size 1
+    val inPairs = pairs.flatMap(p => Seq(p._1, p._2))
+    rows.filter(r => !inPairs.contains(r._1)).foreach { case (id, keeper, keep, size) =>
+      assert(keeper === id && keep && size === 1L)
+    }
+  }
 }
