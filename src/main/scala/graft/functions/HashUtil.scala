@@ -71,6 +71,26 @@ object HashUtil {
     * Java regex \s and RE2 \s match by default): runs of bytes outside
     * { space, \t, \n, \x0B, \f, \r }. UTF-8 multi-byte sequences never
     * contain these bytes, so byte-level splitting is exact. */
+  /** Unicode NFC (canonical composition) via java.text.Normalizer — the
+    * normalization pass every tokenizer pipeline runs before hashing or
+    * dedup (decomposed "Cafe" + U+0301 and composed "Café" must collide).
+    * Normalization of assigned characters is STABILIZED by Unicode policy,
+    * so the JVM's tables and the oracle engine's (utf8proc) agree. ASCII
+    * fast path: NFC can only change strings containing non-ASCII bytes,
+    * so pure-ASCII rows never pay the String round-trip. */
+  def nfcNormalize(s: UTF8String): UTF8String = {
+    val bytes = s.getBytes
+    var i = 0
+    var ascii = true
+    while (ascii && i < bytes.length) { ascii = bytes(i) >= 0; i += 1 }
+    if (ascii) s
+    else {
+      val str = s.toString
+      val n = java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC)
+      if (n.equals(str)) s else UTF8String.fromString(n)
+    }
+  }
+
   def tokenize(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
     val bytes = s.getBytes
     val out = new java.util.ArrayList[UTF8String]()

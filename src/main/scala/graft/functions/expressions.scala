@@ -26,6 +26,20 @@ case class RollingHash64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_rolling_hash"
 }
 
+/** Unicode NFC normalization ([[HashUtil.nfcNormalize]] — ASCII fast path,
+  * stabilized composition tables, codegen'd). Spark has no built-in
+  * normalizer; the oracle engine's `nfc_normalize` is the cross-check. */
+case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.nfcNormalize(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.nfcNormalize($c)")
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalizeExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_nfc"
+}
+
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override protected def nullSafeEval(input: Any): Any =
@@ -360,6 +374,9 @@ object GraftFunctions {
     GraftColumn(HyperplaneSigExpr(expression(vec), planes))
   def tokenize(c: Column): Column =
     GraftColumn(TokenizeExpr(expression(c)))
+  /** Unicode NFC canonical composition (codegen'd; ASCII fast path). */
+  def nfcNormalize(c: Column): Column =
+    GraftColumn(NfcNormalizeExpr(expression(c)))
   def cosineFloor(a: Column, b: Column): Column =
     GraftColumn(CosineFloorSimilarity(expression(a), expression(b)))
   /** Int8-quantized cosine vs a driver-quantized query (HashUtil.int8Cosine). */

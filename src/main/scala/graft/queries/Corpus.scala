@@ -2721,6 +2721,95 @@ object Corpus {
         (TextFunctions.mojibakeCount(col("text")) > 0).as("had_mojibake"))
       .orderBy("doc_id")
 
+  /** The injected NFC fixtures: 4960000 is the DECOMPOSED spelling of
+    * 4960001's composed text (combining acute/ring/diaeresis vs
+    * precomposed é/Å/ö — the pair MUST collide after NFC), 4960002 is
+    * pure ASCII (byte-identical through the fast path). */
+  private def nfcSamples(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      (4960000L, "Cafe\u0301 au lait and A\u030Angstro\u0308m units"),
+      (4960001L, "Caf\u00e9 au lait and \u00c5ngstr\u00f6m units"),
+      (4960002L, "ascii only stays byte identical"))
+      .toDF("doc_id", "text")
+  }
+
+  /** T29: UNICODE NFC NORMALIZATION + CANONICAL-FORM DEDUP — the
+    * normalization pass every tokenizer pipeline runs before hashing:
+    * decomposed ("Cafe" + combining U+0301) and composed ("Café")
+    * spellings are byte-distinct but name the same text, so every
+    * hash-keyed stage downstream (exact dedup, fingerprints, frequency
+    * features) silently splits them unless NFC runs first. The custom
+    * codegen'd [[TextFunctions.nfc]] expression (Spark has no built-in
+    * normalizer; ASCII rows take a byte-scan fast path — the overwhelming
+    * common case costs one scan, no String round-trip) feeds an
+    * md5(nfc)-keyed dup group; the oracle cross-checks against the other
+    * engine's independent normalizer implementation (utf8proc), which the
+    * Unicode stabilization policy guarantees agrees. */
+  def nfcNormalizeDocs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5(col("text_nfc")))
+    Tables.documents(s, d).select("doc_id", "text")
+      .unionByName(nfcSamples(s))
+      .withColumn("text_nfc", TextFunctions.nfc(col("text")))
+      .withColumn("changed", col("text_nfc") =!= col("text"))
+      .withColumn("keep", col("doc_id") === min("doc_id").over(w))
+      .withColumn("n_forms", count(lit(1)).over(w))
+      .select("doc_id", "text_nfc", "changed", "keep", "n_forms")
+      .orderBy("doc_id")
+  }
+
+  /** The injected code-detection fixtures: 4980000 Python-shaped
+    * (indent + keywords), 4980001 C-shaped (braces/semicolons), 4980002
+    * plain prose that mentions the word "return" once (must NOT trip). */
+  private def codeSamples(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      (4980000L, "def main(args):\n    x = load(args)\n    for row in x:\n        print(row)\n    return x"),
+      (4980001L, "int main() {\n  int x = 0;\n  while (x < 10) { x = x + 1; }\n  return x;\n}"),
+      (4980002L, "the traveler chose to return home before dark and wrote a long letter about the journey across the hills and the quiet villages that lined the road"))
+      .toDF("doc_id", "text")
+  }
+
+  /** Keyword list for the code gate — STRUCTURAL keywords only: common
+    * English homographs ("if", "for", "while", "return") would let
+    * ordinary prose trip the 5% token floor, so the list carries only
+    * tokens that essentially never appear in natural text. */
+  private[queries] val CodeKeywords: Seq[String] = Seq(
+    "def", "class", "import", "function", "var", "const",
+    "int", "void", "lambda", "elif", "printf", "struct", "typedef")
+
+  /** T30: CODE-DOCUMENT DETECTION — the mix-routing gate every pretraining
+    * pipeline runs (code goes to the code corpus with its own cleaning
+    * and tokenizer budget; prose pipelines that keep code inflate symbol
+    * ratios and poison LM-quality scores). Three integer signals from one
+    * scan — indented-line count, code-punctuation line endings
+    * (;/{/}-terminated), keyword token hits ([[CodeKeywords]], one fused
+    * [[graft.functions.GraftFunctions.listHits]] pass) — and a
+    * cross-multiplied disjunction gate: ≥30% indented lines OR ≥40%
+    * punctuation-terminated lines OR ≥5% keyword tokens. No IEEE
+    * arithmetic anywhere; the oracle replays the identical counts. */
+  def codeDetect(s: SparkSession, d: String): DataFrame = {
+    val toks = TextFunctions.tokens(TextFunctions.normText(col("text")))
+    Tables.documents(s, d).select("doc_id", "text")
+      .unionByName(codeSamples(s))
+      .select(col("doc_id"),
+        size(split(col("text"), "\n")).cast("long").as("n_lines"),
+        size(regexp_extract_all(col("text"), lit("(?m)^(    |\\t)"), lit(0)))
+          .cast("long").as("n_indent_lines"),
+        size(regexp_extract_all(col("text"), lit("(?m)[;{}][ \\t]*$"), lit(0)))
+          .cast("long").as("n_punct_lines"),
+        element_at(graft.functions.GraftFunctions.listHits(toks, Seq(CodeKeywords)), 1)
+          .cast("long").as("n_kw"),
+        size(toks).cast("long").as("n_words"))
+      .withColumn("code_like",
+        (col("n_indent_lines") * 10 >= col("n_lines") * 3) ||
+          (col("n_punct_lines") * 10 >= col("n_lines") * 4) ||
+          // n_kw > 0 guards the empty/zero-token doc (0 >= 0 would trip)
+          (col("n_kw") > 0 && col("n_kw") * 20 >= col("n_words")))
+      .orderBy("doc_id")
+  }
+
   /** T24: GOPHER QUALITY RULES (Rae et al. 2021, Appendix A) — the
     * heuristic document gate every pre-training pipeline runs before the
     * model-based filters: word-count bounds, mean-word-length bounds,
@@ -3275,6 +3364,9 @@ object Corpus {
       .agg(sum("lam_micro").as("w_micro"), count(lit(1)).as("n_grams"))
     val u = (conv(substring(md5(concat(col("doc_id").cast("string"), lit("gum"))),
       1, 8), 16, 10).cast("double") + lit(0.5)) / lit(4294967296.0)
+    // materialized at the narrow per-doc grain: both consumers below (the
+    // k-th-key threshold and the output join) would otherwise re-run the
+    // entire gram scan + feature chain (observed as twin plan subtrees)
     val keyed = docs.select("doc_id")
       .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -3282,6 +3374,7 @@ object Corpus {
         coalesce(col("n_grams"), lit(0L)).as("n_grams"))
       .withColumn("gumbel_key",
         col("w_micro") + floor(-log(-log(u)) * lit(1e6)).cast("long"))
+      .localCheckpoint(true)
     val k = (Tables.documents(s, d).count() / 4L).toInt
     // the k-th (gumbel_key desc, doc_id asc) pair — distributed
     // TakeOrderedAndProject, then ONE broadcast threshold row; the kept
@@ -4771,6 +4864,8 @@ object Corpus {
     "q_t25b_salted_urls" -> (urlCanonicalDedupSalted _),
     "q_t26_filter_funnel" -> (filterFunnel _),
     "q_t28_mojibake" -> (mojibakeRepair _),
+    "q_t29_nfc_normalize" -> (nfcNormalizeDocs _),
+    "q_t30_code_detect" -> (codeDetect _),
     "q_p16_epoch_repeat" -> (epochRepeat _),
     "q_p17_importance_resample" -> (importanceResample _),
     "q_tp15_ensemble_gate" -> (ensembleGate _),

@@ -2034,6 +2034,60 @@ object Oracle {
          |        AND n_stopword_kinds >= 2) AS pass_gopher
          |FROM sig ORDER BY doc_id""".stripMargin,
 
+    // Mirrors Corpus.nfcNormalizeDocs: DuckDB's nfc_normalize (utf8proc)
+    // vs the engine's java.text.Normalizer — two independent NFC
+    // implementations, one hash-gated answer (composition is stabilized
+    // by Unicode policy). Fixtures built from chr() codepoints so no
+    // editor ever normalizes them away.
+    "q_t29_nfc_normalize" ->
+      """WITH nf AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT CAST(v.doc_id AS BIGINT), v.text FROM (VALUES
+        |    (4960000, 'Cafe' || chr(769) || ' au lait and A' || chr(778) || 'ngstro' || chr(776) || 'm units'),
+        |    (4960001, 'Caf' || chr(233) || ' au lait and ' || chr(197) || 'ngstr' || chr(246) || 'm units'),
+        |    (4960002, 'ascii only stays byte identical')
+        |  ) AS v(doc_id, text)),
+        |nn AS (
+        |  SELECT doc_id, nfc_normalize(text) AS text_nfc,
+        |         (nfc_normalize(text) <> text) AS changed
+        |  FROM nf)
+        |SELECT doc_id, text_nfc, changed,
+        |       doc_id = MIN(doc_id) OVER (PARTITION BY md5(text_nfc)) AS keep,
+        |       COUNT(*) OVER (PARTITION BY md5(text_nfc)) AS n_forms
+        |FROM nn ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Corpus.codeDetect: identical integer signal counts (the
+    // fixtures carry real newlines/tabs — injected via chr() so the SQL
+    // string needs no escape processing) and the same cross-multiplied
+    // disjunction gate.
+    "q_t30_code_detect" -> {
+      val kwList = graft.queries.Corpus.CodeKeywords
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH cd AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT CAST(v.doc_id AS BIGINT), v.text FROM (VALUES
+         |    (4980000, 'def main(args):' || chr(10) || '    x = load(args)' || chr(10) || '    for row in x:' || chr(10) || '        print(row)' || chr(10) || '    return x'),
+         |    (4980001, 'int main() {' || chr(10) || '  int x = 0;' || chr(10) || '  while (x < 10) { x = x + 1; }' || chr(10) || '  return x;' || chr(10) || '}'),
+         |    (4980002, 'the traveler chose to return home before dark and wrote a long letter about the journey across the hills and the quiet villages that lined the road')
+         |  ) AS v(doc_id, text)),
+         |sig AS (
+         |  SELECT doc_id,
+         |         CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+         |         CAST(len(regexp_extract_all(text, '(?m)^(    |\\t)')) AS BIGINT) AS n_indent_lines,
+         |         CAST(len(regexp_extract_all(text, '(?m)[;{}][ \\t]*$$')) AS BIGINT) AS n_punct_lines,
+         |         CAST(len(list_filter(regexp_extract_all(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), '\\S+'),
+         |                              x -> list_contains($kwList, x))) AS BIGINT) AS n_kw,
+         |         CAST(len(regexp_extract_all(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), '\\S+')) AS BIGINT) AS n_words
+         |  FROM cd)
+         |SELECT doc_id, n_lines, n_indent_lines, n_punct_lines, n_kw, n_words,
+         |       (n_indent_lines * 10 >= n_lines * 3
+         |        OR n_punct_lines * 10 >= n_lines * 4
+         |        OR (n_kw > 0 AND n_kw * 20 >= n_words)) AS code_like
+         |FROM sig ORDER BY doc_id""".stripMargin
+    },
+
     // Mirrors Corpus.urlCanonicalDedup: same synthesized messy URLs (DIV-2
     // host key, case/port/slash/param/fragment pathologies keyed off
     // doc_id mods), the same canonicalization chain (DuckDB's \1 group

@@ -121,6 +121,13 @@ object TextFunctions {
     concat(prefix, rest)
   }
 
+  /** Unicode NFC canonical composition (custom codegen'd expression —
+    * Spark has no built-in normalizer; ASCII rows take a byte-scan fast
+    * path). Decomposed and composed spellings of the same text must
+    * collide in every hash-keyed stage (dedup, fingerprints, frequency
+    * features), so this runs before any of them in a clean pipeline. */
+  def nfc(c: Column): Column = graft.functions.GraftFunctions.nfcNormalize(c)
+
   /** Whitespace-delimited tokens (\\S+ runs — stable across engines).
     * Fused byte-scan expression with exactly regexp_extract_all(c,'\\S+')
     * semantics (the regex path costs ~0.5ms/row on long docs). */

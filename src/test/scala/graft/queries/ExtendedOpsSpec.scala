@@ -309,6 +309,15 @@ class ExtendedOpsSpec extends SparkSpec {
     assert(incr.map(_.toSeq).toSeq === m.map(_.toSeq).toSeq)
   }
 
+  test("code detection: planted code flags, prose and the whole corpus stay clean") {
+    val rows = Corpus.all("q_t30_code_detect")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getBoolean(6)))
+    val flagged = rows.filter(_._2).map(_._1).toSet
+    // exactly the two planted code fixtures — the synthetic prose corpus
+    // must not trip any of the three clauses
+    assert(flagged === Set(4980000L, 4980001L))
+  }
+
   test("importance resampling: exactly n/4 selected, tilted toward the target sources") {
     val docs = Tables.documents(spark, sf).select("doc_id", "source")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap

@@ -225,6 +225,33 @@ class TextDedupSpec extends SparkSpec {
     assert(fx(4300001L)._3 && fx(4300002L)._3)
   }
 
+  test("nfc: composes decomposed forms, ASCII fast path returns input unchanged") {
+    val rows = Seq(
+      (0L, "Cafe\u0301"),            // e + combining acute -> é
+      (1L, "Caf\u00e9"),             // already composed
+      (2L, "A\u030Angstro\u0308m"),  // ring + diaeresis decomposed
+      (3L, "plain ascii"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+      .select($"doc_id", TextFunctions.nfc($"text").as("nfc"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(0L) === "Caf\u00e9")
+    assert(rows(1L) === "Caf\u00e9")
+    assert(rows(2L) === "\u00c5ngstr\u00f6m")
+    assert(rows(3L) === "plain ascii")
+    assert(rows(4L) === "")
+    // q_t29: the planted decomposed/composed pair collides into one group
+    val q = graft.queries.Corpus.all("q_t29_nfc_normalize")(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") >= 4960000L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
+        r.getBoolean(3), r.getLong(4)))
+    val byId = q.map(r => r._1 -> r).toMap
+    assert(byId(4960000L)._2 === byId(4960001L)._2) // identical after NFC
+    assert(byId(4960000L)._3 && !byId(4960001L)._3) // only the decomposed row changed
+    assert(byId(4960000L)._4 && !byId(4960001L)._4) // min id keeps
+    assert(byId(4960000L)._5 === 2L && byId(4960002L)._5 === 1L)
+  }
+
   test("portableMinhashCandidates: exact clones always collide, disjoint docs never") {
     // 30 distinct base docs of 12 unique words each + an exact clone of
     // every doc under id+100: identical shingle sets => identical
