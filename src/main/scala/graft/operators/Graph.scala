@@ -55,9 +55,20 @@ object Graph {
     * iterate the identical rule): returns the final rank table, plus the
     * per-round L1 movement when `trackDeltas` (one extra co-partitioned
     * join+aggregate per tracked round). */
+  /** Lineage-truncation mode shared by the iterative entry points (the
+    * [[graft.dedup.Dedup.dupClusters]] discipline): `localCheckpoint` by
+    * default — cheapest, but its blocks live on executors, so an executor
+    * loss mid-loop kills the job; with a `checkpointDir` (an HDFS/object-
+    * store path on a real cluster) every truncation point becomes a
+    * RELIABLE `checkpoint` and the loop survives executor loss — the mode
+    * a 100 TB run should use. Identical results either way. */
+  private def truncate(df: DataFrame, checkpointDir: Option[String]): DataFrame =
+    if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+
   private def iterate(
       p: Prepared, rounds: Int, trackDeltas: Boolean,
-      redistribute: Boolean = false): (DataFrame, Seq[(Int, Long)]) = {
+      redistribute: Boolean = false,
+      checkpointDir: Option[String] = None): (DataFrame, Seq[(Int, Long)]) = {
     // sink (dangling) node set — only materialized for the redistribute
     // variant; an anti-join of nodes against distinct edge sources
     val dang =
@@ -86,13 +97,14 @@ object Graph {
         p.nodes.join(inflow, Seq("node"), "left")
           .select(col("node"),
             (lit(p.base) + expr("(85 * coalesce(inflow, 0L)) DIV 100")).as("rank"))
-      }).localCheckpoint(true)
+      })
+      val nextT = truncate(next, checkpointDir)
       if (trackDeltas) {
-        deltas += ((k, next.as("a").join(r.as("b"), col("a.node") === col("b.node"))
+        deltas += ((k, nextT.as("a").join(r.as("b"), col("a.node") === col("b.node"))
           .agg(sum(abs(col("a.rank") - col("b.rank"))).as("d"))
           .head().getLong(0)))
       }
-      r = next
+      r = nextT
     }
     if (dang != null) dang.unpersist()
     (r, deltas.toSeq)
@@ -129,22 +141,23 @@ object Graph {
       wCol: String,
       rounds: Int,
       scale: Long = 1000000000000L,
-      redistributeDangling: Boolean = false): DataFrame = {
+      redistributeDangling: Boolean = false,
+      checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     val p = prepare(edges, srcCol, dstCol, wCol, scale)
     val (r, _) = iterate(p, rounds, trackDeltas = false,
-      redistribute = redistributeDangling)
+      redistribute = redistributeDangling, checkpointDir = checkpointDir)
     val outw = p.e.groupBy(col("src").as("node")).agg(sum("w").as("out_w"))
     val inw = p.e.groupBy(col("dst").as("node")).agg(sum("w").as("in_w"))
     val res = r.join(outw, Seq("node"), "left").join(inw, Seq("node"), "left")
       .select(col("node"), col("rank"),
         coalesce(col("out_w"), lit(0L)).as("out_w"),
-        coalesce(col("in_w"), lit(0L)).as("in_w"))
-      // materialize BEFORE releasing the prepared tables — otherwise the
+        coalesce(col("in_w"), lit(0L)).as("in_w"))      // materialize BEFORE releasing the prepared tables — otherwise the
       // caller's first action recomputes the edge lineage from source and
       // the round-loop persists bought nothing for the final plan
-      .localCheckpoint(true)
+    val resT = truncate(res, checkpointDir)
     p.release()
-    res
+    resT
   }
 
   /** HITS (Kleinberg): hub and authority scores over a directed weighted
@@ -172,7 +185,9 @@ object Graph {
       dstCol: String,
       wCol: String,
       rounds: Int,
-      scale: Long = 1000000L): DataFrame = {
+      scale: Long = 1000000L,
+      checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     val e = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"),
         col(wCol).cast("long").as("w"))
@@ -189,22 +204,25 @@ object Graph {
         .select(col("dst").as("node"), (col("hub") * col("w")).as("c"))
         .groupBy("node").agg(sum("c").as("ra"))
       val sa = ra.agg(coalesce(sum("ra"), lit(1L)).as("sa"))
-      a = nodes.join(ra, Seq("node"), "left").crossJoin(broadcast(sa))
-        .select(col("node"),
-          expr(s"(coalesce(ra, 0L) * ${scale}L) DIV sa").as("authority"))
-        .localCheckpoint(true)
+      a = truncate(
+        nodes.join(ra, Seq("node"), "left").crossJoin(broadcast(sa))
+          .select(col("node"),
+            expr(s"(coalesce(ra, 0L) * ${scale}L) DIV sa").as("authority")),
+        checkpointDir)
       val rh = a.join(e, a("node") === e("dst"))
         .select(col("src").as("node"), (col("authority") * col("w")).as("c"))
         .groupBy("node").agg(sum("c").as("rh"))
       val sh = rh.agg(coalesce(sum("rh"), lit(1L)).as("sh"))
-      h = nodes.join(rh, Seq("node"), "left").crossJoin(broadcast(sh))
-        .select(col("node"),
-          expr(s"(coalesce(rh, 0L) * ${scale}L) DIV sh").as("hub"))
-        .localCheckpoint(true)
+      h = truncate(
+        nodes.join(rh, Seq("node"), "left").crossJoin(broadcast(sh))
+          .select(col("node"),
+            expr(s"(coalesce(rh, 0L) * ${scale}L) DIV sh").as("hub")),
+        checkpointDir)
     }
-    val res = h.join(a, Seq("node"))
-      .select(col("node"), col("hub"), col("authority"))
-      .localCheckpoint(true)
+    val res = truncate(
+      h.join(a, Seq("node"))
+        .select(col("node"), col("hub"), col("authority")),
+      checkpointDir)
     e.unpersist(); nodes.unpersist()
     res
   }
@@ -220,9 +238,12 @@ object Graph {
       dstCol: String,
       wCol: String,
       rounds: Int,
-      scale: Long = 1000000000000L): Seq[(Int, Long)] = {
+      scale: Long = 1000000000000L,
+      checkpointDir: Option[String] = None): Seq[(Int, Long)] = {
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     val p = prepare(edges, srcCol, dstCol, wCol, scale)
-    val (_, deltas) = iterate(p, rounds, trackDeltas = true)
+    val (_, deltas) = iterate(p, rounds, trackDeltas = true,
+      checkpointDir = checkpointDir)
     p.release()
     deltas
   }

@@ -131,6 +131,24 @@ class GraphSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("reliable-checkpoint mode computes identical ranks and scores") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_g_ckpt").toString
+    val edges = Seq(("A", "B", 1L), ("B", "A", 1L), ("C", "A", 1L), ("A", "D", 2L))
+      .toDF("src", "dst", "w")
+    val prLocal = Graph.pageRank(edges, "src", "dst", "w", 3)
+      .collect().map(_.toSeq).toSet
+    val prRel = Graph.pageRank(edges, "src", "dst", "w", 3,
+      checkpointDir = Some(dir)).collect().map(_.toSeq).toSet
+    assert(prLocal === prRel)
+    val hLocal = Graph.hits(edges, "src", "dst", "w", 2)
+      .collect().map(_.toSeq).toSet
+    val hRel = Graph.hits(edges, "src", "dst", "w", 2,
+      checkpointDir = Some(dir)).collect().map(_.toSeq).toSet
+    assert(hLocal === hRel)
+    // the reliable mode really wrote checkpoint files
+    assert(new java.io.File(dir).listFiles().nonEmpty)
+  }
+
   test("deterministic across runs and repartitionings") {
     val edges = (0 until 200).map(i =>
       (s"n${i % 17}", s"n${(i * 7 + 3) % 17}", (i % 5 + 1).toLong))
