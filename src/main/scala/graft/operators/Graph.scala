@@ -187,6 +187,7 @@ object Graph {
       rounds: Int,
       scale: Long = 1000000L,
       checkpointDir: Option[String] = None): DataFrame = {
+    require(rounds >= 1, s"hits needs rounds >= 1 (got $rounds)")
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     val e = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"),

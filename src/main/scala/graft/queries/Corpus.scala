@@ -2944,7 +2944,10 @@ object Corpus {
       (4300002L, "http://host.example.com:80/x/"),
       (4300003L, "https://site.example.com//a/b/"),
       (4300004L, "https://Path-Less.Example.com?id=AbC&utm_source=x"),
-      (4300005L, "https://path-less.example.com:443?id=AbC"))
+      (4300005L, "https://path-less.example.com:443?id=AbC"),
+      // query values are OPAQUE: slash-distinct queries must NOT collide
+      (4300006L, "https://qv.example.com/p?next=//x/"),
+      (4300007L, "https://qv.example.com/p?next=/x"))
       .toDF("doc_id", "url_raw")
   }
 
@@ -3032,17 +3035,24 @@ object Corpus {
       .orderBy("doc_id")
 
   /** The q_t25b kernel over any (doc_id, url_raw, url_canon) frame —
-    * shared by the query surface and the Scratch hot-key experiment. */
+    * shared by the query surface and the Scratch hot-key experiment.
+    * Joins are NULL-SAFE on url_canon: groupBy places NULL keys in one
+    * group, and a plain equi-join would silently DROP those rows where
+    * the q_t25 window form (whose oracle this query shares) keeps them
+    * in a NULL partition — the two forms must agree on every input. */
   private[graft] def skewSplitUrlDedup(rawIn: DataFrame): DataFrame = {
     val raw = rawIn.withColumn("_salt", pmod(hash(col("doc_id")), lit(16)))
     val g1 = raw.groupBy("url_canon", "_salt")
       .agg(min("doc_id").as("pmin"), count(lit(1)).as("pcnt"))
     val g2 = g1.groupBy("url_canon")
       .agg(min("pmin").as("keep_id"), sum("pcnt").as("group_size"))
-    raw.join(
-      g1.select("url_canon", "_salt").join(g2, Seq("url_canon"))
-        .hint("SHUFFLE_HASH"),
-      Seq("url_canon", "_salt"))
+    val stats = g1.select(col("url_canon").as("c1"), col("_salt").as("s1"))
+      .join(g2.withColumnRenamed("url_canon", "c2"),
+        col("c1") <=> col("c2"))
+      .select(col("c1"), col("s1"), col("keep_id"), col("group_size"))
+      .hint("SHUFFLE_HASH")
+    raw.join(stats,
+      raw("url_canon") <=> stats("c1") && raw("_salt") === stats("s1"))
       .select(col("doc_id"), col("url_raw"), col("url_canon"),
         (col("doc_id") === col("keep_id")).as("keep"), col("group_size"))
   }
@@ -3375,7 +3385,9 @@ object Corpus {
       .withColumn("gumbel_key",
         col("w_micro") + floor(-log(-log(u)) * lit(1e6)).cast("long"))
       .localCheckpoint(true)
-    val k = (Tables.documents(s, d).count() / 4L).toInt
+    // one row per document by construction, already materialized — no
+    // extra documents-table scan to size k
+    val k = (keyed.count() / 4L).toInt
     // the k-th (gumbel_key desc, doc_id asc) pair — distributed
     // TakeOrderedAndProject, then ONE broadcast threshold row; the kept
     // set is everything lexicographically <= the k-th key (ties split by

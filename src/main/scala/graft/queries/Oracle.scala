@@ -413,7 +413,9 @@ object Oracle {
        |    (4300002, 'http://host.example.com:80/x/'),
        |    (4300003, 'https://site.example.com//a/b/'),
        |    (4300004, 'https://Path-Less.Example.com?id=AbC&utm_source=x'),
-       |    (4300005, 'https://path-less.example.com:443?id=AbC')
+       |    (4300005, 'https://path-less.example.com:443?id=AbC'),
+       |    (4300006, 'https://qv.example.com/p?next=//x/'),
+       |    (4300007, 'https://qv.example.com/p?next=/x')
        |  ) AS v(doc_id, url_raw)),
        |step AS (
        |  SELECT doc_id, url_raw, ${urlStripSql("url_raw")} AS u1
@@ -428,14 +430,36 @@ object Oracle {
        |  lower(regexp_extract($u1, '^[^/?#]*//[^/?#]*')),
        |  '^(https://[^:]*):443$$', '\\1'), '^(http://[^:]*):80$$', '\\1')
        ||| regexp_replace(regexp_replace(
-       |     regexp_replace($u1, '^[^/?#]*//[^/?#]*', ''),
-       |     '//+', '/', 'g'), '/+$$', '')""".stripMargin.replace("\n", " ")
+       |     regexp_replace(regexp_replace($u1, '^[^/?#]*//[^/?#]*', ''), '\\?.*$$', ''),
+       |     '//+', '/', 'g'), '/+$$', '')
+       ||| regexp_extract(regexp_replace($u1, '^[^/?#]*//[^/?#]*', ''), '(\\?.*)$$', 1)""".stripMargin.replace("\n", " ")
 
   /** q_g1: replay [[graft.operators.Graph.pageRank]]'s integer-exact
     * rounds as unrolled CTEs (the q_t18 round-replay discipline lifted to
     * rank propagation — same graph synthesis, same int64 floor-division
     * mass arithmetic, so ranks match bit for bit). The CTE body is shared
     * with q_g2's rank-gated curation. */
+  /** The synthesized host-graph SQL shared by every graph-family oracle
+    * (q_g1/q_g1b/q_g2/q_g3/q_g4) — ONE definition of the md5-link edge
+    * synthesis and node set, so a change to the graph can never
+    * desynchronize one family member's oracle from the others (mirrors
+    * Corpus.hostGraphEdges). */
+  private val hostE0Cte: String =
+    """e0 AS (
+      |  SELECT 'www.' || source || '-' || CAST(doc_id % 3 AS VARCHAR) || '.example.com' AS src,
+      |         'www.src' || CAST(h % 20 AS VARCHAR) || '-' || CAST((h // 20) % 3 AS VARCHAR) || '.example.com' AS dst
+      |  FROM (SELECT doc_id, source,
+      |          CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || 'link'), 1, 8)) AS BIGINT) AS h
+      |        FROM documents))""".stripMargin
+
+  private val hostEdgesCte: String =
+    """edges AS (
+      |  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+      |  FROM e0 WHERE src <> dst GROUP BY 1, 2)""".stripMargin
+
+  private val hostNodesCte: String =
+    "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)"
+
   private def pageRankCtes(rounds: Int): String = {
     val scale = "1000000000000"
     val roundCtes = (1 to rounds).map { k =>
@@ -451,16 +475,9 @@ object Oracle {
          |    JOIN outw o ON o.src = e.src
          |    GROUP BY 1) inf ON inf.node = n2.node)""".stripMargin
     }.mkString(",\n")
-    s"""e0 AS (
-       |  SELECT 'www.' || source || '-' || CAST(doc_id % 3 AS VARCHAR) || '.example.com' AS src,
-       |         'www.src' || CAST(h % 20 AS VARCHAR) || '-' || CAST((h // 20) % 3 AS VARCHAR) || '.example.com' AS dst
-       |  FROM (SELECT doc_id, source,
-       |          CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || 'link'), 1, 8)) AS BIGINT) AS h
-       |        FROM documents)),
-       |edges AS (
-       |  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
-       |  FROM e0 WHERE src <> dst GROUP BY 1, 2),
-       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    s"""$hostE0Cte,
+       |$hostEdgesCte,
+       |$hostNodesCte,
        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
        |outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY 1),
        |r0 AS (SELECT node, ($scale // nn.n) AS rank FROM nodes CROSS JOIN nn),
@@ -492,12 +509,7 @@ object Oracle {
          |    JOIN outw o ON o.src = e.src
          |    GROUP BY 1) inf ON inf.node = n2.node)""".stripMargin
     }.mkString(",\n")
-    s"""e0 AS (
-       |  SELECT 'www.' || source || '-' || CAST(doc_id % 3 AS VARCHAR) || '.example.com' AS src,
-       |         'www.src' || CAST(h % 20 AS VARCHAR) || '-' || CAST((h // 20) % 3 AS VARCHAR) || '.example.com' AS dst
-       |  FROM (SELECT doc_id, source,
-       |          CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || 'link'), 1, 8)) AS BIGINT) AS h
-       |        FROM documents)),
+    s"""$hostE0Cte,
        |x0 AS (
        |  SELECT 'www.' || source || '-' || CAST(doc_id % 3 AS VARCHAR) || '.example.com' AS src,
        |         'www.ext' || CAST(h2 % 25 AS VARCHAR) || '.example.com' AS dst
@@ -509,7 +521,7 @@ object Oracle {
        |  FROM e0 WHERE src <> dst GROUP BY 1, 2
        |  UNION ALL
        |  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM x0 GROUP BY 1, 2),
-       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |$hostNodesCte,
        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
        |outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY 1),
        |r0 AS (SELECT node, ($scale // nn.n) AS rank FROM nodes CROSS JOIN nn),
@@ -539,16 +551,9 @@ object Oracle {
          |         CAST((COALESCE(r.rh, 0) * $scale) // s.sh AS BIGINT) AS hub
          |  FROM nodes n CROSS JOIN sh$k s LEFT JOIN rh$k r ON r.node = n.node)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e0 AS (
-       |  SELECT 'www.' || source || '-' || CAST(doc_id % 3 AS VARCHAR) || '.example.com' AS src,
-       |         'www.src' || CAST(h % 20 AS VARCHAR) || '-' || CAST((h // 20) % 3 AS VARCHAR) || '.example.com' AS dst
-       |  FROM (SELECT doc_id, source,
-       |          CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || 'link'), 1, 8)) AS BIGINT) AS h
-       |        FROM documents)),
-       |edges AS (
-       |  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
-       |  FROM e0 WHERE src <> dst GROUP BY 1, 2),
-       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    s"""WITH $hostE0Cte,
+       |$hostEdgesCte,
+       |$hostNodesCte,
        |h0 AS (SELECT node, CAST($scale AS BIGINT) AS hub FROM nodes),
        |$roundCtes
        |SELECT n.node AS domain, h.hub, a.authority

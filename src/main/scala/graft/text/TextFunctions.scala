@@ -115,10 +115,16 @@ object TextFunctions {
         lower(regexp_extract(noUtm, "^[^/?#]*//[^/?#]*", 0)),
         "^(https://[^:]*):443$", "$1"),
       "^(http://[^:]*):80$", "$1")
-    val rest = regexp_replace(
-      regexp_replace(regexp_replace(noUtm, "^[^/?#]*//[^/?#]*", ""), "//+", "/"),
+    // slash normalization applies to the PATH only: a query value like
+    // '?next=//x/' is opaque data — collapsing or stripping slashes inside
+    // it would falsely collide distinct resources (the same invariant as
+    // the case rule above)
+    val rest = regexp_replace(noUtm, "^[^/?#]*//[^/?#]*", "")
+    val path = regexp_replace(
+      regexp_replace(regexp_replace(rest, "\\?.*$", ""), "//+", "/"),
       "/+$", "")
-    concat(prefix, rest)
+    val query = regexp_extract(rest, "(\\?.*)$", 1)
+    concat(prefix, path, query)
   }
 
   /** Unicode NFC canonical composition (custom codegen'd expression —

@@ -203,7 +203,13 @@ class TextDedupSpec extends SparkSpec {
       "https://Path-Less.Example.com?id=AbC&utm_source=x" -> "https://path-less.example.com?id=AbC",
       "https://path-less.example.com:443?id=AbC" -> "https://path-less.example.com?id=AbC",
       "http://Host.Example.com:80?q=MiXeD" -> "http://host.example.com?q=MiXeD",
-      "https://host.example.com:8443?q=X" -> "https://host.example.com:8443?q=X")
+      "https://host.example.com:8443?q=X" -> "https://host.example.com:8443?q=X",
+      // query values are opaque: slashes inside them survive untouched
+      // (collapsing would falsely collide '?next=//x/' with '?next=/x')
+      "https://h.example.com/p?next=//x/" -> "https://h.example.com/p?next=//x/",
+      "https://h.example.com/p?next=/x" -> "https://h.example.com/p?next=/x",
+      // ...while the PATH still collapses/strips with a query present
+      "https://h.example.com//a//b/?id=1" -> "https://h.example.com/a/b?id=1")
     val got = cases.map(_._1).toDF("url")
       .select(TextFunctions.canonicalUrl($"url")).as[String].collect()
     got.zip(cases.map(_._2)).foreach { case (g, e) => assert(g === e) }
