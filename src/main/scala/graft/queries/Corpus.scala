@@ -2371,6 +2371,81 @@ object Corpus {
       .orderBy("source", "doc_id")
   }
 
+  /** T31: CONTEXT-WINDOW CHUNKING WITH OVERLAP — the retrieval-side
+    * sibling of q_t15's packing: every doc splits into fixed-width token
+    * windows (W = 64) advancing by a stride (48, i.e. 16-token overlap —
+    * the standard RAG/embedding-index preprocessing, where overlap keeps
+    * boundary-spanning facts retrievable). Chunk COUNT and offsets are
+    * pure integer arithmetic (`(n − W + stride − 1) DIV stride + 1` for
+    * n > W, else 1), the per-chunk text is one array slice, and its md5
+    * is the integrity key an index stores — all map-side, no shuffle
+    * anywhere (the explode multiplies rows ~n/stride-fold, which IS the
+    * output). Short docs yield one whole-doc chunk; empty docs yield
+    * none. */
+  def chunkWithOverlap(s: SparkSession, d: String): DataFrame = {
+    val (w, stride) = (64, 48)
+    val toks = TextFunctions.tokens(TextFunctions.normText(col("text")))
+    val n = size(col("toks"))
+    val nChunks = when(n <= w, lit(1))
+      .otherwise(expr(s"((size(toks) - $w + $stride - 1) DIV $stride) + 1").cast("int"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        posexplode(transform(sequence(lit(0), nChunks - 1), i => i * stride)))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("chunk_idx"),
+        col("col").cast("long").as("start_tok"),
+        least(col("col") + w, size(col("toks"))).cast("long").as("end_tok"),
+        md5(array_join(
+          slice(col("toks"), col("col") + 1,
+            least(lit(w), size(col("toks")) - col("col"))), " ")).as("chunk_md5"))
+      .withColumn("n_tokens", col("end_tok") - col("start_tok"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** T32: ZIPF-LAW FIT — the corpus-health telemetry every pretraining
+    * dataset report carries: the least-squares slope of ln(frequency) vs
+    * ln(rank) over the top-1000 vocabulary (natural text sits near −1;
+    * template/generated corpora flatten, boilerplate-heavy ones steepen).
+    * Numerics follow the q_t6/q_t16 discipline: ln values floor-scale to
+    * integer micro-logs, all five regression sums are EXACT int64 (the
+    * magnitudes are bounded by the fixed N=1000, documented below), the
+    * closed-form slope assembles in DECIMAL(38,0) (n·Σxy − Σx·Σy crosses
+    * 2^63) and converts to double only for the final division — so both
+    * engines divide the identical exact integers. The rank window runs
+    * over a CONSTANT-bounded 1000-row frame (TakeOrderedAndProject feeds
+    * it), never over data-sized input. */
+  def zipfFit(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val topN = 1000
+    val tf = Tables.documents(s, d)
+      .select(explode(TextFunctions.tokens(TextFunctions.normText(col("text")))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(topN)
+    val ranked = tf.withColumn("rk",
+      row_number().over(Window.orderBy(col("cnt").desc, col("token"))))
+    val xy = ranked.select(
+      floor(log(col("rk").cast("double")) * lit(1e6)).cast("long").as("x"),
+      floor(log(col("cnt").cast("double")) * lit(1e6)).cast("long").as("y"))
+    // bounds at N=1000: x,y ≤ ~1.4e7; x·y ≤ 2e14; Σ ≤ 2e17 — all int64
+    val sums = xy.agg(
+      count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    sums
+      .withColumn("slope",
+        (dec(col("n")) * dec(col("sxy")) - dec(col("sx")) * dec(col("sy"))).cast("double")
+          / (dec(col("n")) * dec(col("sxx")) - dec(col("sx")) * dec(col("sx"))).cast("double"))
+      .select(
+        col("n").as("n_ranks"),
+        col("slope"),
+        ((col("sy").cast("double") / col("n").cast("double"))
+          - col("slope") * (col("sx").cast("double") / col("n").cast("double")))
+          .as("intercept_micro"))
+  }
+
   /** Quality scoring: length/punctuation/stopword signals + composite. */
   def textQuality(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -4878,6 +4953,8 @@ object Corpus {
     "q_t28_mojibake" -> (mojibakeRepair _),
     "q_t29_nfc_normalize" -> (nfcNormalizeDocs _),
     "q_t30_code_detect" -> (codeDetect _),
+    "q_t31_chunk_overlap" -> (chunkWithOverlap _),
+    "q_t32_zipf_fit" -> (zipfFit _),
     "q_p16_epoch_repeat" -> (epochRepeat _),
     "q_p17_importance_resample" -> (importanceResample _),
     "q_tp15_ensemble_gate" -> (ensembleGate _),

@@ -2062,6 +2062,62 @@ object Oracle {
         |       COUNT(*) OVER (PARTITION BY md5(text_nfc)) AS n_forms
         |FROM nn ORDER BY doc_id""".stripMargin,
 
+    // Mirrors Corpus.chunkWithOverlap: identical integer chunk-count and
+    // offset arithmetic (W=64, stride=48), per-chunk md5 over the
+    // space-joined token slice.
+    "q_t31_chunk_overlap" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         regexp_extract_all(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\S+') AS toks
+        |  FROM documents),
+        |nz AS (SELECT doc_id, toks, len(toks) AS n FROM tk WHERE len(toks) > 0),
+        |ch AS (
+        |  SELECT doc_id, toks, n, CAST(i AS BIGINT) AS chunk_idx
+        |  FROM nz, unnest(generate_series(0,
+        |         CASE WHEN n <= 64 THEN 0 ELSE (n - 64 + 47) // 48 END)) AS g(i))
+        |SELECT doc_id, chunk_idx,
+        |       chunk_idx * 48 AS start_tok,
+        |       least(chunk_idx * 48 + 64, n) AS end_tok,
+        |       md5(array_to_string(
+        |         toks[CAST(chunk_idx * 48 + 1 AS INTEGER):CAST(least(chunk_idx * 48 + 64, n) AS INTEGER)],
+        |         ' ')) AS chunk_md5,
+        |       least(chunk_idx * 48 + 64, n) - chunk_idx * 48 AS n_tokens
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // Mirrors Corpus.zipfFit: same micro-log regression sums (exact
+    // int64), slope assembled from exact wide-integer products (HUGEINT
+    // here, DECIMAL(38,0) in the engine) and divided as double — both
+    // engines divide the identical integers, and the intercept reuses
+    // the named slope so the IEEE operation order matches.
+    "q_t32_zipf_fit" ->
+      """WITH tf AS (
+        |  SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(regexp_extract_all(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\S+')) AS t
+        |        FROM documents)
+        |  GROUP BY 1),
+        |top AS (
+        |  SELECT token, cnt FROM tf ORDER BY cnt DESC, token LIMIT 1000),
+        |rkd AS (
+        |  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rk FROM top),
+        |xy AS (
+        |  SELECT CAST(floor(ln(CAST(rk AS DOUBLE)) * 1.0E6) AS BIGINT) AS x,
+        |         CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1.0E6) AS BIGINT) AS y
+        |  FROM rkd),
+        |sums AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |         CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM xy),
+        |sl AS (
+        |  SELECT n, sx, sy,
+        |         CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        |           / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS slope
+        |  FROM sums)
+        |SELECT n AS n_ranks, slope,
+        |       (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        |         - slope * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS intercept_micro
+        |FROM sl""".stripMargin,
+
     // Mirrors Corpus.codeDetect: identical integer signal counts (the
     // fixtures carry real newlines/tabs — injected via chr() so the SQL
     // string needs no escape processing) and the same cross-multiplied
