@@ -3473,8 +3473,12 @@ object Corpus {
         .as("th"))
     keyed.crossJoin(broadcast(kth))
       .select(col("doc_id"), col("n_grams"), col("w_micro"), col("gumbel_key"),
-        (struct((-col("gumbel_key")).as("ng"), col("doc_id").as("kd"))
-          <= col("th")).as("selected"))
+        // coalesce: with k = 0 (corpus < 4 docs) the threshold aggregate
+        // is NULL and the comparison would propagate NULL where the
+        // oracle's rank form yields false
+        coalesce(
+          struct((-col("gumbel_key")).as("ng"), col("doc_id").as("kd"))
+            <= col("th"), lit(false)).as("selected"))
       .orderBy("doc_id")
   }
 
