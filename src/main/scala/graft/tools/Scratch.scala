@@ -340,7 +340,11 @@ object Scratch {
               .write.mode("overwrite").parquet(s"$vocabDir/documents.parquet")
           }
         }
-        for ((rounds, poolK) <- Seq((192, 2048))) {
+        val configs = sys.env.get("GRAFT_BPE32K") match {
+          case Some(_) => Seq((640, 2048)) // the full 32k-vocab trajectory
+          case None => Seq((192, 2048))
+        }
+        for ((rounds, poolK) <- configs) {
           val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
           val roundWalls = scala.collection.mutable.ArrayBuffer.empty[Double]
           val listener = new org.apache.spark.scheduler.SparkListener {
@@ -420,6 +424,11 @@ object Scratch {
           graft.queries.Corpus.all("q_p17_importance_resample")(spark, d))
         benchX("q_p17_importance_resample 10x")(
           graft.queries.Corpus.all("q_p17_importance_resample")(spark, dirX))
+        for (q <- Seq("q_t29_nfc_normalize", "q_t30_code_detect",
+            "q_t31_chunk_overlap", "q_t32_zipf_fit")) {
+          benchX(s"$q sf0.1")(graft.queries.Corpus.all(q)(spark, d))
+          benchX(s"$q 10x")(graft.queries.Corpus.all(q)(spark, dirX))
+        }
 
       case "t25skew" =>
         // URL-layer hot-key evidence (the q_t23b experiment for t25b): a
