@@ -2378,10 +2378,13 @@ object Corpus {
     * boundary-spanning facts retrievable). Chunk COUNT and offsets are
     * pure integer arithmetic (`(n − W + stride − 1) DIV stride + 1` for
     * n > W, else 1), the per-chunk text is one array slice, and its md5
-    * is the integrity key an index stores — all map-side, no shuffle
-    * anywhere (the explode multiplies rows ~n/stride-fold, which IS the
-    * output). Short docs yield one whole-doc chunk; empty docs yield
-    * none. */
+    * is the integrity key an index stores. The CHUNKING COMPUTE is
+    * entirely map-side (the explode multiplies rows ~n/stride-fold,
+    * which IS the output); the only exchange in the plan is the final
+    * deterministic-output orderBy — a consumer that doesn't need global
+    * order (an index writer partitioned by doc) drops it and the query
+    * is genuinely shuffle-free. Short docs yield one whole-doc chunk;
+    * empty docs yield none. */
   def chunkWithOverlap(s: SparkSession, d: String): DataFrame = {
     val (w, stride) = (64, 48)
     val toks = TextFunctions.tokens(TextFunctions.normText(col("text")))

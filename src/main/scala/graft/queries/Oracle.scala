@@ -430,9 +430,9 @@ object Oracle {
        |  lower(regexp_extract($u1, '^[^/?#]*//[^/?#]*')),
        |  '^(https://[^:]*):443$$', '\\1'), '^(http://[^:]*):80$$', '\\1')
        ||| regexp_replace(regexp_replace(
-       |     regexp_replace(regexp_replace($u1, '^[^/?#]*//[^/?#]*', ''), '\\?.*$$', ''),
+       |     regexp_replace(regexp_replace($u1, '^[^/?#]*//[^/?#]*', ''), '(?s)\\?.*$$', ''),
        |     '//+', '/', 'g'), '/+$$', '')
-       ||| regexp_extract(regexp_replace($u1, '^[^/?#]*//[^/?#]*', ''), '(\\?.*)$$', 1)""".stripMargin.replace("\n", " ")
+       ||| regexp_extract(regexp_replace($u1, '^[^/?#]*//[^/?#]*', ''), '(?s)(\\?.*)$$', 1)""".stripMargin.replace("\n", " ")
 
   /** q_g1: replay [[graft.operators.Graph.pageRank]]'s integer-exact
     * rounds as unrolled CTEs (the q_t18 round-replay discipline lifted to
@@ -936,6 +936,18 @@ object Oracle {
         |  SELECT reach.id, e.t AS r FROM reach JOIN e ON e.s = reach.r)
         |SELECT CAST(id AS BIGINT) AS id, CAST(MIN(r) AS BIGINT) AS label
         |FROM reach GROUP BY id ORDER BY id""".stripMargin
+
+  /** The engine tokenizer mirrored in SQL (TextFunctions.tokens ∘
+    * normText over column `c`) — the single definition NEW queries
+    * interpolate. ~15 pre-round-9 copies remain inline: they are green
+    * and frozen, and converting their quoting contexts (plain vs
+    * s-interpolated triple-quoted strings process `\\` and `$`
+    * differently) risks silent escape corruption for zero behavior
+    * change — the engine tokenizer itself is contractually fixed
+    * (\S+ runs over lower/trim/ws-collapse), so drift pressure on the
+    * old copies is nil. */
+  private def toksSql(c: String): String =
+    s"regexp_extract_all(regexp_replace(lower(trim($c)), '\\s+', ' ', 'g'), '\\S+')"
 
   /** q_dd11/q_dd12: the shared fuzzy-dedup CTE chain — corpus + planted
     * near-clones, shingles, portable universal-hash minwise signatures
@@ -1904,9 +1916,9 @@ object Oracle {
     // via a rank window; the engine via the broadcast k-th-key threshold
     // — identical sets under the (key desc, doc_id asc) total order.
     "q_p17_importance_resample" ->
-      """WITH tk AS (
+      s"""WITH tk AS (
         |  SELECT doc_id, source,
-        |         regexp_extract_all(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\S+') AS toks
+        |         ${toksSql("text")} AS toks
         |  FROM documents),
         |uni AS (SELECT doc_id, source, unnest(toks) AS gram FROM tk),
         |bi AS (
@@ -2066,9 +2078,9 @@ object Oracle {
     // offset arithmetic (W=64, stride=48), per-chunk md5 over the
     // space-joined token slice.
     "q_t31_chunk_overlap" ->
-      """WITH tk AS (
+      s"""WITH tk AS (
         |  SELECT doc_id,
-        |         regexp_extract_all(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\S+') AS toks
+        |         ${toksSql("text")} AS toks
         |  FROM documents),
         |nz AS (SELECT doc_id, toks, len(toks) AS n FROM tk WHERE len(toks) > 0),
         |ch AS (
@@ -2090,9 +2102,9 @@ object Oracle {
     // engines divide the identical integers, and the intercept reuses
     // the named slope so the IEEE operation order matches.
     "q_t32_zipf_fit" ->
-      """WITH tf AS (
+      s"""WITH tf AS (
         |  SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS cnt
-        |  FROM (SELECT unnest(regexp_extract_all(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\S+')) AS t
+        |  FROM (SELECT unnest(${toksSql("text")}) AS t
         |        FROM documents)
         |  GROUP BY 1),
         |top AS (
@@ -2138,9 +2150,9 @@ object Oracle {
          |         CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
          |         CAST(len(regexp_extract_all(text, '(?m)^(    |\\t)')) AS BIGINT) AS n_indent_lines,
          |         CAST(len(regexp_extract_all(text, '(?m)[;{}][ \\t]*$$')) AS BIGINT) AS n_punct_lines,
-         |         CAST(len(list_filter(regexp_extract_all(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), '\\S+'),
+         |         CAST(len(list_filter(${toksSql("text")},
          |                              x -> list_contains($kwList, x))) AS BIGINT) AS n_kw,
-         |         CAST(len(regexp_extract_all(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), '\\S+')) AS BIGINT) AS n_words
+         |         CAST(len(${toksSql("text")}) AS BIGINT) AS n_words
          |  FROM cd)
          |SELECT doc_id, n_lines, n_indent_lines, n_punct_lines, n_kw, n_words,
          |       (n_indent_lines * 10 >= n_lines * 3

@@ -118,12 +118,16 @@ object TextFunctions {
     // slash normalization applies to the PATH only: a query value like
     // '?next=//x/' is opaque data — collapsing or stripping slashes inside
     // it would falsely collide distinct resources (the same invariant as
-    // the case rule above)
+    // the case rule above). The query split is (?s)-DOTALL so "first '?'
+    // to end of TEXT" means the same thing in Java regex and RE2: a bare
+    // `.*$` would stop at a trailing newline in Java ($ matches before a
+    // final line terminator) but not in RE2, silently reordering bytes of
+    // newline-bearing URLs between the two engines.
     val rest = regexp_replace(noUtm, "^[^/?#]*//[^/?#]*", "")
     val path = regexp_replace(
-      regexp_replace(regexp_replace(rest, "\\?.*$", ""), "//+", "/"),
+      regexp_replace(regexp_replace(rest, "(?s)\\?.*$", ""), "//+", "/"),
       "/+$", "")
-    val query = regexp_extract(rest, "(\\?.*)$", 1)
+    val query = regexp_extract(rest, "(?s)(\\?.*)$", 1)
     concat(prefix, path, query)
   }
 

@@ -322,7 +322,7 @@ class ExtendedOpsSpec extends SparkSpec {
         assert(end > start && end - start <= 64L, s"doc $doc chunk $i width")
       }
       // gapless: every next chunk starts inside the previous one (16-token
-      // overlap), and the final chunk reaches the document end exactly
+      // overlap)
       sorted.sliding(2).foreach {
         case Array((_, _, _, e1), (_, _, s2, _)) => assert(s2 < e1)
         case _ =>
@@ -330,6 +330,21 @@ class ExtendedOpsSpec extends SparkSpec {
       val n = sorted.last._4
       if (sorted.length > 1) assert(n > 64L) // multi-chunk docs exceed one window
     }
+    // the final chunk reaches the document end EXACTLY: compare each doc's
+    // last end_tok against an independently computed token count — an
+    // nChunks undercount would satisfy every structural assertion above
+    // while silently leaving the tail of long documents unchunked
+    val nTokens = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(graft.text.TextFunctions.tokens(
+          graft.text.TextFunctions.normText(col("text")))).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byDoc.foreach { case (doc, chunks) =>
+      assert(chunks.maxBy(_._2)._4 === nTokens(doc),
+        s"doc $doc: last chunk must end at the token count")
+    }
+    // and every nonempty doc is chunked at all
+    assert(byDoc.keySet === nTokens.filter(_._2 > 0).keySet)
   }
 
   test("code detection: planted code flags, prose and the whole corpus stay clean") {
