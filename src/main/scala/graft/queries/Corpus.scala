@@ -3848,6 +3848,49 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** DD13: LSH RECALL/PRECISION EVALUATION — the measurement every
+    * banded-sketch deployment owes its operators: ground truth = ALL
+    * pairs with exact full-set Jaccard ≥ 0.5 (the integer
+    * cross-multiplied form 3·n_common ≥ n1 + n2, computed over the
+    * shingle inverted index — never all-pairs), candidates = the
+    * portable MinHash banding (q_dd11's generator), and one metrics row:
+    * truth/candidate/hit counts plus recall and precision as IEEE
+    * divisions of exact integers. Both sides replay in SQL, so the
+    * sketch's QUALITY — not just its candidate set — is oracle-gated;
+    * tune bands/hashes and this row moves hash-exactly in both engines. */
+  def lshRecallEval(s: SparkSession, d: String): DataFrame = {
+    val prepped = fuzzyDocs(s, d)
+      .withColumn("shingles",
+        TextFunctions.wordShingles(
+          TextFunctions.tokens(TextFunctions.normText(col("text"))), 3))
+      .select("doc_id", "shingles")
+      .localCheckpoint(true)
+    val cand = Dedup.portableMinhashCandidatesShingled(
+      prepped.select(col("doc_id").as("doc"), col("shingles")),
+      numHashes = 16, bands = 4, maxBucket = 100)
+      .localCheckpoint(true)
+    val sh = prepped.select(col("doc_id").as("doc"), explode(col("shingles")).as("shingle"))
+    val cnt = sh.groupBy("doc").agg(count(lit(1)).as("nsh"))
+    val ip = sh.toDF("id1", "shingle")
+      .join(sh.toDF("id2", "shingle_r"),
+        col("shingle") === col("shingle_r") && col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("nc"))
+    val truth = ip
+      .join(cnt.toDF("id1", "n1"), "id1")
+      .join(cnt.toDF("id2", "n2"), "id2")
+      .filter(col("nc") * 3 >= col("n1") + col("n2"))
+      .select("id1", "id2")
+      .localCheckpoint(true)
+    val hits = truth.join(cand, Seq("id1", "id2"), "left_semi")
+    val agg = truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+    agg.select(
+      col("n_truth"), col("n_candidates"), col("n_hits"),
+      (col("n_hits").cast("double") / col("n_truth").cast("double")).as("recall"),
+      (col("n_hits").cast("double") / col("n_candidates").cast("double")).as("precision"))
+  }
+
   /** MinHash+LSH near-dup pairs (murmur3 signatures — rows-only check). */
   def minhashPairs(s: SparkSession, d: String): DataFrame =
     Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
@@ -5048,6 +5091,7 @@ object Corpus {
     "q_dd7_edit_verify" -> (editDistanceVerify _),
     "q_dd11_fuzzy_pipeline" -> (fuzzyDedupPipeline _),
     "q_dd12_fuzzy_clusters" -> (fuzzyDedupClusters _),
+    "q_dd13_lsh_recall" -> (lshRecallEval _),
     "q_j8_bucketed_join" -> (bucketedOrdersJoin _),
     "q_j9_shuffle_hash" -> (joinShuffleHash _),
     "q_j13_bloom_join" -> (bloomPrunedJoin _),

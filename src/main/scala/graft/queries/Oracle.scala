@@ -2966,6 +2966,30 @@ object Oracle {
         |        AND edit_ratio <= 0.2) AS is_dup
         |FROM scored ORDER BY id1, id2""".stripMargin,
 
+    // Mirrors Corpus.lshRecallEval: ground truth from the same shingle
+    // index (integer cross-multiplied Jaccard >= 0.5), candidates from
+    // the shared banding CTEs, one metrics row with IEEE divisions of
+    // exact integers.
+    "q_dd13_lsh_recall" ->
+      s"""WITH $fuzzyPairCtes,
+        |truth AS (
+        |  SELECT i.id1, i.id2
+        |  FROM ip i
+        |  JOIN cnt a ON a.doc_id = i.id1
+        |  JOIN cnt b ON b.doc_id = i.id2
+        |  WHERE i.nc * 3 >= a.nsh + b.nsh),
+        |hits AS (
+        |  SELECT t.id1, t.id2 FROM truth t
+        |  JOIN cand c ON c.id1 = t.id1 AND c.id2 = t.id2),
+        |m AS (
+        |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+        |         (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+        |         (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS n_hits)
+        |SELECT n_truth, n_candidates, n_hits,
+        |       CAST(n_hits AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall,
+        |       CAST(n_hits AS DOUBLE) / CAST(n_candidates AS DOUBLE) AS "precision"
+        |FROM m""".stripMargin,
+
     // Mirrors Corpus.fuzzyDedupClusters: the q_dd11 verified pairs closed
     // into clusters — the engine's iterative min-label CC vs the oracle's
     // recursive-CTE transitive closure, one hash-gated keep list.

@@ -299,6 +299,20 @@ class TextDedupSpec extends SparkSpec {
     assert(planted.exists(_._6), "no planted pair passed the verify gate")
   }
 
+  test("lsh recall eval q_dd13: consistent counts, high recall on planted structure") {
+    val r = graft.queries.Corpus.all("q_dd13_lsh_recall")(spark, "/root/testdata/sf0.001")
+      .head()
+    val (nTruth, nCand, nHits) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val (recall, precision) = (r.getDouble(3), r.getDouble(4))
+    assert(nHits <= math.min(nTruth, nCand))
+    assert(recall === nHits.toDouble / nTruth)
+    assert(precision === nHits.toDouble / nCand)
+    // the planted near-clones guarantee a populated truth set, and a
+    // 16-hash/4-band sketch at Jaccard >= 0.5 must catch most of it
+    assert(nTruth >= 60L, s"truth set too small: $nTruth")
+    assert(recall > 0.8, s"recall $recall")
+  }
+
   test("fuzzy capstone q_dd12: clone clusters resolve to the base keeper") {
     val d = "/root/testdata/sf0.001"
     val pairs = graft.queries.Corpus.all("q_dd11_fuzzy_pipeline")(spark, d)
