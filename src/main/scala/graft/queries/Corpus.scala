@@ -3238,6 +3238,41 @@ object Corpus {
   def shardManifest(s: SparkSession, d: String): DataFrame =
     manifestOf(Tables.documents(s, d)).orderBy("shard")
 
+  /** S15: MANIFEST DIFF BETWEEN DATASET VERSIONS — the consumer-side
+    * validation of publishing: given v1's manifest and v2's (v2
+    * synthesized deterministically: every doc_id % 97 == 0 gets an
+    * ' updated-v2' suffix, and the first 10 docs arrive again as new ids
+    * +5000000), report per shard what changed — doc/char/token deltas
+    * and whether the content checksum moved. The checksums make the diff
+    * TRUSTWORTHY without any row comparison: a shard whose counts match
+    * but whose checksum differs still flags (content edits that preserve
+    * sizes — the case count-only validation silently passes). Cost: two
+    * manifest aggregates + an 8x8 join, independent of dataset size. */
+  def manifestDiff(s: SparkSession, d: String): DataFrame = {
+    val v1 = Tables.documents(s, d).select("doc_id", "text")
+    val v2 = v1
+      .withColumn("text",
+        when(col("doc_id") % 97 === 0, concat(col("text"), lit(" updated-v2")))
+          .otherwise(col("text")))
+      .unionByName(v1.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("text")))
+    val m1 = manifestOf(v1)
+    val m2 = manifestOf(v2)
+    m1.as("a").join(m2.as("b"), col("a.shard") === col("b.shard"), "full")
+      .select(
+        coalesce(col("a.shard"), col("b.shard")).as("shard"),
+        coalesce(col("a.n_docs"), lit(0L)).as("n_docs_v1"),
+        coalesce(col("b.n_docs"), lit(0L)).as("n_docs_v2"),
+        (coalesce(col("b.n_docs"), lit(0L)) - coalesce(col("a.n_docs"), lit(0L)))
+          .as("delta_docs"),
+        (coalesce(col("b.n_chars"), lit(0L)) - coalesce(col("a.n_chars"), lit(0L)))
+          .as("delta_chars"),
+        (coalesce(col("b.n_tokens"), lit(0L)) - coalesce(col("a.n_tokens"), lit(0L)))
+          .as("delta_tokens"),
+        (!(col("a.checksum") <=> col("b.checksum"))).as("changed"))
+      .orderBy("shard")
+  }
+
   /** S14: INCREMENTAL MANIFEST MAINTENANCE — when a new batch lands, the
     * published manifest updates by MERGING the batch's partial manifest
     * into the existing one (sums add, id ranges min/max-combine, the
@@ -5016,6 +5051,7 @@ object Corpus {
     "q_g3_rank_convergence" -> (pageRankConvergence _),
     "q_s13_shard_manifest" -> (shardManifest _),
     "q_s14_incr_manifest" -> (incrementalManifest _),
+    "q_s15_manifest_diff" -> (manifestDiff _),
     "q_e15_stream_manifest" -> (streamedManifest _),
     "q_tp12_crawl_pipeline" -> (crawlPipeline _),
     "q_tp13_decontam_scrub" -> (decontamScrub _),

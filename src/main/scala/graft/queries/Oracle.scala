@@ -1819,6 +1819,41 @@ object Oracle {
     // commutative per-shard checksum. q_s14 (merge of base+delta partial
     // manifests) is algebraically identical, so it shares this oracle.
     "q_s14_incr_manifest" -> shardManifestSql,
+
+    // Mirrors Corpus.manifestDiff: identical v2 synthesis (%97 update
+    // suffix + 10 re-arrived docs at +5000000 with their ORIGINAL text),
+    // the same manifest aggregates per version, full-outer diff.
+    "q_s15_manifest_diff" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 97 = 0 THEN text || ' updated-v2' ELSE text END AS text
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 5000000, text FROM documents WHERE doc_id < 10),
+        |m1 AS (
+        |  SELECT CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS INTEGER) AS shard,
+        |         CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS n_chars,
+        |         CAST(SUM(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)) AS BIGINT) AS n_tokens,
+        |         CAST(SUM(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '|' || md5(text)), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum
+        |  FROM v1 GROUP BY 1),
+        |m2 AS (
+        |  SELECT CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS INTEGER) AS shard,
+        |         CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS n_chars,
+        |         CAST(SUM(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)) AS BIGINT) AS n_tokens,
+        |         CAST(SUM(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '|' || md5(text)), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum
+        |  FROM v2 GROUP BY 1)
+        |SELECT COALESCE(a.shard, b.shard) AS shard,
+        |       COALESCE(a.n_docs, 0) AS n_docs_v1,
+        |       COALESCE(b.n_docs, 0) AS n_docs_v2,
+        |       COALESCE(b.n_docs, 0) - COALESCE(a.n_docs, 0) AS delta_docs,
+        |       COALESCE(b.n_chars, 0) - COALESCE(a.n_chars, 0) AS delta_chars,
+        |       COALESCE(b.n_tokens, 0) - COALESCE(a.n_tokens, 0) AS delta_tokens,
+        |       (a.checksum IS DISTINCT FROM b.checksum) AS changed
+        |FROM m1 a FULL JOIN m2 b ON a.shard = b.shard
+        |ORDER BY shard""".stripMargin,
     "q_e15_stream_manifest" -> shardManifestSql,
     "q_s13_shard_manifest" -> shardManifestSql,
 

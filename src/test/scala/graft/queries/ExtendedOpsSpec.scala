@@ -356,6 +356,26 @@ class ExtendedOpsSpec extends SparkSpec {
     assert(flagged === Set(4980000L, 4980001L))
   }
 
+  test("manifest diff: every shard flags changed, count-preserving edits caught by checksum") {
+    val rows = Corpus.all("q_s15_manifest_diff")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    assert(rows.map(_._1).toSeq === (0 until 8))
+    // 10 re-arrived docs spread over shards; total doc delta is exactly 10
+    assert(rows.map(_._4).sum === 10L)
+    // the %97 updates touch every shard's content at sf scale — and in
+    // particular SOME shard must flag with delta_docs == 0 (the
+    // count-preserving edit only the checksum catches)
+    assert(rows.forall(_._7))
+    assert(rows.exists(r => r._4 === 0L && r._7),
+      "expected a changed shard with zero doc delta")
+    // char deltas are consistent with ' updated-v2' suffixes (11 chars
+    // per updated doc) plus the re-arrived docs' full lengths
+    rows.foreach { case (_, _, _, dd, dc, dt, _) =>
+      assert(dc > 0L && dt > 0L && dd >= 0L)
+    }
+  }
+
   test("importance resampling: exactly n/4 selected, tilted toward the target sources") {
     val docs = Tables.documents(spark, sf).select("doc_id", "source")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
