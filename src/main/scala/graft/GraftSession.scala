@@ -26,9 +26,10 @@ object GraftSession {
       // on genuinely hot keys while leaving balanced plans untouched;
       // splits aim at the 64MB advisory target, i.e. executor-memory-
       // bounded tasks — the same knob a 100 TB deployment sizes to its
-      // executors.
+      // executors. Factor default "5" (not "5.0"): the conf was intConf
+      // before Spark 3.5 and "5" parses under both readers.
       .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", sys.env.getOrElse("GRAFT_SKEW_THR", "64m"))
-      .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", sys.env.getOrElse("GRAFT_SKEW_FACTOR", "5.0"))
+      .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", sys.env.getOrElse("GRAFT_SKEW_FACTOR", "5"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // The reference ran Spark 3.5 (pre-ANSI default): APE = abs_err/actual

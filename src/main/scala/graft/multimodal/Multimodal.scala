@@ -406,6 +406,71 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Clip fixture keyed by an EXPLICIT (doc_id, seed) frame — the video
+    * sibling of [[toPngBlobsSeeded]]: different rows carrying the same seed
+    * carry byte-identical clips under different ids (the planted-clone
+    * construction for video content dedup). */
+  def toVideoBlobsSeeded(spark: SparkSession, idSeed: DataFrame): DataFrame = {
+    import spark.implicits._
+    idSeed.select(col("doc_id").cast("long"), col("seed").cast("long"))
+      .as[(Long, Long)].mapPartitions { it =>
+        it.map { case (id, seed) => Blob(id, gvidBytes(seed), "video/x-gvid") }
+      }.toDF()
+  }
+
+  case class VideoSig(doc_id: Long, n_frames: Int, sig: String)
+
+  /** Video CONTENT fingerprint: demux the container, decode the ≤`maxFrames`
+    * evenly-spaced sampled frames (the [[demuxVideo]] sampling rule, indices
+    * i·n/k with k = min(n, maxFrames)), reduce each frame to its 64-bit
+    * average-hash (the [[imageAHash]] grid: 8×8 nearest-neighbor sample,
+    * integer gray = (r+g+b)/3, floor-mean threshold), and concatenate
+    * "n:hash|hash|…" in frame order. Integer-only arithmetic end to end, so
+    * the signature is bit-reproducible from the fixture pixel formulas —
+    * re-encoded copies of the same content collapse to one key. The per-row
+    * decode cost is bounded by maxFrames (one long clip cannot blow up a
+    * task), and everything downstream shuffles only (doc_id, sig) — never
+    * frame bytes. */
+  def videoFingerprint(
+      spark: SparkSession,
+      blobs: DataFrame,
+      maxFrames: Int = 3): Dataset[VideoSig] = {
+    import spark.implicits._
+    blobs.as[Blob].mapPartitions { it =>
+      it.map { b =>
+        val bb = java.nio.ByteBuffer.wrap(b.content).order(java.nio.ByteOrder.BIG_ENDIAN)
+        val magic = new Array[Byte](4)
+        bb.get(magic)
+        require(new String(magic, "US-ASCII") == "GVID", s"bad container for doc ${b.doc_id}")
+        bb.getInt // fps — timing is irrelevant to content identity
+        val n = bb.getInt
+        val offsets = new Array[(Int, Int)](n)
+        var i = 0
+        while (i < n) {
+          val len = bb.getInt
+          offsets(i) = (bb.position(), len)
+          bb.position(bb.position() + len)
+          i += 1
+        }
+        val k = math.min(n, maxFrames)
+        val hashes = (0 until k).map { j =>
+          val (off, len) = offsets(j * n / k)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(b.content, off, len))
+          require(img != null, s"undecodable frame ${j * n / k} of doc ${b.doc_id}")
+          val (w, h) = (img.getWidth, img.getHeight)
+          val grays = for (gy <- 0 until 8; gx <- 0 until 8) yield {
+            val v = img.getRGB(gx * w / 8, gy * h / 8)
+            (((v >> 16) & 0xff) + ((v >> 8) & 0xff) + (v & 0xff)) / 3
+          }
+          val mean = grays.sum / 64
+          grays.map(g => if (g > mean) '1' else '0').mkString
+        }
+        VideoSig(b.doc_id, n, s"$n:${hashes.mkString("|")}")
+      }
+    }
+  }
+
   /** REAL video demux + frame decode: parse the container header, seek
     * through the length-prefixed frame table, decode at most `maxFrames`
     * evenly-spaced frames (indices i·n/k, k = min(n, maxFrames)) and reduce

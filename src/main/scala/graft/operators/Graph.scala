@@ -133,7 +133,16 @@ object Graph {
     * shrink `scale` (or pre-normalize weights) for heavier multigraphs.
     *
     * Returns (node, rank, out_w, in_w) — rank after `rounds` rounds,
-    * plus total out/in edge weight (0 for pure sinks/sources). */
+    * plus total out/in edge weight (0 for pure sinks/sources).
+    *
+    * EAGER: the round loop runs on call, and the result is materialized
+    * (localCheckpoint / checkpoint) before the per-round tables are
+    * released — so the returned frame is a computed table, not a lazy
+    * plan. This is intentional: an iterative operator's lineage is
+    * rounds deep, and a lazy return would recompute the whole iteration
+    * from source on the caller's first action after `release()`. Callers
+    * composing further plans pay the result's (bounded, node-count-sized)
+    * storage, never a re-iteration. */
   def pageRank(
       edges: DataFrame,
       srcCol: String,
@@ -178,7 +187,13 @@ object Graph {
     * Overflow headroom: values ≤ scale and ra ≤ scale·Σw, so the rescale
     * product needs scale²·Σw < 2^63 — the default 10^6 leaves room for
     * total edge weight up to ~9·10^6; shrink `scale` for heavier graphs
-    * (precision is 1/scale of the score mass, ample for gating). */
+    * (precision is 1/scale of the score mass, ample for gating). The
+    * bound is ENFORCED at entry (one scalar aggregate over the persisted
+    * edge table): Spark's long sums wrap silently with ANSI off while
+    * DuckDB's SUM promotes to HUGEINT, so an oversized graph would
+    * otherwise diverge from the oracle without an error — this is the
+    * exact int64-vs-HUGEINT failure class the round-8 dtype gate exists
+    * for, made loud instead of silent. */
   def hits(
       edges: DataFrame,
       srcCol: String,
@@ -198,6 +213,14 @@ object Graph {
       .union(e.select(col("dst").as("node")))
       .distinct().persist()
     require(!nodes.isEmpty, "hits needs a non-empty edge set")
+    // Enforce the documented scale²·Σw < 2^63 headroom (scaladoc above) —
+    // one cheap agg over the already-persisted edges; fail loudly rather
+    // than let the per-round hub·w sums wrap.
+    val totalW = e.agg(coalesce(sum("w"), lit(0L))).head.getLong(0)
+    require(totalW <= Long.MaxValue / scale / scale,
+      s"hits overflow: total edge weight $totalW exceeds 2^63/scale² = " +
+        s"${Long.MaxValue / scale / scale} at scale=$scale — pass a smaller " +
+        "scale (precision 1/scale) or pre-normalize weights")
     var h = nodes.select(col("node"), lit(scale).as("hub"))
     var a: DataFrame = null
     for (_ <- 1 to rounds) {

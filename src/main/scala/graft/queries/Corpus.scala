@@ -2845,7 +2845,11 @@ object Corpus {
     Seq(
       (4980000L, "def main(args):\n    x = load(args)\n    for row in x:\n        print(row)\n    return x"),
       (4980001L, "int main() {\n  int x = 0;\n  while (x < 10) { x = x + 1; }\n  return x;\n}"),
-      (4980002L, "the traveler chose to return home before dark and wrote a long letter about the journey across the hills and the quiet villages that lined the road"))
+      (4980002L, "the traveler chose to return home before dark and wrote a long letter about the journey across the hills and the quiet villages that lined the road"),
+      // CRLF sample: pins the \r?$ anchor — Java MULTILINE $ matches
+      // before \r\n, RE2 only before \n, so without the optional \r this
+      // document's n_punct_lines (4) would diverge between engines.
+      (4980003L, "struct point {\r\n  int x;\r\n  int y;\r\n};\r\nstruct point origin\r\n"))
       .toDF("doc_id", "text")
   }
 
@@ -2875,7 +2879,10 @@ object Corpus {
         size(split(col("text"), "\n")).cast("long").as("n_lines"),
         size(regexp_extract_all(col("text"), lit("(?m)^(    |\\t)"), lit(0)))
           .cast("long").as("n_indent_lines"),
-        size(regexp_extract_all(col("text"), lit("(?m)[;{}][ \\t]*$"), lit(0)))
+        // \r? before the anchor: Java MULTILINE $ matches before \r\n but
+        // RE2 (the DuckDB oracle) only before \n — the optional \r makes
+        // the line anchor engine-invariant on CRLF text (mirrored in SQL).
+        size(regexp_extract_all(col("text"), lit("(?m)[;{}][ \\t]*\\r?$"), lit(0)))
           .cast("long").as("n_punct_lines"),
         element_at(graft.functions.GraftFunctions.listHits(toks, Seq(CodeKeywords)), 1)
           .cast("long").as("n_kw"),
@@ -3884,16 +3891,33 @@ object Corpus {
   }
 
   /** DD13: LSH RECALL/PRECISION EVALUATION — the measurement every
-    * banded-sketch deployment owes its operators: ground truth = ALL
-    * pairs with exact full-set Jaccard ≥ 0.5 (the integer
-    * cross-multiplied form 3·n_common ≥ n1 + n2, computed over the
-    * shingle inverted index — never all-pairs), candidates = the
-    * portable MinHash banding (q_dd11's generator), and one metrics row:
-    * truth/candidate/hit counts plus recall and precision as IEEE
-    * divisions of exact integers. Both sides replay in SQL, so the
+    * banded-sketch deployment owes its operators: ground truth = the
+    * pairs with exact Jaccard ≥ 0.5 over the DF-CAPPED shingle universe
+    * (the integer cross-multiplied form 3·n_common ≥ n1 + n2, computed
+    * over a document-frequency-capped inverted index — never all-pairs),
+    * candidates = the portable MinHash banding (q_dd11's generator), and
+    * one metrics row: truth/candidate/hit counts plus recall and
+    * precision as IEEE divisions of exact integers.
+    *
+    * The df cap (the [[Dedup.jaccardPairs]] guard, same default 1000) is
+    * what makes a recall BASELINE computable at scale: an uncapped
+    * shingle self-join expands a shingle shared by m docs into m² pairs —
+    * a stopword 3-gram with df in the millions is quadratic death on
+    * natural text. Dropping shingles hotter than the cap before the pair
+    * expansion bounds every posting list at df≤cap, so index work is
+    * O(Σ df²) with df capped — linear-ish in corpus size. The truth set
+    * is then "Jaccard of the informative (sub-cap) shingles ≥ 0.5":
+    * dropped shingles vanish from numerator and denominator alike, so the
+    * score is self-consistent, and since hot shingles are precisely the
+    * ones carrying no pair-discriminating signal, the capped truth set is
+    * the meaningful recall denominator (at web scale, the only computable
+    * one). At this fixture's scale no shingle reaches the cap, so the
+    * capped truth set ≡ the full-set truth set and the measured
+    * 96.7%/100% quality is unchanged. Both sides replay in SQL, so the
     * sketch's QUALITY — not just its candidate set — is oracle-gated;
     * tune bands/hashes and this row moves hash-exactly in both engines. */
   def lshRecallEval(s: SparkSession, d: String): DataFrame = {
+    val maxShingleDf = 1000
     val prepped = fuzzyDocs(s, d)
       .withColumn("shingles",
         TextFunctions.wordShingles(
@@ -3904,10 +3928,14 @@ object Corpus {
       prepped.select(col("doc_id").as("doc"), col("shingles")),
       numHashes = 16, bands = 4, maxBucket = 100)
       .localCheckpoint(true)
-    val sh = prepped.select(col("doc_id").as("doc"), explode(col("shingles")).as("shingle"))
+    val shAll = prepped.select(col("doc_id").as("doc"), explode(col("shingles")).as("shingle"))
+    val hot = shAll.groupBy("shingle").count()
+      .filter(col("count") > maxShingleDf).select("shingle")
+    val sh = shAll.join(hot, Seq("shingle"), "left_anti").localCheckpoint(true)
     val cnt = sh.groupBy("doc").agg(count(lit(1)).as("nsh"))
-    val ip = sh.toDF("id1", "shingle")
-      .join(sh.toDF("id2", "shingle_r"),
+    val base = sh.select("doc", "shingle")
+    val ip = base.toDF("id1", "shingle")
+      .join(base.toDF("id2", "shingle_r"),
         col("shingle") === col("shingle_r") && col("id1") < col("id2"))
       .groupBy("id1", "id2").agg(count(lit(1)).as("nc"))
     val truth = ip
@@ -4481,11 +4509,13 @@ object Corpus {
     * corpus's best natural cosine is ≈ 0.51 (sf0.01) / 0.60 (sf0.1) — so the
     * (cosine DESC, vec_id ASC) top-20 is exactly {0} ∪ {1000000..1000018}.
     * The cosine value itself is engine-internal fp → dropped from outputs. */
+  private def queryClones(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") === 0)
+      .select(explode(sequence(lit(1000000L), lit(1000024L))).as("vec_id"),
+        col("embedding"))
+
   private def withQueryClones(emb: DataFrame): DataFrame =
-    emb.unionByName(
-      emb.filter(col("vec_id") === 0)
-        .select(explode(sequence(lit(1000000L), lit(1000024L))).as("vec_id"),
-          col("embedding")))
+    emb.unionByName(queryClones(emb))
 
   /** LSH-bucketed ANN top-20 over the clone-injected corpus (fused-loop
     * cosine rerank) — a real recall oracle, not a rows-only check: the LSH
@@ -4519,6 +4549,38 @@ object Corpus {
       queryVector(s, d), 20, nprobe = 6)
       .select("vec_id")
   }
+
+  /** ANN9: INCREMENTAL IVF MAINTENANCE — closes the index-serving story
+    * the cross-batch dedup store (q_dd9) opened: the corpus arrives in TWO
+    * batches. The quantizer is fit ONCE on the base batch and then FROZEN;
+    * the delta batch (a third of the natural corpus + all 25 planted query
+    * clones) is assigned to the frozen centroids map-side and APPENDED
+    * into the existing cell-partitioned layout ([[Ivf.appendPartitioned]])
+    * — no refit, no shuffle of the resident corpus, no rebuild. The probe
+    * then serves from the merged layout exactly as q_ann3 does (partition-
+    * pruned nprobe scan + exact rerank) and must surface every planted
+    * clone even though ALL of them arrived in the delta — recall through
+    * the incremental path is the oracle. Cell identity is a pure function
+    * of (vector, frozen centroids), so incremental ≡ from-scratch over the
+    * union; AnnSpec asserts the per-cell row sets are identical. */
+  def annIvfIncrementalTopK(s: SparkSession, d: String): DataFrame = {
+    val (index, path) = ivfIncCache.getOrElseUpdate((s, d), {
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val base = emb.filter(pmod(col("vec_id"), lit(3)) =!= 1)
+      val delta = emb.filter(pmod(col("vec_id"), lit(3)) === 1)
+        .unionByName(queryClones(emb))
+      val idx = Ivf.fit(base, "embedding", nlist = 16)
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivf-inc").toString
+      Ivf.writePartitioned(base, "embedding", idx, dir)
+      Ivf.appendPartitioned(delta, "embedding", idx, dir)
+      (idx, dir)
+    })
+    Ivf.topKPartitioned(s, path, "vec_id", "embedding", index,
+      queryVector(s, d), 20, nprobe = 6)
+      .select("vec_id")
+  }
+
+  private val ivfIncCache = TrieMap.empty[(SparkSession, String), (Ivf.Index, String)]
 
   /** ANN6: HARD-NEGATIVE MINING — for each of the first 100 anchors, the
     * most similar same-label vector (the positive) and the most similar
@@ -4760,6 +4822,35 @@ object Corpus {
     Multimodal.demuxVideo(s,
       cachedBlobs(s, d, "gvid")(Multimodal.toVideoBlobs(s, Tables.documents(s, d))))
       .orderBy("doc_id", "frame_idx").toDF()
+
+  /** MM11: VIDEO CONTENT DEDUP — completes the image (q_mm7) / audio
+    * (q_mm8) / video modality triple: every GVID clip is REALLY demuxed
+    * (container parse + length-prefixed frame seeks) and its sampled
+    * frames REALLY decoded (javax.imageio), each reduced to the q_mm7
+    * 64-bit average-hash; the per-clip signature is frame count + the
+    * frame hashes in sample order ([[Multimodal.videoFingerprint]]).
+    * Clips sharing the signature collapse to the lowest doc_id (the
+    * q_t25 window rule). Planted clones (ids +4900000 reuse the ORIGINAL
+    * id as the container seed, so the clip bytes are identical under a
+    * new id) guarantee non-trivial groups; the oracle recomputes every
+    * frame hash from the fixture pixel FORMULAS — header-only parsing
+    * cannot fake the signature. Scale shape: fingerprinting is the
+    * embarrassing-parallel demux/decode pass with per-row fan-out capped
+    * at maxFrames; dedup shuffles only (doc_id, ~200-byte sig) — never
+    * video bytes. */
+  def videoHashDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ids = Tables.documents(s, d)
+      .select(col("doc_id"), col("doc_id").as("seed"))
+      .unionByName(Tables.documents(s, d).filter(col("doc_id") < 50)
+        .select((col("doc_id") + 4900000L).as("doc_id"), col("doc_id").as("seed")))
+    val blobs = cachedBlobs(s, d, "gvid_clone")(Multimodal.toVideoBlobsSeeded(s, ids))
+    val w = Window.partitionBy("sig")
+    Multimodal.videoFingerprint(s, blobs).toDF()
+      .withColumn("keep", col("doc_id") === min("doc_id").over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .orderBy("doc_id")
+  }
 
   /** MM3: real audio decode — deterministic PCM WAV payloads parsed back
     * through javax.sound.sampled in the mapPartitions stage; the oracle
@@ -5163,6 +5254,7 @@ object Corpus {
     "q_ann6_hard_negatives" -> (annHardNegatives _),
     "q_ann7_int8_topk" -> (annInt8TopK _),
     "q_ann8_ivfpq_topk" -> (annIvfPqTopK _),
+    "q_ann9_ivf_incremental" -> (annIvfIncrementalTopK _),
     "q_mm1_blob_meta" -> (blobMeta _),
     "q_mm2_frame_sample" -> (frameSample _),
     "q_mm3_audio_meta" -> (audioMeta _),
@@ -5172,7 +5264,8 @@ object Corpus {
     "q_mm7_image_dedup" -> (imageHashDedup _),
     "q_mm8_audio_dedup" -> (audioHashDedup _),
     "q_mm9_pair_curation" -> (imageTextPairs _),
-    "q_mm10_image_neardup" -> (imageNearDups _)
+    "q_mm10_image_neardup" -> (imageNearDups _),
+    "q_mm11_video_dedup" -> (videoHashDedup _)
   )
 
   val all: Map[String, Q] = raw.map { case (name, fn) =>

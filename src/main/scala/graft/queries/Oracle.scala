@@ -2178,13 +2178,14 @@ object Oracle {
          |  SELECT CAST(v.doc_id AS BIGINT), v.text FROM (VALUES
          |    (4980000, 'def main(args):' || chr(10) || '    x = load(args)' || chr(10) || '    for row in x:' || chr(10) || '        print(row)' || chr(10) || '    return x'),
          |    (4980001, 'int main() {' || chr(10) || '  int x = 0;' || chr(10) || '  while (x < 10) { x = x + 1; }' || chr(10) || '  return x;' || chr(10) || '}'),
-         |    (4980002, 'the traveler chose to return home before dark and wrote a long letter about the journey across the hills and the quiet villages that lined the road')
+         |    (4980002, 'the traveler chose to return home before dark and wrote a long letter about the journey across the hills and the quiet villages that lined the road'),
+         |    (4980003, 'struct point {' || chr(13) || chr(10) || '  int x;' || chr(13) || chr(10) || '  int y;' || chr(13) || chr(10) || '};' || chr(13) || chr(10) || 'struct point origin' || chr(13) || chr(10))
          |  ) AS v(doc_id, text)),
          |sig AS (
          |  SELECT doc_id,
          |         CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
          |         CAST(len(regexp_extract_all(text, '(?m)^(    |\\t)')) AS BIGINT) AS n_indent_lines,
-         |         CAST(len(regexp_extract_all(text, '(?m)[;{}][ \\t]*$$')) AS BIGINT) AS n_punct_lines,
+         |         CAST(len(regexp_extract_all(text, '(?m)[;{}][ \\t]*\\r?$$')) AS BIGINT) AS n_punct_lines,
          |         CAST(len(list_filter(${toksSql("text")},
          |                              x -> list_contains($kwList, x))) AS BIGINT) AS n_kw,
          |         CAST(len(${toksSql("text")}) AS BIGINT) AS n_words
@@ -3001,17 +3002,29 @@ object Oracle {
         |        AND edit_ratio <= 0.2) AS is_dup
         |FROM scored ORDER BY id1, id2""".stripMargin,
 
-    // Mirrors Corpus.lshRecallEval: ground truth from the same shingle
-    // index (integer cross-multiplied Jaccard >= 0.5), candidates from
-    // the shared banding CTEs, one metrics row with IEEE divisions of
-    // exact integers.
+    // Mirrors Corpus.lshRecallEval: ground truth from the DF-CAPPED
+    // shingle index (shingles with df > 1000 dropped before the pair
+    // expansion — the Dedup.jaccardPairs guard; at this fixture scale no
+    // shingle reaches the cap, so capped truth == full-set truth),
+    // integer cross-multiplied Jaccard >= 0.5 over the capped universe,
+    // candidates from the shared banding CTEs, one metrics row with IEEE
+    // divisions of exact integers.
     "q_dd13_lsh_recall" ->
       s"""WITH $fuzzyPairCtes,
+        |hot_t AS (SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) > 1000),
+        |pr_t AS (
+        |  SELECT doc_id, shingle FROM sh
+        |  WHERE shingle NOT IN (SELECT shingle FROM hot_t)),
+        |cnt_t AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nsh FROM pr_t GROUP BY 1),
+        |ip_t AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(COUNT(*) AS BIGINT) AS nc
+        |  FROM pr_t a JOIN pr_t b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
         |truth AS (
         |  SELECT i.id1, i.id2
-        |  FROM ip i
-        |  JOIN cnt a ON a.doc_id = i.id1
-        |  JOIN cnt b ON b.doc_id = i.id2
+        |  FROM ip_t i
+        |  JOIN cnt_t a ON a.doc_id = i.id1
+        |  JOIN cnt_t b ON b.doc_id = i.id2
         |  WHERE i.nc * 3 >= a.nsh + b.nsh),
         |hits AS (
         |  SELECT t.id1, t.id2 FROM truth t
@@ -3098,6 +3111,16 @@ object Oracle {
         |ORDER BY vec_id""".stripMargin,
 
     "q_ann3_ivf_topk" ->
+      """SELECT CAST(0 AS BIGINT) AS vec_id
+        |UNION ALL
+        |SELECT CAST(1000000 + unnest(generate_series(0, 18)) AS BIGINT)
+        |ORDER BY vec_id""".stripMargin,
+
+    // Same recall contract through the INCREMENTAL index path (q_ann9):
+    // every planted clone arrives in the delta batch and is appended to the
+    // frozen-centroid layout — losing any of them from this literal set
+    // means the incremental path broke recall.
+    "q_ann9_ivf_incremental" ->
       """SELECT CAST(0 AS BIGINT) AS vec_id
         |UNION ALL
         |SELECT CAST(1000000 + unnest(generate_series(0, 18)) AS BIGINT)
@@ -4196,6 +4219,55 @@ object Oracle {
         |       w AS width, h AS height,
         |       CAST(SUM(red) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_red
         |FROM r GROUP BY 1, 2, 3, 4, 5 ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // Mirrors Corpus.videoHashDedup (q_mm11): per-clip signature = frame
+    // count + the q_mm7 aHash of each sampled frame (indices i·n/k,
+    // k = min(n, 3)), every hash recomputed from the GVID fixture formulas
+    // (per-frame pixel seed = seed·1000 + frame_idx, v = (s·31 + y·w + x)
+    // & 0xffffff, gray = (r+g+b)//3, 8×8 nearest-neighbor grid, floor-mean
+    // threshold). The Spark side must really demux the container AND
+    // decode the frame pixels to reproduce the signature; clones (ids
+    // +4900000, original id as seed → byte-identical clips) plant the
+    // groups.
+    "q_mm11_video_dedup" ->
+      """WITH ids AS (
+        |  SELECT doc_id, doc_id AS seed FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 4900000, doc_id FROM documents WHERE doc_id < 50),
+        |vid AS (
+        |  SELECT doc_id, seed,
+        |         CAST(1 + (seed % 5) AS BIGINT) AS n,
+        |         CAST(8 + (seed % 8) AS BIGINT) AS w,
+        |         CAST(8 + ((seed // 3) % 8) AS BIGINT) AS h
+        |  FROM ids),
+        |kk AS (SELECT *, least(n, 3) AS k FROM vid),
+        |sf AS (SELECT *, unnest(generate_series(0, k - 1)) AS i FROM kk),
+        |fr AS (SELECT doc_id, seed, n, w, h, (i * n) // k AS fidx FROM sf),
+        |g AS (SELECT *, unnest(generate_series(0, 7)) AS gx FROM fr),
+        |gxy AS (SELECT *, unnest(generate_series(0, 7)) AS gy FROM g),
+        |px AS (
+        |  SELECT doc_id, n, fidx, gx, gy,
+        |         (((seed * 1000 + fidx) * 31 + (gy * h // 8) * w + (gx * w // 8)) & 16777215) AS v
+        |  FROM gxy),
+        |gr AS (
+        |  SELECT *, (((v >> 16) & 255) + ((v >> 8) & 255) + (v & 255)) // 3 AS gray
+        |  FROM px),
+        |mn AS (SELECT doc_id, fidx, SUM(gray) // 64 AS m FROM gr GROUP BY 1, 2),
+        |fh AS (
+        |  SELECT gr.doc_id, MIN(gr.n) AS n, gr.fidx,
+        |         string_agg(CASE WHEN gray > m THEN '1' ELSE '0' END, ''
+        |           ORDER BY gy, gx) AS fhash
+        |  FROM gr JOIN mn ON mn.doc_id = gr.doc_id AND mn.fidx = gr.fidx
+        |  GROUP BY gr.doc_id, gr.fidx),
+        |sig AS (
+        |  SELECT doc_id, CAST(MIN(n) AS INTEGER) AS n_frames,
+        |         CAST(MIN(n) AS VARCHAR) || ':' ||
+        |           string_agg(fhash, '|' ORDER BY fidx) AS sig
+        |  FROM fh GROUP BY 1)
+        |SELECT doc_id, n_frames, sig,
+        |       doc_id = MIN(doc_id) OVER (PARTITION BY sig) AS keep,
+        |       COUNT(*) OVER (PARTITION BY sig) AS group_size
+        |FROM sig ORDER BY doc_id""".stripMargin,
 
     // Mirrors Corpus.olsFit: closed-form OLS from exact-integer sufficient
     // statistics; the only double ops are one division (beta) and the

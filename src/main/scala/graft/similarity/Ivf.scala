@@ -125,6 +125,27 @@ object Ivf {
     assign(emb, vecCol, index)
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
+  /** INCREMENTAL index maintenance: assign a batch of ARRIVING embeddings
+    * to the FROZEN centroids and append its rows into the existing
+    * cell-partitioned layout. The quantizer is never refit — cell identity
+    * is a pure function of (vector, frozen centroids), so incremental
+    * build ≡ from-scratch build over the union (asserted per-cell in
+    * AnnSpec), and serving probes stay partition-pruned: the appended
+    * files land inside the same `cell=` directories the probe's partition
+    * filter already selects. Scale shape: the batch is one map-side
+    * assignment pass + a partitioned append — no shuffle of the existing
+    * corpus, no index rebuild; the same algebra as the cross-batch dedup
+    * signature store (q_dd9). Centroid drift is handled the way real IVF
+    * deployments do: serve frozen, refit offline when recall telemetry
+    * (q_dd13's discipline) degrades, swap layouts. */
+  def appendPartitioned(
+      emb: DataFrame,
+      vecCol: String,
+      index: Index,
+      path: String): Unit =
+    assign(emb, vecCol, index)
+      .write.mode("append").partitionBy("cell").parquet(path)
+
   /** Probe a [[writePartitioned]] layout: partition-pruned scan + exact
     * rerank. */
   def topKPartitioned(

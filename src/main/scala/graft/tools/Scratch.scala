@@ -371,6 +371,60 @@ object Scratch {
             f"${wall / nRounds}%.2fs/round; merges in first/last round-quartile: $firstQ/$lastQ)")
         }
 
+      case "staging10full" =>
+        // Round-10 directive: a FULL-table 10x staging so the whole query
+        // sweep (graft.Bench with SPARK_GRAFT_SF_DIR=/tmp/sf10full) runs at
+        // 10x — one artifact instead of per-query spot checks. Fact tables
+        // are replicated 10x with shifted keys, keeping join integrity
+        // (lineitem.l_orderkey <-> orders.o_orderkey and orders.o_custkey
+        // <-> customer.c_custkey move together); documents use the v2
+        // token-suffix recipe (cross-copy similarity zero, dup density per
+        // copy preserved); embeddings keep copy 0 byte-exact (the vec_id-0
+        // query fixture) and deterministically jitter copies 1..9 so no
+        // cross-copy vector is identical; dimension tables copy as-is —
+        // exactly how a real 10x grows (facts grow, dims don't).
+        val out10 = "/tmp/sf10full"
+        val done = new java.io.File(s"$out10/_DONE")
+        if (!done.exists()) {
+          new java.io.File(out10).mkdirs()
+          def copies(name: String, src: org.apache.spark.sql.DataFrame)(
+              shift: (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame): Unit =
+            time(s"build $name x10") {
+              (0 until 10).map(k => shift(src, k)).reduce(_ unionByName _)
+                .coalesce(16).write.mode("overwrite").parquet(s"$out10/$name.parquet")
+            }
+          for (dim <- Seq("region", "nation", "part", "supplier"))
+            time(s"copy $dim")(Tables.table(spark, d, dim)
+              .write.mode("overwrite").parquet(s"$out10/$dim.parquet"))
+          copies("customer", Tables.customer(spark, d))((df, k) =>
+            df.withColumn("c_custkey", col("c_custkey") + k * 10000000L))
+          copies("orders", Tables.orders(spark, d))((df, k) =>
+            df.withColumn("o_orderkey", col("o_orderkey") + k * 100000000L)
+              .withColumn("o_custkey", col("o_custkey") + k * 10000000L))
+          copies("lineitem", Tables.lineitem(spark, d))((df, k) =>
+            df.withColumn("l_orderkey", col("l_orderkey") + k * 100000000L))
+          // events must round-trip through Tables.events (TIMESTAMP(NANOS)
+          // normalization); the rewrite lands as plain micros
+          copies("events", Tables.events(spark, d))((df, k) =>
+            df.withColumn("event_id", col("event_id") + k * 1000000000L)
+              .withColumn("user_id", col("user_id") + k * 10000000L))
+          copies("documents", Tables.documents(spark, d))((df, k) =>
+            df.select(
+              (col("doc_id") + k * 10000000L).as("doc_id"),
+              regexp_replace(col("text"), "(\\S+)", s"$$1x$k").as("text"),
+              col("lang"), col("source"), col("n_chars")))
+          copies("embeddings", Tables.embeddings(spark, d))((df, k) =>
+            if (k == 0) df
+            else df.select(
+              (col("vec_id") + k * 10000000L).as("vec_id"),
+              transform(col("embedding"), (x, i) =>
+                (x + (pmod(col("vec_id") * 31 + i + lit(k), lit(997)) - 498)
+                  .cast("double") / 10000.0).cast("float")).as("embedding"),
+              col("label")))
+          new java.io.FileOutputStream(done).close()
+        }
+        println(s"[scratch] staging10full ready at $out10")
+
       case "scale9" =>
         // Round-9 scale spot-check: graph tier round-count telemetry, the
         // streaming frontier, and the three new r9 queries at 10x.

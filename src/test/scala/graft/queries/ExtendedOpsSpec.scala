@@ -351,9 +351,10 @@ class ExtendedOpsSpec extends SparkSpec {
     val rows = Corpus.all("q_t30_code_detect")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getBoolean(6)))
     val flagged = rows.filter(_._2).map(_._1).toSet
-    // exactly the two planted code fixtures — the synthetic prose corpus
-    // must not trip any of the three clauses
-    assert(flagged === Set(4980000L, 4980001L))
+    // exactly the three planted code fixtures (4980003 is the CRLF struct
+    // pinning the \r?$ anchor) — the synthetic prose corpus must not trip
+    // any of the three clauses
+    assert(flagged === Set(4980000L, 4980001L, 4980003L))
   }
 
   test("manifest diff: every shard flags changed, count-preserving edits caught by checksum") {

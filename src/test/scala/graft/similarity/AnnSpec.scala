@@ -107,6 +107,53 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("incremental IVF append ≡ from-scratch build per cell, and the probe stays partition-pruned") {
+    val emb500 = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val q = emb500.filter($"vec_id" === 0).select("embedding").head.getSeq[Float](0).toArray
+    val base = emb500.filter(pmod($"vec_id", lit(3)) =!= 1)
+    val delta = emb500.filter(pmod($"vec_id", lit(3)) === 1)
+    val index = Ivf.fit(base, "embedding", nlist = 16)
+    val incDir = java.nio.file.Files.createTempDirectory("ivf_inc").toString
+    val fullDir = java.nio.file.Files.createTempDirectory("ivf_full").toString
+    try {
+      // incremental: base layout + frozen-centroid append of the delta
+      Ivf.writePartitioned(base, "embedding", index, incDir)
+      Ivf.appendPartitioned(delta, "embedding", index, incDir)
+      // from-scratch: one write of the union under the SAME frozen index
+      Ivf.writePartitioned(emb500, "embedding", index, fullDir)
+      // per-cell row sets identical — cell identity is a pure function of
+      // (vector, frozen centroids), so the merge algebra is exact
+      val inc = spark.read.parquet(incDir).select("vec_id", "cell")
+        .as[(Long, Int)].collect().toSet
+      val full = spark.read.parquet(fullDir).select("vec_id", "cell")
+        .as[(Long, Int)].collect().toSet
+      assert(inc === full, "incremental layout diverged from from-scratch build")
+      // the probe over the merged layout is still a planning-time
+      // partition prune: exactly nprobe cell directories are read even
+      // though each now holds base AND delta files
+      val nprobe = 4
+      val probed = Ivf.topKPartitioned(spark, incDir, "vec_id", "embedding", index, q, 10, nprobe)
+      val plan = probed.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+        case p => p
+      }
+      val scans = plan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty && scans.head.partitionFilters.nonEmpty)
+      assert(scans.head.selectedPartitions.partitionCount === nprobe)
+      // and serving through the incremental layout matches the from-scratch one
+      val a = probed.select("vec_id").as[Long].collect().toSeq
+      val b = Ivf.topKPartitioned(spark, fullDir, "vec_id", "embedding", index, q, 10, nprobe)
+        .select("vec_id").as[Long].collect().toSeq
+      assert(a === b)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(incDir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(fullDir))
+    }
+  }
+
   test("composed IVF+PQ+rerank stack keeps the partition prune and full clone recall") {
     val d = "/root/testdata/sf0.001"
     val res = graft.queries.Corpus.annIvfPqTopK(spark, d)

@@ -76,6 +76,43 @@ class RetailFixtureSpec extends SparkSpec {
     assert(frac > 0.55 && frac < 0.75, s"train fraction $frac; reference is 197016/310015=0.636")
   }
 
+  test("golden metrics: lr_v2 scorecard pinned to bands a regParam drift escapes") {
+    // Reference-parity of the ML tier pinned by NUMBERS, not structure:
+    // the seed-pinned lr_v2 (Lasso regParam 0.05) scorecard on the fixture
+    // must land inside tight tolerance bands, and the nearest plausible
+    // hyperparameter drift — regParam 0.1, the reference's own v1 preset —
+    // must land OUTSIDE them, so a silent preset swap flips this test.
+    val daily = Forecast.dailySalesCompat(cleaned)
+    val features = ReferencePipeline.featureFrameCompat(daily).cache()
+    features.count()
+    val (train, testDf) = ForecastModels.timeSplit(features, "2011-09-01")
+    val cols = ForecastModels.numericFeatureCols(features)
+    val fp = ForecastModels.featurePipeline(cols).fit(train)
+    val (_, v2) = ForecastModels.trainAndEval(
+      "lr_v2", ForecastModels.lasso(0.05), fp, train, testDf)
+    val (_, v1drift) = ForecastModels.trainAndEval(
+      "lr_v1", ForecastModels.lasso(0.1), fp, train, testDf)
+    features.unpersist()
+    info(f"v2    mae=${v2.mae}%.6f rmse=${v2.rmse}%.6f r2=${v2.r2}%.6f")
+    info(f"drift mae=${v1drift.mae}%.6f rmse=${v1drift.rmse}%.6f r2=${v1drift.r2}%.6f")
+    // bands pinned from the seed-42 fixture run (see info lines); ±0.5%
+    // relative — wide enough for OWLQN treeAggregate order jitter, far
+    // tighter than the regParam-drift displacement
+    def inBand(x: Double, golden: Double): Boolean =
+      math.abs(x - golden) <= 0.005 * math.abs(golden)
+    assert(inBand(v2.mae, GOLDEN_MAE), s"lr_v2 MAE ${v2.mae} left the golden band")
+    assert(inBand(v2.rmse, GOLDEN_RMSE), s"lr_v2 RMSE ${v2.rmse} left the golden band")
+    assert(inBand(v2.r2, GOLDEN_R2), s"lr_v2 R2 ${v2.r2} left the golden band")
+    assert(!inBand(v1drift.mae, GOLDEN_MAE) || !inBand(v1drift.rmse, GOLDEN_RMSE),
+      "regParam 0.1 drift landed inside the golden bands — bands too loose to discriminate")
+  }
+  // pinned from the seed-42 fixture run (info lines above print the live
+  // values on every run); regParam 0.1 lands at mae 0.6152 / rmse 0.8293 —
+  // ~27% displacement vs the ±0.5% bands
+  private val GOLDEN_MAE = 0.484578
+  private val GOLDEN_RMSE = 0.702601
+  private val GOLDEN_R2 = 0.996149
+
   test("full compat pipeline replays end-to-end on the fixture") {
     val r = ReferencePipeline.runOnSales(
       cleaned, cutoff = "2011-09-01", models = Seq("lr"), referenceCompat = true)
