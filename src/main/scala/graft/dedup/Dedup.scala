@@ -291,21 +291,67 @@ object Dedup {
       call_function("shiftrightunsigned", col("simhash"), lit(starts(i)))
         .bitwiseAND(lit(mask))
     }
-    val blocks = sketched.select(
-      col("doc"), col("simhash"), posexplode(array(blockCols: _*)))
+    // Collapse identical sketches FIRST (r10): the block-bucket self-join
+    // runs over DISTINCT simhash values — duplicated sketches (exact/near-
+    // exact dup populations square the per-bucket group sizes at doc grain)
+    // cost one row each, and doc-level pairs are recovered afterwards by a
+    // cross-expansion that is OUTPUT-bound. Identical-sketch doc pairs
+    // (hamming 0) come from the within-group expansion; cross-sketch pairs
+    // from canonically-ordered (sh1 < sh2) sketch pairs, so every unordered
+    // doc pair appears exactly once.
+    // materialized once: the sketch pass + group collapse feed the band
+    // join's both sides AND the within-group expansion — without the
+    // checkpoint each consumer re-runs the full simhash scan
+    val sigs = sketched.groupBy("simhash").agg(collect_list("doc").as("docs"))
+      .localCheckpoint(true)
+    // band join over (simhash, block, block_val) ONLY — the doc arrays stay
+    // out of the 8-way block explode and the candidate shuffle, and are
+    // joined back onto the few surviving sketch pairs
+    val blocks = sigs.select(col("simhash"), posexplode(array(blockCols: _*)))
       .withColumnsRenamed(Map("pos" -> "block", "col" -> "block_val"))
-    val base = blocks.select("doc", "simhash", "block", "block_val")
-    val left = base.toDF("id1", "sh1", "block", "block_val")
-    val right = base.toDF("id2", "sh2", "block_r", "val_r")
-    left
-      .join(right,
+    // The hamming radius is part of the JOIN CONDITION, not a filter after
+    // a distinct: a permissive radius over few-bit blocks makes bucket
+    // cross products enormous (measured 1e9 candidate rows at the 10x
+    // staging — sum of squared bucket sizes over 8x256 buckets), and the
+    // old shape shuffled ALL of them into a dedup. Evaluated inside the
+    // join, candidates stream through the codegen'd bit_count and only the
+    // true near-dup sketch pairs (3 orders of magnitude fewer) reach the
+    // distinct. The residual scale cost is the in-task cross product of
+    // the hottest bucket — inherent to pigeonhole banding at radius
+    // maxHamming (wider radius => narrower blocks => hotter buckets);
+    // deployments needing a tighter bound shrink the radius or pre-collapse
+    // exact dups (the within-group tier here).
+    // hint("merge"): the post-checkpoint blocks frame is small enough that
+    // Spark would BROADCAST it — but BroadcastHashJoin degrades on heavily
+    // duplicated build keys (a hot 8-bit bucket is a 15k-entry hash chain
+    // probed once per matching row: measured 85 s vs 10 s for the same 1e9
+    // candidate evaluations under sort-merge, whose buffered-group inner
+    // loop is tight codegen). Band joins want SMJ regardless of side size.
+    val sigPairs = blocks.select(col("simhash").as("sh1"), col("block"), col("block_val"))
+      .join(blocks.select(col("simhash").as("sh2"),
+          col("block").as("block_r"), col("block_val").as("val_r")).hint("merge"),
         col("block") === col("block_r") && col("block_val") === col("val_r") &&
-          col("id1") < col("id2"))
-      .select("id1", "id2", "sh1", "sh2")
+          col("sh1") < col("sh2") &&
+          bit_count(col("sh1").bitwiseXOR(col("sh2"))) <= maxHamming)
+      .select("sh1", "sh2")
       .distinct()
       .withColumn("hamming", bit_count(col("sh1").bitwiseXOR(col("sh2"))))
-      .filter(col("hamming") <= maxHamming)
-      .select("id1", "id2", "hamming")
+    val cross = sigPairs
+      .join(sigs.select(col("simhash").as("sh1"), col("docs").as("docs1")), Seq("sh1"))
+      .join(sigs.select(col("simhash").as("sh2"), col("docs").as("docs2")), Seq("sh2"))
+      .select(explode(col("docs1")).as("a"), col("docs2"), col("hamming"))
+      // repartition between the explodes so one hot sketch pair's
+      // cross-expansion spreads across tasks instead of running in one
+      .repartition(col("a"))
+      .select(col("a"), explode(col("docs2")).as("b"), col("hamming"))
+      .select(least(col("a"), col("b")).as("id1"),
+        greatest(col("a"), col("b")).as("id2"), col("hamming"))
+    val within = sigs.filter(size(col("docs")) > 1)
+      .select(explode(col("docs")).as("id1"), col("docs"))
+      .select(col("id1"), explode(col("docs")).as("id2"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("hamming", lit(0))
+    cross.unionByName(within)
   }
 
   /** Duplicate-cluster resolution: connected components over a near-dup pair

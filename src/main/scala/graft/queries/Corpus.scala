@@ -1496,8 +1496,22 @@ object Corpus {
     stageCache.getOrElseUpdate((s, d, copies), {
       import java.nio.file.{Files, Paths}
       val dir = Files.createTempDirectory("graft-stream-events")
+      // events.parquet may be a single file (the driver testdata layout) or
+      // a Spark-written DIRECTORY of part files (any real deployment's
+      // layout, incl. the 10x staging) — stage whichever form is present.
+      val src = Paths.get(s"$d/events.parquet")
+      val parts: Seq[java.nio.file.Path] =
+        if (Files.isDirectory(src)) {
+          val stream = Files.list(src)
+          try stream.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+            .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.toString)
+          finally stream.close()
+        } else Seq(src)
+      require(parts.nonEmpty, s"no parquet files under $src")
       (1 to copies).foreach { i =>
-        Files.copy(Paths.get(s"$d/events.parquet"), dir.resolve(s"events_$i.parquet"))
+        parts.zipWithIndex.foreach { case (p, j) =>
+          Files.copy(p, dir.resolve(s"events_${i}_$j.parquet"))
+        }
       }
       (dir.toString, s.read.parquet(dir.toString).schema)
     })
@@ -4787,28 +4801,47 @@ object Corpus {
     val blobs = cachedBlobs(s, d, "png")(Multimodal.toPngBlobs(s, Tables.documents(s, d)))
     val bandCols = (0 until 4).map(b =>
       conv(substring(col("ahash"), b * 16 + 1, 16), 2, 10).cast("long").as(s"b$b"))
-    val h = Multimodal.imageAHash(s, blobs).toDF()
+    // Collapse identical signatures FIRST (r10): band-bucket join work is
+    // per DISTINCT signature, not per doc — real image corpora carry heavy
+    // exact-duplicate populations (this fixture: 50k docs -> 1.8k distinct
+    // hashes at 10x), and a doc-level band self-join squares the group
+    // sizes inside every bucket (measured 1.3e9 join rows / 133 s at 10x;
+    // 1.3 s after the collapse). sid = min doc id (distinct groups have
+    // distinct mins) canonicalizes sig pairs; doc-level pairs are recovered
+    // by a final cross-expansion, which is OUTPUT-bound — it materializes
+    // exactly the pairs the query returns. Mega-group caveat: a group with
+    // millions of members would make both the collect_list row and the
+    // output quadratic — at that size the exact tier (q_mm7) must collapse
+    // the group before near-dup pairing, which is the production order.
+    val sigs = Multimodal.imageAHash(s, blobs).toDF()
       .select(col("doc_id") +: bandCols: _*)
+      .groupBy("b0", "b1", "b2", "b3")
+      .agg(min("doc_id").as("sid"), collect_list("doc_id").as("docs"))
       .localCheckpoint(true)
     val cand = (0 until 4).map { b =>
-        h.select(col("doc_id").as("i"), col(s"b$b").as("bk"), lit(b).as("bi"))
-          .join(h.select(col("doc_id").as("j"), col(s"b$b").as("bk"), lit(b).as("bi")),
+        sigs.select(col("sid").as("si"), col(s"b$b").as("bk"), lit(b).as("bi"))
+          .join(sigs.select(col("sid").as("sj"), col(s"b$b").as("bk"), lit(b).as("bi")),
             Seq("bk", "bi"))
-          .filter(col("i") < col("j"))
-          .select("i", "j")
+          .filter(col("si") < col("sj"))
+          .select("si", "sj")
       }.reduce(_ unionByName _).distinct()
-    val hi = h.columns.filter(_ != "doc_id")
-      .foldLeft(h)((df, c) => df.withColumnRenamed(c, c + "_i"))
-      .withColumnRenamed("doc_id", "i")
-    val hj = h.columns.filter(_ != "doc_id")
-      .foldLeft(h)((df, c) => df.withColumnRenamed(c, c + "_j"))
-      .withColumnRenamed("doc_id", "j")
+    val si = (0 until 4).map(b => col(s"b$b").as(s"b${b}_i"))
+    val sj = (0 until 4).map(b => col(s"b$b").as(s"b${b}_j"))
     val dist = (0 until 4).map(b =>
       bit_count(expr(s"b${b}_i ^ b${b}_j"))).reduce(_ + _)
-    cand.join(hi, Seq("i")).join(hj, Seq("j"))
+    cand
+      .join(sigs.select(col("sid").as("si") +: col("docs").as("docs_i") +: si: _*), Seq("si"))
+      .join(sigs.select(col("sid").as("sj") +: col("docs").as("docs_j") +: sj: _*), Seq("sj"))
       .withColumn("dist", dist.cast("int"))
       .filter(col("dist").between(1, 3))
-      .select("i", "j", "dist")
+      .select(explode(col("docs_i")).as("a"), col("docs_j"), col("dist"))
+      // repartition BETWEEN the two explodes: without it one hot sig pair
+      // (3k x 3k docs) expands entirely inside a single task — the first
+      // explode fans a pair out to |docs_i| rows, spreading the second
+      // explode across the cluster
+      .repartition(col("a"))
+      .select(col("a"), explode(col("docs_j")).as("b"), col("dist"))
+      .select(least(col("a"), col("b")).as("i"), greatest(col("a"), col("b")).as("j"), col("dist"))
       .orderBy("i", "j")
   }
 

@@ -371,6 +371,31 @@ object Scratch {
             f"${wall / nRounds}%.2fs/round; merges in first/last round-quartile: $firstQ/$lastQ)")
         }
 
+      case "mm10diag" =>
+        // Round-10 q_mm10 scale diagnosis: is the 10x blowup identical
+        // signatures (collapse helps) or hot band VALUES across distinct
+        // signatures (needs a bucket cap)?
+        val blobs = graft.multimodal.Multimodal.toPngBlobs(spark, Tables.documents(spark, d))
+        val h = graft.multimodal.Multimodal.imageAHash(spark, blobs).toDF.localCheckpoint(true)
+        println(s"[scratch] docs=${h.count()} distinct_ahash=${h.select("ahash").distinct.count()}")
+        val bandCols = (0 until 4).map(b =>
+          conv(substring(col("ahash"), b * 16 + 1, 16), 2, 10).cast("long").as(s"b$b"))
+        val hb = h.select(col("doc_id") +: bandCols: _*).localCheckpoint(true)
+        for (b <- 0 until 4) {
+          val top = hb.groupBy(s"b$b").count.orderBy(desc("count")).limit(5).collect()
+          println(s"[scratch] band$b top bucket sizes: " + top.map(_.getLong(1)).mkString(","))
+          val sq = hb.groupBy(s"b$b").count.agg(sum(col("count") * col("count"))).head.getLong(0)
+          println(s"[scratch] band$b sum(sz^2) = $sq")
+        }
+        println("[scratch] top sig group sizes: " + h.groupBy("ahash").count
+          .orderBy(desc("count")).limit(5).collect().map(_.getLong(1)).mkString(","))
+
+      case "mm10count" =>
+        time("q_mm10 count")(
+          println(s"[scratch] mm10 pairs = ${graft.queries.Corpus.all("q_mm10_image_neardup")(spark, d).count()}"))
+        time("q_dd3 count")(
+          println(s"[scratch] dd3 pairs = ${graft.queries.Corpus.all("q_dd3_simhash_pairs")(spark, d).count()}"))
+
       case "staging10full" =>
         // Round-10 directive: a FULL-table 10x staging so the whole query
         // sweep (graft.Bench with SPARK_GRAFT_SF_DIR=/tmp/sf10full) runs at
