@@ -4596,6 +4596,68 @@ object Corpus {
 
   private val ivfIncCache = TrieMap.empty[(SparkSession, String), (Ivf.Index, String)]
 
+  /** E16: STREAMING ANN INDEX MAINTENANCE — q_ann9's incremental IVF
+    * maintained BY the ingest stream (the q_e15 foreachBatch discipline
+    * applied to ANN serving): arriving embedding micro-batches are
+    * assigned MAP-SIDE to the FROZEN centroids and appended into the
+    * live cell-partitioned layout ([[Ivf.appendPartitioned]]) — no refit,
+    * no rebuild, no shuffle of the resident corpus, and probes stay
+    * partition-pruned at nprobe throughout, so serving never blocks on
+    * ingest. Cell identity is a pure function of (vector, frozen
+    * centroids), so after the last batch the maintained layout holds
+    * exactly the rows a from-scratch build would (asserted per cell in
+    * AnnSpec); the query therefore shares q_ann3/q_ann9's planted-clone
+    * recall oracle verbatim — every clone arrives THROUGH the stream.
+    * Idempotency caveat: this fixture appends blind (processAllAvailable
+    * never retries a committed batch); a production sink names appended
+    * files by batchId and skips batches already present — the q_e11/
+    * q_e15 state discipline. */
+  def streamIvfIngest(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.{Dataset, Row}
+    val (index, layout) = streamIvfCache.getOrElseUpdate((s, d), {
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val base = emb.filter(pmod(col("vec_id"), lit(3)) =!= 1)
+      val delta = emb.filter(pmod(col("vec_id"), lit(3)) === 1)
+        .unionByName(queryClones(emb)).localCheckpoint(true)
+      val idx = Ivf.fit(base, "embedding", nlist = 16)
+      val root = java.nio.file.Files.createTempDirectory("graft_stream_e16").toString
+      val dir = s"$root/ivf"
+      Ivf.writePartitioned(base, "embedding", idx, dir)
+      // three arrival waves (natural-id split + the clone wave), mtime-
+      // ordered so maxFilesPerTrigger=1 replays them as three micro-batches
+      val waves = Seq(
+        delta.filter(col("vec_id") < 170),
+        delta.filter(col("vec_id") >= 170 && col("vec_id") < 1000000L),
+        delta.filter(col("vec_id") >= 1000000L))
+      val t0 = java.lang.System.currentTimeMillis() - 600000
+      waves.zipWithIndex.foreach { case (df, i) =>
+        val p = s"$root/in/p$i"
+        df.coalesce(1).write.parquet(p)
+        new java.io.File(p).listFiles().foreach(_.setLastModified(t0 + i * 60000L))
+      }
+      val applyBatch: (Dataset[Row], Long) => Unit = (batch, _) =>
+        if (!batch.isEmpty) Ivf.appendPartitioned(batch.toDF(), "embedding", idx, dir)
+      val q = s.readStream
+        .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$root/in/p*")
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch(applyBatch)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      (idx, dir)
+    })
+    Ivf.topKPartitioned(s, layout, "vec_id", "embedding", index,
+      queryVector(s, d), 20, nprobe = 6)
+      .select("vec_id")
+  }
+
+  // package-private: AnnSpec reads the maintained layout back to assert
+  // per-cell equivalence with a from-scratch build
+  private[graft] val streamIvfCache = TrieMap.empty[(SparkSession, String), (Ivf.Index, String)]
+
   /** ANN6: HARD-NEGATIVE MINING — for each of the first 100 anchors, the
     * most similar same-label vector (the positive) and the most similar
     * DIFFERENT-label vector (the hard negative): the pair-construction
@@ -5177,6 +5239,7 @@ object Corpus {
     "q_s14_incr_manifest" -> (incrementalManifest _),
     "q_s15_manifest_diff" -> (manifestDiff _),
     "q_e15_stream_manifest" -> (streamedManifest _),
+    "q_e16_stream_ivf" -> (streamIvfIngest _),
     "q_tp12_crawl_pipeline" -> (crawlPipeline _),
     "q_tp13_decontam_scrub" -> (decontamScrub _),
     "q_tp14_line_dedup" -> (lineDedup _),

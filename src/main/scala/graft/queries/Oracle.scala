@@ -3126,6 +3126,16 @@ object Oracle {
         |SELECT CAST(1000000 + unnest(generate_series(0, 18)) AS BIGINT)
         |ORDER BY vec_id""".stripMargin,
 
+    // Same recall contract through the STREAMING ingest path (q_e16):
+    // every planted clone arrives in a micro-batch and is appended to the
+    // frozen-centroid layout by foreachBatch — the maintained index must
+    // serve them identically to a from-scratch build.
+    "q_e16_stream_ivf" ->
+      """SELECT CAST(0 AS BIGINT) AS vec_id
+        |UNION ALL
+        |SELECT CAST(1000000 + unnest(generate_series(0, 18)) AS BIGINT)
+        |ORDER BY vec_id""".stripMargin,
+
     // Same recall contract for the composed IVF→PQ→rerank stack (q_ann8):
     // the planted clones must survive the cell prune AND the ADC shortlist
     // AND the exact rerank — a drop at any tier loses rows from this set.

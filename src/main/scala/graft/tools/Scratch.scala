@@ -450,6 +450,33 @@ object Scratch {
         }
         println(s"[scratch] staging10full ready at $out10")
 
+      case "staging100docs" =>
+        // Round-10: a 100x DOCUMENTS staging (sf0.1 x 100 = 5M docs) for
+        // the text/dedup tier — one order beyond the 10x artifact. Same
+        // v2 recipe at 100 copies: doc_id + k*10M, every token suffixed
+        // with the copy index (regexp replacement as a COLUMN, so one
+        // explode covers all copies — no 100-way union plan), hence zero
+        // cross-copy similarity and per-copy dup density identical to
+        // sf0.1. Documents only: the 100x run targets Tables.documents
+        // consumers via SPARK_GRAFT_BENCH_ONLY.
+        val out100 = "/tmp/sf100docs"
+        if (!new java.io.File(s"$out100/documents.parquet").exists()) {
+          new java.io.File(out100).mkdirs()
+          time("build documents x100") {
+            Tables.documents(spark, d)
+              .select(col("doc_id"), col("text"), col("lang"), col("source"),
+                col("n_chars"), explode(sequence(lit(0), lit(99))).as("k"))
+              .select(
+                (col("doc_id") + col("k") * 10000000L).as("doc_id"),
+                regexp_replace(col("text"), lit("(\\S+)"),
+                  concat(lit("$1x"), col("k"))).as("text"),
+                col("lang"), col("source"), col("n_chars"))
+              .repartition(64)
+              .write.mode("overwrite").parquet(s"$out100/documents.parquet")
+          }
+        }
+        println(s"[scratch] staging100docs ready at $out100")
+
       case "scale9" =>
         // Round-9 scale spot-check: graph tier round-count telemetry, the
         // streaming frontier, and the three new r9 queries at 10x.

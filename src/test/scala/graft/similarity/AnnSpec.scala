@@ -200,4 +200,43 @@ class AnnSpec extends SparkSpec {
     assert(rows(0L) === ((1L, 2L))) // positive = 1 (same label), negative = 2 (cos 1.0, other label)
     assert(rows(2L) === ((3L, 0L))) // only same-label peer is 3; hardest cross-label is 0 (cos 1.0)
   }
+
+  test("streaming IVF ingest ≡ from-scratch build per cell, probe stays pruned") {
+    val d = "/root/testdata/sf0.001"
+    val streamed = graft.queries.Corpus.streamIvfIngest(spark, d)
+    // shares the q_ann3/q_ann9 recall contract: vec 0 + the first 19
+    // planted clones — every clone arrived THROUGH a micro-batch
+    val ids = streamed.select("vec_id").as[Long].collect().toSeq
+    assert(ids.sorted === (0L +: (0 until 19).map(i => 1000000L + i)))
+    // per-cell equivalence: the stream-maintained layout holds exactly the
+    // rows of a from-scratch build under the SAME frozen index
+    val (index, layout) = graft.queries.Corpus.streamIvfCache((spark, d))
+    val emb = graft.Tables.embeddings(spark, d).select("vec_id", "embedding")
+    val all = emb.unionByName(
+      emb.filter($"vec_id" === 0)
+        .select(explode(sequence(lit(1000000L), lit(1000024L))).as("vec_id"), $"embedding"))
+    val fullDir = java.nio.file.Files.createTempDirectory("ivf_stream_full").toString
+    try {
+      Ivf.writePartitioned(all, "embedding", index, fullDir)
+      val a = spark.read.parquet(layout).select("vec_id", "cell")
+        .as[(Long, Int)].collect().toSet
+      val b = spark.read.parquet(fullDir).select("vec_id", "cell")
+        .as[(Long, Int)].collect().toSet
+      assert(a === b, "stream-maintained layout diverged from from-scratch build")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(fullDir))
+    }
+    // serving through the maintained layout is still a planning-time
+    // partition prune: exactly nprobe=6 cell directories are read even
+    // though each holds the base file plus per-batch appended files
+    val plan = streamed.queryExecution.executedPlan match {
+      case ad: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => ad.initialPlan
+      case p => p
+    }
+    val scans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty && scans.head.partitionFilters.nonEmpty)
+    assert(scans.head.selectedPartitions.partitionCount === 6)
+  }
 }
