@@ -274,14 +274,21 @@ object Dedup {
     * requested radius — the classic 4×16-bit scheme at radius 3 (fixed
     * 4-block banding at a larger radius silently drops pairs whose
     * differing bits straddle all four blocks). Wider radii trade candidate
-    * volume (narrower blocks match more often), not correctness. */
+    * volume (narrower blocks match more often), not correctness.
+    * `maxBandBucket` bounds per-bucket join mass on low-entropy sketch
+    * populations: over-cap buckets are re-banded on their remaining bits
+    * (one extra pigeonhole level, guarantee preserved exactly — see the
+    * inline note), with the same cap on sub-buckets as the pathological-
+    * entropy backstop. */
   def simhashNearDups(
       spark: SparkSession,
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      maxBandBucket: Int = 1000): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, s"maxHamming $maxHamming out of [0, 64)")
+    require(maxBandBucket >= 1, s"maxBandBucket $maxBandBucket must be >= 1")
     val sketched = withSimhash(spark, docs, textCol).select(col(idCol).as("doc"), col("simhash"))
     val nBlocks = maxHamming + 1
     val starts = (0 to nBlocks).map(i => i * 64 / nBlocks)
@@ -307,8 +314,38 @@ object Dedup {
     // band join over (simhash, block, block_val) ONLY — the doc arrays stay
     // out of the 8-way block explode and the candidate shuffle, and are
     // joined back onto the few surviving sketch pairs
-    val blocks = sigs.select(col("simhash"), posexplode(array(blockCols: _*)))
+    val allBlocks = sigs.select(col("simhash"), posexplode(array(blockCols: _*)))
       .withColumnsRenamed(Map("pos" -> "block", "col" -> "block_val"))
+    // Hot-bucket SUB-BAND REFINEMENT (r10): a LOW-ENTROPY sketch population
+    // — distinct but similar documents, e.g. boilerplate-heavy crawls or
+    // this 40-word synthetic vocabulary — concentrates block values, and
+    // band-join mass is Σ bucket² (measured on the 100x staging: 497k
+    // distinct sketches, hottest 16-bit bucket 3,963 rows, Σ bucket² =
+    // 5.3e8 → 84 s; the mass grows ~n^1.5 on this corpus and is O(n²/2^16)
+    // even on uniform sketches once n >> 2^16 — fixed-width banding is
+    // inherently quadratic past the block-value space). Buckets over
+    // maxBandBucket are therefore NOT self-joined at block grain; their
+    // members are re-banded on the REMAINING bits instead. The guarantee
+    // survives exactly: two sketches in the same hot bucket already agree
+    // on that block's bits, so their ≤ maxHamming differing bits all lie
+    // in the other 64−w bits — splitting those into maxHamming+1 sub-
+    // pieces pigeonholes one sub-piece equal. Candidate mass becomes
+    // Σ sub-bucket² inside each hot bucket (the hot 16-bit collision is
+    // factored OUT of the sub-key space), with the same cap applied to
+    // sub-buckets as the pathological-entropy backstop — only a pair whose
+    // EVERY agreeing block is hot AND every agreeing sub-piece is over-cap
+    // can be missed, and hamming-0 pairs never can be: identical sketches
+    // collapse to one group row before banding and pair in the within-
+    // group tier. Neither cap binds at oracle scale (hottest bucket: 26 at
+    // sf0.01, 187 at sf0.1), so q_dd3b's recall contract is exact, and the
+    // refined pair set is checksum-identical to the uncapped join at the
+    // 10x AND 100x stagings (PERF.md round-10).
+    val bucketCounts = allBlocks.groupBy("block", "block_val").count()
+      .localCheckpoint(true)
+    val blocks = allBlocks.join(
+      bucketCounts.filter(col("count") <= maxBandBucket)
+        .select("block", "block_val"),
+      Seq("block", "block_val"), "left_semi")
     // The hamming radius is part of the JOIN CONDITION, not a filter after
     // a distinct: a permissive radius over few-bit blocks makes bucket
     // cross products enormous (measured 1e9 candidate rows at the 10x
@@ -316,24 +353,57 @@ object Dedup {
     // old shape shuffled ALL of them into a dedup. Evaluated inside the
     // join, candidates stream through the codegen'd bit_count and only the
     // true near-dup sketch pairs (3 orders of magnitude fewer) reach the
-    // distinct. The residual scale cost is the in-task cross product of
-    // the hottest bucket — inherent to pigeonhole banding at radius
-    // maxHamming (wider radius => narrower blocks => hotter buckets);
-    // deployments needing a tighter bound shrink the radius or pre-collapse
-    // exact dups (the within-group tier here).
-    // hint("merge"): the post-checkpoint blocks frame is small enough that
-    // Spark would BROADCAST it — but BroadcastHashJoin degrades on heavily
-    // duplicated build keys (a hot 8-bit bucket is a 15k-entry hash chain
+    // distinct.
+    // hint("merge"): the post-checkpoint band frames are small enough that
+    // Spark would BROADCAST them — but BroadcastHashJoin degrades on
+    // heavily duplicated build keys (a hot bucket is a huge hash chain
     // probed once per matching row: measured 85 s vs 10 s for the same 1e9
     // candidate evaluations under sort-merge, whose buffered-group inner
     // loop is tight codegen). Band joins want SMJ regardless of side size.
-    val sigPairs = blocks.select(col("simhash").as("sh1"), col("block"), col("block_val"))
-      .join(blocks.select(col("simhash").as("sh2"),
-          col("block").as("block_r"), col("block_val").as("val_r")).hint("merge"),
-        col("block") === col("block_r") && col("block_val") === col("val_r") &&
+    def bandPairs(rows: DataFrame, keys: Seq[String]): DataFrame = {
+      val l = rows.select(col("simhash").as("sh1") +: keys.map(col): _*)
+      val r = rows.select(col("simhash").as("sh2") +: keys.map(k => col(k).as(s"${k}_r")): _*)
+      l.join(r.hint("merge"),
+        keys.map(k => col(k) === col(s"${k}_r")).reduce(_ && _) &&
           col("sh1") < col("sh2") &&
           bit_count(col("sh1").bitwiseXOR(col("sh2"))) <= maxHamming)
-      .select("sh1", "sh2")
+        .select("sh1", "sh2")
+    }
+    val coldPairs = bandPairs(blocks, Seq("block", "block_val"))
+    val hotVals = bucketCounts.filter(col("count") > maxBandBucket)
+    val hotPieces = (0 until nBlocks).map { i =>
+      val start = starts(i)
+      val end = starts(i + 1)
+      // all non-block-i bits, packed contiguously into the low 64-(end-start)
+      val low =
+        if (start == 0) lit(0L)
+        else col("simhash").bitwiseAND(lit((1L << start) - 1L))
+      val high =
+        if (end >= 64) lit(0L)
+        else call_function("shiftleft",
+          call_function("shiftrightunsigned", col("simhash"), lit(end)), lit(start))
+      val packed = high.bitwiseOR(low)
+      val remWidth = 64 - (end - start)
+      val pStarts = (0 to nBlocks).map(j => j * remWidth / nBlocks)
+      val pieceCols = (0 until nBlocks).map { j =>
+        val w = pStarts(j + 1) - pStarts(j)
+        val mask = if (w >= 64) -1L else (1L << w) - 1L
+        call_function("shiftrightunsigned", packed, lit(pStarts(j))).bitwiseAND(lit(mask))
+      }
+      sigs.select(col("simhash"), blockCols(i).as("block_val"))
+        .join(hotVals.filter(col("block") === i).select("block_val"),
+          Seq("block_val"), "left_semi")
+        .select(col("simhash"), lit(i).as("block"), col("block_val"),
+          posexplode(array(pieceCols: _*)))
+        .withColumnsRenamed(Map("pos" -> "sub", "col" -> "sub_val"))
+    }.reduce(_ unionByName _)
+    val subCounts = hotPieces.groupBy("block", "block_val", "sub", "sub_val").count()
+    val hotKept = hotPieces.join(
+      subCounts.filter(col("count") <= maxBandBucket)
+        .select("block", "block_val", "sub", "sub_val"),
+      Seq("block", "block_val", "sub", "sub_val"), "left_semi")
+    val hotPairs = bandPairs(hotKept, Seq("block", "block_val", "sub", "sub_val"))
+    val sigPairs = coldPairs.unionByName(hotPairs)
       .distinct()
       .withColumn("hamming", bit_count(col("sh1").bitwiseXOR(col("sh2"))))
     val cross = sigPairs

@@ -477,6 +477,39 @@ object Scratch {
         }
         println(s"[scratch] staging100docs ready at $out100")
 
+      case "dd3count" =>
+        // pair-set count + order-independent checksum of q_dd3 at d — used
+        // to assert the band-bucket cap changes nothing where it never binds
+        val p = Dedup.simhashNearDups(spark, Tables.documents(spark, d), "doc_id", "text",
+          maxBandBucket = sys.env.get("GRAFT_DD3_CAP").map(_.toInt).getOrElse(1000))
+        val r = p.agg(count(lit(1)).as("n"),
+          sum(xxhash64(col("id1"), col("id2"), col("hamming"))).as("chk")).head()
+        println(s"[scratch] dd3 pairs=${r.getLong(0)} checksum=${r.getLong(1)}")
+
+      case "dd3buckets" =>
+        // SimHash band-bucket skew diagnosis: per-(block, value) population
+        // over DISTINCT sketches — the candidate mass of the q_dd3 band
+        // join is Σ bucket² per block.
+        val sk = Dedup.withSimhash(spark, Tables.documents(spark, d), "text")
+          .select("simhash").distinct().localCheckpoint(true)
+        println(s"[scratch] distinct sketches: ${sk.count()}")
+        val starts = (0 to 4).map(i => i * 64 / 4)
+        val blockCols = (0 until 4).map { i =>
+          val width = starts(i + 1) - starts(i)
+          val mask = if (width >= 64) -1L else (1L << width) - 1L
+          call_function("shiftrightunsigned", col("simhash"), lit(starts(i)))
+            .bitwiseAND(lit(mask)).as(s"b$i")
+        }
+        val blocks = sk.select(blockCols: _*)
+          .select(posexplode(array((0 until 4).map(i => col(s"b$i")): _*)))
+          .toDF("block", "value")
+        val hist = blocks.groupBy("block", "value").count()
+          .agg(max("count").as("max_bucket"),
+            sum(col("count") * col("count")).as("sum_sq"),
+            count(lit(1)).as("n_buckets"))
+          .head()
+        println(s"[scratch] max bucket=${hist.getLong(0)} sum(sq)=${hist.getLong(1)} buckets=${hist.getLong(2)}")
+
       case "scale9" =>
         // Round-9 scale spot-check: graph tier round-count telemetry, the
         // streaming frontier, and the three new r9 queries at 10x.

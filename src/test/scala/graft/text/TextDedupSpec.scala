@@ -110,6 +110,26 @@ class TextDedupSpec extends SparkSpec {
     assert(HashUtil.hamming64(sk(0L), sk(2L)) < HashUtil.hamming64(sk(0L), sk(3L)))
   }
 
+  test("simhash hot-bucket sub-band refinement: pair set identical to the uncapped join") {
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    def pairSet(cap: Int) =
+      Dedup.simhashNearDups(spark, corpus, "doc_id", "text", maxBandBucket = cap)
+        .select("id1", "id2", "hamming")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // premise: cap 3 actually engages the hot path on this corpus (some
+    // block bucket holds > 3 distinct sketches) — recomputed here so the
+    // test fails loudly if a fixture change ever de-skews the sketches
+    val sk = Dedup.withSimhash(spark, corpus, "text").select("simhash").distinct()
+    val maxBucket = (0 until 4).map { i =>
+      sk.select((shiftrightunsigned($"simhash", i * 16) % 65536).as("v"))
+        .groupBy("v").count().agg(max("count")).head.getLong(0)
+    }.max
+    assert(maxBucket > 3, s"fixture de-skewed: max band bucket $maxBucket")
+    // exactness: every pair found at block grain is re-found through the
+    // remaining-bits sub-banding when its buckets go hot
+    assert(pairSet(3) === pairSet(1000000))
+  }
+
   test("langId3 separates genuine English, German, and French text") {
     val samples = Seq(
       (1L, "the cat and the dog sat on the mat in the house for a while", "en"),
