@@ -336,16 +336,39 @@ object Dedup {
     // EVERY agreeing block is hot AND every agreeing sub-piece is over-cap
     // can be missed, and hamming-0 pairs never can be: identical sketches
     // collapse to one group row before banding and pair in the within-
-    // group tier. Neither cap binds at oracle scale (hottest bucket: 26 at
-    // sf0.01, 187 at sf0.1), so q_dd3b's recall contract is exact, and the
-    // refined pair set is checksum-identical to the uncapped join at the
-    // 10x AND 100x stagings (PERF.md round-10).
-    val bucketCounts = allBlocks.groupBy("block", "block_val").count()
+    // group tier. The mass probe below keeps every gate scale on the
+    // plain exact join, so q_dd3b's recall contract is untouched. Measured
+    // (PERF.md round-10): at radius 3 the refined pair set is checksum-
+    // identical to the uncapped join at the 10x AND 100x stagings; at the
+    // permissive radius 7 (8-bit blocks — only 256 values, so banding
+    // barely prunes) the backstop drops 1.1%/2.5% of pairs at 10x/100x,
+    // ALL at hamming 5-7 — the histograms agree exactly through distance
+    // 4, because closer pairs agree on more blocks and always survive an
+    // under-cap one.
+    // MASS probe first, machinery only when the quadratic actually bites:
+    // band-join candidate mass is exactly Σ bucket², so one scalar
+    // aggregate computes it and compares against the linear budget the cap
+    // would enforce (maxBandBucket · total block rows). Under budget — a
+    // healthy-entropy corpus, or a dense-but-small one like radius-7
+    // banding at the 10x staging (Σc² 7.7e7 vs budget 4e8) — the plan
+    // below is EXACTLY the pre-refinement band join: no bucket-table
+    // checkpoint, no semi-join, no sub-band tier, full structural recall,
+    // zero overhead. Only a population whose block-grain mass exceeds the
+    // linear budget (radius-7 at the 100x staging: Σc² 7.7e9 vs budget
+    // 4e9) pays for its own refinement — and only there can the backstop
+    // drop anything.
+    val stats = allBlocks.groupBy("block", "block_val").count()
+      .agg(coalesce(sum(col("count") * col("count")), lit(0L)),
+        coalesce(sum(col("count")), lit(0L))).head()
+    val anyHot = stats.getLong(0) > maxBandBucket.toLong * stats.getLong(1)
+    lazy val bucketCounts = allBlocks.groupBy("block", "block_val").count()
       .localCheckpoint(true)
-    val blocks = allBlocks.join(
-      bucketCounts.filter(col("count") <= maxBandBucket)
-        .select("block", "block_val"),
-      Seq("block", "block_val"), "left_semi")
+    val blocks =
+      if (!anyHot) allBlocks
+      else allBlocks.join(
+        bucketCounts.filter(col("count") <= maxBandBucket)
+          .select("block", "block_val"),
+        Seq("block", "block_val"), "left_semi")
     // The hamming radius is part of the JOIN CONDITION, not a filter after
     // a distinct: a permissive radius over few-bit blocks makes bucket
     // cross products enormous (measured 1e9 candidate rows at the 10x
@@ -370,8 +393,8 @@ object Dedup {
         .select("sh1", "sh2")
     }
     val coldPairs = bandPairs(blocks, Seq("block", "block_val"))
-    val hotVals = bucketCounts.filter(col("count") > maxBandBucket)
-    val hotPieces = (0 until nBlocks).map { i =>
+    lazy val hotVals = bucketCounts.filter(col("count") > maxBandBucket)
+    lazy val hotPieces = (0 until nBlocks).map { i =>
       val start = starts(i)
       val end = starts(i + 1)
       // all non-block-i bits, packed contiguously into the low 64-(end-start)
@@ -397,13 +420,15 @@ object Dedup {
           posexplode(array(pieceCols: _*)))
         .withColumnsRenamed(Map("pos" -> "sub", "col" -> "sub_val"))
     }.reduce(_ unionByName _)
-    val subCounts = hotPieces.groupBy("block", "block_val", "sub", "sub_val").count()
-    val hotKept = hotPieces.join(
-      subCounts.filter(col("count") <= maxBandBucket)
-        .select("block", "block_val", "sub", "sub_val"),
-      Seq("block", "block_val", "sub", "sub_val"), "left_semi")
-    val hotPairs = bandPairs(hotKept, Seq("block", "block_val", "sub", "sub_val"))
-    val sigPairs = coldPairs.unionByName(hotPairs)
+    lazy val hotPairs = {
+      val subCounts = hotPieces.groupBy("block", "block_val", "sub", "sub_val").count()
+      val hotKept = hotPieces.join(
+        subCounts.filter(col("count") <= maxBandBucket)
+          .select("block", "block_val", "sub", "sub_val"),
+        Seq("block", "block_val", "sub", "sub_val"), "left_semi")
+      bandPairs(hotKept, Seq("block", "block_val", "sub", "sub_val"))
+    }
+    val sigPairs = (if (anyHot) coldPairs.unionByName(hotPairs) else coldPairs)
       .distinct()
       .withColumn("hamming", bit_count(col("sh1").bitwiseXOR(col("sh2"))))
     val cross = sigPairs

@@ -480,11 +480,19 @@ object Scratch {
       case "dd3count" =>
         // pair-set count + order-independent checksum of q_dd3 at d — used
         // to assert the band-bucket cap changes nothing where it never binds
-        val p = Dedup.simhashNearDups(spark, Tables.documents(spark, d), "doc_id", "text",
-          maxBandBucket = sys.env.get("GRAFT_DD3_CAP").map(_.toInt).getOrElse(1000))
-        val r = p.agg(count(lit(1)).as("n"),
-          sum(xxhash64(col("id1"), col("id2"), col("hamming"))).as("chk")).head()
+        val p = time("dd3 plan build (incl. eager probe+checkpoint)") {
+          Dedup.simhashNearDups(spark, Tables.documents(spark, d), "doc_id", "text",
+            maxHamming = sys.env.get("GRAFT_DD3_RADIUS").map(_.toInt).getOrElse(7),
+            maxBandBucket = sys.env.get("GRAFT_DD3_CAP").map(_.toInt).getOrElse(1000))
+        }
+        val r = time("dd3 execute")(p.agg(count(lit(1)).as("n"),
+          sum(xxhash64(col("id1"), col("id2"), col("hamming"))).as("chk")).head())
         println(s"[scratch] dd3 pairs=${r.getLong(0)} checksum=${r.getLong(1)}")
+        val r2 = time("dd3 execute pass 2 (warm)")(p.agg(count(lit(1)).as("n"),
+          sum(xxhash64(col("id1"), col("id2"), col("hamming"))).as("chk")).head())
+        println(s"[scratch] dd3 pass2 pairs=${r2.getLong(0)}")
+        p.groupBy("hamming").count().orderBy("hamming").collect()
+          .foreach(r => println(s"[scratch] hamming=${r.get(0)} n=${r.getLong(1)}"))
 
       case "dd3buckets" =>
         // SimHash band-bucket skew diagnosis: per-(block, value) population

@@ -116,15 +116,17 @@ class TextDedupSpec extends SparkSpec {
       Dedup.simhashNearDups(spark, corpus, "doc_id", "text", maxBandBucket = cap)
         .select("id1", "id2", "hamming")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    // premise: cap 3 actually engages the hot path on this corpus (some
-    // block bucket holds > 3 distinct sketches) — recomputed here so the
-    // test fails loudly if a fixture change ever de-skews the sketches
+    // premise: cap 3 actually engages the refinement on this corpus (the
+    // mass probe Σ bucket² > cap · rows must fire) — recomputed here so
+    // the test fails loudly if a fixture change ever de-skews the sketches
     val sk = Dedup.withSimhash(spark, corpus, "text").select("simhash").distinct()
-    val maxBucket = (0 until 4).map { i =>
-      sk.select((shiftrightunsigned($"simhash", i * 16) % 65536).as("v"))
-        .groupBy("v").count().agg(max("count")).head.getLong(0)
-    }.max
-    assert(maxBucket > 3, s"fixture de-skewed: max band bucket $maxBucket")
+    val (mass, rows) = (0 until 4).map { i =>
+      val h = sk.select((shiftrightunsigned($"simhash", i * 16) % 65536).as("v"))
+        .groupBy("v").count()
+        .agg(sum($"count" * $"count"), sum($"count")).head
+      (h.getLong(0), h.getLong(1))
+    }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    assert(mass > 3L * rows, s"fixture de-skewed: mass $mass <= 3x$rows")
     // exactness: every pair found at block grain is re-found through the
     // remaining-bits sub-banding when its buckets go hot
     assert(pairSet(3) === pairSet(1000000))
