@@ -347,22 +347,32 @@ object Dedup {
     // under-cap one.
     // MASS probe first, machinery only when the quadratic actually bites:
     // band-join candidate mass is exactly Σ bucket², so one scalar
-    // aggregate computes it and compares against the linear budget the cap
-    // would enforce (maxBandBucket · total block rows). Under budget — a
-    // healthy-entropy corpus, or a dense-but-small one like radius-7
-    // banding at the 10x staging (Σc² 7.7e7 vs budget 4e8) — the plan
-    // below is EXACTLY the pre-refinement band join: no bucket-table
-    // checkpoint, no semi-join, no sub-band tier, full structural recall,
-    // zero overhead. Only a population whose block-grain mass exceeds the
-    // linear budget (radius-7 at the 100x staging: Σc² 7.7e9 vs budget
-    // 4e9) pays for its own refinement — and only there can the backstop
-    // drop anything.
-    val stats = allBlocks.groupBy("block", "block_val").count()
+    // aggregate over the (small, checkpointed-once) bucket-count table
+    // computes it and compares against the linear budget the cap would
+    // enforce (maxBandBucket · total block rows). Under budget — a
+    // healthy-entropy corpus at any gate scale, at either radius — the
+    // plan below is EXACTLY the pre-refinement band join: no semi-join,
+    // no sub-band tier, full structural recall; the probe's cost is the
+    // one bucket-count pass (~0.2–0.5 s at sf0.1, o(n) at any scale).
+    // Over budget — radius-7 banding from the 10x staging up (8-bit
+    // blocks have only 256 values; measured Σc² exceeds the 4e8 budget at
+    // 10x and reaches 7.7e9 vs a 4e9 budget at 100x) — the corpus pays
+    // for its own refinement, and only there can the backstop drop
+    // anything. The counts table is checkpointed BEFORE the probe so the
+    // hot path's semi-joins reuse it instead of recomputing the explode
+    // aggregation.
+    val bucketCounts = allBlocks.groupBy("block", "block_val").count()
+      .localCheckpoint(true)
+    val stats = bucketCounts
       .agg(coalesce(sum(col("count") * col("count")), lit(0L)),
         coalesce(sum(col("count")), lit(0L))).head()
     val anyHot = stats.getLong(0) > maxBandBucket.toLong * stats.getLong(1)
-    lazy val bucketCounts = allBlocks.groupBy("block", "block_val").count()
-      .localCheckpoint(true)
+    if (anyHot) org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      s"simhashNearDups: band-join mass ${stats.getLong(0)} exceeds the linear " +
+        s"budget ${maxBandBucket.toLong * stats.getLong(1)} (cap=$maxBandBucket); " +
+        "engaging hot-bucket sub-band refinement — pairs whose every agreeing " +
+        "block is over-cap AND every agreeing sub-piece is over-cap are shed " +
+        "(measured: the hamming-(maxHamming-2)..maxHamming fringe only)")
     val blocks =
       if (!anyHot) allBlocks
       else allBlocks.join(

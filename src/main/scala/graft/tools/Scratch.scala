@@ -451,7 +451,7 @@ object Scratch {
         println(s"[scratch] staging10full ready at $out10")
 
       case "staging100docs" =>
-        // Round-10: a 100x DOCUMENTS staging (sf0.1 x 100 = 5M docs) for
+        // Round-10: a 100x DOCUMENTS staging (sf0.1 x 100 = 500k docs) for
         // the text/dedup tier — one order beyond the 10x artifact. Same
         // v2 recipe at 100 copies: doc_id + k*10M, every token suffixed
         // with the copy index (regexp replacement as a COLUMN, so one
@@ -460,7 +460,11 @@ object Scratch {
         // sf0.1. Documents only: the 100x run targets Tables.documents
         // consumers via SPARK_GRAFT_BENCH_ONLY.
         val out100 = "/tmp/sf100docs"
-        if (!new java.io.File(s"$out100/documents.parquet").exists()) {
+        // _DONE marker written after ALL steps (the staging10full guard):
+        // a first-artifact existence check would report a crash-interrupted
+        // half-build as ready forever
+        val done100 = new java.io.File(s"$out100/_DONE")
+        if (!done100.exists()) {
           new java.io.File(out100).mkdirs()
           time("build documents x100") {
             Tables.documents(spark, d)
@@ -474,8 +478,41 @@ object Scratch {
               .repartition(64)
               .write.mode("overwrite").parquet(s"$out100/documents.parquet")
           }
+          new java.io.FileOutputStream(done100).close()
         }
         println(s"[scratch] staging100docs ready at $out100")
+
+      case "staging1000docs" =>
+        // Round-10 capstone: 1000x documents (5M docs) — two orders beyond
+        // the full-sweep staging, same v2 zero-cross-similarity recipe.
+        // Only the flagship dedup/text queries run here (the point is the
+        // scaling exponent of the shapes that matter at 100 TB).
+        val out1k = "/tmp/sf1000docs"
+        val done1k = new java.io.File(s"$out1k/_DONE")
+        if (!done1k.exists()) {
+          new java.io.File(out1k).mkdirs()
+          time("build documents x1000") {
+            Tables.documents(spark, d)
+              .select(col("doc_id"), col("text"), col("lang"), col("source"),
+                col("n_chars"), explode(sequence(lit(0), lit(999))).as("k"))
+              .select(
+                (col("doc_id") + col("k") * 10000000L).as("doc_id"),
+                regexp_replace(col("text"), lit("(\\S+)"),
+                  concat(lit("$1x"), col("k"))).as("text"),
+                col("lang"), col("source"), col("n_chars"))
+              .repartition(128)
+              .write.mode("overwrite").parquet(s"$out1k/documents.parquet")
+          }
+          for (t <- Seq("region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "embeddings")) {
+            val src = new java.io.File(s"$d/$t.parquet")
+            val dst = new java.io.File(s"$out1k/$t.parquet")
+            if (src.isDirectory) org.apache.commons.io.FileUtils.copyDirectory(src, dst)
+            else org.apache.commons.io.FileUtils.copyFile(src, dst)
+          }
+          new java.io.FileOutputStream(done1k).close()
+        }
+        println(s"[scratch] staging1000docs ready at $out1k")
 
       case "dd3count" =>
         // pair-set count + order-independent checksum of q_dd3 at d — used

@@ -233,8 +233,11 @@ class AnnSpec extends SparkSpec {
       case ad: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => ad.initialPlan
       case p => p
     }
+    // match the IVF layout's scan specifically (by its root path), not
+    // whichever file scan happens to come first in the plan
     val scans = plan.collect {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains(layout)) => f
     }
     assert(scans.nonEmpty && scans.head.partitionFilters.nonEmpty)
     assert(scans.head.selectedPartitions.partitionCount === 6)
