@@ -268,6 +268,23 @@ object Dedup {
         spark,
         TextFunctions.tokens(TextFunctions.normText(col(textCol)))))
 
+  /** Telemetry from one [[simhashNearDupsWithTelemetry]] run, so a
+    * bounded-recall run is self-describing in RESULTS, not just logs:
+    * when the mass probe engages (`engaged`), `shedSubMass` is the Σ c²
+    * candidate mass of the over-cap sub-buckets that were dropped — an
+    * upper bound on the pairs the backstop can shed (a shed pair may still
+    * be recovered through another under-cap agreeing block/sub-piece, so
+    * the true loss is ≤ this). `bandMass`/`linearBudget` are the probe's
+    * two sides (Σ bucket² vs cap·rows); both are -1 when no cap was
+    * requested and the probe never ran. */
+  case class SimhashTelemetry(
+      engaged: Boolean,
+      bandMass: Long,
+      linearBudget: Long,
+      hotBuckets: Long,
+      shedSubBuckets: Long,
+      shedSubMass: Long)
+
   /** Block count is sized to the radius: maxHamming differing bits spread
     * over maxHamming+1 disjoint blocks leave ≥ 1 block equal (pigeonhole),
     * so banding on maxHamming+1 blocks guarantees FULL recall at the
@@ -275,19 +292,50 @@ object Dedup {
     * 4-block banding at a larger radius silently drops pairs whose
     * differing bits straddle all four blocks). Wider radii trade candidate
     * volume (narrower blocks match more often), not correctness.
-    * `maxBandBucket` bounds per-bucket join mass on low-entropy sketch
-    * populations: over-cap buckets are re-banded on their remaining bits
-    * (one extra pigeonhole level, guarantee preserved exactly — see the
-    * inline note), with the same cap on sub-buckets as the pathological-
-    * entropy backstop. */
+    *
+    * `maxBandBucket` is OPT-IN (default Int.MaxValue = no cap): the
+    * default plan is the plain pigeonhole band join with FULL recall at
+    * the radius, and no mass probe runs. Passing a cap bounds per-bucket
+    * join mass on low-entropy sketch populations: when the probed Σ c²
+    * mass exceeds the linear budget, over-cap buckets are re-banded on
+    * their remaining bits (one extra pigeonhole level) and sub-buckets
+    * still over the cap are SHED — recall becomes BOUNDED, not exact. A
+    * pair can be lost only if EVERY agreeing block is over-cap AND every
+    * agreeing sub-piece is over-cap; hamming-0 pairs are never lost
+    * (identical sketches collapse before banding). Measured (PERF.md
+    * round-10, cap 1000): radius 3 checksum-identical to the uncapped
+    * join at the 10x and 100x stagings; radius 7 sheds 1.1%/2.5% of
+    * pairs, all at hamming maxHamming-2..maxHamming. Callers that cap
+    * should surface [[SimhashTelemetry]] via the WithTelemetry variant. */
   def simhashNearDups(
       spark: SparkSession,
       docs: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
-      maxBandBucket: Int = 1000): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming $maxHamming out of [0, 64)")
+      maxBandBucket: Int = Int.MaxValue): DataFrame =
+    simhashNearDupsWithTelemetry(spark, docs, idCol, textCol, maxHamming, maxBandBucket)._1
+
+  /** [[simhashNearDups]] plus its [[SimhashTelemetry]] — the telemetry is
+    * computed eagerly (the probe and shed aggregates run as part of plan
+    * construction; both are small scalar aggregates over checkpointed
+    * count tables, and the shed aggregate runs only when the probe
+    * engages). */
+  def simhashNearDupsWithTelemetry(
+      spark: SparkSession,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      maxBandBucket: Int = Int.MaxValue): (DataFrame, SimhashTelemetry) = {
+    // < 62, not < 64: the hot-bucket refinement splits each block's 64-w
+    // REMAINING bits into maxHamming+1 sub-pieces; at maxHamming 62-63 the
+    // remaining bits (62-63) are fewer than the pieces, so some pieces get
+    // width 0 and mask 0 — a sub-bucket every sketch shares, always
+    // over-cap, silently shedding any pair whose only equal piece it is.
+    // 62 differing bits can't pigeonhole into <63 non-empty pieces anyway;
+    // at every radius ≤ 61 all sub-pieces are non-empty by construction.
+    require(maxHamming >= 0 && maxHamming < 62, s"maxHamming $maxHamming out of [0, 62)")
     require(maxBandBucket >= 1, s"maxBandBucket $maxBandBucket must be >= 1")
     val sketched = withSimhash(spark, docs, textCol).select(col(idCol).as("doc"), col("simhash"))
     val nBlocks = maxHamming + 1
@@ -345,13 +393,15 @@ object Dedup {
     // ALL at hamming 5-7 — the histograms agree exactly through distance
     // 4, because closer pairs agree on more blocks and always survive an
     // under-cap one.
-    // MASS probe first, machinery only when the quadratic actually bites:
-    // band-join candidate mass is exactly Σ bucket², so one scalar
-    // aggregate over the (small, checkpointed-once) bucket-count table
-    // computes it and compares against the linear budget the cap would
-    // enforce (maxBandBucket · total block rows). Under budget — a
+    // MASS probe first, machinery only when a cap was requested AND the
+    // quadratic actually bites: band-join candidate mass is exactly
+    // Σ bucket², so one scalar aggregate over the (small, checkpointed-
+    // once) bucket-count table computes it and compares against the
+    // linear budget the cap would enforce (maxBandBucket · total block
+    // rows). No cap (the default) — no probe, no count table: the plan is
+    // the plain pigeonhole band join. Capped but under budget — a
     // healthy-entropy corpus at any gate scale, at either radius — the
-    // plan below is EXACTLY the pre-refinement band join: no semi-join,
+    // plan is still EXACTLY the pre-refinement band join: no semi-join,
     // no sub-band tier, full structural recall; the probe's cost is the
     // one bucket-count pass (~0.2–0.5 s at sf0.1, o(n) at any scale).
     // Over budget — radius-7 banding from the 10x staging up (8-bit
@@ -361,24 +411,32 @@ object Dedup {
     // anything. The counts table is checkpointed BEFORE the probe so the
     // hot path's semi-joins reuse it instead of recomputing the explode
     // aggregation.
-    val bucketCounts = allBlocks.groupBy("block", "block_val").count()
-      .localCheckpoint(true)
-    val stats = bucketCounts
-      .agg(coalesce(sum(col("count") * col("count")), lit(0L)),
-        coalesce(sum(col("count")), lit(0L))).head()
-    val anyHot = stats.getLong(0) > maxBandBucket.toLong * stats.getLong(1)
+    val probe: Option[(DataFrame, Long, Long)] =
+      if (maxBandBucket == Int.MaxValue) None
+      else {
+        val bucketCounts = allBlocks.groupBy("block", "block_val").count()
+          .localCheckpoint(true)
+        val stats = bucketCounts
+          .agg(coalesce(sum(col("count") * col("count")), lit(0L)),
+            coalesce(sum(col("count")), lit(0L))).head()
+        Some((bucketCounts, stats.getLong(0), stats.getLong(1)))
+      }
+    val anyHot = probe.exists { case (_, mass, rows) =>
+      mass > maxBandBucket.toLong * rows
+    }
     if (anyHot) org.slf4j.LoggerFactory.getLogger(getClass).warn(
-      s"simhashNearDups: band-join mass ${stats.getLong(0)} exceeds the linear " +
-        s"budget ${maxBandBucket.toLong * stats.getLong(1)} (cap=$maxBandBucket); " +
+      s"simhashNearDups: band-join mass ${probe.get._2} exceeds the linear " +
+        s"budget ${maxBandBucket.toLong * probe.get._3} (cap=$maxBandBucket); " +
         "engaging hot-bucket sub-band refinement — pairs whose every agreeing " +
         "block is over-cap AND every agreeing sub-piece is over-cap are shed " +
         "(measured: the hamming-(maxHamming-2)..maxHamming fringe only)")
-    val blocks =
-      if (!anyHot) allBlocks
-      else allBlocks.join(
+    val blocks = probe match {
+      case Some((bucketCounts, _, _)) if anyHot => allBlocks.join(
         bucketCounts.filter(col("count") <= maxBandBucket)
           .select("block", "block_val"),
         Seq("block", "block_val"), "left_semi")
+      case _ => allBlocks
+    }
     // The hamming radius is part of the JOIN CONDITION, not a filter after
     // a distinct: a permissive radius over few-bit blocks makes bucket
     // cross products enormous (measured 1e9 candidate rows at the 10x
@@ -403,42 +461,56 @@ object Dedup {
         .select("sh1", "sh2")
     }
     val coldPairs = bandPairs(blocks, Seq("block", "block_val"))
-    lazy val hotVals = bucketCounts.filter(col("count") > maxBandBucket)
-    lazy val hotPieces = (0 until nBlocks).map { i =>
-      val start = starts(i)
-      val end = starts(i + 1)
-      // all non-block-i bits, packed contiguously into the low 64-(end-start)
-      val low =
-        if (start == 0) lit(0L)
-        else col("simhash").bitwiseAND(lit((1L << start) - 1L))
-      val high =
-        if (end >= 64) lit(0L)
-        else call_function("shiftleft",
-          call_function("shiftrightunsigned", col("simhash"), lit(end)), lit(start))
-      val packed = high.bitwiseOR(low)
-      val remWidth = 64 - (end - start)
-      val pStarts = (0 to nBlocks).map(j => j * remWidth / nBlocks)
-      val pieceCols = (0 until nBlocks).map { j =>
-        val w = pStarts(j + 1) - pStarts(j)
-        val mask = if (w >= 64) -1L else (1L << w) - 1L
-        call_function("shiftrightunsigned", packed, lit(pStarts(j))).bitwiseAND(lit(mask))
+    val (rawPairs, telemetry) =
+      if (!anyHot) {
+        val (mass, rows) = probe.map(p => (p._2, p._3)).getOrElse((-1L, -1L))
+        (coldPairs, SimhashTelemetry(engaged = false, mass,
+          if (rows < 0L) -1L else maxBandBucket.toLong * rows, 0L, 0L, 0L))
+      } else {
+        val (bucketCounts, mass, rows) = probe.get
+        val hotVals = bucketCounts.filter(col("count") > maxBandBucket)
+        val hotPieces = (0 until nBlocks).map { i =>
+          val start = starts(i)
+          val end = starts(i + 1)
+          // all non-block-i bits, packed contiguously into the low 64-(end-start)
+          val low =
+            if (start == 0) lit(0L)
+            else col("simhash").bitwiseAND(lit((1L << start) - 1L))
+          val high =
+            if (end >= 64) lit(0L)
+            else call_function("shiftleft",
+              call_function("shiftrightunsigned", col("simhash"), lit(end)), lit(start))
+          val packed = high.bitwiseOR(low)
+          val remWidth = 64 - (end - start)
+          val pStarts = (0 to nBlocks).map(j => j * remWidth / nBlocks)
+          val pieceCols = (0 until nBlocks).map { j =>
+            val w = pStarts(j + 1) - pStarts(j)
+            val mask = if (w >= 64) -1L else (1L << w) - 1L
+            call_function("shiftrightunsigned", packed, lit(pStarts(j))).bitwiseAND(lit(mask))
+          }
+          sigs.select(col("simhash"), blockCols(i).as("block_val"))
+            .join(hotVals.filter(col("block") === i).select("block_val"),
+              Seq("block_val"), "left_semi")
+            .select(col("simhash"), lit(i).as("block"), col("block_val"),
+              posexplode(array(pieceCols: _*)))
+            .withColumnsRenamed(Map("pos" -> "sub", "col" -> "sub_val"))
+        }.reduce(_ unionByName _)
+        // checkpointed: feeds the keep semi-join AND the shed aggregate
+        val subCounts = hotPieces.groupBy("block", "block_val", "sub", "sub_val").count()
+          .localCheckpoint(true)
+        val shed = subCounts.filter(col("count") > maxBandBucket)
+          .agg(count(lit(1)),
+            coalesce(sum(col("count") * col("count")), lit(0L))).head()
+        val hotKept = hotPieces.join(
+          subCounts.filter(col("count") <= maxBandBucket)
+            .select("block", "block_val", "sub", "sub_val"),
+          Seq("block", "block_val", "sub", "sub_val"), "left_semi")
+        (coldPairs.unionByName(
+            bandPairs(hotKept, Seq("block", "block_val", "sub", "sub_val"))),
+          SimhashTelemetry(engaged = true, mass, maxBandBucket.toLong * rows,
+            hotVals.count(), shed.getLong(0), shed.getLong(1)))
       }
-      sigs.select(col("simhash"), blockCols(i).as("block_val"))
-        .join(hotVals.filter(col("block") === i).select("block_val"),
-          Seq("block_val"), "left_semi")
-        .select(col("simhash"), lit(i).as("block"), col("block_val"),
-          posexplode(array(pieceCols: _*)))
-        .withColumnsRenamed(Map("pos" -> "sub", "col" -> "sub_val"))
-    }.reduce(_ unionByName _)
-    lazy val hotPairs = {
-      val subCounts = hotPieces.groupBy("block", "block_val", "sub", "sub_val").count()
-      val hotKept = hotPieces.join(
-        subCounts.filter(col("count") <= maxBandBucket)
-          .select("block", "block_val", "sub", "sub_val"),
-        Seq("block", "block_val", "sub", "sub_val"), "left_semi")
-      bandPairs(hotKept, Seq("block", "block_val", "sub", "sub_val"))
-    }
-    val sigPairs = (if (anyHot) coldPairs.unionByName(hotPairs) else coldPairs)
+    val sigPairs = rawPairs
       .distinct()
       .withColumn("hamming", bit_count(col("sh1").bitwiseXOR(col("sh2"))))
     val cross = sigPairs
@@ -456,7 +528,7 @@ object Dedup {
       .select(col("id1"), explode(col("docs")).as("id2"))
       .filter(col("id1") < col("id2"))
       .withColumn("hamming", lit(0))
-    cross.unionByName(within)
+    (cross.unionByName(within), telemetry)
   }
 
   /** Duplicate-cluster resolution: connected components over a near-dup pair
@@ -732,15 +804,36 @@ object Dedup {
 
   /** Exact all-pairs embedding similarity (the verification tier beneath the
     * LSH path): every id1<id2 pair scored with the bit-reproducible fused
-    * cosine. O(n²) by design — use for corpus slices / ground truth; the
-    * LSH variant below is the full-corpus path. */
+    * cosine. O(n²) in its INPUT by design — it is ground truth, so like
+    * every truth tier that ships in the bench (the q_dd13 df-cap
+    * discipline) its input is BOUNDED: the pair base is the `truthCap`
+    * lowest-id vectors (a keyed order — deterministic under any
+    * partitioning/file layout), so pair mass is ≤ truthCap²/2 at ANY
+    * corpus scale instead of growing quadratically with it. The default
+    * 2048 never binds at the oracle gates (sf0.001/0.01 have 500 vectors,
+    * sf0.1 has 2000 — results byte-identical to the uncapped join there)
+    * and bounds the 10x/100x stagings (20k/200k vectors) to the same
+    * ~2M-pair wall. Callers validating a banded tier against this truth
+    * set must restrict the comparison to the same lowest-truthCap slice;
+    * the oracle SQL mirrors the cap with an ORDER BY id LIMIT CTE.
+    * Pass Int.MaxValue for a deliberate full all-pairs run on a corpus
+    * slice you have already bounded yourself. */
   def embeddingPairsExact(
       spark: SparkSession,
       emb: DataFrame,
       idCol: String,
-      vecCol: String): DataFrame = {
-    val left = emb.select(col(idCol).as("id1"), col(vecCol).as("v1"))
-    val right = emb.select(col(idCol).as("id2"), col(vecCol).as("v2"))
+      vecCol: String,
+      truthCap: Int = 2048): DataFrame = {
+    // TakeOrderedAndProject: per-partition bounded heap + driver-side merge
+    // of truthCap rows — no full sort, no unbounded collect
+    val base =
+      if (truthCap == Int.MaxValue) emb.select(col(idCol), col(vecCol))
+      else emb.select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(truthCap)
+    val left = base.select(col(idCol).as("id1"), col(vecCol).as("v1"))
+      // the global limit lands single-partition; spread the O(truthCap²)
+      // cosine evaluations across the cluster before the theta join
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+    val right = base.select(col(idCol).as("id2"), col(vecCol).as("v2"))
     left.join(right, col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
         GraftFunctions.cosineFloor(col("v1"), col("v2")).as("cosine"))

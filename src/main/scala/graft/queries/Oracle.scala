@@ -4100,9 +4100,14 @@ object Oracle {
          |ORDER BY a.vec_id""".stripMargin,
 
     "q_dd5_embed_pairs_top" ->
-      """WITH pairs AS (
+      """WITH base AS (
+        |  -- mirrors the engine's truthCap=2048 bound on the all-pairs
+        |  -- ground-truth tier (never binds at the oracle gates: 500/2000
+        |  -- vectors; bounds the pair mass at staged scales)
+        |  SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 2048),
+        |pairs AS (
         |  SELECT a.vec_id AS id1, b.vec_id AS id2, a.embedding AS ea, b.embedding AS eb
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+        |  FROM base a JOIN base b ON a.vec_id < b.vec_id),
         |pos AS (
         |  SELECT id1, id2, ea, eb, unnest(generate_series(1, len(ea))) AS i FROM pairs),
         |terms AS (

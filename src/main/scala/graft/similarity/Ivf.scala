@@ -146,6 +146,53 @@ object Ivf {
     assign(emb, vecCol, index)
       .write.mode("append").partitionBy("cell").parquet(path)
 
+  /** Base layout for a STREAM-maintained index ([[appendPartitionedBatch]]):
+    * identical to [[writePartitioned]] but with a second `batch` partition
+    * level under each cell (`cell=<c>/batch=<id>/`), so later per-batch
+    * appends and the base share one consistent partition structure. `cell`
+    * stays the OUTER directory — probes filter on cell only and partition
+    * pruning over cells is untouched. */
+  def writePartitionedBatched(
+      emb: DataFrame,
+      vecCol: String,
+      index: Index,
+      path: String,
+      batchId: Long = -1L): Unit =
+    assign(emb, vecCol, index)
+      .withColumn("batch", lit(batchId))
+      .write.mode("overwrite").partitionBy("cell", "batch").parquet(path)
+
+  /** CRASH-SAFE, RETRY-IDEMPOTENT incremental append — the streaming-sink
+    * contract [[appendPartitioned]] deliberately doesn't carry (a blind
+    * append retried after a mid-write crash duplicates rows). Each batch
+    * lands under its own `batch=<id>` partitions via DYNAMIC partition
+    * overwrite, so a RE-DELIVERED batchId (crash after data landed, before
+    * the stream checkpoint committed) replaces exactly its own files —
+    * cell assignment is deterministic under the frozen index, so the retry
+    * touches the same (cell, batch) partitions its half-write did — and a
+    * batchId whose commit marker exists is skipped outright (returns
+    * false). The marker (`_batch_<id>`, written only after the parquet
+    * commit) is invisible to partition discovery like every `_`-prefixed
+    * file. Exercised across a real kill/restart in StreamingSpec. */
+  def appendPartitionedBatch(
+      emb: DataFrame,
+      vecCol: String,
+      index: Index,
+      path: String,
+      batchId: Long): Boolean = {
+    val marker = new java.io.File(path, s"_batch_$batchId")
+    if (marker.exists()) false
+    else {
+      assign(emb, vecCol, index)
+        .withColumn("batch", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell", "batch")
+        .parquet(path)
+      marker.createNewFile()
+    }
+  }
+
   /** Probe a [[writePartitioned]] layout: partition-pruned scan + exact
     * rerank. */
   def topKPartitioned(

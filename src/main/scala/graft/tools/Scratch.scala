@@ -514,14 +514,169 @@ object Scratch {
         }
         println(s"[scratch] staging1000docs ready at $out1k")
 
+      case "staging100emb" =>
+        // Round-11 directive: a 100x EMBEDDINGS staging (sf0.1 x 100 = 200k
+        // vectors) — the geometry-dependent tier (IVF cell balance, PQ
+        // shortlist mass, SemDeDup cluster growth) had no evidence past
+        // 10x. Copy 0 is byte-exact (the vec_id-0 query fixture and every
+        // planted-clone recall contract survive verbatim); copies 1..99
+        // jitter each dimension deterministically (pmod hash of (vec_id,
+        // dim, copy) — the staging10full recipe) so no cross-copy vector
+        // is identical. One explode covers all copies — no 100-way union
+        // plan. Other tables ride along at 1x so the dir serves as a full
+        // SPARK_GRAFT_SF_DIR.
+        val outE = "/tmp/sf100emb"
+        val doneE = new java.io.File(s"$outE/_DONE")
+        if (!doneE.exists()) {
+          new java.io.File(outE).mkdirs()
+          time("build embeddings x100") {
+            Tables.embeddings(spark, d)
+              .select(col("vec_id"), col("embedding"), col("label"),
+                explode(sequence(lit(0), lit(99))).as("k"))
+              .select(
+                (col("vec_id") + col("k") * 10000000L).as("vec_id"),
+                when(col("k") === 0, col("embedding")).otherwise(
+                  transform(col("embedding"), (x, i) =>
+                    (x + (pmod(col("vec_id") * 31 + i + col("k"), lit(997)) - 498)
+                      .cast("double") / 10000.0).cast("float"))).as("embedding"),
+                col("label"))
+              .repartition(32)
+              .write.mode("overwrite").parquet(s"$outE/embeddings.parquet")
+          }
+          for (t <- Seq("region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents")) {
+            val src = new java.io.File(s"$d/$t.parquet")
+            val dst = new java.io.File(s"$outE/$t.parquet")
+            if (src.isDirectory) org.apache.commons.io.FileUtils.copyDirectory(src, dst)
+            else org.apache.commons.io.FileUtils.copyFile(src, dst)
+          }
+          new java.io.FileOutputStream(doneE).close()
+        }
+        println(s"[scratch] staging100emb ready at $outE")
+
+      case "ann100" =>
+        // Runs the embedding/ANN tier against d (sf0.1 or a staging dir)
+        // with 2-pass min timings AND the planted-clone recall contracts
+        // re-asserted — scale evidence is only evidence if the contracts
+        // stay green at that scale.
+        def benchA(label: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+          val times = (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            df.write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(f"[scratch] $label: min ${times.min}%.1fs (passes ${times.map(t => f"$t%.1f").mkString("/")})")
+        }
+        val cloneRange = (0 until 25).map(1000000L + _).toSet + 0L
+        def topkContract(q: String): Unit = {
+          val ids = graft.queries.Corpus.all(q)(spark, d)
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+          assert(ids.nonEmpty && ids.subsetOf(cloneRange),
+            s"$q recall broke at scale: got ${ids.toSeq.sorted.take(25)}")
+          println(s"[scratch] $q recall contract OK (${ids.size} ids, all planted)")
+        }
+        for (q <- Seq("q_ann1_cosine_topk", "q_ann2_lsh_topk", "q_ann3_ivf_topk",
+            "q_ann5_pq_topk", "q_ann7_int8_topk", "q_ann8_ivfpq_topk",
+            "q_ann9_ivf_incremental", "q_e16_stream_ivf")) {
+          benchA(q)(graft.queries.Corpus.all(q)(spark, d))
+          topkContract(q)
+        }
+        for (q <- Seq("q_ann4_centroids", "q_ann6_hard_negatives",
+            "q_dd5_embed_pairs_top")) {
+          benchA(q)(graft.queries.Corpus.all(q)(spark, d))
+          println(s"[scratch] $q rows=${graft.queries.Corpus.all(q)(spark, d).count()}")
+        }
+        locally {
+          benchA("q_dd4_embed_neardup")(
+            graft.queries.Corpus.all("q_dd4_embed_neardup")(spark, d))
+          val pairs = graft.queries.Corpus.all("q_dd4_embed_neardup")(spark, d)
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          val missing = (0L until 50L).filterNot(i => pairs.contains((i, i + 1000000L)))
+          assert(missing.isEmpty, s"dd4 planted pairs missing: $missing")
+          println(s"[scratch] q_dd4 planted-pair recall OK (${pairs.size} pairs)")
+        }
+        for (q <- Seq("q_dd10_semantic_dedup", "q_dd10b_semantic_kmeans")) {
+          benchA(q)(graft.queries.Corpus.all(q)(spark, d))
+          val dropped = graft.queries.Corpus.all(q)(spark, d)
+            .filter(col("status") === "dropped" && col("vec_id") >= 1000000L)
+            .count()
+          val expect = if (q.endsWith("kmeans")) 40L else 40L
+          assert(dropped >= expect,
+            s"$q planted clones must drop at scale: dropped=$dropped")
+          println(s"[scratch] $q planted-clone drops OK ($dropped)")
+        }
+
+      case "tier100" =>
+        // Round-11 directive: run the 100x documents tier MEMORY-
+        // CONSTRAINED and prove the plans SPILL instead of OOM — at
+        // 100 TB executors are always memory-pressured, and the repo had
+        // partition-invariance and scale evidence but no spill evidence.
+        // Drive with SPARK_DRIVER_MEM=8g (the local[32] JVM then holds
+        // roughly ONE production executor's heap while running 32-way
+        // parallel): completion + recorded spill bytes are the evidence.
+        println(s"[scratch] tier100 heap: max ${Runtime.getRuntime.maxMemory / (1L << 20)} MiB")
+        val spillMem = new java.util.concurrent.atomic.AtomicLong()
+        val spillDisk = new java.util.concurrent.atomic.AtomicLong()
+        val peakExec = new java.util.concurrent.atomic.AtomicLong()
+        val lst = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (te.taskMetrics != null) {
+              spillMem.addAndGet(te.taskMetrics.memoryBytesSpilled)
+              spillDisk.addAndGet(te.taskMetrics.diskBytesSpilled)
+              peakExec.updateAndGet(p => math.max(p, te.taskMetrics.peakExecutionMemory))
+            }
+        }
+        spark.sparkContext.addSparkListener(lst)
+        val tier = Seq(
+          "q_dd11_fuzzy_pipeline", "q_dd12_fuzzy_clusters", "q_dd13_lsh_recall",
+          "q_dd2b_minhash_recall", "q_dd1_jaccard_top", "q_dd6_dup_clusters",
+          "q_tp1_clean_corpus", "q_t21_quality_classifier", "q_t24_gopher_rules",
+          "q_tp9_span_dedup", "q_dd3_simhash_pairs",
+          "q_t3_langid", "q_t14_bpe_tokens", "q_t15_sequence_pack",
+          "q_t25_url_canonical", "q_p13_temperature_mix", "q_p16_epoch_repeat",
+          "q_d3_dedup_fingerprint", "q_s13_shard_manifest")
+        var failed = List.empty[String]
+        val walls = tier.map { q =>
+          val m0 = (spillMem.get, spillDisk.get)
+          val t0 = System.nanoTime()
+          try {
+            graft.queries.Corpus.all(q)(spark, d)
+              .write.format("noop").mode("overwrite").save()
+          } catch { case e: Throwable =>
+            failed ::= q
+            println(s"[scratch] $q FAILED: ${e.getMessage}")
+          }
+          val w = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(200) // let straggler task-end events land
+          println(f"[scratch] $q: $w%.1fs, spill mem ${(spillMem.get - m0._1) / 1e6}%.0f MB / disk ${(spillDisk.get - m0._2) / 1e6}%.0f MB")
+          q -> w
+        }
+        spark.sparkContext.removeSparkListener(lst)
+        println(f"[scratch] tier100 TOTAL ${walls.map(_._2).sum}%.1fs, failed=${failed.size}, " +
+          f"spill mem ${spillMem.get / 1e6}%.0f MB / disk ${spillDisk.get / 1e6}%.0f MB, " +
+          f"peak task exec mem ${peakExec.get / 1e6}%.0f MB")
+
+      case "tp1000" =>
+        // Round-11 directive: the composed capstones (q_tp1 clean chain —
+        // 9.4x at 100x/10x, slightly super-proportional, watch it — and
+        // q_tp16 publish) at the 1000x staging (5M docs).
+        def benchT(label: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+          val t0 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.1fs")
+        }
+        for (q <- Seq("q_tp1_clean_corpus", "q_tp16_publish"))
+          benchT(s"$q @$d")(graft.queries.Corpus.all(q)(spark, d))
+
       case "dd3count" =>
         // pair-set count + order-independent checksum of q_dd3 at d — used
         // to assert the band-bucket cap changes nothing where it never binds
-        val p = time("dd3 plan build (incl. eager probe+checkpoint)") {
-          Dedup.simhashNearDups(spark, Tables.documents(spark, d), "doc_id", "text",
+        val (p, tel) = time("dd3 plan build (incl. eager probe+checkpoint)") {
+          Dedup.simhashNearDupsWithTelemetry(spark, Tables.documents(spark, d), "doc_id", "text",
             maxHamming = sys.env.get("GRAFT_DD3_RADIUS").map(_.toInt).getOrElse(7),
             maxBandBucket = sys.env.get("GRAFT_DD3_CAP").map(_.toInt).getOrElse(1000))
         }
+        println(s"[scratch] dd3 telemetry: $tel")
         val r = time("dd3 execute")(p.agg(count(lit(1)).as("n"),
           sum(xxhash64(col("id1"), col("id2"), col("hamming"))).as("chk")).head())
         println(s"[scratch] dd3 pairs=${r.getLong(0)} checksum=${r.getLong(1)}")

@@ -227,8 +227,9 @@ class AnnSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(fullDir))
     }
     // serving through the maintained layout is still a planning-time
-    // partition prune: exactly nprobe=6 cell directories are read even
-    // though each holds the base file plus per-batch appended files
+    // partition prune: only the probed 6 cells' directories are read even
+    // though each now holds (cell, batch) leaf partitions — the base at
+    // batch=-1 plus one leaf per committed micro-batch that hit the cell
     val plan = streamed.queryExecution.executedPlan match {
       case ad: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => ad.initialPlan
       case p => p
@@ -240,6 +241,12 @@ class AnnSpec extends SparkSpec {
           if f.relation.location.rootPaths.exists(_.toString.contains(layout)) => f
     }
     assert(scans.nonEmpty && scans.head.partitionFilters.nonEmpty)
-    assert(scans.head.selectedPartitions.partitionCount === 6)
+    val probed = Ivf.probeCells(index, graft.queries.Corpus.queryVector(spark, d), 6)
+    val expectedLeaves = probed.map { c =>
+      Option(new java.io.File(layout, s"cell=$c").listFiles()).toSeq.flatten
+        .count(f => f.isDirectory && f.getName.startsWith("batch="))
+    }.sum
+    assert(expectedLeaves >= 6, "every probed cell holds at least its base leaf")
+    assert(scans.head.selectedPartitions.partitionCount === expectedLeaves)
   }
 }

@@ -228,4 +228,94 @@ class StreamingSpec extends SparkSpec {
     // even keeper, possibly in a previous micro-batch
     assert(streamed.exists { case (id, (_, keep)) => id % 2 == 1 && !keep })
   }
+
+  test("crash recovery: dedup-store stream killed between batches resumes from checkpoint to the identical state") {
+    val d = "/root/testdata/sf0.001"
+    val C = graft.queries.Corpus
+    val (storeSig, waves) = C.dedupStreamWaves(spark, d)
+    def runStream(root: String): Unit = {
+      val q = spark.readStream
+        .schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$root/in/p*")
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch(
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            C.dedupStoreBatch(spark, storeSig, root)(batch.toDF(), id))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def outRows(root: String) = spark.read.parquet(s"$root/out/b*")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), String.valueOf(r.get(2)))).toSet
+    def stateIds(root: String) = spark.read.parquet(
+        graft.streaming.BatchState.latestState(root, Long.MaxValue).get)
+      .select("doc_id").as[Long].collect().toSet
+
+    // uninterrupted reference run: all three waves visible up front
+    val rootA = java.nio.file.Files.createTempDirectory("crash_e11_a").toString
+    waves.zipWithIndex.foreach { case (df, i) => C.writeWave(rootA, i, df) }
+    runStream(rootA)
+
+    // crashed run: only wave 0 exists; the stream commits it and is KILLED.
+    // Waves 1-2 then arrive; a NEW stream on the SAME checkpoint resumes
+    // (batch numbering continues) and must converge to the identical
+    // outputs and signature state — possible only because dedupStoreBatch
+    // derives its input state from disk, not from a dead closure var.
+    val rootB = java.nio.file.Files.createTempDirectory("crash_e11_b").toString
+    C.writeWave(rootB, 0, waves(0))
+    runStream(rootB)
+    assert(new java.io.File(s"$rootB/out/b0").exists(), "batch 0 committed before the kill")
+    assert(!new java.io.File(s"$rootB/out/b1").exists(), "batch 1 not yet arrived")
+    C.writeWave(rootB, 1, waves(1))
+    C.writeWave(rootB, 2, waves(2))
+    runStream(rootB)
+    assert(outRows(rootB) === outRows(rootA), "restart diverged from the uninterrupted run")
+    assert(stateIds(rootB) === stateIds(rootA), "resumed state diverged")
+
+    // re-delivery: a batchId that already committed is replayed (the crash
+    // window between sink write and checkpoint commit) — reads the state
+    // BEFORE itself and rewrites its outputs with identical content
+    val before = (outRows(rootB), stateIds(rootB))
+    C.dedupStoreBatch(spark, storeSig, rootB)(waves(1), 1L)
+    assert((outRows(rootB), stateIds(rootB)) === before, "re-delivered batch changed state")
+  }
+
+  test("crash recovery: IVF ingest stream killed mid-flight resumes idempotently to the from-scratch layout") {
+    val d = "/root/testdata/sf0.001"
+    val C = graft.queries.Corpus
+    val Ivf = graft.similarity.Ivf
+    val (base, idx, waves) = C.ivfStreamWaves(spark, d)
+    val root = java.nio.file.Files.createTempDirectory("crash_e16").toString
+    Ivf.writePartitionedBatched(base, "embedding", idx, s"$root/ivf")
+    // ROW MULTISET, not set: a double-ingest (the blind-append failure
+    // mode this sink exists to prevent) duplicates rows a set would hide
+    def layoutRows = spark.read.parquet(s"$root/ivf").select("vec_id", "cell")
+      .as[(Long, Int)].collect().sorted.toSeq
+    // wave 0 arrives; the stream commits it and is KILLED
+    C.writeWave(root, 0, waves(0))
+    C.runIvfIngestStream(spark, idx, root)
+    assert(new java.io.File(s"$root/ivf/_batch_0").exists(), "batch 0 marker committed")
+    // waves 1-2 arrive; the restarted stream (same checkpoint) ingests
+    // only them, and the final layout equals a from-scratch build
+    C.writeWave(root, 1, waves(1))
+    C.writeWave(root, 2, waves(2))
+    C.runIvfIngestStream(spark, idx, root)
+    val fullDir = java.nio.file.Files.createTempDirectory("crash_e16_full").toString
+    Ivf.writePartitionedBatched(
+      base.unionByName(waves.reduce(_ unionByName _)), "embedding", idx, fullDir)
+    val expected = spark.read.parquet(fullDir).select("vec_id", "cell")
+      .as[(Long, Int)].collect().sorted.toSeq
+    assert(layoutRows === expected,
+      "restart-resumed layout must equal from-scratch (no loss, no double-ingest)")
+    // re-delivery of a COMMITTED batchId is skipped outright
+    val appended = Ivf.appendPartitionedBatch(waves(0), "embedding", idx, s"$root/ivf", 0L)
+    assert(!appended && layoutRows === expected, "committed batch re-applied")
+    // a half-write whose commit marker never landed is REPLACED by the
+    // retry (dynamic partition overwrite), never duplicated
+    assert(new java.io.File(s"$root/ivf/_batch_1").delete())
+    val retried = Ivf.appendPartitionedBatch(waves(1), "embedding", idx, s"$root/ivf", 1L)
+    assert(retried && layoutRows === expected, "retried half-write must replace, not append")
+  }
 }

@@ -132,6 +132,36 @@ class TextDedupSpec extends SparkSpec {
     assert(pairSet(3) === pairSet(1000000))
   }
 
+  test("simhash telemetry: forced engagement is self-describing; uncapped default never engages") {
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    // cap 1 makes every ≥2 bucket hot and every ≥2 sub-bucket shed: any
+    // hamming 1..3 pair of distinct sketches agrees on ≥1 block (hot at
+    // cap 1) and, within it, on ≥1 remaining-bits sub-piece (pigeonhole)
+    // — so shed mass is guaranteed nonzero and the run must say so
+    val (pairs, tel) = Dedup.simhashNearDupsWithTelemetry(
+      spark, corpus, "doc_id", "text", maxHamming = 3, maxBandBucket = 1)
+    assert(tel.engaged, s"cap 1 must engage on this corpus: $tel")
+    assert(tel.bandMass > tel.linearBudget, s"$tel")
+    assert(tel.hotBuckets > 0, s"$tel")
+    assert(tel.shedSubBuckets > 0 && tel.shedSubMass > 0, s"$tel")
+    // bounded, not broken: capped output is a subset of the exact set, and
+    // the hamming-0 tier (identical sketches) is immune to shedding
+    val exact = Dedup.simhashNearDups(spark, corpus, "doc_id", "text", maxHamming = 3)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = pairs.select("id1", "id2", "hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(capped.map(p => (p._1, p._2)).toSet.subsetOf(exact))
+    val exactH0 = Dedup.simhashNearDups(spark, corpus, "doc_id", "text", maxHamming = 3)
+      .filter(col("hamming") === 0).select("id1", "id2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.filter(_._3 == 0).map(p => (p._1, p._2)).toSet === exactH0)
+    // the uncapped DEFAULT is exact: no probe, no engagement, no shed
+    val (_, telDefault) = Dedup.simhashNearDupsWithTelemetry(
+      spark, corpus, "doc_id", "text", maxHamming = 3)
+    assert(!telDefault.engaged && telDefault.bandMass === -1L &&
+      telDefault.shedSubBuckets === 0L && telDefault.shedSubMass === 0L)
+  }
+
   test("langId3 separates genuine English, German, and French text") {
     val samples = Seq(
       (1L, "the cat and the dog sat on the mat in the house for a while", "en"),
