@@ -568,6 +568,9 @@ object Scratch {
           println(f"[scratch] $label: min ${times.min}%.1fs (passes ${times.map(t => f"$t%.1f").mkString("/")})")
         }
         val cloneRange = (0 until 25).map(1000000L + _).toSet + 0L
+        // clone-injected paths (ann2/3/5/8/9, e16): every returned id must
+        // be the query vector or a planted exact clone — jittered staging
+        // copies may never outrank a cosine-1.0 match
         def topkContract(q: String): Unit = {
           val ids = graft.queries.Corpus.all(q)(spark, d)
             .select("vec_id").collect().map(_.getLong(0)).toSet
@@ -575,8 +578,21 @@ object Scratch {
             s"$q recall broke at scale: got ${ids.toSeq.sorted.take(25)}")
           println(s"[scratch] $q recall contract OK (${ids.size} ids, all planted)")
         }
-        for (q <- Seq("q_ann1_cosine_topk", "q_ann2_lsh_topk", "q_ann3_ivf_topk",
-            "q_ann5_pq_topk", "q_ann7_int8_topk", "q_ann8_ivfpq_topk",
+        // natural-corpus paths (ann1/ann7 rank the corpus itself, no
+        // clones): the query vector must come back rank 1 at cosine 1
+        def selfTopContract(q: String): Unit = {
+          val ids = graft.queries.Corpus.all(q)(spark, d)
+            .select("vec_id").collect().map(_.getLong(0))
+          assert(ids.length == 20 && ids.head == 0L,
+            s"$q self-match broke at scale: got ${ids.take(5).toSeq}")
+          println(s"[scratch] $q self-top contract OK")
+        }
+        for (q <- Seq("q_ann1_cosine_topk", "q_ann7_int8_topk")) {
+          benchA(q)(graft.queries.Corpus.all(q)(spark, d))
+          selfTopContract(q)
+        }
+        for (q <- Seq("q_ann2_lsh_topk", "q_ann3_ivf_topk",
+            "q_ann5_pq_topk", "q_ann8_ivfpq_topk",
             "q_ann9_ivf_incremental", "q_e16_stream_ivf")) {
           benchA(q)(graft.queries.Corpus.all(q)(spark, d))
           topkContract(q)
@@ -597,13 +613,15 @@ object Scratch {
         }
         for (q <- Seq("q_dd10_semantic_dedup", "q_dd10b_semantic_kmeans")) {
           benchA(q)(graft.queries.Corpus.all(q)(spark, d))
+          // exact planted ids only (1000000..1000039) — staged copy ids
+          // live at >= 10M and must not inflate the recall count
           val dropped = graft.queries.Corpus.all(q)(spark, d)
-            .filter(col("status") === "dropped" && col("vec_id") >= 1000000L)
+            .filter(col("status") === "dropped" &&
+              col("vec_id") >= 1000000L && col("vec_id") < 1000040L)
             .count()
-          val expect = if (q.endsWith("kmeans")) 40L else 40L
-          assert(dropped >= expect,
-            s"$q planted clones must drop at scale: dropped=$dropped")
-          println(s"[scratch] $q planted-clone drops OK ($dropped)")
+          assert(dropped == 40L,
+            s"$q planted clones must ALL drop at scale: dropped=$dropped/40")
+          println(s"[scratch] $q planted-clone drops OK ($dropped/40)")
         }
 
       case "tier100" =>
