@@ -314,28 +314,48 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3,
       maxBandBucket: Int = Int.MaxValue): DataFrame =
-    simhashNearDupsWithTelemetry(spark, docs, idCol, textCol, maxHamming, maxBandBucket)._1
+    simhashImpl(spark, docs, idCol, textCol, maxHamming, maxBandBucket,
+      wantTelemetry = false)._1
 
   /** [[simhashNearDups]] plus its [[SimhashTelemetry]] — the telemetry is
     * computed eagerly (the probe and shed aggregates run as part of plan
     * construction; both are small scalar aggregates over checkpointed
     * count tables, and the shed aggregate runs only when the probe
-    * engages). */
+    * engages). The plain [[simhashNearDups]] skips the telemetry-only
+    * aggregates: its call-time cost is the probe (plus, when the probe
+    * engages, the sub-bucket count table the refinement plan itself
+    * needs). Measured shed numbers live in PERF.md round 10. */
   def simhashNearDupsWithTelemetry(
       spark: SparkSession,
       docs: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
-      maxBandBucket: Int = Int.MaxValue): (DataFrame, SimhashTelemetry) = {
-    // < 62, not < 64: the hot-bucket refinement splits each block's 64-w
+      maxBandBucket: Int = Int.MaxValue): (DataFrame, SimhashTelemetry) =
+    simhashImpl(spark, docs, idCol, textCol, maxHamming, maxBandBucket,
+      wantTelemetry = true)
+
+  private def simhashImpl(
+      spark: SparkSession,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int,
+      maxBandBucket: Int,
+      wantTelemetry: Boolean): (DataFrame, SimhashTelemetry) = {
+    // Radius bound: banding itself works at any radius < 64 (maxHamming+1
+    // blocks of width ≥ 1). The tighter < 62 bound applies only WITH a
+    // bucket cap: the hot-bucket refinement splits each block's 64-w
     // REMAINING bits into maxHamming+1 sub-pieces; at maxHamming 62-63 the
     // remaining bits (62-63) are fewer than the pieces, so some pieces get
     // width 0 and mask 0 — a sub-bucket every sketch shares, always
     // over-cap, silently shedding any pair whose only equal piece it is.
-    // 62 differing bits can't pigeonhole into <63 non-empty pieces anyway;
-    // at every radius ≤ 61 all sub-pieces are non-empty by construction.
-    require(maxHamming >= 0 && maxHamming < 62, s"maxHamming $maxHamming out of [0, 62)")
+    // At every radius ≤ 61 all sub-pieces are non-empty by construction.
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming $maxHamming out of [0, 64)")
+    require(maxBandBucket == Int.MaxValue || maxHamming < 62,
+      s"maxHamming $maxHamming out of [0, 62): the band-bucket cap's sub-band " +
+        "refinement needs maxHamming+1 non-empty sub-pieces of each block's " +
+        "remaining bits (drop the cap for radii 62-63)")
     require(maxBandBucket >= 1, s"maxBandBucket $maxBandBucket must be >= 1")
     val sketched = withSimhash(spark, docs, textCol).select(col(idCol).as("doc"), col("simhash"))
     val nBlocks = maxHamming + 1
@@ -498,9 +518,18 @@ object Dedup {
         // checkpointed: feeds the keep semi-join AND the shed aggregate
         val subCounts = hotPieces.groupBy("block", "block_val", "sub", "sub_val").count()
           .localCheckpoint(true)
-        val shed = subCounts.filter(col("count") > maxBandBucket)
-          .agg(count(lit(1)),
-            coalesce(sum(col("count") * col("count")), lit(0L))).head()
+        // telemetry-only aggregates (hot-bucket count + shed Σ c²) run only
+        // for the WithTelemetry variant — the base API pays the probe plus
+        // the sub-bucket count table the refinement plan itself reuses,
+        // nothing more
+        val (nHot, shedBuckets, shedMass) =
+          if (!wantTelemetry) (-1L, -1L, -1L)
+          else {
+            val shed = subCounts.filter(col("count") > maxBandBucket)
+              .agg(count(lit(1)),
+                coalesce(sum(col("count") * col("count")), lit(0L))).head()
+            (hotVals.count(), shed.getLong(0), shed.getLong(1))
+          }
         val hotKept = hotPieces.join(
           subCounts.filter(col("count") <= maxBandBucket)
             .select("block", "block_val", "sub", "sub_val"),
@@ -508,7 +537,7 @@ object Dedup {
         (coldPairs.unionByName(
             bandPairs(hotKept, Seq("block", "block_val", "sub", "sub_val"))),
           SimhashTelemetry(engaged = true, mass, maxBandBucket.toLong * rows,
-            hotVals.count(), shed.getLong(0), shed.getLong(1)))
+            nHot, shedBuckets, shedMass))
       }
     val sigPairs = rawPairs
       .distinct()
@@ -825,10 +854,13 @@ object Dedup {
       vecCol: String,
       truthCap: Int = 2048): DataFrame = {
     // TakeOrderedAndProject: per-partition bounded heap + driver-side merge
-    // of truthCap rows — no full sort, no unbounded collect
+    // of truthCap rows — no full sort, no unbounded collect. Checkpointed
+    // because the base feeds BOTH join sides: without it each side re-runs
+    // the TakeOrdered scan.
     val base =
       if (truthCap == Int.MaxValue) emb.select(col(idCol), col(vecCol))
       else emb.select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(truthCap)
+        .localCheckpoint(true)
     val left = base.select(col(idCol).as("id1"), col(vecCol).as("v1"))
       // the global limit lands single-partition; spread the O(truthCap²)
       // cosine evaluations across the cluster before the theta join

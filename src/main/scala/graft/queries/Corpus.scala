@@ -3198,60 +3198,73 @@ object Corpus {
     * kept keys; outputs are batchId-keyed + overwrite = idempotent under
     * retry. */
   def streamedUrlFrontier(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.{Dataset, Row}
-    import org.apache.spark.sql.expressions.Window
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_e14").toString
+    urlFrontierWaves(s, d).zipWithIndex.foreach { case (df, i) => writeWave(root, i, df) }
+    runUrlFrontierStream(s, root)
+    s.read.parquet(s"$root/out/b*").orderBy("doc_id")
+  }
+
+  /** The q_e14 arrival waves: ascending doc_id thirds of the raw-URL frame
+    * (a crawl queue drains roughly in discovery order). */
+  private[graft] def urlFrontierWaves(s: SparkSession, d: String): Seq[DataFrame] = {
     val all = urlRawFrame(s, d).localCheckpoint(true)
     val n = Tables.documents(s, d).count()
-    val root = java.nio.file.Files.createTempDirectory("graft_stream_e14").toString
-    val parts = Seq(
+    Seq(
       all.filter(col("doc_id") < n / 3),
       all.filter(col("doc_id") >= n / 3 && col("doc_id") < 2 * n / 3),
       all.filter(col("doc_id") >= 2 * n / 3))
-    val t0 = java.lang.System.currentTimeMillis() - 600000
-    parts.zipWithIndex.foreach { case (df, i) =>
-      val dir = s"$root/in/p$i"
-      df.coalesce(1).write.parquet(dir)
-      new java.io.File(dir).listFiles().foreach(_.setLastModified(t0 + i * 60000L))
+  }
+
+  /** One foreachBatch application of the URL frontier — state recovery is
+    * disk-derived ([[graft.streaming.BatchState]]), so the maintainer is
+    * restart-correct and retry-idempotent (the q_e11 discipline;
+    * kill/restart exercised in StreamingSpec). */
+  private[graft] def urlFrontierBatch(s: SparkSession, root: String)(
+      batch: DataFrame, id: Long): Unit =
+    if (!batch.isEmpty) {
+      import org.apache.spark.sql.expressions.Window
+      val stateDir = graft.streaming.BatchState.latestState(root, id)
+      val withCanon = batch
+        .withColumn("url_canon", TextFunctions.canonicalUrl(col("url_raw")))
+        .localCheckpoint(true)
+      // the store is probed by a broadcast semi-join of the BATCH's keys
+      // — the (unboundedly growing) store side never shuffles
+      val seen = stateDir
+        .map(p => s.read.parquet(p).join(
+          broadcast(withCanon.select("url_canon").distinct()),
+          Seq("url_canon"), "left_semi"))
+        .getOrElse(withCanon.select("url_canon").limit(0))
+        .withColumn("in_store", lit(1))
+      val wc = Window.partitionBy("url_canon")
+      val marked = withCanon
+        .withColumn("b_min", min("doc_id").over(wc))
+        .join(broadcast(seen), Seq("url_canon"), "left")
+        .withColumn("keep",
+          col("in_store").isNull && col("doc_id") === col("b_min"))
+      marked.select("doc_id", "url_raw", "url_canon", "keep")
+        .write.mode("overwrite").parquet(s"$root/out/b$id")
+      stateDir.map(s.read.parquet(_)).getOrElse(withCanon.select("url_canon").limit(0))
+        .unionByName(marked.filter(col("keep")).select("url_canon"))
+        .write.mode("overwrite").parquet(s"$root/state$id")
     }
-    val applyBatch: (Dataset[Row], Long) => Unit = (batch, id) => {
-      if (!batch.isEmpty) {
-        // disk-derived state (BatchState): restart-correct + retry-idempotent
-        val stateDir = graft.streaming.BatchState.latestState(root, id)
-        val withCanon = batch.toDF()
-          .withColumn("url_canon", TextFunctions.canonicalUrl(col("url_raw")))
-          .localCheckpoint(true)
-        // the store is probed by a broadcast semi-join of the BATCH's keys
-        // — the (unboundedly growing) store side never shuffles
-        val seen = stateDir
-          .map(p => s.read.parquet(p).join(
-            broadcast(withCanon.select("url_canon").distinct()),
-            Seq("url_canon"), "left_semi"))
-          .getOrElse(withCanon.select("url_canon").limit(0))
-          .withColumn("in_store", lit(1))
-        val wc = Window.partitionBy("url_canon")
-        val marked = withCanon
-          .withColumn("b_min", min("doc_id").over(wc))
-          .join(broadcast(seen), Seq("url_canon"), "left")
-          .withColumn("keep",
-            col("in_store").isNull && col("doc_id") === col("b_min"))
-        marked.select("doc_id", "url_raw", "url_canon", "keep")
-          .write.mode("overwrite").parquet(s"$root/out/b$id")
-        stateDir.map(s.read.parquet(_)).getOrElse(withCanon.select("url_canon").limit(0))
-          .unionByName(marked.filter(col("keep")).select("url_canon"))
-          .write.mode("overwrite").parquet(s"$root/state$id")
-      }
-    }
+
+  /** Runs the q_e14 frontier stream over `root` until every currently
+    * available wave is classified, then stops. Safe to call repeatedly —
+    * the checkpoint skips seen files — which is how StreamingSpec drives
+    * a kill/restart. */
+  private[graft] def runUrlFrontierStream(s: SparkSession, root: String): Unit = {
+    import org.apache.spark.sql.{Dataset, Row}
     val q = s.readStream
       .schema("doc_id BIGINT, url_raw STRING")
       .option("maxFilesPerTrigger", 1)
       .parquet(s"$root/in/p*")
       .writeStream
       .option("checkpointLocation", s"$root/ckpt")
-      .foreachBatch(applyBatch)
+      .foreachBatch((batch: Dataset[Row], id: Long) =>
+        urlFrontierBatch(s, root)(batch.toDF(), id))
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    s.read.parquet(s"$root/out/b*").orderBy("doc_id")
   }
 
   /** S13: SHARD MANIFEST — the dataset-publishing step after packing: docs
@@ -3360,43 +3373,56 @@ object Corpus {
     * to the q_s14 merge). batchId-keyed output + overwrite = idempotent
     * under retry. */
   def streamedManifest(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.{Dataset, Row}
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_e15").toString
+    manifestStreamWaves(s, d).zipWithIndex.foreach { case (df, i) => writeWave(root, i, df) }
+    runManifestStream(s, root)
+    s.read.parquet(graft.streaming.BatchState.latestState(root, Long.MaxValue)
+        .getOrElse(sys.error("no batches arrived")))
+      .orderBy("shard")
+  }
+
+  /** The q_e15 arrival waves: ascending doc_id thirds of the documents
+    * table. */
+  private[graft] def manifestStreamWaves(s: SparkSession, d: String): Seq[DataFrame] = {
     val docs = Tables.documents(s, d).select("doc_id", "text").localCheckpoint(true)
     val n = docs.count()
-    val root = java.nio.file.Files.createTempDirectory("graft_stream_e15").toString
-    val parts = Seq(
+    Seq(
       docs.filter(col("doc_id") < n / 3),
       docs.filter(col("doc_id") >= n / 3 && col("doc_id") < 2 * n / 3),
       docs.filter(col("doc_id") >= 2 * n / 3))
-    val t0 = java.lang.System.currentTimeMillis() - 600000
-    parts.zipWithIndex.foreach { case (df, i) =>
-      val dir = s"$root/in/p$i"
-      df.coalesce(1).write.parquet(dir)
-      new java.io.File(dir).listFiles().foreach(_.setLastModified(t0 + i * 60000L))
+  }
+
+  /** One foreachBatch application of the manifest maintainer — state
+    * recovery is disk-derived ([[graft.streaming.BatchState]]), so the
+    * maintainer is restart-correct and retry-idempotent (the q_e11
+    * discipline; kill/restart exercised in StreamingSpec). */
+  private[graft] def manifestStreamBatch(s: SparkSession, root: String)(
+      batch: DataFrame, id: Long): Unit =
+    if (!batch.isEmpty) {
+      val partial = manifestOf(batch).localCheckpoint(true)
+      val merged = graft.streaming.BatchState.latestState(root, id)
+        .map(p => mergeManifests(s.read.parquet(p), partial))
+        .getOrElse(partial)
+      merged.write.mode("overwrite").parquet(s"$root/state$id")
     }
-    val applyBatch: (Dataset[Row], Long) => Unit = (batch, id) => {
-      if (!batch.isEmpty) {
-        // disk-derived state (BatchState): restart-correct + retry-idempotent
-        val partial = manifestOf(batch.toDF()).localCheckpoint(true)
-        val merged = graft.streaming.BatchState.latestState(root, id)
-          .map(p => mergeManifests(s.read.parquet(p), partial))
-          .getOrElse(partial)
-        merged.write.mode("overwrite").parquet(s"$root/state$id")
-      }
-    }
+
+  /** Runs the q_e15 manifest stream over `root` until every currently
+    * available wave is merged, then stops. Safe to call repeatedly — the
+    * checkpoint skips seen files — which is how StreamingSpec drives a
+    * kill/restart. */
+  private[graft] def runManifestStream(s: SparkSession, root: String): Unit = {
+    import org.apache.spark.sql.{Dataset, Row}
     val q = s.readStream
       .schema("doc_id BIGINT, text STRING")
       .option("maxFilesPerTrigger", 1)
       .parquet(s"$root/in/p*")
       .writeStream
       .option("checkpointLocation", s"$root/ckpt")
-      .foreachBatch(applyBatch)
+      .foreachBatch((batch: Dataset[Row], id: Long) =>
+        manifestStreamBatch(s, root)(batch.toDF(), id))
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    s.read.parquet(graft.streaming.BatchState.latestState(root, Long.MaxValue)
-        .getOrElse(sys.error("no batches arrived")))
-      .orderBy("shard")
   }
 
   /** TP15: ENSEMBLE QUALITY GATE — the FineWeb-Edu-style decision layer:
@@ -4021,8 +4047,8 @@ object Corpus {
     * probe stays under its linear budget and the plan is the exact band
     * join; from the 10x staging up the probe engages and recall is
     * BOUNDED, not exact — the shed fringe (measured 1.1%/2.5% at 10x/
-    * 100x, all at hamming 5-7) is surfaced by
-    * [[Dedup.simhashNearDupsWithTelemetry]]. */
+    * 100x, all at hamming 5-7; full measurement in PERF.md round 10) is
+    * surfaced by [[Dedup.simhashNearDupsWithTelemetry]]. */
   def simhashPairs(s: SparkSession, d: String): DataFrame =
     Dedup.simhashNearDups(s, Tables.documents(s, d), "doc_id", "text",
         maxHamming = 7, maxBandBucket = 1000)
@@ -4704,9 +4730,20 @@ object Corpus {
       val (base, idx, waves) = ivfStreamWaves(s, d)
       // deterministic per-dataset root + _DONE marker (the Scratch staging
       // discipline): a finished build is reused across JVM runs instead of
-      // littering fresh temp dirs; a half-build (no _DONE) is wiped first
+      // littering fresh temp dirs; a half-build (no _DONE) is wiped first.
+      // Keyed on a CONTENT fingerprint of the embeddings source (file
+      // names + sizes + mtimes), not just the path string: regenerated
+      // testdata at the same path gets a fresh fixture instead of silently
+      // serving a layout built from the old bytes.
+      val srcEmb = new java.io.File(s"$d/embeddings.parquet")
+      val srcFiles =
+        if (srcEmb.isDirectory) srcEmb.listFiles().sortBy(_.getName).toSeq
+        else Seq(srcEmb)
+      val fingerprint = srcFiles
+        .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
       val root = s"${System.getProperty("java.io.tmpdir")}/graft_e16_${
-        Integer.toHexString(d.hashCode)}"
+        Integer.toHexString(d.hashCode)}_${
+        Integer.toHexString(fingerprint.hashCode)}"
       val done = new java.io.File(root, "_DONE")
       if (!done.exists()) {
         val rootF = new java.io.File(root)

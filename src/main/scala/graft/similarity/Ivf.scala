@@ -173,15 +173,22 @@ object Ivf {
     * batchId whose commit marker exists is skipped outright (returns
     * false). The marker (`_batch_<id>`, written only after the parquet
     * commit) is invisible to partition discovery like every `_`-prefixed
-    * file. Exercised across a real kill/restart in StreamingSpec. */
+    * file, and is resolved through the path's own Hadoop FileSystem so the
+    * crash-safety contract holds on HDFS/object-store roots, not just the
+    * local disk. Returns true iff THIS call ran the write path (a marker
+    * that appears concurrently between the existence check and creation
+    * does not demote a completed write to "skipped" — the parquet commit
+    * already landed, and dynamic overwrite makes the racing writes
+    * identical). Exercised across a real kill/restart in StreamingSpec. */
   def appendPartitionedBatch(
       emb: DataFrame,
       vecCol: String,
       index: Index,
       path: String,
       batchId: Long): Boolean = {
-    val marker = new java.io.File(path, s"_batch_$batchId")
-    if (marker.exists()) false
+    val marker = new org.apache.hadoop.fs.Path(path, s"_batch_$batchId")
+    val fs = marker.getFileSystem(emb.sparkSession.sessionState.newHadoopConf())
+    if (fs.exists(marker)) false
     else {
       assign(emb, vecCol, index)
         .withColumn("batch", lit(batchId))
@@ -189,7 +196,8 @@ object Ivf {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("cell", "batch")
         .parquet(path)
-      marker.createNewFile()
+      fs.createNewFile(marker)
+      true
     }
   }
 

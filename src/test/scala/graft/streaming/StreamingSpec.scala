@@ -318,4 +318,77 @@ class StreamingSpec extends SparkSpec {
     val retried = Ivf.appendPartitionedBatch(waves(1), "embedding", idx, s"$root/ivf", 1L)
     assert(retried && layoutRows === expected, "retried half-write must replace, not append")
   }
+
+  test("crash recovery: URL frontier stream killed between batches resumes from checkpoint to the identical classification") {
+    val d = "/root/testdata/sf0.001"
+    val C = graft.queries.Corpus
+    val waves = C.urlFrontierWaves(spark, d)
+    def outRows(root: String) = spark.read.parquet(s"$root/out/b*")
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getBoolean(3))).toSet
+    def stateUrls(root: String) = spark.read.parquet(
+        graft.streaming.BatchState.latestState(root, Long.MaxValue).get)
+      .select("url_canon").as[String].collect().toSet
+
+    // uninterrupted reference run: all three waves visible up front
+    val rootA = java.nio.file.Files.createTempDirectory("crash_e14_a").toString
+    waves.zipWithIndex.foreach { case (df, i) => C.writeWave(rootA, i, df) }
+    C.runUrlFrontierStream(spark, rootA)
+
+    // crashed run: only wave 0 exists; the stream commits it and is KILLED.
+    // Waves 1-2 then arrive; a NEW stream on the SAME checkpoint resumes
+    // and must converge to the identical classification and frontier state
+    // — possible only because urlFrontierBatch derives its input state
+    // from disk, not from a dead closure var.
+    val rootB = java.nio.file.Files.createTempDirectory("crash_e14_b").toString
+    C.writeWave(rootB, 0, waves(0))
+    C.runUrlFrontierStream(spark, rootB)
+    assert(new java.io.File(s"$rootB/out/b0").exists(), "batch 0 committed before the kill")
+    assert(!new java.io.File(s"$rootB/out/b1").exists(), "batch 1 not yet arrived")
+    C.writeWave(rootB, 1, waves(1))
+    C.writeWave(rootB, 2, waves(2))
+    C.runUrlFrontierStream(spark, rootB)
+    assert(outRows(rootB) === outRows(rootA), "restart diverged from the uninterrupted run")
+    assert(stateUrls(rootB) === stateUrls(rootA), "resumed frontier state diverged")
+
+    // re-delivery: a batchId that already committed is replayed (the crash
+    // window between sink write and checkpoint commit) — reads the state
+    // BEFORE itself and rewrites its outputs with identical content
+    val before = (outRows(rootB), stateUrls(rootB))
+    C.urlFrontierBatch(spark, rootB)(waves(1), 1L)
+    assert((outRows(rootB), stateUrls(rootB)) === before, "re-delivered batch changed state")
+  }
+
+  test("crash recovery: manifest stream killed between batches resumes from checkpoint to the identical manifest") {
+    val d = "/root/testdata/sf0.001"
+    val C = graft.queries.Corpus
+    val waves = C.manifestStreamWaves(spark, d)
+    def manifest(root: String) = spark.read.parquet(
+        graft.streaming.BatchState.latestState(root, Long.MaxValue).get)
+      .orderBy("shard").collect().map(_.toSeq).toSeq
+
+    // uninterrupted reference run: all three waves visible up front
+    val rootA = java.nio.file.Files.createTempDirectory("crash_e15_a").toString
+    waves.zipWithIndex.foreach { case (df, i) => C.writeWave(rootA, i, df) }
+    C.runManifestStream(spark, rootA)
+
+    // crashed run: wave 0 commits, the stream dies; waves 1-2 arrive and a
+    // NEW stream on the SAME checkpoint resumes — the maintained manifest
+    // must equal the uninterrupted run's (and, by the q_e15 parity test,
+    // the from-scratch q_s13 manifest).
+    val rootB = java.nio.file.Files.createTempDirectory("crash_e15_b").toString
+    C.writeWave(rootB, 0, waves(0))
+    C.runManifestStream(spark, rootB)
+    assert(new java.io.File(s"$rootB/state0").exists(), "batch 0 state committed before the kill")
+    assert(!new java.io.File(s"$rootB/state1").exists(), "batch 1 not yet arrived")
+    C.writeWave(rootB, 1, waves(1))
+    C.writeWave(rootB, 2, waves(2))
+    C.runManifestStream(spark, rootB)
+    assert(manifest(rootB) === manifest(rootA), "restart diverged from the uninterrupted run")
+
+    // re-delivery of a committed batchId: merges the state BEFORE itself
+    // and overwrites its own snapshot — the NEWEST state is untouched
+    val before = manifest(rootB)
+    C.manifestStreamBatch(spark, rootB)(waves(1), 1L)
+    assert(manifest(rootB) === before, "re-delivered batch changed the maintained manifest")
+  }
 }
