@@ -554,11 +554,48 @@ object Scratch {
         }
         println(s"[scratch] staging100emb ready at $outE")
 
-      case "ann100" =>
+      case "staging1000emb" =>
+        // Round-12: one decade beyond staging100emb — sf0.1 x 1000 = 2M
+        // vectors, same copy-0-byte-exact + deterministic-jitter recipe, so
+        // the embedding tier's evidence ladder matches the text tier's
+        // (sf0.1 → 10x → 100x → 1000x on one recipe).
+        val outE1k = "/tmp/sf1000emb"
+        val doneE1k = new java.io.File(s"$outE1k/_DONE")
+        if (!doneE1k.exists()) {
+          new java.io.File(outE1k).mkdirs()
+          time("build embeddings x1000") {
+            Tables.embeddings(spark, d)
+              .select(col("vec_id"), col("embedding"), col("label"),
+                explode(sequence(lit(0), lit(999))).as("k"))
+              .select(
+                (col("vec_id") + col("k") * 10000000L).as("vec_id"),
+                when(col("k") === 0, col("embedding")).otherwise(
+                  transform(col("embedding"), (x, i) =>
+                    (x + (pmod(col("vec_id") * 31 + i + col("k"), lit(997)) - 498)
+                      .cast("double") / 10000.0).cast("float"))).as("embedding"),
+                col("label"))
+              .repartition(64)
+              .write.mode("overwrite").parquet(s"$outE1k/embeddings.parquet")
+          }
+          for (t <- Seq("region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents")) {
+            val src = new java.io.File(s"$d/$t.parquet")
+            val dst = new java.io.File(s"$outE1k/$t.parquet")
+            if (src.isDirectory) org.apache.commons.io.FileUtils.copyDirectory(src, dst)
+            else org.apache.commons.io.FileUtils.copyFile(src, dst)
+          }
+          new java.io.FileOutputStream(doneE1k).close()
+        }
+        println(s"[scratch] staging1000emb ready at $outE1k")
+
+      case "ann100" | "ann1000" =>
         // Runs the embedding/ANN tier against d (sf0.1 or a staging dir)
         // with 2-pass min timings AND the planted-clone recall contracts
         // re-asserted — scale evidence is only evidence if the contracts
-        // stay green at that scale.
+        // stay green at that scale. ann1000 drops q_dd4 (its OUTPUT is
+        // ~1e9 genuine pairs at 1000x — every jittered copy family is
+        // mutually near-dup by construction, measured 6.5M pairs at 100x —
+        // so the wall would time output mass, not the operator).
         def benchA(label: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
           val times = (1 to 2).map { _ =>
             val t0 = System.nanoTime()
@@ -602,7 +639,7 @@ object Scratch {
           benchA(q)(graft.queries.Corpus.all(q)(spark, d))
           println(s"[scratch] $q rows=${graft.queries.Corpus.all(q)(spark, d).count()}")
         }
-        locally {
+        if (what == "ann100") {
           benchA("q_dd4_embed_neardup")(
             graft.queries.Corpus.all("q_dd4_embed_neardup")(spark, d))
           val pairs = graft.queries.Corpus.all("q_dd4_embed_neardup")(spark, d)
@@ -685,6 +722,110 @@ object Scratch {
         }
         for (q <- Seq("q_tp1_clean_corpus", "q_tp16_publish"))
           benchT(s"$q @$d")(graft.queries.Corpus.all(q)(spark, d))
+
+      case "tp1diag" =>
+        // Stage-level breakdown of the q_tp1 clean chain at d: where do the
+        // seconds go at 100x/1000x — the quality+exact-dedup checkpoint, the
+        // shingle index build, the posting self-join, or the final
+        // anti-join+sort? Each stage forces the next materialization only,
+        // with per-stage spill deltas from the task metrics.
+        import graft.text.{TextFunctions => TF}
+        val spillM = new java.util.concurrent.atomic.AtomicLong()
+        val spillD = new java.util.concurrent.atomic.AtomicLong()
+        val lstD = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (te.taskMetrics != null) {
+              spillM.addAndGet(te.taskMetrics.memoryBytesSpilled)
+              spillD.addAndGet(te.taskMetrics.diskBytesSpilled)
+            }
+        }
+        spark.sparkContext.addSparkListener(lstD)
+        def stage[T](label: String)(f: => T): T = {
+          val m0 = (spillM.get, spillD.get)
+          val t0 = System.nanoTime()
+          val r = f
+          Thread.sleep(200)
+          println(f"[scratch] tp1diag $label: ${(System.nanoTime() - t0) / 1e9}%.1fs, " +
+            f"spill mem ${(spillM.get - m0._1) / 1e6}%.0f MB / disk ${(spillD.get - m0._2) / 1e6}%.0f MB")
+          r
+        }
+        val cfg = graft.pipeline.CorpusCleaner.Config()
+        val docsD = Tables.documents(spark, d)
+        val qualifiedD = docsD.select(
+          col("doc_id"), col("text"),
+          TF.qualityScore(col("text")).as("quality"))
+          .filter(col("quality") >= cfg.minQuality)
+        val keepersD = qualifiedD
+          .groupBy(TF.fingerprintMd5(col("text")).as("fp"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select("doc_id")
+        val exactD = stage("A quality+exact-dedup checkpoint")(
+          qualifiedD.join(keepersD, Seq("doc_id"), "left_semi").localCheckpoint(true))
+        val shingledD = stage("B shingle checkpoint")(
+          Dedup.withShingles(exactD, "text", cfg.shingleK)
+            .select(col("doc_id").as("doc"), col("shingles")).localCheckpoint(true))
+        val shD = shingledD.select(col("doc"), explode(col("shingles")).as("shingle"))
+        val hotD = shD.groupBy("shingle").count().filter(col("count") > cfg.maxShingleDf)
+          .select("shingle")
+        val prunedD = stage("C pruned-index checkpoint")(
+          shD.join(hotD, Seq("shingle"), "left_anti").localCheckpoint(true))
+        val countsD = prunedD.groupBy("doc").agg(count(lit(1)).as("n_shingles"))
+        val baseD = prunedD.select("doc", "shingle")
+        val interD = baseD.toDF("id1", "shingle")
+          .join(baseD.toDF("id2", "shingle_r"),
+            col("shingle") === col("shingle_r") && col("id1") < col("id2"))
+          .groupBy("id1", "id2").agg(count(lit(1)).as("n_common"))
+        val nInter = stage("D posting self-join + pair agg")(interD.count())
+        println(s"[scratch] tp1diag candidate pairs: $nInter")
+        val pairsD = interD
+          .join(countsD.toDF("id1", "n1"), "id1")
+          .join(countsD.toDF("id2", "n2"), "id2")
+          .withColumn("jaccard",
+            col("n_common").cast("double") / (col("n1") + col("n2") - col("n_common")).cast("double"))
+          .filter(col("jaccard") >= cfg.jaccardThreshold)
+        val removedD = pairsD.select(col("id2").as("doc_id")).distinct()
+        stage("E anti-join + sort + noop")(
+          exactD.join(removedD, Seq("doc_id"), "left_anti")
+            .select(col("doc_id"), col("quality")).orderBy("doc_id")
+            .write.format("noop").mode("overwrite").save())
+        spark.sparkContext.removeSparkListener(lstD)
+
+      case "pairx" =>
+        // A/B the posting-pair generation strategies feeding jaccardPairs'
+        // n_common aggregate: v0 = the production SMJ self-join (shuffles
+        // the pruned posting mass twice and sorts both sides), v1 = one
+        // groupBy(shingle).collect_list + in-list combination expansion
+        // (shuffles the posting mass once; expansion emits the identical
+        // pair multiset because shingles are DISTINCT per doc).
+        val docsX = Tables.documents(spark, d)
+        val shingledX = Dedup.withShingles(docsX, "text", 3)
+          .select(col("doc_id").as("doc"), col("shingles")).localCheckpoint(true)
+        val shX = shingledX.select(col("doc"), explode(col("shingles")).as("shingle"))
+        val hotX = shX.groupBy("shingle").count().filter(col("count") > 1000)
+          .select("shingle")
+        val prunedX = time("prune checkpoint")(
+          shX.join(hotX, Seq("shingle"), "left_anti").localCheckpoint(true))
+        val baseX = prunedX.select("doc", "shingle")
+        def v0() = baseX.toDF("id1", "shingle")
+          .join(baseX.toDF("id2", "shingle_r"),
+            col("shingle") === col("shingle_r") && col("id1") < col("id2"))
+          .groupBy("id1", "id2").agg(count(lit(1)).as("nc"))
+        def v1() = {
+          val posting = prunedX.groupBy("shingle")
+            .agg(collect_list(col("doc")).as("ds"))
+          val pairsCol = flatten(transform(col("ds"), (x, i) =>
+            transform(slice(col("ds"), i + lit(2),
+              greatest(size(col("ds")) - i - 1, lit(0))),
+              y => struct(least(x, y).as("a"), greatest(x, y).as("b")))))
+          posting.select(explode(pairsCol).as("p"))
+            .select(col("p.a").as("id1"), col("p.b").as("id2"))
+            .groupBy("id1", "id2").agg(count(lit(1)).as("nc"))
+        }
+        for (r <- 1 to 2) {
+          val n0 = time(s"v0 self-join pass $r")(v0().count())
+          val n1 = time(s"v1 collect+expand pass $r")(v1().count())
+          println(s"[scratch] pairx v0=$n0 v1=$n1 ${if (n0 == n1) "MATCH" else "MISMATCH"}")
+        }
 
       case "dd3count" =>
         // pair-set count + order-independent checksum of q_dd3 at d — used
