@@ -827,6 +827,55 @@ object Scratch {
           println(s"[scratch] pairx v0=$n0 v1=$n1 ${if (n0 == n1) "MATCH" else "MISMATCH"}")
         }
 
+      case "pairx2" =>
+        // A/B the SCORING side of jaccardPairs: w0 = production shape
+        // (pair agg, then two equi-joins against the per-doc counts — two
+        // more full shuffles of the pair table unless AQE broadcasts the
+        // counts, which stops being possible once counts outgrow the
+        // broadcast budget), w1 = widened self-join (n_shingles attached to
+        // every posting row by one doc-keyed join BEFORE the pair
+        // expansion, so the pair aggregate carries n1/n2 and no post-agg
+        // join exists at any scale).
+        val docsY = Tables.documents(spark, d)
+        val shingledY = Dedup.withShingles(docsY, "text", 3)
+          .select(col("doc_id").as("doc"), col("shingles")).localCheckpoint(true)
+        val shY = shingledY.select(col("doc"), explode(col("shingles")).as("shingle"))
+        val hotY = shY.groupBy("shingle").count().filter(col("count") > 1000)
+          .select("shingle")
+        val prunedY = time("prune checkpoint")(
+          shY.join(hotY, Seq("shingle"), "left_anti").localCheckpoint(true))
+        val countsY = prunedY.groupBy("doc").agg(count(lit(1)).as("n_shingles"))
+        def score(df: org.apache.spark.sql.DataFrame) = df.withColumn("jaccard",
+          col("n_common").cast("double") / (col("n1") + col("n2") - col("n_common")).cast("double"))
+        def w0() = {
+          val baseY = prunedY.select("doc", "shingle")
+          val inter = baseY.toDF("id1", "shingle")
+            .join(baseY.toDF("id2", "shingle_r"),
+              col("shingle") === col("shingle_r") && col("id1") < col("id2"))
+            .groupBy("id1", "id2").agg(count(lit(1)).as("n_common"))
+          score(inter
+            .join(countsY.toDF("id1", "n1"), "id1")
+            .join(countsY.toDF("id2", "n2"), "id2"))
+        }
+        def w1() = {
+          val baseY = prunedY.join(countsY, "doc")
+            .select(col("doc"), col("shingle"), col("n_shingles"))
+          val inter = baseY.toDF("id1", "shingle", "n1")
+            .join(baseY.toDF("id2", "shingle_r", "n2"),
+              col("shingle") === col("shingle_r") && col("id1") < col("id2"))
+            .groupBy("id1", "id2")
+            .agg(count(lit(1)).as("n_common"), max("n1").as("n1"), max("n2").as("n2"))
+          score(inter)
+        }
+        def force(df: org.apache.spark.sql.DataFrame) = df
+          .filter(col("jaccard") >= 0.1)
+          .agg(count(lit(1)).as("n"), sum(col("n_common")).as("s")).collect()(0)
+        for (r <- 1 to 2) {
+          val a = time(s"w0 post-agg joins pass $r")(force(w0()))
+          val b = time(s"w1 widened self-join pass $r")(force(w1()))
+          println(s"[scratch] pairx2 w0=$a w1=$b ${if (a == b) "MATCH" else "MISMATCH"}")
+        }
+
       case "dd3count" =>
         // pair-set count + order-independent checksum of q_dd3 at d — used
         // to assert the band-bucket cap changes nothing where it never binds
