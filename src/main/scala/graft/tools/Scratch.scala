@@ -876,6 +876,27 @@ object Scratch {
           println(s"[scratch] pairx2 w0=$a w1=$b ${if (a == b) "MATCH" else "MISMATCH"}")
         }
 
+      case "sig" =>
+        // Layout-invariance signatures at staging scale: count + order-
+        // independent checksum (sum of xxhash64 over the name-sorted
+        // JSON row) for representative tier outputs. Run under two
+        // layouts (default local[32] vs SPARK_GRAFT_CPUS=5) and diff the
+        // printed lines — the sf0.01 oracle gate proves layout-invariance
+        // at gate scale, this proves it at 100x/1000x where no oracle
+        // runs. Queries chosen for fully deterministic output sets.
+        val sigQs = if (args.length > 2) args.drop(2).toSeq else Seq(
+          "q_dd1_jaccard_top", "q_dd11_fuzzy_pipeline", "q_dd12_fuzzy_clusters",
+          "q_tp1_clean_corpus", "q_d3_dedup_fingerprint", "q_t21_quality_classifier",
+          "q_tp9_span_dedup", "q_s13_shard_manifest")
+        for (q <- sigQs) {
+          val df = graft.queries.Corpus.all(q)(spark, d)
+          val row = df.select(
+              xxhash64(to_json(struct(df.columns.sorted.map(col).toSeq: _*))).as("h"))
+            .agg(count(lit(1)).as("n"), sum(col("h")).as("sig"))
+            .collect()(0)
+          println(s"[scratch] sig $q n=${row.getLong(0)} sig=${row.getLong(1)}")
+        }
+
       case "dd3count" =>
         // pair-set count + order-independent checksum of q_dd3 at d — used
         // to assert the band-bucket cap changes nothing where it never binds
