@@ -227,6 +227,28 @@ object HashUtil {
     best
   }
 
+  /** Driver-side twin of the [[cosineFloor(ArrayData,ArrayData)*]] kernel —
+    * identical arithmetic over plain float arrays, for bounded driver state
+    * (centroid ranking in the q_ann10 recall-curve query). Kept textually
+    * parallel so the two can never drift apart numerically. */
+  def cosineFloor(a: Array[Float], b: Array[Float]): Double = {
+    val unit = 1e15
+    val n = math.min(a.length, b.length)
+    var dot = 0L
+    var na = 0L
+    var nb = 0L
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble
+      val y = b(i).toDouble
+      dot += math.floor(x * y * unit).toLong
+      na += math.floor(x * x * unit).toLong
+      nb += math.floor(y * y * unit).toLong
+      i += 1
+    }
+    (dot.toDouble / unit) / (math.sqrt(na.toDouble / unit) * math.sqrt(nb.toDouble / unit))
+  }
+
   /** Bit-reproducible cosine: the floor-scaled integer-sum construction of
     * Exact.floorAvg applied element-wise (floor(term*1e15) summed as longs,
     * divided back in double) — IEEE-only ops, so any engine computes the

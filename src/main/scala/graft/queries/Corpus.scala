@@ -4660,6 +4660,132 @@ object Corpus {
 
   private val ivfIncCache = TrieMap.empty[(SparkSession, String), (Ivf.Index, String)]
 
+  /** ANN10: IVF RECALL OPERATING CURVE — recall@10 as a function of nprobe,
+    * the measurement the planted-clone contracts can't give (clones prove
+    * recall=1 at cosine≈1; a user tunes nprobe in the 0.7–0.9 cosine
+    * regime). Ground truth is the EXACT quantized-cosine top-10 per query
+    * (a truth tier — expensive by design, the q_dd13 discipline); the index
+    * under test is the SQL-REPLAYABLE IVF fit ([[Ivf.fitReplayable]]:
+    * lowest-id seeds + one floor-quantized Lloyd update, the q_dd10b
+    * construction), so the ENTIRE curve — fit, assignment, per-query cell
+    * ranking, candidate sets, hits — is oracle-gated in DuckDB, not
+    * self-reported. Counts are exact integers; recall/scan_frac are single
+    * fixed-order IEEE divides.
+    *
+    * Scale shape: the fit is rounds-not-data on the driver (one
+    * (cluster, dim)-keyed aggregate per round, nlist×dim collected);
+    * assignment is one fused map-side argmax; the Q query vectors are
+    * bounded driver state shipped into ONE corpus scan (Q cosines per row,
+    * exploded); ranks come from per-(query[, nprobe]) windows. The
+    * evaluation harness scans the corpus — exact ground truth is inherently
+    * a scan — while the SERVING path it measures stays partition-pruned
+    * (q_ann3/q_ann8); at staged scales the same query runs with the same
+    * bounded Q (Scratch `annrecall`). */
+  def annIvfRecallCurve(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val nVec = emb.count()
+    val cents = Ivf.fitReplayable(emb, "vec_id", "embedding", nlist = 16)
+    // final assignment vs the updated centroids — the argmax the oracle
+    // replays (max quantized cosine, ties to the smaller cluster index)
+    val scored = array(cents.zipWithIndex.map { case (cv, j) =>
+      struct(GraftFunctions.cosineFloor(col("embedding"), typedLit(cv)).as("c"),
+        lit(-j).as("neg_j"))
+    }: _*)
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+      (-array_max(scored).getField("neg_j")).cast("int").as("cluster"))
+    // Q bounded queries: deterministic id predicate + keyed LIMIT, so Q
+    // stays 10 at EVERY scale (the staged 100x/1000x runs included — the
+    // truth tier's cost is Q × corpus, and Q must not grow with the corpus)
+    val queries: Array[(Long, Array[Float])] =
+      emb.filter(pmod(col("vec_id"), lit(50)) === 7).orderBy("vec_id").limit(10)
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Number](1).map(_.floatValue()).toArray))
+    // per-(query, cluster) probe ranks: nlist×Q rows of bounded driver
+    // state via the scalar twin of the quantized-cosine kernel
+    val cranks = queries.toSeq.flatMap { case (qid, qv) =>
+      cents.zipWithIndex
+        .map { case (cv, j) => (j, graft.functions.HashUtil.cosineFloor(qv, cv)) }
+        .sortBy { case (j, c) => (-c, j) }
+        .zipWithIndex.map { case ((j, _), r) => (qid, j, r + 1) }
+    }.toDF("qid", "cluster", "crank")
+    val qCos = array(queries.map { case (qid, qv) =>
+      struct(lit(qid).as("qid"),
+        GraftFunctions.cosineFloor(col("embedding"), typedLit(qv)).as("c"))
+    }: _*)
+    val perQ = assigned
+      .select(col("vec_id"), col("cluster"), explode(qCos).as("q"))
+      .select(col("q.qid").as("qid"), col("q.c").as("c"),
+        col("vec_id"), col("cluster"))
+      .withColumn("r_true", row_number().over(
+        Window.partitionBy("qid").orderBy(col("c").desc, col("vec_id"))))
+      .join(broadcast(cranks), Seq("qid", "cluster"))
+    val probes = Seq(1, 2, 4, 8, 16)
+    val nTruth = 10L * queries.length
+    perQ
+      .withColumn("nprobe", explode(
+        filter(array(probes.map(lit): _*), p => p >= col("crank"))))
+      .withColumn("r_ivf", row_number().over(
+        Window.partitionBy("qid", "nprobe").orderBy(col("c").desc, col("vec_id"))))
+      .groupBy("nprobe")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("r_ivf") <= 10 && col("r_true") <= 10, 1L)
+          .otherwise(0L)).as("n_hits"))
+      .select(
+        col("nprobe").cast("int").as("nprobe"),
+        lit(nTruth).as("n_truth"),
+        col("n_candidates"), col("n_hits"),
+        (col("n_hits").cast("double") / lit(nTruth.toDouble)).as("recall"),
+        (col("n_candidates").cast("double")
+          / lit((queries.length * nVec).toDouble)).as("scan_frac"))
+      .orderBy("nprobe")
+  }
+
+  /** R1: HYBRID RETRIEVAL (BM25 + VECTOR) WITH RECIPROCAL-RANK FUSION —
+    * the standard RAG serving shape, composed from the two proven
+    * retrieval tiers: the lexical leg is q_t6's Okapi BM25 top-50, the
+    * semantic leg is q_ann1's reproducible exact-cosine top-50 over each
+    * document's embedding (vec_id = doc_id), and the fusion is RRF
+    * (Cormack et al., SIGIR 2009): score(d) = Σ_legs 1/(60 + rank_leg(d)).
+    * Determinism: leg ranks are integers from fully tie-broken
+    * (score DESC, id) orders; each RRF contribution is
+    * floor(1e6/(60+rank)) — one IEEE divide + floor on integer inputs,
+    * bit-identical in any engine — summed as a long, so the fused top-20
+    * is oracle-exact end to end (integer rank arithmetic is what makes
+    * RRF exactly SQL-mirrorable where raw-score fusion would not be).
+    *
+    * Scale shape: each leg ends in TakeOrderedAndProject(50) — bounded
+    * lists; the legs themselves are the postings-pruned BM25 scan and (in
+    * production serving) the partition-pruned IVF probe, each measured
+    * separately — and the fusion is a join of two 50-row frames plus a
+    * top-20. Nothing grows with corpus size except the legs. */
+  def hybridRrf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    // documents carrying their embedding — the "corpus with an embedding
+    // column" shape both legs rank
+    val corpus = Tables.documents(s, d).select("doc_id", "text").join(emb, "doc_id")
+    val lex = graft.text.Bm25.topK(corpus, "doc_id", "text",
+        Seq("spark", "merge", "window", "stream"), k = 50)
+      .withColumn("r_lex", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id"))).cast("int"))
+    val vec = Ann.exactTopKReproducible(corpus, "doc_id", "embedding",
+        queryVector(s, d).map(_.toDouble), 50)
+      .withColumn("r_vec", row_number().over(
+        Window.orderBy(col("cosine").desc, col("doc_id"))).cast("int"))
+    def rrfTerm(r: Column): Column =
+      coalesce(floor(lit(1000000.0) / (lit(60.0) + r.cast("double"))).cast("long"),
+        lit(0L))
+    lex.select("doc_id", "r_lex")
+      .join(vec.select("doc_id", "r_vec"), Seq("doc_id"), "full_outer")
+      .withColumn("rrf_micro", rrfTerm(col("r_lex")) + rrfTerm(col("r_vec")))
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+      .limit(20)
+      .select("doc_id", "r_lex", "r_vec", "rrf_micro")
+  }
+
   /** E16: STREAMING ANN INDEX MAINTENANCE — q_ann9's incremental IVF
     * maintained BY the ingest stream (the q_e15 foreachBatch discipline
     * applied to ANN serving): arriving embedding micro-batches are
@@ -5458,6 +5584,8 @@ object Corpus {
     "q_ann7_int8_topk" -> (annInt8TopK _),
     "q_ann8_ivfpq_topk" -> (annIvfPqTopK _),
     "q_ann9_ivf_incremental" -> (annIvfIncrementalTopK _),
+    "q_ann10_recall_curve" -> (annIvfRecallCurve _),
+    "q_r1_hybrid_rrf" -> (hybridRrf _),
     "q_mm1_blob_meta" -> (blobMeta _),
     "q_mm2_frame_sample" -> (frameSample _),
     "q_mm3_audio_meta" -> (audioMeta _),

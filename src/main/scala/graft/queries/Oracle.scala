@@ -3126,6 +3126,166 @@ object Oracle {
         |SELECT CAST(1000000 + unnest(generate_series(0, 18)) AS BIGINT)
         |ORDER BY vec_id""".stripMargin,
 
+    // Mirrors Corpus.annIvfRecallCurve END TO END: the q_dd10b Lloyd replay
+    // (16 lowest-id seeds, one floor-quantized centroid update with REAL
+    // round-trip and COALESCE for empty cells, final quantized-cosine argmax
+    // assignment), per-query centroid ranking, exact ground-truth top-10,
+    // per-nprobe candidate sets and hits — every count exact-integer, the
+    // two ratios single fixed-order IEEE divides. The IVF fit itself is on
+    // trial here, not just the curve arithmetic.
+    "q_ann10_recall_curve" ->
+      s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+         |dims AS (
+         |  SELECT vec_id, CAST(i AS INTEGER) AS i,
+         |         CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x
+         |  FROM (SELECT vec_id, embedding, unnest(generate_series(1, len(embedding))) AS i FROM v)),
+         |c0 AS (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j, embedding AS se
+         |  FROM (SELECT vec_id, embedding FROM v ORDER BY vec_id LIMIT 16)),
+         |c0d AS (
+         |  SELECT j, CAST(i AS INTEGER) AS i, CAST(se[CAST(i AS INTEGER)] AS REAL) AS y
+         |  FROM (SELECT j, se, unnest(generate_series(1, len(se))) AS i FROM c0)),
+         |t1 AS (
+         |  SELECT d.vec_id, c.j, d.x, CAST(c.y AS DOUBLE) AS y
+         |  FROM dims d JOIN c0d c ON c.i = d.i),
+         |s1 AS (SELECT vec_id, j, $quantCosAgg AS c FROM t1 GROUP BY 1, 2),
+         |a1 AS (
+         |  SELECT vec_id, j AS cluster FROM (
+         |    SELECT vec_id, j,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, j) AS rn
+         |    FROM s1) WHERE rn = 1),
+         |m1 AS (
+         |  SELECT a.cluster AS j, d.i,
+         |         CAST(CAST(SUM(CAST(floor(d.x * 1.0E9) AS BIGINT)) AS DOUBLE)
+         |              / 1.0E9 / CAST(COUNT(d.x) AS DOUBLE) AS REAL) AS y
+         |  FROM a1 a JOIN dims d ON d.vec_id = a.vec_id
+         |  GROUP BY 1, 2),
+         |c1d AS (
+         |  SELECT c0d.j, c0d.i, COALESCE(m1.y, c0d.y) AS y
+         |  FROM c0d LEFT JOIN m1 ON m1.j = c0d.j AND m1.i = c0d.i),
+         |t2 AS (
+         |  SELECT d.vec_id, c.j, d.x, CAST(c.y AS DOUBLE) AS y
+         |  FROM dims d JOIN c1d c ON c.i = d.i),
+         |s2 AS (SELECT vec_id, j, $quantCosAgg AS c FROM t2 GROUP BY 1, 2),
+         |a2 AS (
+         |  SELECT vec_id, j AS cluster FROM (
+         |    SELECT vec_id, j,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, j) AS rn
+         |    FROM s2) WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid FROM v WHERE vec_id % 50 = 7 ORDER BY vec_id LIMIT 10),
+         |qd AS (SELECT q.qid, d.i, d.x FROM q JOIN dims d ON d.vec_id = q.qid),
+         |qct AS (
+         |  SELECT qd.qid, c.j, qd.x, CAST(c.y AS DOUBLE) AS y
+         |  FROM qd JOIN c1d c ON c.i = qd.i),
+         |qs AS (SELECT qid, j, $quantCosAgg AS c FROM qct GROUP BY 1, 2),
+         |crank AS (
+         |  SELECT qid, j AS cluster,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, j) AS INTEGER) AS crank
+         |  FROM qs),
+         |vqt AS (
+         |  SELECT qd.qid, d.vec_id, d.x, qd.x AS y
+         |  FROM dims d JOIN qd ON qd.i = d.i),
+         |vq AS (SELECT qid, vec_id, $quantCosAgg AS c FROM vqt GROUP BY 1, 2),
+         |rt AS (
+         |  SELECT qid, vec_id, c,
+         |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS r_true
+         |  FROM vq),
+         |jx AS (
+         |  SELECT rt.qid, rt.vec_id, rt.c, rt.r_true, cr.crank
+         |  FROM rt
+         |  JOIN a2 ON a2.vec_id = rt.vec_id
+         |  JOIN crank cr ON cr.qid = rt.qid AND cr.cluster = a2.cluster),
+         |e AS (
+         |  SELECT jx.*, p.np FROM jx
+         |  JOIN (VALUES (1), (2), (4), (8), (16)) AS p(np) ON p.np >= jx.crank),
+         |ri AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid, np ORDER BY c DESC, vec_id) AS r_ivf
+         |  FROM e),
+         |agg AS (
+         |  SELECT np,
+         |         CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         |         CAST(SUM(CASE WHEN r_ivf <= 10 AND r_true <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+         |  FROM ri GROUP BY 1),
+         |tot AS (
+         |  SELECT (SELECT COUNT(*) FROM q) AS nq, (SELECT COUNT(*) FROM v) AS nv)
+         |SELECT CAST(np AS INTEGER) AS nprobe,
+         |       CAST(nq * 10 AS BIGINT) AS n_truth,
+         |       n_candidates, n_hits,
+         |       CAST(n_hits AS DOUBLE) / CAST(nq * 10 AS DOUBLE) AS recall,
+         |       CAST(n_candidates AS DOUBLE) / CAST(nq * nv AS DOUBLE) AS scan_frac
+         |FROM agg CROSS JOIN tot ORDER BY nprobe""".stripMargin,
+
+    // Mirrors Corpus.hybridRrf: the q_t6 BM25 leg and the q_ann1
+    // exact-cosine leg, each rank-numbered inside its own top-50, fused by
+    // reciprocal-rank — floor(1e6/(60+rank)) summed as BIGINT, so the
+    // fusion is pure integer arithmetic on both engines.
+    "q_r1_hybrid_rrf" ->
+      """WITH corpus AS (
+        |  SELECT d.doc_id, d.text, e.embedding
+        |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+        |nm AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM corpus),
+        |tk AS (SELECT doc_id, regexp_extract_all(norm, '\S+') AS toks FROM nm),
+        |dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM tk),
+        |stats AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |         CAST(CAST(SUM(CAST(dl AS BIGINT)) AS BIGINT) AS DOUBLE)
+        |           / CAST(COUNT(*) AS DOUBLE) AS avgdl
+        |  FROM dl),
+        |tf AS (
+        |  SELECT doc_id, t AS term, CAST(COUNT(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS t FROM tk)
+        |  WHERE t IN ('spark', 'merge', 'window', 'stream')
+        |  GROUP BY 1, 2),
+        |dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |w AS (
+        |  SELECT tf.doc_id,
+        |         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        |           * (tf.tf * (1.2 + 1.0))
+        |           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl)) AS w
+        |  FROM tf
+        |  JOIN dfreq ON dfreq.term = tf.term
+        |  JOIN dl ON dl.doc_id = tf.doc_id
+        |  CROSS JOIN stats),
+        |bm AS (
+        |  SELECT doc_id,
+        |         CAST(SUM(CAST(floor(w * 1.0E6) AS BIGINT)) AS DOUBLE) / 1.0E6 AS bm25
+        |  FROM w GROUP BY 1
+        |  ORDER BY bm25 DESC, doc_id LIMIT 50),
+        |lex AS (
+        |  SELECT doc_id,
+        |         CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS r_lex
+        |  FROM bm),
+        |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |pos AS (
+        |  SELECT c.doc_id, c.embedding, qv.qe,
+        |         unnest(generate_series(1, len(c.embedding))) AS i
+        |  FROM corpus c, qv),
+        |terms AS (
+        |  SELECT doc_id,
+        |         CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x,
+        |         CAST(qe[CAST(i AS INTEGER)] AS DOUBLE) AS y
+        |  FROM pos),
+        |sc AS (
+        |  SELECT doc_id,
+        |         CAST(SUM(CAST(floor(x * y * 1.0E15) AS BIGINT)) AS DOUBLE) / 1.0E15 AS dot,
+        |         CAST(SUM(CAST(floor(x * x * 1.0E15) AS BIGINT)) AS DOUBLE) / 1.0E15 AS nx,
+        |         CAST(SUM(CAST(floor(y * y * 1.0E15) AS BIGINT)) AS DOUBLE) / 1.0E15 AS nq
+        |  FROM terms GROUP BY 1),
+        |vtop AS (
+        |  SELECT doc_id, dot / (sqrt(nx) * sqrt(nq)) AS cosine
+        |  FROM sc ORDER BY cosine DESC, doc_id LIMIT 50),
+        |vec AS (
+        |  SELECT doc_id,
+        |         CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS INTEGER) AS r_vec
+        |  FROM vtop),
+        |fused AS (
+        |  SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id, lex.r_lex, vec.r_vec,
+        |         COALESCE(CAST(floor(1.0E6 / (60.0 + CAST(r_lex AS DOUBLE))) AS BIGINT), 0)
+        |           + COALESCE(CAST(floor(1.0E6 / (60.0 + CAST(r_vec AS DOUBLE))) AS BIGINT), 0) AS rrf_micro
+        |  FROM lex FULL OUTER JOIN vec ON vec.doc_id = lex.doc_id)
+        |SELECT doc_id, r_lex, r_vec, rrf_micro
+        |FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT 20""".stripMargin,
+
     // Same recall contract through the STREAMING ingest path (q_e16):
     // every planted clone arrives in a micro-batch and is appended to the
     // frozen-centroid layout by foreachBatch — the maintained index must

@@ -72,6 +72,49 @@ object Ivf {
     Index(centroids)
   }
 
+  /** SQL-REPLAYABLE quantizer fit (the q_dd10b Lloyd discipline applied to
+    * the IVF tier): seeds are the `nlist` lowest-id vectors (deterministic
+    * init, keyed order — no RNG), each update round is ONE distributed
+    * (cluster, dim)-keyed aggregate whose per-dimension mean uses the
+    * floor-quantized construction (Exact.floorAvg(·, 9)), and assignment is
+    * the fused floor-quantized-cosine argmax with ties to the smaller
+    * cluster index. Updated centroids round-trip through float (an IEEE
+    * round-to-nearest cast, identical in any engine), and empty clusters
+    * retain their previous centroid — so a SQL oracle can replay the ENTIRE
+    * fit bit-for-bit (q_ann10's recall-curve gate does). Rounds-not-data on
+    * the driver: per round the collected state is the nlist×dim centroid
+    * grid. The sampled-Lloyd [[fit]] stays the serving-tier default (it
+    * bounds the fit scan at maxSample); this fit is the evaluation tier's,
+    * where oracle-exactness is the point. */
+  def fitReplayable(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      updates: Int = 1): Array[Array[Float]] = {
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    var cents: Array[Array[Float]] =
+      base.orderBy("id").limit(nlist).collect()
+        .map(_.getSeq[Number](1).map(_.floatValue()).toArray)
+    for (_ <- 1 to updates) {
+      val scored = array(cents.zipWithIndex.map { case (cv, j) =>
+        struct(
+          GraftFunctions.cosineFloor(col("vec"), typedLit(cv)).as("c"),
+          lit(-j).as("neg_j"))
+      }: _*)
+      val means = base.select(
+          (-array_max(scored).getField("neg_j")).cast("int").as("cluster"),
+          posexplode(col("vec")))
+        .groupBy("cluster", "pos")
+        .agg(graft.functions.Exact.floorAvg(col("col").cast("double"), 9).as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat)
+      cents = next
+    }
+    cents
+  }
+
   /** Adds the `cell` assignment column (fused codegen'd argmax-dot). */
   def assign(emb: DataFrame, vecCol: String, index: Index): DataFrame =
     emb.withColumn("cell",

@@ -21,6 +21,22 @@ object Scratch {
       r
     }
 
+    // The listener bus delivers task-end events asynchronously, and under
+    // heavy spill it can lag past a fixed sleep — crediting one stage's
+    // spill to the next (ADVICE r12). Poll the listener's own event counter
+    // until it is quiet for two consecutive 150 ms windows (cap 10 s):
+    // stability observed, not guessed.
+    def drainTaskEvents(events: java.util.concurrent.atomic.AtomicLong): Unit = {
+      val deadline = System.nanoTime() + 10L * 1000000000L
+      var quiet = 0
+      var last = events.get
+      while (quiet < 2 && System.nanoTime() < deadline) {
+        Thread.sleep(150)
+        val now = events.get
+        if (now == last) quiet += 1 else { quiet = 0; last = now }
+      }
+    }
+
     // The shared 10x staging (v2): each copy k of documents gets
     // doc_id + k*10M and every token suffixed with the copy index, so
     // cross-copy similarity is zero and dup-density per copy matches
@@ -559,6 +575,12 @@ object Scratch {
         // vectors, same copy-0-byte-exact + deterministic-jitter recipe, so
         // the embedding tier's evidence ladder matches the text tier's
         // (sf0.1 → 10x → 100x → 1000x on one recipe).
+        // Jitter modulus 99991 > copy count (ADVICE r12): with the 100x
+        // formula's mod 997, copies k and k+997 shared an identical jitter
+        // pattern and became byte-identical vectors, silently violating the
+        // "no cross-copy vector is identical" recipe property. Arguments for
+        // fixed (vec_id, i) differ by <= 998 < 99991 across copies, so every
+        // copy pair now differs in EVERY dimension; magnitude stays ~±0.05.
         val outE1k = "/tmp/sf1000emb"
         val doneE1k = new java.io.File(s"$outE1k/_DONE")
         if (!doneE1k.exists()) {
@@ -571,8 +593,8 @@ object Scratch {
                 (col("vec_id") + col("k") * 10000000L).as("vec_id"),
                 when(col("k") === 0, col("embedding")).otherwise(
                   transform(col("embedding"), (x, i) =>
-                    (x + (pmod(col("vec_id") * 31 + i + col("k"), lit(997)) - 498)
-                      .cast("double") / 10000.0).cast("float"))).as("embedding"),
+                    (x + (pmod(col("vec_id") * 31 + i + col("k"), lit(99991)) - 49995)
+                      .cast("double") / 1000000.0).cast("float"))).as("embedding"),
                 col("label"))
               .repartition(64)
               .write.mode("overwrite").parquet(s"$outE1k/embeddings.parquet")
@@ -673,13 +695,16 @@ object Scratch {
         val spillMem = new java.util.concurrent.atomic.AtomicLong()
         val spillDisk = new java.util.concurrent.atomic.AtomicLong()
         val peakExec = new java.util.concurrent.atomic.AtomicLong()
+        val taskEvents = new java.util.concurrent.atomic.AtomicLong()
         val lst = new org.apache.spark.scheduler.SparkListener {
-          override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            taskEvents.incrementAndGet()
             if (te.taskMetrics != null) {
               spillMem.addAndGet(te.taskMetrics.memoryBytesSpilled)
               spillDisk.addAndGet(te.taskMetrics.diskBytesSpilled)
               peakExec.updateAndGet(p => math.max(p, te.taskMetrics.peakExecutionMemory))
             }
+          }
         }
         spark.sparkContext.addSparkListener(lst)
         val tier = Seq(
@@ -702,7 +727,7 @@ object Scratch {
             println(s"[scratch] $q FAILED: ${e.getMessage}")
           }
           val w = (System.nanoTime() - t0) / 1e9
-          Thread.sleep(200) // let straggler task-end events land
+          drainTaskEvents(taskEvents) // straggler task-end events must land
           println(f"[scratch] $q: $w%.1fs, spill mem ${(spillMem.get - m0._1) / 1e6}%.0f MB / disk ${(spillDisk.get - m0._2) / 1e6}%.0f MB")
           q -> w
         }
@@ -732,19 +757,22 @@ object Scratch {
         import graft.text.{TextFunctions => TF}
         val spillM = new java.util.concurrent.atomic.AtomicLong()
         val spillD = new java.util.concurrent.atomic.AtomicLong()
+        val eventsD = new java.util.concurrent.atomic.AtomicLong()
         val lstD = new org.apache.spark.scheduler.SparkListener {
-          override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            eventsD.incrementAndGet()
             if (te.taskMetrics != null) {
               spillM.addAndGet(te.taskMetrics.memoryBytesSpilled)
               spillD.addAndGet(te.taskMetrics.diskBytesSpilled)
             }
+          }
         }
         spark.sparkContext.addSparkListener(lstD)
         def stage[T](label: String)(f: => T): T = {
           val m0 = (spillM.get, spillD.get)
           val t0 = System.nanoTime()
           val r = f
-          Thread.sleep(200)
+          drainTaskEvents(eventsD)
           println(f"[scratch] tp1diag $label: ${(System.nanoTime() - t0) / 1e9}%.1fs, " +
             f"spill mem ${(spillM.get - m0._1) / 1e6}%.0f MB / disk ${(spillD.get - m0._2) / 1e6}%.0f MB")
           r

@@ -249,4 +249,53 @@ class AnnSpec extends SparkSpec {
     assert(expectedLeaves >= 6, "every probed cell holds at least its base leaf")
     assert(scans.head.selectedPartitions.partitionCount === expectedLeaves)
   }
+
+  test("replayable IVF fit is layout-invariant and float-typed") {
+    val emb500 = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val a = Ivf.fitReplayable(emb500, "vec_id", "embedding", nlist = 8)
+    val b = Ivf.fitReplayable(emb500.repartition(7), "vec_id", "embedding", nlist = 8)
+    assert(a.length === 8)
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq,
+      "floor-quantized Lloyd update must be partition-order independent")
+  }
+
+  test("q_ann10 recall curve is monotone in nprobe and exact at nprobe = nlist") {
+    val rows = graft.queries.Corpus.all("q_ann10_recall_curve")(
+      spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.map(_._1).toSeq === Seq(1, 2, 4, 8, 16))
+    // candidates and hits never shrink as more cells are probed
+    assert(rows.sliding(2).forall { case Array(p, n) =>
+      n._2 >= p._2 && n._3 >= p._3 })
+    // probing every cell IS the exact scan: recall 1 over the full corpus
+    val last = rows.last
+    assert(last._4 === 1.0, s"recall at nprobe=nlist must be exact, got $last")
+    assert(last._5 === 1.0, s"scan_frac at nprobe=nlist must be 1, got $last")
+    assert(rows.head._5 < 0.5, "nprobe=1 must prune most of the corpus")
+  }
+
+  test("q_r1 hybrid RRF: fused score is exact integer rank arithmetic; both legs contribute") {
+    val out = graft.queries.Corpus.all("q_r1_hybrid_rrf")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.length === 20)
+    def term(r: Any): Long = r match {
+      case null => 0L
+      case i: Int => math.floor(1e6 / (60.0 + i)).toLong
+    }
+    out.foreach { r =>
+      assert(r.getLong(3) === term(r.get(1)) + term(r.get(2)),
+        s"rrf_micro must be the integer RRF of the leg ranks: $r")
+    }
+    // doc 0's embedding IS the query vector, so the vector leg ranks it 1
+    val doc0 = out.find(_.getLong(0) == 0L)
+    assert(doc0.exists(_.getInt(2) == 1), s"doc 0 must lead the vector leg: $doc0")
+    // the fused order is (rrf desc, doc_id): docs ranked by BOTH legs beat
+    // single-leg docs of similar rank — at least one fused row carries both
+    assert(out.exists(r => !r.isNullAt(1) && !r.isNullAt(2)),
+      "fusion must surface at least one doc present in both legs")
+    val scores = out.map(_.getLong(3)).toSeq
+    assert(scores === scores.sorted.reverse, "output must be rrf-descending")
+  }
 }
