@@ -1,0 +1,283 @@
+package graft.tools
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.Dedup
+
+/** Multi-executor execution evidence (builder-side; the driver never runs
+  * it): the same library code under `local-cluster[2,16,8192]` — two REAL
+  * worker-spawned executor JVMs with task serialization, network shuffle
+  * fetch, disk-backed blocks, and genuine executor loss — the axes
+  * local[32] cannot exercise because everything lives in one JVM.
+  *
+  * Modes:
+  *  - `smoke`      session + executor roll call + one shuffle round-trip
+  *  - `tier`       the heavy query tier: walls + order-independent result
+  *                 signatures in the Scratch `sig` format, so a diff against
+  *                 the local[32] `sig` output proves results are IDENTICAL
+  *                 across execution modes, not merely "both completed"
+  *  - `cckill`     [[Dedup.dupClusters]] in RELIABLE-checkpoint mode with an
+  *                 executor SIGKILLed mid-loop: the single job must survive
+  *                 (lost shuffle blocks recompute from the checkpoint files,
+  *                 the worker relaunches a replacement executor) and the
+  *                 labels must equal BOTH the uninterrupted run's and the
+  *                 analytic truth (chain minima)
+  *  - `streamkill` the q_e11 cross-batch dedup stream with an executor
+  *                 SIGKILLed mid-stream: the run either rides task retry or
+  *                 the stream dies and is RESTARTED on the same
+  *                 checkpoint + state root (the BatchState disk-derived
+  *                 recovery path, StreamingSpec's contract — now under a
+  *                 REAL executor death), and the final store must equal the
+  *                 uninterrupted run's
+  */
+object ClusterEvidence {
+
+  private def session(): SparkSession = {
+    // Executor JVMs are launched by the in-process Worker: they need the
+    // repo classes + spark jars on their classpath and the same JDK17
+    // --add-opens set the driver runs with.
+    val cp = System.getProperty("java.class.path")
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io", "java.base/java.net",
+      "java.base/java.nio", "java.base/java.util",
+      "java.base/java.util.concurrent", "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar")
+      .map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("GRAFT_CLUSTER_MASTER", "local-cluster[2,16,8192]"))
+      .appName("graft-cluster-evidence")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64m")
+      .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "5")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse-cluster")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.executor.extraClassPath", cp)
+      .config("spark.executor.extraJavaOptions", addOpens)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** SIGKILL one live executor JVM. The in-process Worker spawns executors
+    * as the driver JVM's only java child processes, so any java descendant
+    * IS an executor backend. (Matching on commandLine() fails here: the JDK
+    * returns an empty Optional for the executors' multi-KB classpath
+    * command lines, so we match the command binary instead.) */
+  private def killOneExecutor(label: String): Option[Long] = {
+    val victim = ProcessHandle.current().descendants().iterator().asScala
+      .find(_.info().command().map[Boolean](_.endsWith("/java")).orElse(false))
+    victim match {
+      case Some(p) =>
+        println(s"[cluster] $label: SIGKILL executor pid=${p.pid()}")
+        p.destroyForcibly()
+        Some(p.pid())
+      case None =>
+        println(s"[cluster] $label: no executor process found")
+        None
+    }
+  }
+
+  private def liveExecutors(spark: SparkSession): Int =
+    // getExecutorInfos includes the driver row; executors are the rest
+    spark.sparkContext.statusTracker.getExecutorInfos.length - 1
+
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mode = if (args.length > 1) args(1) else "smoke"
+    val spark = session()
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[cluster] $label: ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      r
+    }
+    // wait for both executors to register before timing anything
+    val t0 = System.currentTimeMillis()
+    while (liveExecutors(spark) < 2 && System.currentTimeMillis() - t0 < 60000)
+      Thread.sleep(250)
+    println(s"[cluster] executors up: ${liveExecutors(spark)} " +
+      s"(master ${spark.sparkContext.master})")
+
+    mode match {
+      case "smoke" =>
+        val n = time("shuffle round-trip") {
+          spark.range(0, 10000000, 1, 32)
+            .groupBy(pmod(col("id"), lit(97)).as("k")).count().count()
+        }
+        println(s"[cluster] smoke rows=$n")
+
+      case "tier" =>
+        // Heavy tier + the `sig` queries: wall + order-independent result
+        // signature per query (same construction as Scratch `sig`, so the
+        // lines diff cleanly against a local[32] run).
+        val tier = if (args.length > 2) args.drop(2).toSeq else Seq(
+          "q_dd1_jaccard_top", "q_dd11_fuzzy_pipeline", "q_dd12_fuzzy_clusters",
+          "q_dd13_lsh_recall", "q_dd2b_minhash_recall", "q_dd3b_simhash_recall",
+          "q_dd6_dup_clusters", "q_tp1_clean_corpus", "q_tp11_clean_scrubbed",
+          "q_tp16_publish", "q_t21_quality_classifier", "q_d3_dedup_fingerprint",
+          "q_tp9_span_dedup", "q_s13_shard_manifest", "q_mm10_image_neardup",
+          "q_w12_densify", "q_ann10_recall_curve", "q_r1_hybrid_rrf",
+          "q_e6_stream_join", "q_e11_stream_dedup_store")
+        var failed = List.empty[String]
+        tier.foreach { q =>
+          try {
+            // plan construction INSIDE the timer: several tier queries
+            // (streams, CC loops) execute eagerly in the query function
+            val row = time(q) {
+              val df = graft.queries.Corpus.all(q)(spark, d)
+              df.select(
+                  xxhash64(to_json(struct(df.columns.sorted.map(col).toSeq: _*))).as("h"))
+                .agg(count(lit(1)).as("n"), sum(col("h")).as("sig"))
+                .collect()(0)
+            }
+            println(s"[cluster] sig $q n=${row.getLong(0)} sig=${row.getLong(1)}")
+          } catch { case e: Throwable =>
+            failed ::= q
+            println(s"[cluster] $q FAILED: ${e.getClass.getSimpleName} ${e.getMessage}")
+          }
+        }
+        println(s"[cluster] tier done, failed=${failed.size}${
+          if (failed.nonEmpty) " " + failed.mkString(",") else ""}")
+
+      case "cckill" =>
+        // A deterministic chain forest big enough that the CC loop runs for
+        // ~chainLen iterations of real shuffle joins: 200k chains of 12
+        // nodes (2.4M nodes / 2.2M edges). Analytic truth: every node's
+        // label is its chain's minimum id (chainId*16). The pair input is
+        // LANDED ON PARQUET first — the reliable-storage stage boundary a
+        // real pipeline has — so the kill run's lineage starts from disk.
+        val pairsDir = "/tmp/graft_cluster_ccpairs"
+        if (!new java.io.File(s"$pairsDir/_SUCCESS").exists()) {
+          time("build chain pair graph") {
+            spark.range(0, 200000L * 16, 1, 32)
+              .filter(pmod(col("id"), lit(16)) < 11)
+              .select(col("id").as("id1"), (col("id") + 1).as("id2"))
+              .write.mode("overwrite").parquet(pairsDir)
+          }
+        }
+        val pairs = spark.read.parquet(pairsDir)
+        def truth(labels: DataFrame): Long = labels
+          .filter(col("label") =!= col("id") - pmod(col("id"), lit(16)))
+          .count()
+        // uninterrupted reliable-checkpoint run
+        val ckptA = java.nio.file.Files.createTempDirectory("graft_cc_a").toString
+        val base = time("CC reliable-checkpoint uninterrupted") {
+          Dedup.dupClusters(pairs, maxIters = 20, checkpointDir = Some(ckptA))
+            .agg(count(lit(1)).as("n"), sum(xxhash64(col("id"), col("label"))).as("sig"),
+              sum(when(col("label") =!= col("id") - pmod(col("id"), lit(16)), 1L)
+                .otherwise(0L)).as("wrong"))
+            .collect()(0)
+        }
+        println(s"[cluster] base n=${base.getLong(0)} sig=${base.getLong(1)} wrong=${base.getLong(2)}")
+        assert(base.getLong(2) == 0L, "uninterrupted CC labels must match chain minima")
+        // kill run: SIGKILL an executor once the loop is underway (>=3
+        // checkpointed RDDs in the dir means edges+labels+an iteration)
+        val ckptB = java.nio.file.Files.createTempDirectory("graft_cc_b").toString
+        val killer = new Thread(() => {
+          def ckpts() = Option(new java.io.File(ckptB).listFiles()).toSeq.flatten
+            .flatMap(f => Option(f.listFiles()).toSeq.flatten).count(_.getName.startsWith("rdd-"))
+          val t1 = System.currentTimeMillis()
+          while (ckpts() < 4 && System.currentTimeMillis() - t1 < 120000) Thread.sleep(100)
+          killOneExecutor(s"cckill (at ${ckpts()} checkpointed RDDs)")
+        })
+        killer.setDaemon(true)
+        killer.start()
+        val hit = time("CC reliable-checkpoint with executor kill") {
+          Dedup.dupClusters(pairs, maxIters = 20, checkpointDir = Some(ckptB))
+            .agg(count(lit(1)).as("n"), sum(xxhash64(col("id"), col("label"))).as("sig"),
+              sum(when(col("label") =!= col("id") - pmod(col("id"), lit(16)), 1L)
+                .otherwise(0L)).as("wrong"))
+            .collect()(0)
+        }
+        killer.join(1000)
+        println(s"[cluster] kill n=${hit.getLong(0)} sig=${hit.getLong(1)} wrong=${hit.getLong(2)}")
+        println(s"[cluster] executors now live: ${liveExecutors(spark)}")
+        assert(hit.getLong(0) == base.getLong(0) && hit.getLong(1) == base.getLong(1)
+          && hit.getLong(2) == 0L,
+          s"CC result diverged after executor kill: base=$base kill=$hit")
+        println("[cluster] cckill OK: job survived executor loss with identical labels")
+
+      case "streamkill" =>
+        import org.apache.spark.sql.{Dataset, Row}
+        val C = graft.queries.Corpus
+        def runStream(root: String, storeSig: DataFrame): Option[Throwable] = {
+          val applyBatch: (Dataset[Row], Long) => Unit =
+            (batch, id) => C.dedupStoreBatch(spark, storeSig, root)(batch.toDF(), id)
+          val q = spark.readStream
+            .schema("doc_id BIGINT, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(s"$root/in/p*")
+            .writeStream
+            .option("checkpointLocation", s"$root/ckpt")
+            .foreachBatch(applyBatch)
+            .start()
+          try { q.processAllAvailable(); None }
+          catch { case e: Throwable => Some(e) }
+          finally q.stop()
+        }
+        def storeSnapshot(root: String) =
+          spark.read.parquet(s"$root/out/b*")
+            .agg(count(lit(1)).as("n"),
+              sum(xxhash64(col("doc_id"), col("status"),
+                coalesce(col("match_id"), lit(-1L)))).as("sig"))
+            .collect()(0)
+        val (sigBase, waves) = C.dedupStreamWaves(spark, d)
+        val rootA = java.nio.file.Files.createTempDirectory("graft_sk_a").toString
+        val rootB = java.nio.file.Files.createTempDirectory("graft_sk_b").toString
+        waves.zipWithIndex.foreach { case (df, i) =>
+          val w = df.localCheckpoint(true)
+          C.writeWave(rootA, i, w); C.writeWave(rootB, i, w)
+        }
+        time("stream uninterrupted")(runStream(rootA, sigBase)
+          .foreach(e => throw new IllegalStateException("baseline stream failed", e)))
+        val base = storeSnapshot(rootA)
+        println(s"[cluster] stream base n=${base.getLong(0)} sig=${base.getLong(1)}")
+        // kill run: wait for batch 0's commit, then SIGKILL an executor
+        val (sigKill, _) = C.dedupStreamWaves(spark, d)
+        val killer = new Thread(() => {
+          val t1 = System.currentTimeMillis()
+          while (!new java.io.File(s"$rootB/out/b0/_SUCCESS").exists()
+            && System.currentTimeMillis() - t1 < 120000) Thread.sleep(50)
+          killOneExecutor("streamkill (after batch-0 commit)")
+        })
+        killer.setDaemon(true)
+        killer.start()
+        val died = time("stream with executor kill")(runStream(rootB, sigKill))
+        killer.join(1000)
+        died match {
+          case Some(e) =>
+            // the fixture's store signatures live in executor-resident
+            // localCheckpoint blocks, so losing their executor can kill the
+            // RUN — the production path is a driver RESTART on the same
+            // checkpoint + state root (BatchState recovery), which resumes
+            // from the last committed batch with a rebuilt store
+            println(s"[cluster] stream died on executor loss (${e.getClass.getSimpleName}); restarting on same checkpoint")
+            val (sigRestart, _) = C.dedupStreamWaves(spark, d)
+            time("stream restart (recovery)")(runStream(rootB, sigRestart)
+              .foreach(e2 => throw new IllegalStateException("restarted stream failed", e2)))
+          case None =>
+            println("[cluster] stream rode out the executor loss via task retry")
+        }
+        val after = storeSnapshot(rootB)
+        println(s"[cluster] stream kill n=${after.getLong(0)} sig=${after.getLong(1)}")
+        println(s"[cluster] executors now live: ${liveExecutors(spark)}")
+        assert(after.getLong(0) == base.getLong(0) && after.getLong(1) == base.getLong(1),
+          s"streamed store diverged after executor kill: base=$base after=$after")
+        println("[cluster] streamkill OK: post-loss store identical to uninterrupted run")
+
+      case other =>
+        println(s"[cluster] unknown mode $other")
+    }
+    spark.stop()
+  }
+}
