@@ -683,6 +683,49 @@ object Scratch {
           println(s"[scratch] $q planted-clone drops OK ($dropped/40)")
         }
 
+      case "annrecall" =>
+        // r12 directive #5: the ANN operating curves a user actually tunes
+        // with, at staging scale — recall@10 vs scan cost as a function of
+        // nprobe (IVF; the oracle-gated q_ann10 run here at d) and of m
+        // (PQ; ADC-only shortlist AND the rerank path), all against EXACT
+        // brute-force ground truth on the same bounded 10-query set.
+        time("IVF nprobe curve (q_ann10)") {
+          graft.queries.Corpus.all("q_ann10_recall_curve")(spark, d)
+            .collect().foreach(r => println(s"[scratch] ivf $r"))
+        }
+        val embR = Tables.embeddings(spark, d).select("vec_id", "embedding")
+        val queriesR: Array[(Long, Array[Float])] =
+          embR.filter(pmod(col("vec_id"), lit(50)) === 7).orderBy("vec_id").limit(10)
+            .collect()
+            .map(r => (r.getLong(0), r.getSeq[Number](1).map(_.floatValue()).toArray))
+        val truthR: Map[Long, Set[Long]] = queriesR.map { case (qid, qv) =>
+          qid -> graft.similarity.Ann.exactTopKReproducible(
+              embR, "vec_id", "embedding", qv.map(_.toDouble), 10)
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+        }.toMap
+        for (m <- Seq(4, 8, 16)) {
+          val cb = graft.similarity.Pq.fit(embR, "embedding", m = m, k = 16)
+          val enc = graft.similarity.Pq.encode(embR, "embedding", cb)
+            .select("vec_id", "embedding", "code").localCheckpoint(true)
+          var adcHits = 0
+          var rrHits = 0
+          time(s"pq m=$m (10 queries, adc + rerank)") {
+            queriesR.foreach { case (qid, qv) =>
+              val adc = enc.select(col("vec_id"),
+                  graft.similarity.Pq.adcCosineCol(cb, qv).as("a"))
+                .orderBy(col("a").desc, col("vec_id")).limit(10)
+                .collect().map(_.getLong(0)).toSet
+              adcHits += (adc intersect truthR(qid)).size
+              val rr = graft.similarity.Pq.topK(
+                  spark, embR, "vec_id", "embedding", cb, qv, 10)
+                .select("vec_id").collect().map(_.getLong(0)).toSet
+              rrHits += (rr intersect truthR(qid)).size
+            }
+          }
+          println(f"[scratch] pq m=$m codes/vec=$m (vs 64 floats) " +
+            f"adc_recall@10=${adcHits / 100.0}%.2f rerank_recall@10=${rrHits / 100.0}%.2f")
+        }
+
       case "tier100" =>
         // Round-11 directive: run the 100x documents tier MEMORY-
         // CONSTRAINED and prove the plans SPILL instead of OOM — at
