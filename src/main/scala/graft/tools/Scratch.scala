@@ -575,12 +575,24 @@ object Scratch {
         // vectors, same copy-0-byte-exact + deterministic-jitter recipe, so
         // the embedding tier's evidence ladder matches the text tier's
         // (sf0.1 → 10x → 100x → 1000x on one recipe).
-        // Jitter modulus 99991 > copy count (ADVICE r12): with the 100x
-        // formula's mod 997, copies k and k+997 shared an identical jitter
-        // pattern and became byte-identical vectors, silently violating the
-        // "no cross-copy vector is identical" recipe property. Arguments for
-        // fixed (vec_id, i) differ by <= 998 < 99991 across copies, so every
-        // copy pair now differs in EVERY dimension; magnitude stays ~±0.05.
+        // Jitter recipe, two hard-won properties (both MEASURED failures):
+        // 1. Copies k and k+997 under the plain mod-997 formula shared an
+        //    identical jitter pattern -> byte-identical vectors (ADVICE
+        //    r12), violating "no cross-copy vector is identical".
+        // 2. The naive fix (one big modulus, 99991) KEPT distinctness but
+        //    destroyed per-dimension DIVERSITY: v*31+i+k < 99991 for all
+        //    small v, so the jitter never wrapped and was near-constant
+        //    across dims/copies — every copy family collapsed into a tight
+        //    uniformly-shifted cluster whose identical PQ codes flooded the
+        //    ADC shortlist and broke q_ann8's planted-clone recall at 2M
+        //    vectors (exact clones pruned before the rerank tier).
+        // So: keep mod 997 (arguments wrap -> genuinely varied per-dim
+        // jitter, the geometry every r12 contract was proven on) and add a
+        // copy-unique epsilon (k-500)(i+1)/1e7. Copies with the same mod
+        // pattern (|k-k'|=997) differ by 997(i+1)/1e7 >= 1e-4 in EVERY
+        // dim; copies with different patterns differ in >= 62 of 64 dims
+        // (the linear epsilon can cancel the mod delta in at most 2 dims).
+        // Magnitude stays ±0.05 mod-term dominated.
         val outE1k = "/tmp/sf1000emb"
         val doneE1k = new java.io.File(s"$outE1k/_DONE")
         if (!doneE1k.exists()) {
@@ -593,8 +605,10 @@ object Scratch {
                 (col("vec_id") + col("k") * 10000000L).as("vec_id"),
                 when(col("k") === 0, col("embedding")).otherwise(
                   transform(col("embedding"), (x, i) =>
-                    (x + (pmod(col("vec_id") * 31 + i + col("k"), lit(99991)) - 49995)
-                      .cast("double") / 1000000.0).cast("float"))).as("embedding"),
+                    (x + (pmod(col("vec_id") * 31 + i + col("k"), lit(997)) - 498)
+                      .cast("double") / 10000.0
+                      + (col("k") - 500).cast("double") * (i + 1).cast("double")
+                        / 10000000.0).cast("float"))).as("embedding"),
                 col("label"))
               .repartition(64)
               .write.mode("overwrite").parquet(s"$outE1k/embeddings.parquet")
