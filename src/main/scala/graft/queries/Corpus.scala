@@ -4742,6 +4742,65 @@ object Corpus {
       .orderBy("nprobe")
   }
 
+  /** R2: HYBRID RETRIEVAL SERVED FROM THE IVF INDEX — q_r1 with the vector
+    * leg swapped from the exact scan to the PRODUCTION serving path: the
+    * SQL-replayable IVF quantizer ([[Ivf.fitReplayable]]) assigns every
+    * doc's embedding to a cell, the query probes its nprobe=4 nearest
+    * cells (quantized-cosine centroid ranking, ties to the smaller cell),
+    * and only the probed cells' docs are reranked exactly — the
+    * partition-pruned shape q_ann3 serves at scale, here composed into the
+    * RAG-serving capstone. BECAUSE the fit is replayable, the ENTIRE
+    * hybrid result — BM25 leg, quantizer, cell assignment, probe set, IVF
+    * top-50, RRF fusion — is one DuckDB-oracle-gated answer: the composed
+    * query's approximation (what the cell prune dropped) is pinned
+    * bit-for-bit, not waved at.
+    *
+    * Scale shape: the lexical leg is the postings-pruned BM25 scan; the
+    * vector leg reads nprobe/nlist of the corpus (a partition filter
+    * against the q_ann3 cell layout in production; the cell-membership
+    * filter here computes the same candidate set); both legs end in
+    * TakeOrderedAndProject(50); fusion joins two 50-row frames. */
+  def hybridRrfIvf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val corpus = Tables.documents(s, d).select("doc_id", "text").join(emb, "doc_id")
+    val corpusEmb = corpus.select("doc_id", "embedding")
+    val cents = Ivf.fitReplayable(corpusEmb, "doc_id", "embedding", nlist = 16)
+    val scored = array(cents.zipWithIndex.map { case (cv, j) =>
+      struct(GraftFunctions.cosineFloor(col("embedding"), typedLit(cv)).as("c"),
+        lit(-j).as("neg_j"))
+    }: _*)
+    val q = queryVector(s, d)
+    // probe set: nprobe=4 cells by quantized centroid cosine, ties to the
+    // smaller cell index (bounded driver state, the q_ann10 construction)
+    val probed: Seq[Int] = cents.zipWithIndex
+      .map { case (cv, j) => (j, graft.functions.HashUtil.cosineFloor(q, cv)) }
+      .sortBy { case (j, c) => (-c, j) }.take(4).map(_._1).toSeq
+    val vec = corpusEmb
+      .withColumn("cluster", (-array_max(scored).getField("neg_j")).cast("int"))
+      .filter(col("cluster").isin(probed: _*))
+      .select(col("doc_id"),
+        GraftFunctions.cosineFloor(col("embedding"), typedLit(q)).as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_id"))
+      .limit(50)
+      .withColumn("r_vec", row_number().over(
+        Window.orderBy(col("cosine").desc, col("doc_id"))).cast("int"))
+    val lex = graft.text.Bm25.topK(corpus, "doc_id", "text",
+        Seq("spark", "merge", "window", "stream"), k = 50)
+      .withColumn("r_lex", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id"))).cast("int"))
+    def rrfTerm(r: Column): Column =
+      coalesce(floor(lit(1000000.0) / (lit(60.0) + r.cast("double"))).cast("long"),
+        lit(0L))
+    lex.select("doc_id", "r_lex")
+      .join(vec.select("doc_id", "r_vec"), Seq("doc_id"), "full_outer")
+      .withColumn("rrf_micro", rrfTerm(col("r_lex")) + rrfTerm(col("r_vec")))
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+      .limit(20)
+      .select("doc_id", "r_lex", "r_vec", "rrf_micro")
+  }
+
   /** R1: HYBRID RETRIEVAL (BM25 + VECTOR) WITH RECIPROCAL-RANK FUSION —
     * the standard RAG serving shape, composed from the two proven
     * retrieval tiers: the lexical leg is q_t6's Okapi BM25 top-50, the
@@ -5586,6 +5645,7 @@ object Corpus {
     "q_ann9_ivf_incremental" -> (annIvfIncrementalTopK _),
     "q_ann10_recall_curve" -> (annIvfRecallCurve _),
     "q_r1_hybrid_rrf" -> (hybridRrf _),
+    "q_r2_hybrid_ivf" -> (hybridRrfIvf _),
     "q_mm1_blob_meta" -> (blobMeta _),
     "q_mm2_frame_sample" -> (frameSample _),
     "q_mm3_audio_meta" -> (audioMeta _),

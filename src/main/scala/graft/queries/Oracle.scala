@@ -3286,6 +3286,122 @@ object Oracle {
         |SELECT doc_id, r_lex, r_vec, rrf_micro
         |FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT 20""".stripMargin,
 
+    // Mirrors Corpus.hybridRrfIvf: the q_r1 BM25 leg unchanged, the vector
+    // leg served through the REPLAYED IVF index — the q_ann10 Lloyd replay
+    // refit on the corpus embeddings (16 lowest-doc-id seeds, one
+    // floor-quantized update), the query's 4-cell probe set, candidates
+    // restricted to probed cells, quantized-cosine top-50 — then the same
+    // integer RRF fusion. The cell prune's approximation is pinned
+    // bit-for-bit by the oracle, not assumed away.
+    "q_r2_hybrid_ivf" ->
+      s"""WITH corpus AS (
+         |  SELECT d.doc_id, d.text, e.embedding
+         |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+         |dims AS (
+         |  SELECT doc_id, CAST(i AS INTEGER) AS i,
+         |         CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x
+         |  FROM (SELECT doc_id, embedding, unnest(generate_series(1, len(embedding))) AS i FROM corpus)),
+         |c0 AS (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS INTEGER) AS j, embedding AS se
+         |  FROM (SELECT doc_id, embedding FROM corpus ORDER BY doc_id LIMIT 16)),
+         |c0d AS (
+         |  SELECT j, CAST(i AS INTEGER) AS i, CAST(se[CAST(i AS INTEGER)] AS REAL) AS y
+         |  FROM (SELECT j, se, unnest(generate_series(1, len(se))) AS i FROM c0)),
+         |t1 AS (
+         |  SELECT d.doc_id, c.j, d.x, CAST(c.y AS DOUBLE) AS y
+         |  FROM dims d JOIN c0d c ON c.i = d.i),
+         |s1 AS (SELECT doc_id, j, $quantCosAgg AS c FROM t1 GROUP BY 1, 2),
+         |a1 AS (
+         |  SELECT doc_id, j AS cluster FROM (
+         |    SELECT doc_id, j,
+         |           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, j) AS rn
+         |    FROM s1) WHERE rn = 1),
+         |m1 AS (
+         |  SELECT a.cluster AS j, d.i,
+         |         CAST(CAST(SUM(CAST(floor(d.x * 1.0E9) AS BIGINT)) AS DOUBLE)
+         |              / 1.0E9 / CAST(COUNT(d.x) AS DOUBLE) AS REAL) AS y
+         |  FROM a1 a JOIN dims d ON d.doc_id = a.doc_id
+         |  GROUP BY 1, 2),
+         |c1d AS (
+         |  SELECT c0d.j, c0d.i, COALESCE(m1.y, c0d.y) AS y
+         |  FROM c0d LEFT JOIN m1 ON m1.j = c0d.j AND m1.i = c0d.i),
+         |t2 AS (
+         |  SELECT d.doc_id, c.j, d.x, CAST(c.y AS DOUBLE) AS y
+         |  FROM dims d JOIN c1d c ON c.i = d.i),
+         |s2 AS (SELECT doc_id, j, $quantCosAgg AS c FROM t2 GROUP BY 1, 2),
+         |a2 AS (
+         |  SELECT doc_id, j AS cluster FROM (
+         |    SELECT doc_id, j,
+         |           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, j) AS rn
+         |    FROM s2) WHERE rn = 1),
+         |qd AS (
+         |  SELECT CAST(i AS INTEGER) AS i,
+         |         CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x
+         |  FROM (SELECT embedding, unnest(generate_series(1, len(embedding))) AS i
+         |        FROM embeddings WHERE vec_id = 0)),
+         |qct AS (
+         |  SELECT c.j, qd.x, CAST(c.y AS DOUBLE) AS y
+         |  FROM qd JOIN c1d c ON c.i = qd.i),
+         |qs AS (SELECT j, $quantCosAgg AS c FROM qct GROUP BY 1),
+         |probe AS (
+         |  SELECT j AS cluster FROM (
+         |    SELECT j, ROW_NUMBER() OVER (ORDER BY c DESC, j) AS crank FROM qs)
+         |  WHERE crank <= 4),
+         |vq AS (
+         |  SELECT d.doc_id, $quantCosAgg AS c
+         |  FROM (SELECT dims.doc_id, dims.x, qd.x AS y
+         |        FROM dims JOIN qd ON qd.i = dims.i) d
+         |  GROUP BY 1),
+         |vtop AS (
+         |  SELECT vq.doc_id, vq.c AS cosine
+         |  FROM vq
+         |  JOIN a2 ON a2.doc_id = vq.doc_id
+         |  JOIN probe p ON p.cluster = a2.cluster
+         |  ORDER BY vq.c DESC, vq.doc_id LIMIT 50),
+         |vec AS (
+         |  SELECT doc_id,
+         |         CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS INTEGER) AS r_vec
+         |  FROM vtop),
+         |nm AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm FROM corpus),
+         |tk AS (SELECT doc_id, regexp_extract_all(norm, '\\S+') AS toks FROM nm),
+         |dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM tk),
+         |stats AS (
+         |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         |         CAST(CAST(SUM(CAST(dl AS BIGINT)) AS BIGINT) AS DOUBLE)
+         |           / CAST(COUNT(*) AS DOUBLE) AS avgdl
+         |  FROM dl),
+         |tf AS (
+         |  SELECT doc_id, t AS term, CAST(COUNT(*) AS DOUBLE) AS tf
+         |  FROM (SELECT doc_id, unnest(toks) AS t FROM tk)
+         |  WHERE t IN ('spark', 'merge', 'window', 'stream')
+         |  GROUP BY 1, 2),
+         |dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+         |w AS (
+         |  SELECT tf.doc_id,
+         |         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+         |           * (tf.tf * (1.2 + 1.0))
+         |           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl)) AS w
+         |  FROM tf
+         |  JOIN dfreq ON dfreq.term = tf.term
+         |  JOIN dl ON dl.doc_id = tf.doc_id
+         |  CROSS JOIN stats),
+         |bm AS (
+         |  SELECT doc_id,
+         |         CAST(SUM(CAST(floor(w * 1.0E6) AS BIGINT)) AS DOUBLE) / 1.0E6 AS bm25
+         |  FROM w GROUP BY 1
+         |  ORDER BY bm25 DESC, doc_id LIMIT 50),
+         |lex AS (
+         |  SELECT doc_id,
+         |         CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS r_lex
+         |  FROM bm),
+         |fused AS (
+         |  SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id, lex.r_lex, vec.r_vec,
+         |         COALESCE(CAST(floor(1.0E6 / (60.0 + CAST(r_lex AS DOUBLE))) AS BIGINT), 0)
+         |           + COALESCE(CAST(floor(1.0E6 / (60.0 + CAST(r_vec AS DOUBLE))) AS BIGINT), 0) AS rrf_micro
+         |  FROM lex FULL OUTER JOIN vec ON vec.doc_id = lex.doc_id)
+         |SELECT doc_id, r_lex, r_vec, rrf_micro
+         |FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT 20""".stripMargin,
+
     // Same recall contract through the STREAMING ingest path (q_e16):
     // every planted clone arrives in a micro-batch and is appended to the
     // frozen-centroid layout by foreachBatch — the maintained index must

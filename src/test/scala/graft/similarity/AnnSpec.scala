@@ -298,4 +298,25 @@ class AnnSpec extends SparkSpec {
     val scores = out.map(_.getLong(3)).toSeq
     assert(scores === scores.sorted.reverse, "output must be rrf-descending")
   }
+
+  test("q_r2 hybrid IVF: index-served leg keeps the exact match; RRF identity holds") {
+    val out = graft.queries.Corpus.all("q_r2_hybrid_ivf")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.length === 20)
+    def term(r: Any): Long = r match {
+      case null => 0L
+      case i: Int => math.floor(1e6 / (60.0 + i)).toLong
+    }
+    out.foreach { r =>
+      assert(r.getLong(3) === term(r.get(1)) + term(r.get(2)),
+        s"rrf_micro must be the integer RRF of the leg ranks: $r")
+    }
+    // doc 0 IS the query vector; its own cell is always in the probe set,
+    // so the index-served leg must still rank it first
+    val doc0 = out.find(_.getLong(0) == 0L)
+    assert(doc0.exists(_.getInt(2) == 1),
+      s"doc 0 must survive the cell prune and lead the vector leg: $doc0")
+    val scores = out.map(_.getLong(3)).toSeq
+    assert(scores === scores.sorted.reverse, "output must be rrf-descending")
+  }
 }
