@@ -127,7 +127,7 @@ object ClusterEvidence {
           "q_tp16_publish", "q_t21_quality_classifier", "q_d3_dedup_fingerprint",
           "q_tp9_span_dedup", "q_s13_shard_manifest", "q_mm10_image_neardup",
           "q_w12_densify", "q_ann10_recall_curve", "q_r1_hybrid_rrf",
-          "q_e6_stream_join", "q_e11_stream_dedup_store")
+          "q_r2_hybrid_ivf", "q_e6_stream_join", "q_e11_stream_dedup_store")
         var failed = List.empty[String]
         tier.foreach { q =>
           try {
@@ -274,6 +274,72 @@ object ClusterEvidence {
         assert(after.getLong(0) == base.getLong(0) && after.getLong(1) == base.getLong(1),
           s"streamed store diverged after executor kill: base=$base after=$after")
         println("[cluster] streamkill OK: post-loss store identical to uninterrupted run")
+
+      case "ivfkill" =>
+        // The third leg of the executor-loss matrix: the q_e16 streaming
+        // IVF maintainer, whose crash-safety is the batch-marker +
+        // dynamic-partition-overwrite contract in Ivf.appendPartitionedBatch
+        // (a re-delivered batchId replaces exactly its own files; a
+        // committed batchId is skipped). Kill an executor after batch 0's
+        // marker commits; the stream either rides task retry or dies and is
+        // RESTARTED on the same checkpoint + layout, and the maintained
+        // layout + served top-k must equal the uninterrupted run's.
+        val C = graft.queries.Corpus
+        val I = graft.similarity.Ivf
+        def build(root: String): I.Index = {
+          new java.io.File(root).mkdirs()
+          val (base, idx, waves) = C.ivfStreamWaves(spark, d)
+          I.writePartitionedBatched(base, "embedding", idx, s"$root/ivf")
+          waves.zipWithIndex.foreach { case (df, i) => C.writeWave(root, i, df) }
+          idx
+        }
+        def layoutSig(root: String) =
+          spark.read.parquet(s"$root/ivf")
+            .agg(count(lit(1)).as("n"),
+              sum(xxhash64(col("vec_id"), col("cell"))).as("sig"))
+            .collect()(0)
+        def probe(root: String, idx: I.Index) =
+          I.topKPartitioned(spark, s"$root/ivf", "vec_id", "embedding", idx,
+            C.queryVector(spark, d), 20, nprobe = 6)
+            .select("vec_id").collect().map(_.getLong(0)).toSeq
+        val rootA = java.nio.file.Files.createTempDirectory("graft_ik_a").toString
+        val idxA = build(rootA)
+        time("ivf ingest uninterrupted")(C.runIvfIngestStream(spark, idxA, rootA))
+        val baseSig = layoutSig(rootA)
+        val baseTop = probe(rootA, idxA)
+        println(s"[cluster] ivf base layout n=${baseSig.getLong(0)} sig=${baseSig.getLong(1)} top=${baseTop.take(5).mkString(",")}…")
+        val rootB = java.nio.file.Files.createTempDirectory("graft_ik_b").toString
+        val idxB = build(rootB)
+        val killer = new Thread(() => {
+          val t1 = System.currentTimeMillis()
+          while (!new java.io.File(s"$rootB/ivf/_batch_0").exists()
+            && System.currentTimeMillis() - t1 < 120000) Thread.sleep(50)
+          killOneExecutor("ivfkill (after batch-0 marker)")
+        })
+        killer.setDaemon(true)
+        killer.start()
+        val died = time("ivf ingest with executor kill") {
+          try { C.runIvfIngestStream(spark, idxB, rootB); None }
+          catch { case e: Throwable => Some(e) }
+        }
+        killer.join(1000)
+        died match {
+          case Some(e) =>
+            println(s"[cluster] ivf ingest died on executor loss (${e.getClass.getSimpleName}); restarting on same checkpoint+layout")
+            time("ivf ingest restart (recovery)")(C.runIvfIngestStream(spark, idxB, rootB))
+          case None =>
+            println("[cluster] ivf ingest rode out the executor loss via task retry")
+        }
+        val afterSig = layoutSig(rootB)
+        val afterTop = probe(rootB, idxB)
+        println(s"[cluster] ivf kill layout n=${afterSig.getLong(0)} sig=${afterSig.getLong(1)}")
+        println(s"[cluster] executors now live: ${liveExecutors(spark)}")
+        assert(afterSig.getLong(0) == baseSig.getLong(0)
+          && afterSig.getLong(1) == baseSig.getLong(1),
+          s"maintained layout diverged after executor kill: base=$baseSig after=$afterSig")
+        assert(afterTop == baseTop,
+          s"served top-k diverged after executor kill: base=$baseTop after=$afterTop")
+        println("[cluster] ivfkill OK: post-loss layout and served top-k identical")
 
       case other =>
         println(s"[cluster] unknown mode $other")
