@@ -4357,9 +4357,17 @@ object Corpus {
       .select(col("doc_id"),
         posexplode(graft.functions.GraftFunctions.shingleHashes(toks, L)))
       .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("h"))
+    // Both `firsts` (one row per distinct shingle hash) and `deltas` (the
+    // span boundary events) SCALE WITH THE CORPUS — they must never become
+    // a broadcast side. AQE's runtime conversion sizes by compressed
+    // shuffle bytes and happily broadcast a 10x `deltas` whose deserialized
+    // hash relation then OOMed 8-16 GiB executors (measured,
+    // local-cluster[2,16,*] at /tmp/sf10full); at 100 TB any broadcast of
+    // a corpus-scaled side is guaranteed death. The merge hints survive
+    // AQE replanning and pin both joins to sort-merge.
     val firsts = starts.groupBy("h").agg(
       count(lit(1)).as("n"), min(struct(col("doc_id"), col("p"))).as("first"))
-    val flagged = starts.join(firsts, "h")
+    val flagged = starts.join(firsts.hint("merge"), "h")
       .withColumn("scrub",
         col("n") > 1 && struct(col("doc_id"), col("p")) =!= col("first"))
     val deltas = flagged.select(col("doc_id"), col("p").as("t"),
@@ -4371,7 +4379,7 @@ object Corpus {
       .groupBy("doc_id", "t").agg(sum("ds").as("ds"), sum("dn").as("dn"))
     val w = Window.partitionBy("doc_id").orderBy("t")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val covered = tokRows.join(deltas, Seq("doc_id", "t"), "left")
+    val covered = tokRows.join(deltas.hint("merge"), Seq("doc_id", "t"), "left")
       .select(col("doc_id"), col("t"), col("tok"),
         coalesce(col("ds"), lit(0)).as("ds"), coalesce(col("dn"), lit(0)).as("dn"))
       .withColumn("cs", sum(col("ds")).over(w))

@@ -49,7 +49,7 @@ object ClusterEvidence {
       "java.base/sun.nio.ch", "java.base/sun.nio.cs",
       "java.base/sun.security.action", "java.base/sun.util.calendar")
       .map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(sys.env.getOrElse("GRAFT_CLUSTER_MASTER", "local-cluster[2,16,8192]"))
       .appName("graft-cluster-evidence")
       .config("spark.sql.shuffle.partitions", "32")
@@ -63,7 +63,14 @@ object ClusterEvidence {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.executor.extraClassPath", cp)
       .config("spark.executor.extraJavaOptions", addOpens)
-      .getOrCreate()
+    // extra confs for sizing experiments, e.g.
+    // GRAFT_CLUSTER_CONF="spark.sql.adaptive.autoBroadcastJoinThreshold=2m"
+    val withExtra = sys.env.get("GRAFT_CLUSTER_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
+      .foldLeft(builder) { (b, kv) =>
+        val Array(k, v) = kv.split("=", 2); b.config(k, v)
+      }
+    val spark = withExtra.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
@@ -137,7 +144,7 @@ object ClusterEvidence {
               val df = graft.queries.Corpus.all(q)(spark, d)
               df.select(
                   xxhash64(to_json(struct(df.columns.sorted.map(col).toSeq: _*))).as("h"))
-                .agg(count(lit(1)).as("n"), sum(col("h")).as("sig"))
+                .agg(count(lit(1)).as("n"), coalesce(sum(col("h")), lit(0L)).as("sig"))
                 .collect()(0)
             }
             println(s"[cluster] sig $q n=${row.getLong(0)} sig=${row.getLong(1)}")
@@ -145,6 +152,15 @@ object ClusterEvidence {
             failed ::= q
             println(s"[cluster] $q FAILED: ${e.getClass.getSimpleName} ${e.getMessage}")
           }
+          // Inter-query GC barrier: earlier queries' localCheckpoint blocks
+          // live on the EXECUTORS until the driver GCs the dead RDD
+          // references and ContextCleaner tells executors to drop them — in
+          // a shared 8 GiB-executor session the residue from 8 dedup
+          // queries otherwise OOMs a later heavy query that passes in
+          // isolation (measured: q_tp11 at 10×). A per-query driver process
+          // (how sweeps actually deploy) gets this barrier for free.
+          System.gc()
+          Thread.sleep(1500)
         }
         println(s"[cluster] tier done, failed=${failed.size}${
           if (failed.nonEmpty) " " + failed.mkString(",") else ""}")

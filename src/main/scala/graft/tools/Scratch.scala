@@ -975,9 +975,12 @@ object Scratch {
           "q_tp9_span_dedup", "q_s13_shard_manifest")
         for (q <- sigQs) {
           val df = graft.queries.Corpus.all(q)(spark, d)
+          // coalesce: an empty output (legitimate at stagings whose token
+          // suffixes defeat stopword/language gates, e.g. q_tp16 at 10x)
+          // must sign as n=0 sig=0, not NULL-crash the harness
           val row = df.select(
               xxhash64(to_json(struct(df.columns.sorted.map(col).toSeq: _*))).as("h"))
-            .agg(count(lit(1)).as("n"), sum(col("h")).as("sig"))
+            .agg(count(lit(1)).as("n"), coalesce(sum(col("h")), lit(0L)).as("sig"))
             .collect()(0)
           println(s"[scratch] sig $q n=${row.getLong(0)} sig=${row.getLong(1)}")
         }
