@@ -593,11 +593,19 @@ object Dedup {
     var iters = 0
     var changed = 1L
     while (changed > 0 && iters < maxIters) {
+      // merge hints on every loop join: edges/labels/nbrMin all SCALE WITH
+      // THE GRAPH, and AQE's runtime broadcast conversion (sized by
+      // compressed shuffle bytes) otherwise builds a per-round hash
+      // relation of them on every executor — measured OOMing 16 GiB
+      // executors at the 10x staging (q_tp2) while a single local JVM
+      // never notices. Iterative graph diffusion stays shuffle-partitioned.
       val nbrMin = edges
-        .join(labels.select(col("id").as("dst"), col("label").as("nlabel")), "dst")
+        .join(labels.select(col("id").as("dst"), col("label").as("nlabel"))
+          .hint("merge"), "dst")
         .groupBy("src").agg(min("nlabel").as("nmin"))
       val step = labels
-        .join(nbrMin.select(col("src").as("id"), col("nmin")), Seq("id"), "left")
+        .join(nbrMin.select(col("src").as("id"), col("nmin")).hint("merge"),
+          Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
       // Truncate lineage every few iterations: a cached-only loop keeps
       // chaining the logical plan, so explain/recovery on the result would
@@ -607,7 +615,8 @@ object Dedup {
       val next =
         if (iters % 5 == 4) truncate(step)
         else step.cache() // materialized by the `changed` count below
-      changed = next.join(labels.select(col("id"), col("label").as("old")), "id")
+      changed = next.join(labels.select(col("id"), col("label").as("old"))
+          .hint("merge"), "id")
         .filter(col("label") < col("old")).count()
       labels.unpersist()
       labels = next
@@ -628,7 +637,8 @@ object Dedup {
       .union(e.select(col("v").as("u"), col("u").as("v")))
     val mins = sym.groupBy("u").agg(min("v").as("mn"))
       .select(col("u"), least(col("mn"), col("u")).as("m"))
-    sym.join(mins, "u").where(col("v") > col("u"))
+    // graph-scaled side: never a broadcast (see dupClusters loop note)
+    sym.join(mins.hint("merge"), "u").where(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
       .distinct()
   }
@@ -638,7 +648,7 @@ object Dedup {
     * aggregate+join shape as [[largeStar]]. */
   private def smallStar(e: DataFrame): DataFrame = {
     val mins = e.groupBy("u").agg(min("v").as("m")) // m < u by edge direction
-    val fromNbrs = e.join(mins, "u").where(col("v") =!= col("m"))
+    val fromNbrs = e.join(mins.hint("merge"), "u").where(col("v") =!= col("m"))
       .select(col("v").as("u"), col("m").as("v"))
     val fromSelf = mins.select(col("u"), col("m").as("v"))
     fromNbrs.union(fromSelf).distinct()
@@ -691,7 +701,7 @@ object Dedup {
     // minima; isolated roots label themselves
     nodes
       .join(edges.groupBy("u").agg(min("v").as("lbl"))
-        .select(col("u").as("id"), col("lbl")), Seq("id"), "left")
+        .select(col("u").as("id"), col("lbl")).hint("merge"), Seq("id"), "left")
       .select(col("id"), coalesce(col("lbl"), col("id")).as("label"))
   }
 
