@@ -74,7 +74,11 @@ object Ivf {
 
   /** SQL-REPLAYABLE quantizer fit (the q_dd10b Lloyd discipline applied to
     * the IVF tier): seeds are the `nlist` lowest-id vectors (deterministic
-    * init, keyed order — no RNG), each update round is ONE distributed
+    * init, keyed order — no RNG), then EXACTLY ONE Lloyd update — the
+    * round count is part of the oracle contract (the q_ann10/q_r2 DuckDB
+    * mirrors unroll one round), so it is fixed here rather than exposed
+    * as a knob a caller could silently desynchronize. The update is ONE
+    * distributed
     * (cluster, dim)-keyed aggregate whose per-dimension mean uses the
     * floor-quantized construction (Exact.floorAvg(·, 9)), and assignment is
     * the fused floor-quantized-cosine argmax with ties to the smaller
@@ -90,29 +94,25 @@ object Ivf {
       emb: DataFrame,
       idCol: String,
       vecCol: String,
-      nlist: Int,
-      updates: Int = 1): Array[Array[Float]] = {
+      nlist: Int): Array[Array[Float]] = {
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    var cents: Array[Array[Float]] =
+    val cents: Array[Array[Float]] =
       base.orderBy("id").limit(nlist).collect()
         .map(_.getSeq[Number](1).map(_.floatValue()).toArray)
-    for (_ <- 1 to updates) {
-      val scored = array(cents.zipWithIndex.map { case (cv, j) =>
-        struct(
-          GraftFunctions.cosineFloor(col("vec"), typedLit(cv)).as("c"),
-          lit(-j).as("neg_j"))
-      }: _*)
-      val means = base.select(
-          (-array_max(scored).getField("neg_j")).cast("int").as("cluster"),
-          posexplode(col("vec")))
-        .groupBy("cluster", "pos")
-        .agg(graft.functions.Exact.floorAvg(col("col").cast("double"), 9).as("m"))
-        .collect()
-      val next = cents.map(_.clone())
-      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat)
-      cents = next
-    }
-    cents
+    val scored = array(cents.zipWithIndex.map { case (cv, j) =>
+      struct(
+        GraftFunctions.cosineFloor(col("vec"), typedLit(cv)).as("c"),
+        lit(-j).as("neg_j"))
+    }: _*)
+    val means = base.select(
+        (-array_max(scored).getField("neg_j")).cast("int").as("cluster"),
+        posexplode(col("vec")))
+      .groupBy("cluster", "pos")
+      .agg(graft.functions.Exact.floorAvg(col("col").cast("double"), 9).as("m"))
+      .collect()
+    val next = cents.map(_.clone())
+    means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat)
+    next
   }
 
   /** Adds the `cell` assignment column (fused codegen'd argmax-dot). */

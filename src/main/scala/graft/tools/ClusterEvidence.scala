@@ -9,7 +9,7 @@ import graft.Tables
 import graft.dedup.Dedup
 
 /** Multi-executor execution evidence (builder-side; the driver never runs
-  * it): the same library code under `local-cluster[2,16,8192]` — two REAL
+  * it): the same library code under `local-cluster[2,8,8192]` — two REAL
   * worker-spawned executor JVMs with task serialization, network shuffle
   * fetch, disk-backed blocks, and genuine executor loss — the axes
   * local[32] cannot exercise because everything lives in one JVM.
@@ -49,8 +49,15 @@ object ClusterEvidence {
       "java.base/sun.nio.ch", "java.base/sun.nio.cs",
       "java.base/sun.security.action", "java.base/sun.util.calendar")
       .map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
+    // Default shape: 8 cores per executor, NOT 16 (VERDICT r13 #3 / PERF.md
+    // r13 residual): 16 concurrent heavy-text tasks peaking together in a
+    // long shared session can OOM an 8-24 GiB executor through unmanaged
+    // per-task transients (regexp/tokenizer scratch). The characterized
+    // deployment guidance — <= 8 concurrent heavy-text tasks per executor —
+    // is now the harness DEFAULT rather than a PERF.md footnote; widen via
+    // GRAFT_CLUSTER_MASTER only for experiments that probe the hazard.
     val builder = SparkSession.builder()
-      .master(sys.env.getOrElse("GRAFT_CLUSTER_MASTER", "local-cluster[2,16,8192]"))
+      .master(sys.env.getOrElse("GRAFT_CLUSTER_MASTER", "local-cluster[2,8,8192]"))
       .appName("graft-cluster-evidence")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -182,10 +189,9 @@ object ClusterEvidence {
           }
         }
         val pairs = spark.read.parquet(pairsDir)
-        def truth(labels: DataFrame): Long = labels
-          .filter(col("label") =!= col("id") - pmod(col("id"), lit(16)))
-          .count()
-        // uninterrupted reliable-checkpoint run
+        // uninterrupted reliable-checkpoint run; the wrong-label predicate
+        // (label != chain minimum = id - id%16) rides inside each result
+        // aggregate so truth-checking costs no second pass
         val ckptA = java.nio.file.Files.createTempDirectory("graft_cc_a").toString
         val base = time("CC reliable-checkpoint uninterrupted") {
           Dedup.dupClusters(pairs, maxIters = 20, checkpointDir = Some(ckptA))
