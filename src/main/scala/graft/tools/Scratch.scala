@@ -37,28 +37,80 @@ object Scratch {
       }
     }
 
-    // The shared 10x staging (v2): each copy k of documents gets
-    // doc_id + k*10M and every token suffixed with the copy index, so
-    // cross-copy similarity is zero and dup-density per copy matches
-    // sf0.1 — 10x the data, same structure; source/lang/n_chars carried
-    // so the mixing/packing tier runs too.
+    // Staging fixtures are identified by a RECIPE TAG written INTO the
+    // _DONE marker: a fixture built by an older recipe is deleted and
+    // rebuilt instead of silently reused (ADVICE r13 — the r12 embedding
+    // jitter fix was once maskable by a stale marker-guarded fixture).
+    def stagingReady(dir: String, recipe: String): Boolean = {
+      val f = new java.io.File(s"$dir/_DONE")
+      f.exists() && {
+        val src = scala.io.Source.fromFile(f)
+        try src.mkString.trim == recipe finally src.close()
+      }
+    }
+    def rebuildDir(dir: String): Unit = {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      new java.io.File(dir).mkdirs()
+    }
+    def markReady(dir: String, recipe: String): Unit = {
+      val w = new java.io.FileWriter(s"$dir/_DONE")
+      try w.write(recipe) finally w.close()
+    }
+
+    // v3 document copy recipe (r14): suffix every token EXCEPT the
+    // gate-bearing function words. The v2 all-token suffix destroyed
+    // stopword statistics ("the" -> "thex3"), so every language/quality
+    // gate rejected every staged doc and the tp capstones processed
+    // EMPTY survivor sets above sf0.1 (VERDICT r13 #1). Preserving
+    // exactly the tokens the gates count — the en/de/fr/es/it
+    // function-word profiles (langid/stop_ratio), Gopher's
+    // stopword-presence list, and the funnel's "the" — keeps every
+    // copy's stop_ratio/langid/gopher statistics identical to sf0.1
+    // (measured: gopher pass rate 0.489 at sf0.1 for original AND v3;
+    // 0.000 under v2), while all content tokens still carry the copy
+    // index, so cross-copy word-shingle similarity stays near zero (a
+    // shared 3-shingle needs 3 consecutive function words; measured
+    // all-preserved shingle fraction 0.0003, cross-copy jaccard bound
+    // mean 0.0002 / max 0.03 — far under every dedup threshold). The
+    // suffix is base-36 ("x0".."xrr"), so even at 1000 copies mean word
+    // length grows < 3 chars and stays clear of Gopher's 10-char cap
+    // (measured 7.30 at k=999 vs the 4.50 base).
+    val preservedWords: Seq[String] = (
+      TextFunctions.Stopwords ++ TextFunctions.StopwordsDe ++
+        TextFunctions.StopwordsFr ++ TextFunctions.StopwordsEs ++
+        TextFunctions.StopwordsIt ++ Seq("be", "have") // Gopher's extras
+      ).distinct
+    val suffixPattern: String =
+      s"(?i)(?<!\\S)(?!(?:${preservedWords.mkString("|")})(?!\\S))(\\S+)"
+    def suffixedText(k: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      regexp_replace(col("text"), lit(suffixPattern),
+        concat(lit("$1x"), lower(conv(k, 10, 36))))
+    val DocsRecipe = "docs-v3-stop-preserve"
+    val EmbRecipe = "emb-v2-mod997-eps"
+
+    // The shared 10x staging: each copy k of documents gets
+    // doc_id + k*10M and the v3 non-function-word token suffix, so
+    // cross-copy similarity is near zero, dup-density AND gate-pass
+    // statistics per copy match sf0.1 — 10x the data, same structure;
+    // source/lang/n_chars carried so the mixing/packing tier runs too.
     def ensureStaging10(base: String): String = {
-      val dir10 = "/tmp/sf1x10_v2"
-      // drop the v1 staging so schema bumps don't strand multi-100MB dirs
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File("/tmp/sf1x10"))
-      if (!new java.io.File(s"$dir10/documents.parquet").exists()) {
-        new java.io.File(dir10).mkdirs()
+      val dir10 = "/tmp/sf1x10"
+      // drop the superseded unversioned-marker dirs
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File("/tmp/sf1x10_v2"))
+      if (!stagingReady(dir10, DocsRecipe)) {
+        rebuildDir(dir10)
         val docs = Tables.documents(spark, base)
           .select("doc_id", "text", "source", "lang", "n_chars")
         val copies = (0 until 10).map { k =>
           docs.select(
             (col("doc_id") + k * 10000000L).as("doc_id"),
-            regexp_replace(col("text"), "(\\S+)", s"$$1x$k").as("text"),
+            suffixedText(lit(k)).as("text"),
             col("source"), col("lang"), col("n_chars"))
         }
         time("build documents x10")(
           copies.reduce(_ unionByName _).coalesce(8)
             .write.mode("overwrite").parquet(s"$dir10/documents.parquet"))
+        markReady(dir10, DocsRecipe)
       }
       dir10
     }
@@ -341,8 +393,8 @@ object Scratch {
         // ROUNDS, not material.
         val dirV9 = ensureStaging10(d)
         val vocabDir = "/tmp/sf1x10_vocab"
-        if (!new java.io.File(s"$vocabDir/documents.parquet").exists()) {
-          new java.io.File(vocabDir).mkdirs()
+        if (!stagingReady(vocabDir, s"vocab-$DocsRecipe")) {
+          rebuildDir(vocabDir)
           time("build vocab-diversified staging") {
             Tables.documents(spark, dirV9)
               .select(col("doc_id"),
@@ -355,6 +407,7 @@ object Scratch {
               .coalesce(8)
               .write.mode("overwrite").parquet(s"$vocabDir/documents.parquet")
           }
+          markReady(vocabDir, s"vocab-$DocsRecipe")
         }
         val configs = sys.env.get("GRAFT_BPE32K") match {
           case Some(_) => Seq((640, 2048)) // the full 32k-vocab trajectory
@@ -418,16 +471,16 @@ object Scratch {
         // 10x — one artifact instead of per-query spot checks. Fact tables
         // are replicated 10x with shifted keys, keeping join integrity
         // (lineitem.l_orderkey <-> orders.o_orderkey and orders.o_custkey
-        // <-> customer.c_custkey move together); documents use the v2
-        // token-suffix recipe (cross-copy similarity zero, dup density per
-        // copy preserved); embeddings keep copy 0 byte-exact (the vec_id-0
+        // <-> customer.c_custkey move together); documents use the v3
+        // stop-preserving token-suffix recipe (cross-copy similarity near
+        // zero, dup density AND gate-pass statistics per copy preserved);
+        // embeddings keep copy 0 byte-exact (the vec_id-0
         // query fixture) and deterministically jitter copies 1..9 so no
         // cross-copy vector is identical; dimension tables copy as-is —
         // exactly how a real 10x grows (facts grow, dims don't).
         val out10 = "/tmp/sf10full"
-        val done = new java.io.File(s"$out10/_DONE")
-        if (!done.exists()) {
-          new java.io.File(out10).mkdirs()
+        if (!stagingReady(out10, s"full10-$DocsRecipe")) {
+          rebuildDir(out10)
           def copies(name: String, src: org.apache.spark.sql.DataFrame)(
               shift: (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame): Unit =
             time(s"build $name x10") {
@@ -452,7 +505,7 @@ object Scratch {
           copies("documents", Tables.documents(spark, d))((df, k) =>
             df.select(
               (col("doc_id") + k * 10000000L).as("doc_id"),
-              regexp_replace(col("text"), "(\\S+)", s"$$1x$k").as("text"),
+              suffixedText(lit(k)).as("text"),
               col("lang"), col("source"), col("n_chars")))
           copies("embeddings", Tables.embeddings(spark, d))((df, k) =>
             if (k == 0) df
@@ -462,59 +515,53 @@ object Scratch {
                 (x + (pmod(col("vec_id") * 31 + i + lit(k), lit(997)) - 498)
                   .cast("double") / 10000.0).cast("float")).as("embedding"),
               col("label")))
-          new java.io.FileOutputStream(done).close()
+          markReady(out10, s"full10-$DocsRecipe")
         }
         println(s"[scratch] staging10full ready at $out10")
 
       case "staging100docs" =>
         // Round-10: a 100x DOCUMENTS staging (sf0.1 x 100 = 500k docs) for
         // the text/dedup tier — one order beyond the 10x artifact. Same
-        // v2 recipe at 100 copies: doc_id + k*10M, every token suffixed
-        // with the copy index (regexp replacement as a COLUMN, so one
-        // explode covers all copies — no 100-way union plan), hence zero
-        // cross-copy similarity and per-copy dup density identical to
-        // sf0.1. Documents only: the 100x run targets Tables.documents
+        // v3 stop-preserving recipe at 100 copies: doc_id + k*10M,
+        // non-function-word tokens suffixed with the copy index (regexp
+        // replacement as a COLUMN, so one explode covers all copies — no
+        // 100-way union plan), hence near-zero cross-copy similarity with
+        // per-copy dup density AND gate statistics identical to sf0.1.
+        // Documents only: the 100x run targets Tables.documents
         // consumers via SPARK_GRAFT_BENCH_ONLY.
         val out100 = "/tmp/sf100docs"
-        // _DONE marker written after ALL steps (the staging10full guard):
-        // a first-artifact existence check would report a crash-interrupted
-        // half-build as ready forever
-        val done100 = new java.io.File(s"$out100/_DONE")
-        if (!done100.exists()) {
-          new java.io.File(out100).mkdirs()
+        if (!stagingReady(out100, DocsRecipe)) {
+          rebuildDir(out100)
           time("build documents x100") {
             Tables.documents(spark, d)
               .select(col("doc_id"), col("text"), col("lang"), col("source"),
                 col("n_chars"), explode(sequence(lit(0), lit(99))).as("k"))
               .select(
                 (col("doc_id") + col("k") * 10000000L).as("doc_id"),
-                regexp_replace(col("text"), lit("(\\S+)"),
-                  concat(lit("$1x"), col("k"))).as("text"),
+                suffixedText(col("k")).as("text"),
                 col("lang"), col("source"), col("n_chars"))
               .repartition(64)
               .write.mode("overwrite").parquet(s"$out100/documents.parquet")
           }
-          new java.io.FileOutputStream(done100).close()
+          markReady(out100, DocsRecipe)
         }
         println(s"[scratch] staging100docs ready at $out100")
 
       case "staging1000docs" =>
         // Round-10 capstone: 1000x documents (5M docs) — two orders beyond
-        // the full-sweep staging, same v2 zero-cross-similarity recipe.
+        // the full-sweep staging, same v3 stop-preserving recipe.
         // Only the flagship dedup/text queries run here (the point is the
         // scaling exponent of the shapes that matter at 100 TB).
         val out1k = "/tmp/sf1000docs"
-        val done1k = new java.io.File(s"$out1k/_DONE")
-        if (!done1k.exists()) {
-          new java.io.File(out1k).mkdirs()
+        if (!stagingReady(out1k, DocsRecipe)) {
+          rebuildDir(out1k)
           time("build documents x1000") {
             Tables.documents(spark, d)
               .select(col("doc_id"), col("text"), col("lang"), col("source"),
                 col("n_chars"), explode(sequence(lit(0), lit(999))).as("k"))
               .select(
                 (col("doc_id") + col("k") * 10000000L).as("doc_id"),
-                regexp_replace(col("text"), lit("(\\S+)"),
-                  concat(lit("$1x"), col("k"))).as("text"),
+                suffixedText(col("k")).as("text"),
                 col("lang"), col("source"), col("n_chars"))
               .repartition(128)
               .write.mode("overwrite").parquet(s"$out1k/documents.parquet")
@@ -526,7 +573,7 @@ object Scratch {
             if (src.isDirectory) org.apache.commons.io.FileUtils.copyDirectory(src, dst)
             else org.apache.commons.io.FileUtils.copyFile(src, dst)
           }
-          new java.io.FileOutputStream(done1k).close()
+          markReady(out1k, DocsRecipe)
         }
         println(s"[scratch] staging1000docs ready at $out1k")
 
@@ -542,9 +589,10 @@ object Scratch {
         // plan. Other tables ride along at 1x so the dir serves as a full
         // SPARK_GRAFT_SF_DIR.
         val outE = "/tmp/sf100emb"
-        val doneE = new java.io.File(s"$outE/_DONE")
-        if (!doneE.exists()) {
-          new java.io.File(outE).mkdirs()
+        // recipe tag "v1": 100 copies never hit the mod-997 collision, so
+        // the 1000x epsilon term is deliberately absent here
+        if (!stagingReady(outE, "emb-v1-mod997")) {
+          rebuildDir(outE)
           time("build embeddings x100") {
             Tables.embeddings(spark, d)
               .select(col("vec_id"), col("embedding"), col("label"),
@@ -566,7 +614,7 @@ object Scratch {
             if (src.isDirectory) org.apache.commons.io.FileUtils.copyDirectory(src, dst)
             else org.apache.commons.io.FileUtils.copyFile(src, dst)
           }
-          new java.io.FileOutputStream(doneE).close()
+          markReady(outE, "emb-v1-mod997")
         }
         println(s"[scratch] staging100emb ready at $outE")
 
@@ -594,9 +642,8 @@ object Scratch {
         // (the linear epsilon can cancel the mod delta in at most 2 dims).
         // Magnitude stays ±0.05 mod-term dominated.
         val outE1k = "/tmp/sf1000emb"
-        val doneE1k = new java.io.File(s"$outE1k/_DONE")
-        if (!doneE1k.exists()) {
-          new java.io.File(outE1k).mkdirs()
+        if (!stagingReady(outE1k, EmbRecipe)) {
+          rebuildDir(outE1k)
           time("build embeddings x1000") {
             Tables.embeddings(spark, d)
               .select(col("vec_id"), col("embedding"), col("label"),
@@ -620,7 +667,7 @@ object Scratch {
             if (src.isDirectory) org.apache.commons.io.FileUtils.copyDirectory(src, dst)
             else org.apache.commons.io.FileUtils.copyFile(src, dst)
           }
-          new java.io.FileOutputStream(doneE1k).close()
+          markReady(outE1k, EmbRecipe)
         }
         println(s"[scratch] staging1000emb ready at $outE1k")
 
@@ -984,6 +1031,28 @@ object Scratch {
             .collect()(0)
           println(s"[scratch] sig $q n=${row.getLong(0)} sig=${row.getLong(1)}")
         }
+
+      case "show" =>
+        // print any query's collected rows (bounded use: small outputs only)
+        args.drop(2).foreach { q =>
+          graft.queries.Corpus.all(q)(spark, d).collect()
+            .foreach(r => println(s"[scratch] $q row: $r"))
+        }
+
+      case "tpshow" =>
+        // Survivor-mass evidence for the publish capstones (VERDICT r13
+        // #1): the r13 token-suffix staging zeroed every survivor set, so
+        // walls above sf0.1 timed empty pipelines. Prints the tp15 gate
+        // breakdown and the full tp16 shard manifest at d.
+        val gate = graft.queries.Corpus.all("q_tp15_ensemble_gate")(spark, d)
+        gate.agg(count(lit(1)).as("docs"),
+            sum(col("pass_classifier").cast("long")).as("cls"),
+            sum(col("pass_gopher").cast("long")).as("gopher"),
+            sum(col("pass_repetition").cast("long")).as("rep"),
+            sum(col("keep").cast("long")).as("keep"))
+          .collect().foreach(r => println(s"[scratch] tp15 gate: $r"))
+        graft.queries.Corpus.all("q_tp16_publish")(spark, d)
+          .collect().foreach(r => println(s"[scratch] tp16 shard: $r"))
 
       case "dd3count" =>
         // pair-set count + order-independent checksum of q_dd3 at d — used
