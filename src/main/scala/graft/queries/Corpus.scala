@@ -4098,6 +4098,46 @@ object Corpus {
       .orderBy("id1")
   }
 
+  /** DD3c: SIMHASH SHED TELEMETRY UNDER A FORCED CAP — the band-bucket
+    * cap's APPROXIMATION CONTRACT itself under the hash gate (VERDICT r13
+    * #5), the way q_r2 put the IVF cell prune under it. A deliberately
+    * small cap (8) forces the mass probe to engage at every gate scale
+    * (measured Σ bucket² = 24.6× the linear budget at sf0.01 — the
+    * 40-word vocabulary concentrates block values, and the ratio only
+    * grows with n), so the run exercises ALL THREE tiers: under-cap cold
+    * band join, hot-bucket sub-band refinement, and over-cap sub-bucket
+    * shedding. The output commits to the probe's both sides (Σ c² vs
+    * cap·rows), the engaged-bucket and shed-sub-bucket counts, the shed
+    * candidate mass, AND an order-independent checksum of the surviving
+    * pair set — one mis-shed or mis-kept bucket anywhere and either a
+    * telemetry count or the pair checksum moves. The DuckDB mirror
+    * replays the ENTIRE pipeline from raw text: FNV-1a token hashes
+    * (exact 64-bit wrap via HUGEINT mod 2^64), bit votes, sketch
+    * assembly, 8×8-bit banding, the probe arithmetic, the remaining-bit
+    * sub-band split, and both join tiers — so the hash function, the
+    * sketch, and the shed rule are all pinned bit-for-bit, not just the
+    * planted-clone recall (q_dd3b). */
+  def simhashTelemetry(s: SparkSession, d: String): DataFrame = {
+    val (pairs, tel) = Dedup.simhashNearDupsWithTelemetry(
+      s, Tables.documents(s, d), "doc_id", "text",
+      maxHamming = 7, maxBandBucket = 8)
+    pairs
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        coalesce(sum(conv(substring(md5(concat_ws("#",
+          col("id1").cast("string"), col("id2").cast("string"),
+          col("hamming").cast("string"))), 1, 8), 16, 10).cast("long")), lit(0L))
+          .as("pair_checksum"))
+      .select(
+        lit(if (tel.engaged) 1 else 0).as("engaged"),
+        lit(tel.bandMass).as("band_mass"),
+        lit(tel.linearBudget).as("linear_budget"),
+        lit(tel.hotBuckets).as("hot_buckets"),
+        lit(tel.shedSubBuckets).as("shed_sub_buckets"),
+        lit(tel.shedSubMass).as("shed_sub_mass"),
+        col("n_pairs"), col("pair_checksum"))
+  }
+
   /** Embedding-cosine near-dup pairs via hyperplane LSH (rows-only check). */
   /** Embedding near-dup detection against injected ground truth. The
     * synthetic corpus has NO natural near-dups (max pairwise cosine ≈ 0.51
@@ -5592,6 +5632,7 @@ object Corpus {
     "q_dd10b_semantic_kmeans" -> (semanticDedupKmeans _),
     "q_dd3_simhash_pairs" -> (simhashPairs _),
     "q_dd3b_simhash_recall" -> (simhashRecall _),
+    "q_dd3c_simhash_telemetry" -> (simhashTelemetry _),
     "q_dd4_embed_neardup" -> (embedNearDup _),
     "q_j6_asof_clicks" -> (asofClicks _),
     "q_j7_interval_clicks" -> (intervalClicks _),

@@ -4262,6 +4262,118 @@ object Oracle {
       """SELECT doc_id AS id1, doc_id + 1000000 AS id2, CAST(0 AS INTEGER) AS hamming
         |FROM documents WHERE doc_id < 50 ORDER BY id1""".stripMargin,
 
+    // Mirrors Corpus.simhashTelemetry: the ENTIRE capped-simhash pipeline
+    // replayed from raw text — FNV-1a 64 per token (exact unsigned wrap:
+    // the multiply runs in HUGEINT mod 2^64; ASCII corpus, so ord() =
+    // byte), per-bit votes, sketch assembly (HUGEINT shifts — DuckDB's
+    // UBIGINT << overflows at bit 63), the 8x8-bit banding over DISTINCT
+    // sketches, the mass probe's Σc² vs 8·rows, the hot buckets'
+    // remaining-56-bit 8x7-bit sub-band split, over-cap sub-bucket
+    // shedding, both join tiers (hamming INSIDE the join), and the
+    // doc-level cross/within expansion. Engine block/sub values use
+    // shiftrightunsigned on the signed sketch = UBIGINT >> here on the
+    // same bit pattern, so every intermediate is integer-identical.
+    "q_dd3c_simhash_telemetry" ->
+      """WITH nrm AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(regexp_extract_all(norm, '\S+')) AS tok FROM nrm),
+        |th AS (
+        |  SELECT doc_id, list_reduce(
+        |    list_prepend(CAST(14695981039346656037 AS UBIGINT),
+        |      list_transform(generate_series(1, strlen(tok)),
+        |        i -> CAST(ord(substr(tok, i, 1)) AS UBIGINT))),
+        |    (h, b) -> CAST(CAST(xor(h, b) AS HUGEINT) * 1099511628211
+        |                   % 18446744073709551616 AS UBIGINT)) AS h
+        |  FROM tok),
+        |bits AS (
+        |  SELECT doc_id, bb.b,
+        |         SUM(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        |  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) bb
+        |  GROUP BY 1, 2),
+        |skraw AS (
+        |  SELECT doc_id,
+        |         CAST(COALESCE(SUM(CASE WHEN vote > 0 THEN CAST(1 AS HUGEINT) << b END), 0)
+        |              AS UBIGINT) AS sh
+        |  FROM bits GROUP BY 1),
+        |sk AS (
+        |  SELECT d.doc_id, COALESCE(s.sh, CAST(0 AS UBIGINT)) AS sh
+        |  FROM documents d LEFT JOIN skraw s ON d.doc_id = s.doc_id),
+        |grp AS (SELECT sh, list_sort(list(doc_id)) AS docs, count(*) AS gn FROM sk GROUP BY sh),
+        |blk AS (
+        |  SELECT g.sh, bb.block, (g.sh >> (bb.block * 8)) & 255 AS bv
+        |  FROM grp g CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS block) bb),
+        |bc AS (SELECT block, bv, count(*) AS c FROM blk GROUP BY 1, 2),
+        |stats AS (SELECT CAST(SUM(c * c) AS BIGINT) AS mass,
+        |                 CAST(SUM(c) AS BIGINT) AS rows_n FROM bc),
+        |hot AS (
+        |  -- gated on the probe: when Σc² stays under the linear budget the
+        |  -- ENGINE keeps the plain uncapped band join (no hot exclusion, no
+        |  -- refinement), so the mirror's hot set must be empty there too
+        |  SELECT block, bv FROM bc
+        |  WHERE c > 8 AND (SELECT mass FROM stats) > 8 * (SELECT rows_n FROM stats)),
+        |cold AS (SELECT b.* FROM blk b ANTI JOIN hot h ON b.block = h.block AND b.bv = h.bv),
+        |coldp AS (
+        |  SELECT l.sh AS sh1, r.sh AS sh2
+        |  FROM cold l JOIN cold r ON l.block = r.block AND l.bv = r.bv AND l.sh < r.sh
+        |  WHERE bit_count(xor(l.sh, r.sh)) <= 7),
+        |hotm AS (SELECT b.sh, b.block, b.bv
+        |         FROM blk b SEMI JOIN hot h ON b.block = h.block AND b.bv = h.bv),
+        |pck AS (
+        |  SELECT sh, block, bv,
+        |         (CASE WHEN block = 7 THEN CAST(0 AS UBIGINT)
+        |               ELSE (sh >> ((block + 1) * 8)) << (block * 8) END)
+        |         | (sh & CAST((CAST(1 AS HUGEINT) << (block * 8)) - 1 AS UBIGINT)) AS packed
+        |  FROM hotm),
+        |sub AS (
+        |  SELECT sh, block, bv, jj.sub, (packed >> (7 * jj.sub)) & 127 AS sv
+        |  FROM pck CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS sub) jj),
+        |sc AS (SELECT block, bv, sub, sv, count(*) AS c FROM sub GROUP BY 1, 2, 3, 4),
+        |shed AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS nb,
+        |         CAST(COALESCE(SUM(c * c), 0) AS BIGINT) AS m
+        |  FROM sc WHERE c > 8),
+        |subk AS (
+        |  SELECT s.* FROM sub s
+        |  SEMI JOIN (SELECT block, bv, sub, sv FROM sc WHERE c <= 8) k
+        |    ON s.block = k.block AND s.bv = k.bv AND s.sub = k.sub AND s.sv = k.sv),
+        |hotp AS (
+        |  SELECT l.sh AS sh1, r.sh AS sh2
+        |  FROM subk l JOIN subk r
+        |    ON l.block = r.block AND l.bv = r.bv AND l.sub = r.sub AND l.sv = r.sv
+        |       AND l.sh < r.sh
+        |  WHERE bit_count(xor(l.sh, r.sh)) <= 7),
+        |skp AS (SELECT DISTINCT sh1, sh2
+        |        FROM (SELECT * FROM coldp UNION ALL SELECT * FROM hotp)),
+        |crossp AS (
+        |  SELECT least(a.d1, b.d2) AS id1, greatest(a.d1, b.d2) AS id2,
+        |         bit_count(xor(p.sh1, p.sh2)) AS hamming
+        |  FROM skp p
+        |  JOIN (SELECT sh, unnest(docs) AS d1 FROM grp) a ON a.sh = p.sh1
+        |  JOIN (SELECT sh, unnest(docs) AS d2 FROM grp) b ON b.sh = p.sh2),
+        |withinp AS (
+        |  SELECT x.da AS id1, y.db AS id2, 0 AS hamming
+        |  FROM (SELECT sh, unnest(docs) AS da FROM grp WHERE gn > 1) x
+        |  JOIN (SELECT sh, unnest(docs) AS db FROM grp WHERE gn > 1) y
+        |    ON x.sh = y.sh AND x.da < y.db),
+        |allp AS (SELECT * FROM crossp UNION ALL SELECT * FROM withinp),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |         CAST(COALESCE(SUM(CAST(concat('0x', substr(md5(
+        |           CAST(id1 AS VARCHAR) || '#' || CAST(id2 AS VARCHAR) || '#'
+        |             || CAST(hamming AS VARCHAR)), 1, 8)) AS BIGINT)), 0) AS BIGINT)
+        |           AS pair_checksum
+        |  FROM allp)
+        |SELECT CAST(CASE WHEN s.mass > 8 * s.rows_n THEN 1 ELSE 0 END AS INTEGER) AS engaged,
+        |       s.mass AS band_mass,
+        |       CAST(8 * s.rows_n AS BIGINT) AS linear_budget,
+        |       CASE WHEN s.mass > 8 * s.rows_n
+        |            THEN (SELECT CAST(count(*) AS BIGINT) FROM hot) ELSE 0 END AS hot_buckets,
+        |       CASE WHEN s.mass > 8 * s.rows_n THEN sh.nb ELSE 0 END AS shed_sub_buckets,
+        |       CASE WHEN s.mass > 8 * s.rows_n THEN sh.m ELSE 0 END AS shed_sub_mass,
+        |       a.n_pairs, a.pair_checksum
+        |FROM stats s CROSS JOIN shed sh CROSS JOIN agg a""".stripMargin,
+
     // Mirrors Corpus.semanticDedup (SemDeDup): seeds are the 8 lowest-id
     // embeddings; assignment argmax and the within-cluster ≥0.9 prune both
     // use the q_dd5 floor-quantized cosine, so every natural vector's

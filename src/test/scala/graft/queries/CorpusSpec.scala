@@ -28,6 +28,22 @@ class CorpusSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("q_dd3c telemetry commits the cap's approximation contract, golden-pinned") {
+    // Golden row at sf0.001 (cap 8, radius 7), cross-validated three ways
+    // on 2026-08-15: the engine, an independent Python reimplementation of
+    // Dedup.simhashImpl, and the q_dd3c DuckDB oracle all agree bit-for-bit.
+    // A change to the FNV hash, the vote rule, the banding, the probe
+    // arithmetic, or the shed rule moves at least one of these numbers.
+    val r = Corpus.all("q_dd3c_simhash_telemetry")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getInt(0) === 1, s"probe must engage at cap 8: $row")
+    assert((row.getLong(1), row.getLong(2)) === (195120L, 31744L), s"$row")
+    assert((row.getLong(3), row.getLong(4), row.getLong(5)) === (95L, 374L, 134949L), s"$row")
+    assert((row.getLong(6), row.getLong(7)) === (350L, 750193403057L), s"$row")
+  }
+
   test("trained quality classifier tracks the heuristic label it was fit on") {
     import org.apache.spark.sql.functions._
     val d = "/root/testdata/sf0.001"
