@@ -671,6 +671,110 @@ object Scratch {
         }
         println(s"[scratch] staging1000emb ready at $outE1k")
 
+      case "staginghardemb" =>
+        // r14 directive #2: a 100x embedding staging with NATURAL cosine
+        // spread — the jitter recipes keep copies within ±0.05 of their
+        // base, so every staged corpus so far was clone-dominated and the
+        // IVF operating curve measured there saturates at recall 1.0 for
+        // any nprobe (every neighbor sits in the query's own cell). Here
+        // copies 1..99 are DECORRELATED from their base instead: copy k
+        // reads the base coordinates ROTATED by k positions with a
+        // deterministic per-(vec,dim,copy) sign flip and the mod-997
+        // jitter on top. Rotation+sign preserve the corpus' norm/marginal
+        // statistics (the coordinates are the same numbers), but the
+        // expected cross-copy cosine is 0 with std ~1/sqrt(64) — 200k
+        // vectors that behave like a natural isotropic corpus, the
+        // geometry where nprobe genuinely trades recall for scan cost.
+        // Copy 0 stays byte-exact.
+        val outH = "/tmp/sfhardemb"
+        val HardRecipe = "emb-hard-v1-rot-sign-mod997"
+        if (!stagingReady(outH, HardRecipe)) {
+          rebuildDir(outH)
+          time("build hard embeddings x100") {
+            val dim = 64
+            Tables.embeddings(spark, d)
+              .select(col("vec_id"), col("embedding"), col("label"),
+                explode(sequence(lit(0), lit(99))).as("k"))
+              .select(
+                (col("vec_id") + col("k") * 10000000L).as("vec_id"),
+                when(col("k") === 0, col("embedding")).otherwise(
+                  transform(sequence(lit(0), lit(dim - 1)), i =>
+                    ((lit(1) - lit(2) * pmod(col("vec_id") * 131 + i * 17 + col("k") * 7, lit(2)))
+                      .cast("double") *
+                      element_at(col("embedding"), (pmod(i + col("k"), lit(dim)) + 1).cast("int"))
+                      + (pmod(col("vec_id") * 31 + i + col("k"), lit(997)) - 498)
+                        .cast("double") / 10000.0)
+                      .cast("float"))).as("embedding"),
+                col("label"))
+              .repartition(32)
+              .write.mode("overwrite").parquet(s"$outH/embeddings.parquet")
+          }
+          for (t <- Seq("region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents")) {
+            val src = new java.io.File(s"$d/$t.parquet")
+            val dst = new java.io.File(s"$outH/$t.parquet")
+            if (src.isDirectory) org.apache.commons.io.FileUtils.copyDirectory(src, dst)
+            else org.apache.commons.io.FileUtils.copyFile(src, dst)
+          }
+          markReady(outH, HardRecipe)
+        }
+        println(s"[scratch] staginghardemb ready at $outH")
+
+      case "annhard" =>
+        // r14 directive #2: the production-shaped IVF operating curve —
+        // recall@10 vs nprobe at d (the hard staging), with nlist scaled
+        // ~sqrt(n) instead of the gate-scale 16. Ground truth is exact
+        // brute-force cosine top-10 on the same 10-query set. Also prints
+        // cell-balance stats (a skewed quantizer would make the scanned
+        // fraction lie about cost).
+        val embH = Tables.embeddings(spark, d).select("vec_id", "embedding")
+          .localCheckpoint(true)
+        val nH = embH.count()
+        val nlist = sys.env.get("GRAFT_ANN_NLIST").map(_.toInt)
+          .getOrElse(math.max(16, math.sqrt(nH.toDouble).round.toInt))
+        println(s"[scratch] annhard n=$nH nlist=$nlist")
+        val idx = time(s"IVF fit nlist=$nlist (sampled Lloyd)") {
+          graft.similarity.Ivf.fit(embH, "embedding", nlist = nlist, maxSample = 16384)
+        }
+        val assigned = time("assign corpus") {
+          val a = graft.similarity.Ivf.assign(embH, "embedding", idx).localCheckpoint(true)
+          a.count(); a
+        }
+        val cells = assigned.groupBy("cell").count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val sizes = (0 until nlist).map(c => cells.getOrElse(c, 0L))
+        println(s"[scratch] cell balance: mean=${nH / nlist} " +
+          s"max=${sizes.max} p99=${sizes.sorted.apply(nlist * 99 / 100)} empty=${sizes.count(_ == 0L)}")
+        val queriesH: Array[(Long, Array[Float])] =
+          embH.filter(col("vec_id") < 10000000L && pmod(col("vec_id"), lit(50)) === 7)
+            .orderBy("vec_id").limit(10).collect()
+            .map(r => (r.getLong(0), r.getSeq[Number](1).map(_.floatValue()).toArray))
+        val truthH: Map[Long, Set[Long]] = time("exact ground truth (10 queries)") {
+          queriesH.map { case (qid, qv) =>
+            qid -> graft.similarity.Ann.exactTopKReproducible(
+                embH, "vec_id", "embedding", qv.map(_.toDouble), 10)
+              .select("vec_id").collect().map(_.getLong(0)).toSet
+          }.toMap
+        }
+        for (nprobe <- Seq(1, 2, 4, 8, 16, 32, 64, 128)) {
+          var hits = 0
+          var scanned = 0L
+          time(s"nprobe=$nprobe (10 queries)") {
+            queriesH.foreach { case (qid, qv) =>
+              val probed = graft.similarity.Ivf.probeCells(idx, qv, nprobe)
+              scanned += probed.map(c => cells.getOrElse(c, 0L)).sum
+              val got = assigned.filter(col("cell").isin(probed: _*))
+                .select(col("vec_id"),
+                  graft.similarity.Ann.cosineCol(spark, col("embedding"), qv).as("cosine"))
+                .orderBy(col("cosine").desc, col("vec_id")).limit(10)
+                .collect().map(_.getLong(0)).toSet
+              hits += (got intersect truthH(qid)).size
+            }
+          }
+          println(f"[scratch] ivf-hard nprobe=$nprobe recall@10=${hits / 100.0}%.2f " +
+            f"scanned=${scanned.toDouble / (10.0 * nH)}%.4f of corpus")
+        }
+
       case "ann100" | "ann1000" =>
         // Runs the embedding/ANN tier against d (sf0.1 or a staging dir)
         // with 2-pass min timings AND the planted-clone recall contracts
