@@ -56,8 +56,19 @@ object ClusterEvidence {
     // deployment guidance — <= 8 concurrent heavy-text tasks per executor —
     // is now the harness DEFAULT rather than a PERF.md footnote; widen via
     // GRAFT_CLUSTER_MASTER only for experiments that probe the hazard.
+    val master = sys.env.getOrElse("GRAFT_CLUSTER_MASTER", "local-cluster[2,8,8192]")
+    // local-cluster[n,c,m]'s m sizes the WORKER'S OFFER, not the executor
+    // JVM: executor heap comes from spark.executor.memory, whose 1g
+    // DEFAULT silently applied to every earlier run (found when the 100x
+    // tier hit AGGREGATE_OUT_OF_MEMORY on "16 GiB" executors whose
+    // launch line read -Xmx1024M). Size the heap to the worker offer so
+    // the master string means what it says.
+    val workerMb = "local-cluster\\[\\d+,\\d+,(\\d+)\\]".r
+      .findFirstMatchIn(master).map(_.group(1).toInt)
     val builder = SparkSession.builder()
-      .master(sys.env.getOrElse("GRAFT_CLUSTER_MASTER", "local-cluster[2,8,8192]"))
+      .master(master)
+      .config("spark.executor.memory",
+        workerMb.map(m => s"${m}m").getOrElse("1g"))
       .appName("graft-cluster-evidence")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
