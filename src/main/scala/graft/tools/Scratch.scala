@@ -123,6 +123,101 @@ object Scratch {
           graft.queries.Corpus.all(name)(spark, d).explain("formatted")
         }
 
+      case "pairmass" =>
+        // Candidate-pair budget of the q_tp1 near-dup chain at d WITHOUT
+        // running the self-join: over the df-capped posting index, the
+        // pair mass is exactly sum C(df,2) and the per-shingle worst case
+        // is C(cap,2). One narrow aggregate — explains wall scaling
+        // (the r14 100x->1000x cold ratio is 16x on 10x data BECAUSE this
+        // mass grows quadratically in the copy count until the cap bites,
+        // not because any operator degrades).
+        val cfgP = graft.pipeline.CorpusCleaner.Config()
+        val docsP = Tables.documents(spark, d)
+        val qualP = docsP.select(col("doc_id"), col("text"),
+            graft.text.TextFunctions.qualityScore(col("text")).as("quality"))
+          .filter(col("quality") >= cfgP.minQuality)
+        val keepP = qualP.groupBy(
+            graft.text.TextFunctions.fingerprintMd5(col("text")).as("fp"))
+          .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+        val exactP = qualP.join(keepP, Seq("doc_id"), "left_semi")
+        val dfP = Dedup.withShingles(exactP, "text", cfgP.shingleK)
+          .select(col("doc_id").as("doc"), explode(col("shingles")).as("shingle"))
+          .groupBy("shingle").agg(count(lit(1)).as("df"))
+        val r = dfP.agg(
+            count(lit(1)).as("shingles"),
+            sum(when(col("df") > cfgP.maxShingleDf, 1).otherwise(0)).as("hot_dropped"),
+            sum(when(col("df") <= cfgP.maxShingleDf,
+              (col("df") * (col("df") - 1) / 2).cast("long")).otherwise(0L)).as("pair_mass"),
+            sum(when(col("df") <= cfgP.maxShingleDf && col("df") >= cfgP.maxShingleDf / 2,
+              (col("df") * (col("df") - 1) / 2).cast("long")).otherwise(0L)).as("pair_mass_near_cap"))
+          .head()
+        println(s"[scratch] pairmass @$d: shingles=${r.getLong(0)} " +
+          s"hot_dropped=${r.getLong(1)} pair_mass=${r.getLong(2)} " +
+          s"near_cap_share=${r.getLong(3)}")
+
+      case "dpart" =>
+        // Per-reducer-mass A/B for the q_tp1 pair stage at d: the r14
+        // 1000x tp1diag showed stage D spilling 200 GB where 100x spills
+        // ZERO — per-reducer pair mass at the harness's fixed 32
+        // partitions grows linearly with data and crosses task memory
+        // between 100x and 1000x. If that diagnosis is right, more
+        // reducers (set as a RUNTIME conf, which is what AQE's
+        // initialPartitionNum is on a real cluster) should un-spill the
+        // stage at 1000x — the same knob that LOST 2.3x at 100x (PERF.md
+        // r12: post-shuffle coalescing can't pay back pre-shuffle
+        // fragmentation when nothing spills). Measures wall + spill per
+        // partition setting on the IDENTICAL checkpointed input.
+        val cfgD = graft.pipeline.CorpusCleaner.Config()
+        val spillM2 = new java.util.concurrent.atomic.AtomicLong()
+        val spillD2 = new java.util.concurrent.atomic.AtomicLong()
+        val ev2 = new java.util.concurrent.atomic.AtomicLong()
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            ev2.incrementAndGet()
+            if (te.taskMetrics != null) {
+              spillM2.addAndGet(te.taskMetrics.memoryBytesSpilled)
+              spillD2.addAndGet(te.taskMetrics.diskBytesSpilled)
+            }
+          }
+        })
+        val docsD2 = Tables.documents(spark, d)
+        val qualD2 = docsD2.select(col("doc_id"), col("text"),
+            graft.text.TextFunctions.qualityScore(col("text")).as("quality"))
+          .filter(col("quality") >= cfgD.minQuality)
+        val keepD2 = qualD2.groupBy(
+            graft.text.TextFunctions.fingerprintMd5(col("text")).as("fp"))
+          .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+        // Stage the input EXACTLY like tp1diag (checkpoint per stage):
+        // fusing tokenize+shingle+explode+agg+anti-join+checkpoint into one
+        // job OOMs 48g at 5M docs — measured here first try, exit 52.
+        val exactD2 = time("exact checkpoint (shared input)")(
+          qualD2.join(keepD2, Seq("doc_id"), "left_semi").localCheckpoint(true))
+        val shingD2 = time("shingle checkpoint (shared input)")(
+          Dedup.withShingles(exactD2, "text", cfgD.shingleK)
+            .select(col("doc_id").as("doc"), col("shingles")).localCheckpoint(true))
+        val shD2 = shingD2.select(col("doc"), explode(col("shingles")).as("shingle"))
+        val hotD2 = shD2.groupBy("shingle").count()
+          .filter(col("count") > cfgD.maxShingleDf).select("shingle")
+        val prunedD2 = time("pruned-index checkpoint (shared input)")(
+          shD2.join(hotD2, Seq("shingle"), "left_anti").localCheckpoint(true))
+        val baseD2 = prunedD2.select("doc", "shingle")
+        for (parts <- args.drop(2).map(_.toInt).toSeq match {
+          case s if s.nonEmpty => s; case _ => Seq(32, 128, 256) }) {
+          spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+          val m0 = (spillM2.get, spillD2.get)
+          val n = time(s"pair stage @$parts partitions") {
+            baseD2.toDF("id1", "shingle")
+              .join(baseD2.toDF("id2", "shingle_r"),
+                col("shingle") === col("shingle_r") && col("id1") < col("id2"))
+              .groupBy("id1", "id2").agg(count(lit(1)).as("nc"))
+              .count()
+          }
+          drainTaskEvents(ev2)
+          println(f"[scratch] dpart parts=$parts pairs=$n " +
+            f"spill mem ${(spillM2.get - m0._1) / 1e6}%.0f MB / disk ${(spillD2.get - m0._2) / 1e6}%.0f MB")
+        }
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+
       case "t4" =>
         // attribute q_t4/q_t8 cost: norm vs char-shingles vs word-shingles
         val docs = Tables.documents(spark, d).cache()
