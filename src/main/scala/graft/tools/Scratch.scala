@@ -815,6 +815,46 @@ object Scratch {
         }
         println(s"[scratch] staginghardemb ready at $outH")
 
+      case "staginghardemb1k" =>
+        // The hard regime one order further: 2M decorrelated vectors.
+        // The x100 recipe CANNOT just take 1000 copies: its rotation is
+        // (i + k) mod 64 and its sign parity is linear in k, so copies k
+        // and k+64 share BOTH rotation and sign pattern — past 64 copies
+        // the corpus silently re-enters the clone regime the hard staging
+        // exists to escape. Here rotation offset and per-coordinate sign
+        // both come from xxhash64 over (vec, k[, i]) — no arithmetic
+        // structure for any copy pair to collide on. Norm/marginal stats
+        // are preserved exactly as in the x100 recipe (permutation + sign
+        // flips of the same coordinates + the mod-997 jitter).
+        val outH2 = "/tmp/sfhardemb1k"
+        val HardRecipe2 = "emb-hard-v2-xxrot-xxsign-mod997-x1000"
+        if (!stagingReady(outH2, HardRecipe2)) {
+          rebuildDir(outH2)
+          time("build hard embeddings x1000") {
+            val dim = 64
+            Tables.embeddings(spark, d)
+              .select(col("vec_id"), col("embedding"), col("label"),
+                explode(sequence(lit(0), lit(999))).as("k"))
+              .select(
+                (col("vec_id") + col("k") * 10000000L).as("vec_id"),
+                when(col("k") === 0, col("embedding")).otherwise(
+                  transform(sequence(lit(0), lit(dim - 1)), i =>
+                    ((lit(1) - lit(2) * pmod(xxhash64(col("vec_id"), i, col("k")), lit(2)))
+                      .cast("double") *
+                      element_at(col("embedding"),
+                        (pmod(i + pmod(xxhash64(col("vec_id"), col("k")), lit(dim)),
+                          lit(dim)) + 1).cast("int"))
+                      + (pmod(col("vec_id") * 31 + i + col("k"), lit(997)) - 498)
+                        .cast("double") / 10000.0)
+                      .cast("float"))).as("embedding"),
+                col("label"))
+              .repartition(64)
+              .write.mode("overwrite").parquet(s"$outH2/embeddings.parquet")
+          }
+          markReady(outH2, HardRecipe2)
+        }
+        println(s"[scratch] staginghardemb1k ready at $outH2")
+
       case "annhard" =>
         // r14 directive #2: the production-shaped IVF operating curve —
         // recall@10 vs nprobe at d (the hard staging), with nlist scaled
@@ -851,7 +891,10 @@ object Scratch {
               .select("vec_id").collect().map(_.getLong(0)).toSet
           }.toMap
         }
-        for (nprobe <- Seq(1, 2, 4, 8, 16, 32, 64, 128)) {
+        val nprobes = sys.env.get("GRAFT_ANN_NPROBES")
+          .map(_.split(",").map(_.trim.toInt).toSeq)
+          .getOrElse(Seq(1, 2, 4, 8, 16, 32, 64, 128))
+        for (nprobe <- nprobes) {
           var hits = 0
           var scanned = 0L
           time(s"nprobe=$nprobe (10 queries)") {
