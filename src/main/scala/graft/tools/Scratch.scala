@@ -123,6 +123,19 @@ object Scratch {
           graft.queries.Corpus.all(name)(spark, d).explain("formatted")
         }
 
+      case "qpart" =>
+        // Run corpus queries with an overridden spark.sql.shuffle.partitions
+        // (a RUNTIME conf — what a deployment sizes to data volume): the
+        // end-to-end companion to `dpart`'s single-stage A/B.
+        val qp = args(2).toInt
+        spark.conf.set("spark.sql.shuffle.partitions", qp.toString)
+        args.drop(3).foreach { q =>
+          time(s"$q @$qp partitions") {
+            graft.queries.Corpus.all(q)(spark, d)
+              .write.format("noop").mode("overwrite").save()
+          }
+        }
+
       case "pairmass" =>
         // Candidate-pair budget of the q_tp1 near-dup chain at d WITHOUT
         // running the self-join: over the df-capped posting index, the
