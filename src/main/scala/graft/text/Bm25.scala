@@ -2,26 +2,30 @@ package graft.text
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-
-import graft.functions.Exact
+import org.apache.spark.sql.types.DoubleType
 
 /** Okapi BM25 scoring of a literal query-term set against the corpus — the
   * retrieval primitive behind quality-aware corpus selection ("find the docs
   * most about X") in training-data pipelines.
   *
-  * Scale shape: tokens are projected once, then exploded to skinny
-  * (doc, term) rows which are filtered to the query terms BEFORE any shuffle
-  * — the per-term postings a real inverted index would serve, built on the
-  * fly at map side. Corpus stats (N, avgdl) and per-term document
-  * frequencies are single-row/tiny aggregates joined back by broadcast, so
-  * the whole query costs one shuffle for the tf aggregate plus broadcasts —
-  * no full-corpus inverted index is materialized for ad-hoc scoring.
+  * Scale shape: ONE tokenize pass over the corpus, reduced in the same
+  * projection to the per-doc sufficient statistics — dl plus one tf per
+  * query term (`size(filter(toks, _ == term))` over the token array; no
+  * explode, no postings shuffle). The statistics row is (terms+2) small
+  * numbers, so materializing it costs megabytes per million docs, while the
+  * tokenize it avoids repeating is the whole cost of the query: the
+  * previous explode-based shape scanned and RE-TOKENIZED the corpus twice
+  * (once for N/avgdl, once for the postings), measured as 2x the leg wall
+  * on the 200k-doc hybrid capstone staging. Corpus stats (N, avgdl) and all
+  * per-term document frequencies come from one single-row aggregate over
+  * the materialized statistics, broadcast back for scoring.
   *
   * Determinism: tf/df/dl are integers; avgdl is an exact integer-sum
   * quotient; the only per-row transcendental is ln(), identical-input across
-  * engines; the final per-doc sum uses the floor-scaled exact-sum trick
-  * (order-independent, engine-identical) — which is what lets a BM25 top-k
-  * be oracle-checked bit-exactly.
+  * engines; each per-term weight is floored to 1e-6 units independently and
+  * the floors are summed as longs — exactly the floor-scaled exact-sum the
+  * exploded (doc, term)-row shape computed, so a BM25 top-k stays
+  * oracle-checkable bit-exactly (order-independent, engine-identical).
   */
 object Bm25 {
 
@@ -34,30 +38,42 @@ object Bm25 {
       b: Double = 0.75,
       k: Int = 25): DataFrame = {
     require(terms.nonEmpty, "empty query")
-    val tok = docs.select(
-      col(idCol).as("doc_id"),
-      TextFunctions.tokens(TextFunctions.normText(col(textCol))).as("toks"))
-    val withLen = tok.select(
-      col("doc_id"), col("toks"), size(col("toks")).cast("double").as("dl"))
-    val stats = withLen.agg(
-      count(lit(1)).cast("double").as("n_docs"),
-      (sum(col("dl").cast("long")).cast("double") /
-        count(lit(1)).cast("double")).as("avgdl"))
-    val tf = withLen
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-      .filter(col("term").isin(terms: _*)) // postings pruned at map side
-      .groupBy("doc_id", "dl", "term")
-      .agg(count(lit(1)).cast("double").as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-    tf.join(broadcast(dfreq), "term")
+    // distinct: the exploded shape collapsed duplicate query terms into one
+    // (doc, term) group; the columnar shape must not double-count them
+    val qterms = terms.distinct
+    val tfCols = qterms.zipWithIndex.map { case (t, i) =>
+      size(filter(col("toks"), x => x === lit(t))).cast("double").as(s"tf_$i")
+    }
+    val perDoc = docs
+      .select(
+        col(idCol).as("doc_id"),
+        TextFunctions.tokens(TextFunctions.normText(col(textCol))).as("toks"))
+      .select(col("doc_id") +: size(col("toks")).cast("double").as("dl") +: tfCols: _*)
+      .localCheckpoint(true)
+    val statCols =
+      count(lit(1)).cast("double").as("n_docs") +:
+        (sum(col("dl").cast("long")).cast("double") /
+          count(lit(1)).cast("double")).as("avgdl") +:
+        qterms.indices.map(i =>
+          sum(when(col(s"tf_$i") > 0.0, 1L).otherwise(0L)).cast("double").as(s"df_$i"))
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+    // identical arithmetic to the exploded shape: idf/w per term, each w
+    // floored to micro-units on its own, floors summed as longs. Docs where
+    // every tf is 0 produced no (doc, term) row there, so they are filtered
+    // here (their score is not 0 — it is absent).
+    val unit = math.pow(10, 6)
+    def idf(i: Int) =
+      log((col("n_docs") - col(s"df_$i") + 0.5) / (col(s"df_$i") + 0.5) + 1.0)
+    def w(i: Int) =
+      idf(i) * (col(s"tf_$i") * (k1 + 1.0)) /
+        (col(s"tf_$i") + (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")) * k1)
+    val micro = qterms.indices
+      .map(i => when(col(s"tf_$i") > 0.0, floor(w(i) * lit(unit))).otherwise(lit(0L)))
+      .reduce(_ + _)
+    perDoc
+      .filter(qterms.indices.map(i => col(s"tf_$i") > 0.0).reduce(_ || _))
       .crossJoin(broadcast(stats))
-      .withColumn("idf",
-        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
-      .withColumn("w",
-        col("idf") * (col("tf") * (k1 + 1.0)) /
-          (col("tf") + (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")) * k1))
-      .groupBy("doc_id")
-      .agg(Exact.floorSum(col("w"), 6).as("bm25"))
+      .select(col("doc_id"), (micro.cast(DoubleType) / lit(unit)).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(k)
   }

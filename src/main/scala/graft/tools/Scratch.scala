@@ -926,6 +926,112 @@ object Scratch {
             f"scanned=${scanned.toDouble / (10.0 * nH)}%.4f of corpus")
         }
 
+      case "hybrid100" =>
+        // r14 extension: the RAG-serving capstone (q_r1/q_r2 shape) with
+        // BOTH legs at 100x. The gate-scale hybrid is oracle-exact but
+        // tiny; the hard-regime ANN curve is 100x but vector-only. Here
+        // the composed retrieval runs on documents x100 (v3
+        // stop-preserving recipe — BM25/gate statistics per copy match
+        // sf0.1) joined to embeddings x100 (hard decorrelated recipe —
+        // natural cosine spread, the geometry where the IVF prune
+        // genuinely trades recall for scan cost). Both recipes shift ids
+        // by the SAME +k*10M, so the doc_id==vec_id alignment of the gate
+        // corpus survives staging: a 200k-doc corpus with text AND
+        // embeddings under a 500k-doc lexical index. The lexical query
+        // uses the gate terms' copy-0 surface forms ("sparkx0", ...):
+        // content tokens carry the copy suffix by recipe, so the postings
+        // mass stays df-bound while the tokenize/dl scan underneath is
+        // the full 100x corpus — exactly how a fixed query behaves when
+        // the corpus grows around it. Measures per-leg walls, the IVF
+        // leg's recall of the exact vector top-50 at nlist=sqrt(n), and
+        // whether vector-leg approximation SURVIVES FUSION (fused top-20
+        // overlap vs the exact-leg hybrid).
+        val outHy = "/tmp/sfhybrid100"
+        val HyRecipe = "hybrid100-docsv3-embhardv1"
+        require(stagingReady("/tmp/sf100docs", DocsRecipe),
+          "run staging100docs first (v3 documents x100)")
+        require(stagingReady("/tmp/sfhardemb", "emb-hard-v1-rot-sign-mod997"),
+          "run staginghardemb first (hard embeddings x100)")
+        if (!stagingReady(outHy, HyRecipe)) {
+          rebuildDir(outHy)
+          org.apache.commons.io.FileUtils.copyDirectory(
+            new java.io.File("/tmp/sf100docs/documents.parquet"),
+            new java.io.File(s"$outHy/documents.parquet"))
+          org.apache.commons.io.FileUtils.copyDirectory(
+            new java.io.File("/tmp/sfhardemb/embeddings.parquet"),
+            new java.io.File(s"$outHy/embeddings.parquet"))
+          markReady(outHy, HyRecipe)
+        }
+        import org.apache.spark.sql.expressions.Window
+        val embHy = Tables.embeddings(spark, outHy)
+          .select(col("vec_id").as("doc_id"), col("embedding"))
+        val corpusHy = time("join corpus (docs x100 into emb x100)") {
+          Tables.documents(spark, outHy).select("doc_id", "text")
+            .join(embHy, "doc_id").localCheckpoint(true)
+        }
+        val nHy = corpusHy.count()
+        println(s"[scratch] hybrid100 corpus n=$nHy")
+        val qvHy = graft.queries.Corpus.queryVector(spark, outHy)
+        def rrfMicro(r: Option[Int]): Long =
+          r.map(x => math.floor(1000000.0 / (60.0 + x)).toLong).getOrElse(0L)
+        // driver-side RRF over two <=50-row legs (the q_r1 integer-rank
+        // fusion, replayed in plain Scala — bounded state)
+        def fuseTop20(lex: Seq[(Long, Int)], vec: Seq[(Long, Int)]): Seq[Long] = {
+          val lm = lex.toMap; val vm = vec.toMap
+          (lm.keySet ++ vm.keySet).toSeq
+            .map(id => (id, rrfMicro(lm.get(id)) + rrfMicro(vm.get(id))))
+            .sortBy { case (id, sc) => (-sc, id) }.take(20).map(_._1)
+        }
+        val lexHy: Seq[(Long, Int)] = time("BM25 leg (100x tokenize scan, df-bound postings)") {
+          graft.text.Bm25.topK(corpusHy, "doc_id", "text",
+              Seq("sparkx0", "mergex0", "windowx0", "streamx0"), k = 50)
+            .withColumn("r_lex", row_number().over(
+              Window.orderBy(col("bm25").desc, col("doc_id"))).cast("int"))
+            .select("doc_id", "r_lex")
+            .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+        }
+        println(s"[scratch] lex leg: ${lexHy.length} docs")
+        val vecTruthHy: Seq[Long] = time("exact vector leg (truth)") {
+          graft.similarity.Ann.exactTopKReproducible(
+              corpusHy, "doc_id", "embedding", qvHy.map(_.toDouble), 50)
+            .select("doc_id").collect().map(_.getLong(0)).toSeq
+        }
+        val truthFused = fuseTop20(lexHy,
+          vecTruthHy.zipWithIndex.map { case (id, i) => (id, i + 1) })
+        val nlistHy = math.max(16, math.sqrt(nHy.toDouble).round.toInt)
+        val idxHy = time(s"IVF fit nlist=$nlistHy (sampled Lloyd)") {
+          graft.similarity.Ivf.fit(
+            corpusHy.select("doc_id", "embedding"), "embedding",
+            nlist = nlistHy, maxSample = 16384)
+        }
+        val assignedHy = time("assign corpus") {
+          val a = graft.similarity.Ivf.assign(
+            corpusHy.select("doc_id", "embedding"), "embedding", idxHy)
+            .localCheckpoint(true)
+          a.count(); a
+        }
+        val cellsHy = assignedHy.groupBy("cell").count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val truthSetHy = vecTruthHy.toSet
+        for (nprobe <- Seq(1, 4, 8, 16, 32, 64)) {
+          val probed = graft.similarity.Ivf.probeCells(idxHy, qvHy, nprobe)
+          val scanned = probed.map(c => cellsHy.getOrElse(c, 0L)).sum
+          val got: Seq[Long] = time(s"IVF leg nprobe=$nprobe") {
+            assignedHy.filter(col("cell").isin(probed: _*))
+              .select(col("doc_id"),
+                graft.similarity.Ann.cosineCol(spark, col("embedding"), qvHy).as("cosine"))
+              .orderBy(col("cosine").desc, col("doc_id")).limit(50)
+              .collect().map(_.getLong(0)).toSeq
+          }
+          val vecRecall = got.toSet.intersect(truthSetHy).size / 50.0
+          val fused = fuseTop20(lexHy,
+            got.zipWithIndex.map { case (id, i) => (id, i + 1) })
+          val overlap = fused.toSet.intersect(truthFused.toSet).size
+          println(f"[scratch] hybrid100 nprobe=$nprobe " +
+            f"scan=${scanned.toDouble / nHy}%.4f vecRecall@50=$vecRecall%.2f " +
+            f"fusedTop20Overlap=$overlap/20")
+        }
+
       case "ann100" | "ann1000" =>
         // Runs the embedding/ANN tier against d (sf0.1 or a staging dir)
         // with 2-pass min timings AND the planted-clone recall contracts
