@@ -3,6 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.Lineage.TruncateOps
 import graft.functions.GraftFunctions
 import graft.text.TextFunctions
 
@@ -22,6 +23,12 @@ object Dedup {
     * this JVM took to converge (scale spot-checks read it; not part of the
     * query surface and meaningless under concurrent CC runs). */
   @volatile private[graft] var lastCcRounds: Int = -1
+
+  /** Explicit `checkpointDir` argument wins; otherwise the session-level
+    * truncation policy ([[graft.Lineage.CheckpointDirConf]]) decides. */
+  private def resolveCheckpointDir(
+      pairs: DataFrame, explicitDir: Option[String]): Option[String] =
+    explicitDir.orElse(graft.Lineage.confDir(pairs))
 
   /** Exact dedup via canonical-text fingerprint: one row per distinct
     * content with the kept (minimum) id and the duplicate count.
@@ -68,11 +75,11 @@ object Dedup {
       maxShingleDf: Int = 1000): DataFrame = {
     val shingled = withShingles(docs, textCol, k)
       .select(col(idCol).as("doc"), col("shingles"))
-      .localCheckpoint(true)
+      .truncateLineage()
     val sh = shingled.select(col("doc"), explode(col("shingles")).as("shingle"))
     val hot = sh.groupBy("shingle").count().filter(col("count") > maxShingleDf)
       .select("shingle")
-    val pruned = sh.join(hot, Seq("shingle"), "left_anti").localCheckpoint(true)
+    val pruned = sh.join(hot, Seq("shingle"), "left_anti").truncateLineage()
     val counts = pruned.groupBy("doc").agg(count(lit(1)).as("n_shingles"))
     // Self-join via structurally renamed frames: with a shared lineage and
     // .as() aliases Spark can fail to treat `shingle = shingle` as an
@@ -378,7 +385,7 @@ object Dedup {
     // join's both sides AND the within-group expansion — without the
     // checkpoint each consumer re-runs the full simhash scan
     val sigs = sketched.groupBy("simhash").agg(collect_list("doc").as("docs"))
-      .localCheckpoint(true)
+      .truncateLineage()
     // band join over (simhash, block, block_val) ONLY — the doc arrays stay
     // out of the 8-way block explode and the candidate shuffle, and are
     // joined back onto the few surviving sketch pairs
@@ -435,7 +442,7 @@ object Dedup {
       if (maxBandBucket == Int.MaxValue) None
       else {
         val bucketCounts = allBlocks.groupBy("block", "block_val").count()
-          .localCheckpoint(true)
+          .truncateLineage()
         val stats = bucketCounts
           .agg(coalesce(sum(col("count") * col("count")), lit(0L)),
             coalesce(sum(col("count")), lit(0L))).head()
@@ -517,7 +524,7 @@ object Dedup {
         }.reduce(_ unionByName _)
         // checkpointed: feeds the keep semi-join AND the shed aggregate
         val subCounts = hotPieces.groupBy("block", "block_val", "sub", "sub_val").count()
-          .localCheckpoint(true)
+          .truncateLineage()
         // telemetry-only aggregates (hot-bucket count + shed Σ c²) run only
         // for the WithTelemetry variant — the base API pays the probe plus
         // the sub-bucket count table the refinement plan itself reuses,
@@ -575,14 +582,25 @@ object Dedup {
     * to a RELIABLE `checkpoint`: blocks are written to the fault-tolerant
     * store and the loop survives executor loss — the mode a 100 TB run
     * should use. Both modes compute identical labels (spec-asserted); the
-    * only difference is where the cut lineage's blocks live. */
+    * only difference is where the cut lineage's blocks live.
+    *
+    * Deployments flip the mode WITHOUT touching call sites through the
+    * session conf [[graft.Lineage.CheckpointDirConf]] (an explicit
+    * `checkpointDir` argument still wins). This is not theoretical: the
+    * 1000x local-cluster tier lost an executor to a 131 s full-GC pause
+    * (heartbeat timeout), and the localCheckpoint-mode CC died with
+    * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND — lost executors take their local
+    * blocks with them, and relaunch cannot restore them. The reliable mode
+    * recomputes the lost shuffle work from the checkpoint files and
+    * finishes with the identical signature (PERF.md round-14). */
   def dupClusters(
       pairs: DataFrame,
       maxIters: Int = 20,
       checkpointDir: Option[String] = None): DataFrame = {
-    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    val ckpt = resolveCheckpointDir(pairs, checkpointDir)
+    ckpt.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
     def truncate(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+      if (ckpt.isDefined) df.checkpoint(true) else df.truncateLineage()
     val edges = truncate(
       pairs.select(col("id1").as("src"), col("id2").as("dst"))
         .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
@@ -668,9 +686,10 @@ object Dedup {
       pairs: DataFrame,
       maxIters: Int = 25,
       checkpointDir: Option[String] = None): DataFrame = {
-    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    val ckpt = resolveCheckpointDir(pairs, checkpointDir)
+    ckpt.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
     def truncate(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+      if (ckpt.isDefined) df.checkpoint(true) else df.truncateLineage()
     val raw = pairs.select(col("id1").as("u"), col("id2").as("v"))
       .where(col("u") =!= col("v"))
     val nodes = truncate(
@@ -781,7 +800,7 @@ object Dedup {
       if (threshold >= 1.0) setA === setB else estJaccard(sigA, sigB) >= threshold
 
     val storeNE = storeSig.filter(col("n_shingles") > 0)
-    val batchNE = batchSig.filter(col("n_shingles") > 0).localCheckpoint(true)
+    val batchNE = batchSig.filter(col("n_shingles") > 0).truncateLineage()
 
     // Tier 1 — batch vs store: stream the big store past the broadcast batch.
     val sb = minhashBands(storeNE, "doc_id", numHashes, bands)
@@ -802,7 +821,7 @@ object Dedup {
       .filter(verified(col("sig_s"), col("sig_b"), col("set_s"), col("set_b")))
       .groupBy("bid")
       .agg(min("sid").as("store_match"))
-      .localCheckpoint(true)
+      .truncateLineage()
 
     // Tier 2 — within the batch, among docs the store didn't claim. Banded
     // self-join with the standard bucket skew cap; structurally renamed
@@ -870,7 +889,7 @@ object Dedup {
     val base =
       if (truthCap == Int.MaxValue) emb.select(col(idCol), col(vecCol))
       else emb.select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(truthCap)
-        .localCheckpoint(true)
+        .truncateLineage()
     val left = base.select(col(idCol).as("id1"), col(vecCol).as("v1"))
       // the global limit lands single-partition; spread the O(truthCap²)
       // cosine evaluations across the cluster before the theta join
@@ -978,7 +997,7 @@ object Dedup {
       col(idCol).as("id"),
       col(vecCol).as("vec"),
       (-array_max(scored).getField("neg_sid")).as("cluster"))
-      .localCheckpoint(true)
+      .truncateLineage()
     pruneAssigned(assigned, threshold, maxClusterSize, anchorsPerBucket)
   }
 
@@ -1006,7 +1025,7 @@ object Dedup {
       maxClusterSize: Int = 4096,
       anchorsPerBucket: Int = 8): DataFrame = {
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .localCheckpoint(true)
+      .truncateLineage()
     var centroids: Array[Array[Float]] =
       base.orderBy("id").limit(numSeeds).collect()
         .map(_.getSeq[Number](1).map(_.floatValue()).toArray)
@@ -1030,7 +1049,7 @@ object Dedup {
       means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat)
       centroids = next
     }
-    pruneAssigned(assign(centroids).localCheckpoint(true),
+    pruneAssigned(assign(centroids).truncateLineage(),
       threshold, maxClusterSize, anchorsPerBucket)
   }
 

@@ -1,6 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+
+import graft.Lineage.TruncateOps
 import org.apache.spark.sql.functions._
 
 /** Iterative graph computation over edge tables — the link-analysis tier of
@@ -63,7 +65,7 @@ object Graph {
     * RELIABLE `checkpoint` and the loop survives executor loss — the mode
     * a 100 TB run should use. Identical results either way. */
   private def truncate(df: DataFrame, checkpointDir: Option[String]): DataFrame =
-    if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+    if (checkpointDir.isDefined) df.checkpoint(true) else df.truncateLineage()
 
   private def iterate(
       p: Prepared, rounds: Int, trackDeltas: Boolean,

@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.Lineage.TruncateOps
 import graft.dedup.Dedup
 import graft.text.TextFunctions
 
@@ -48,7 +49,7 @@ object CorpusCleaner {
     // (not persist) so the blocks are released by the ContextCleaner once the
     // result frame is garbage-collected; a persist would pin a copy in the
     // CacheManager on every invocation for the session lifetime.
-    val exact = qualified.join(keepers, Seq(idCol), "left_semi").localCheckpoint(true)
+    val exact = qualified.join(keepers, Seq(idCol), "left_semi").truncateLineage()
 
     // stage 3: near-dup removal — drop the larger id of each high-Jaccard
     // pair. The shingle-frequency cap is live here (self-consistent
@@ -84,12 +85,12 @@ object CorpusCleaner {
     val qualified = docs.select(col(idCol), col(textCol))
       .join(scores, Seq(idCol))
       .filter(col("score") >= minScore)
-      .localCheckpoint(true)
+      .truncateLineage()
     val keepers = qualified
       .groupBy(TextFunctions.fingerprintMd5(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as(idCol))
       .select(idCol)
-    val exact = qualified.join(keepers, Seq(idCol), "left_semi").localCheckpoint(true)
+    val exact = qualified.join(keepers, Seq(idCol), "left_semi").truncateLineage()
     val pairs = Dedup.jaccardPairs(exact, idCol, textCol, config.shingleK, config.maxShingleDf)
       .filter(col("jaccard") >= config.jaccardThreshold)
     val removed = pairs.select(col("id2").as(idCol)).distinct()
@@ -119,7 +120,7 @@ object CorpusCleaner {
       .groupBy(TextFunctions.fingerprintMd5(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as(idCol))
       .select(idCol)
-    val exact = qualified.join(keepers, Seq(idCol), "left_semi").localCheckpoint(true)
+    val exact = qualified.join(keepers, Seq(idCol), "left_semi").truncateLineage()
     val pairs = Dedup.jaccardPairs(exact, idCol, textCol, config.shingleK, config.maxShingleDf)
       .filter(col("jaccard") >= config.jaccardThreshold)
     // every clustered doc whose label is NOT itself is a non-representative

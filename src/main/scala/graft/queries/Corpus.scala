@@ -6,6 +6,7 @@ import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
 
 import scala.collection.concurrent.TrieMap
 
+import graft.Lineage.TruncateOps
 import graft.Tables
 import graft.dedup.Dedup
 import graft.forecast.Forecast
@@ -733,7 +734,7 @@ object Corpus {
       val nDocs = docs.count()
       val dfreq = tf.groupBy("bucket").agg(count(lit(1)).as("df"))
         .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
-      val feats = docFeatures(s, docs, dfreq, nDocs).localCheckpoint(true)
+      val feats = docFeatures(s, docs, dfreq, nDocs).truncateLineage()
       val labeled = docs
         .select(col("doc_id"),
           floor(TextFunctions.qualityScore(col("text")) * 1000).cast("long").as("label_milli"))
@@ -1750,7 +1751,7 @@ object Corpus {
       s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val storeSig = Dedup.signatureStore(
-      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text").localCheckpoint(true)
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text").truncateLineage()
     val waves = Seq(
       docs.filter(col("doc_id") % 2 === 1),
       docs.filter(col("doc_id") % 2 === 0 && col("doc_id") < 50)
@@ -1785,13 +1786,13 @@ object Corpus {
       s: SparkSession, storeSig: DataFrame, root: String)(
       batch: DataFrame, id: Long): Unit =
     if (!batch.isEmpty) {
-      val sigB = Dedup.signatureStore(batch, "doc_id", "text").localCheckpoint(true)
+      val sigB = Dedup.signatureStore(batch, "doc_id", "text").truncateLineage()
       val vsStore = Dedup.incrementalDedup(storeSig, sigB)
-      val dupStore = vsStore.filter(col("status") === "dup_of_store").localCheckpoint(true)
+      val dupStore = vsStore.filter(col("status") === "dup_of_store").truncateLineage()
       val restSig = sigB.join(dupStore.select("doc_id"), Seq("doc_id"), "left_anti")
       val keptState = graft.streaming.BatchState.latestState(root, id)
         .map(s.read.parquet(_)).getOrElse(storeSig.limit(0))
-      val vsState = Dedup.incrementalDedup(keptState, restSig).localCheckpoint(true)
+      val vsState = Dedup.incrementalDedup(keptState, restSig).truncateLineage()
       // batchId-derived output path + overwrite = idempotent under retry
       // (q_e8's exactly-once sink recipe).
       dupStore.select(col("doc_id"), col("status"), col("match_id"))
@@ -2350,7 +2351,7 @@ object Corpus {
     // word join: 23 s at 10x sf0.1 vs 3.7 s after.)
     val wordSyms = docw.select("word").distinct()
       .select(col("word"), symsFinal.as("syms"))
-      .localCheckpoint(true)
+      .truncateLineage()
     val vid = wordSyms.select(explode(col("syms")).as("symbol")).distinct()
       .withColumn("id", row_number().over(Window.orderBy("symbol")).cast("long"))
     val seq0 = docw.join(broadcast(wordSyms), Seq("word"))
@@ -3207,7 +3208,7 @@ object Corpus {
   /** The q_e14 arrival waves: ascending doc_id thirds of the raw-URL frame
     * (a crawl queue drains roughly in discovery order). */
   private[graft] def urlFrontierWaves(s: SparkSession, d: String): Seq[DataFrame] = {
-    val all = urlRawFrame(s, d).localCheckpoint(true)
+    val all = urlRawFrame(s, d).truncateLineage()
     val n = Tables.documents(s, d).count()
     Seq(
       all.filter(col("doc_id") < n / 3),
@@ -3226,7 +3227,7 @@ object Corpus {
       val stateDir = graft.streaming.BatchState.latestState(root, id)
       val withCanon = batch
         .withColumn("url_canon", TextFunctions.canonicalUrl(col("url_raw")))
-        .localCheckpoint(true)
+        .truncateLineage()
       // the store is probed by a broadcast semi-join of the BATCH's keys
       // — the (unboundedly growing) store side never shuffles
       val seen = stateDir
@@ -3384,7 +3385,7 @@ object Corpus {
   /** The q_e15 arrival waves: ascending doc_id thirds of the documents
     * table. */
   private[graft] def manifestStreamWaves(s: SparkSession, d: String): Seq[DataFrame] = {
-    val docs = Tables.documents(s, d).select("doc_id", "text").localCheckpoint(true)
+    val docs = Tables.documents(s, d).select("doc_id", "text").truncateLineage()
     val n = docs.count()
     Seq(
       docs.filter(col("doc_id") < n / 3),
@@ -3399,7 +3400,7 @@ object Corpus {
   private[graft] def manifestStreamBatch(s: SparkSession, root: String)(
       batch: DataFrame, id: Long): Unit =
     if (!batch.isEmpty) {
-      val partial = manifestOf(batch).localCheckpoint(true)
+      val partial = manifestOf(batch).truncateLineage()
       val merged = graft.streaming.BatchState.latestState(root, id)
         .map(p => mergeManifests(s.read.parquet(p), partial))
         .getOrElse(partial)
@@ -3568,7 +3569,7 @@ object Corpus {
         coalesce(col("n_grams"), lit(0L)).as("n_grams"))
       .withColumn("gumbel_key",
         col("w_micro") + floor(-log(-log(u)) * lit(1e6)).cast("long"))
-      .localCheckpoint(true)
+      .truncateLineage()
     // one row per document by construction, already materialized — no
     // extra documents-table scan to size k
     val k = (keyed.count() / 4L).toInt
@@ -3902,7 +3903,7 @@ object Corpus {
       .withColumn("shingles",
         TextFunctions.wordShingles(TextFunctions.tokens(col("norm")), 3))
       .select("doc_id", "norm", "shingles")
-      .localCheckpoint(true)
+      .truncateLineage()
     val cands = Dedup.portableMinhashCandidatesShingled(
       prepped.select(col("doc_id").as("doc"), col("shingles")),
       numHashes = 16, bands = 4, maxBucket = 100)
@@ -3987,15 +3988,15 @@ object Corpus {
         TextFunctions.wordShingles(
           TextFunctions.tokens(TextFunctions.normText(col("text"))), 3))
       .select("doc_id", "shingles")
-      .localCheckpoint(true)
+      .truncateLineage()
     val cand = Dedup.portableMinhashCandidatesShingled(
       prepped.select(col("doc_id").as("doc"), col("shingles")),
       numHashes = 16, bands = 4, maxBucket = 100)
-      .localCheckpoint(true)
+      .truncateLineage()
     val shAll = prepped.select(col("doc_id").as("doc"), explode(col("shingles")).as("shingle"))
     val hot = shAll.groupBy("shingle").count()
       .filter(col("count") > maxShingleDf).select("shingle")
-    val sh = shAll.join(hot, Seq("shingle"), "left_anti").localCheckpoint(true)
+    val sh = shAll.join(hot, Seq("shingle"), "left_anti").truncateLineage()
     val cnt = sh.groupBy("doc").agg(count(lit(1)).as("nsh"))
     val base = sh.select("doc", "shingle")
     val ip = base.toDF("id1", "shingle")
@@ -4007,7 +4008,7 @@ object Corpus {
       .join(cnt.toDF("id2", "n2"), "id2")
       .filter(col("nc") * 3 >= col("n1") + col("n2"))
       .select("id1", "id2")
-      .localCheckpoint(true)
+      .truncateLineage()
     val hits = truth.join(cand, Seq("id1", "id2"), "left_semi")
     val agg = truth.agg(count(lit(1)).as("n_truth"))
       .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
@@ -4923,7 +4924,7 @@ object Corpus {
     val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
     val base = emb.filter(pmod(col("vec_id"), lit(3)) =!= 1)
     val delta = emb.filter(pmod(col("vec_id"), lit(3)) === 1)
-      .unionByName(queryClones(emb)).localCheckpoint(true)
+      .unionByName(queryClones(emb)).truncateLineage()
     val idx = Ivf.fit(base, "embedding", nlist = 16)
     val waves = Seq(
       delta.filter(col("vec_id") < 170),
@@ -5098,7 +5099,7 @@ object Corpus {
 
   private def cachedBlobs(s: SparkSession, d: String, kind: String)(
       build: => DataFrame): DataFrame =
-    blobCache.getOrElseUpdate((s, d, kind), build.localCheckpoint(true))
+    blobCache.getOrElseUpdate((s, d, kind), build.truncateLineage())
 
   /** Binary-column pipeline with REAL image decode: deterministic tiny PNGs
     * (one per document, dimensions derived from doc_id) are encoded and then
@@ -5219,7 +5220,7 @@ object Corpus {
       .select(col("doc_id") +: bandCols: _*)
       .groupBy("b0", "b1", "b2", "b3")
       .agg(min("doc_id").as("sid"), collect_list("doc_id").as("docs"))
-      .localCheckpoint(true)
+      .truncateLineage()
     val cand = (0 until 4).map { b =>
         sigs.select(col("sid").as("si"), col(s"b$b").as("bk"), lit(b).as("bi"))
           .join(sigs.select(col("sid").as("sj"), col(s"b$b").as("bk"), lit(b).as("bi")),

@@ -1,6 +1,8 @@
 package graft.text
 
 import org.apache.spark.sql.DataFrame
+
+import graft.Lineage.TruncateOps
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -49,7 +51,7 @@ object Bm25 {
         col(idCol).as("doc_id"),
         TextFunctions.tokens(TextFunctions.normText(col(textCol))).as("toks"))
       .select(col("doc_id") +: size(col("toks")).cast("double").as("dl") +: tfCols: _*)
-      .localCheckpoint(true)
+      .truncateLineage()
     val statCols =
       count(lit(1)).cast("double").as("n_docs") +:
         (sum(col("dl").cast("long")).cast("double") /

@@ -1,6 +1,8 @@
 package graft.text
 
 import org.apache.spark.sql.DataFrame
+
+import graft.Lineage.TruncateOps
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
@@ -180,7 +182,7 @@ object BpeTrain {
         }
         val next = syms.select(applied.as("syms"), col("n"))
         syms =
-          if (r % checkpointEvery == 0) next.localCheckpoint(true)
+          if (r % checkpointEvery == 0) next.truncateLineage()
           else next.persist()
         r += 1
       }

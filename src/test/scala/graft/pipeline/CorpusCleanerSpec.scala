@@ -128,6 +128,36 @@ class CorpusCleanerSpec extends SparkSpec {
     assert(wrote > 0, "no checkpoint files written to the reliable dir")
   }
 
+  test("the session conf flips the library's lineage truncation to reliable mode") {
+    // spark.graft.checkpointDir is the deployment switch: no call-site
+    // change, every truncation point in the library checkpoints reliably
+    // there (the 1000x local-cluster tier's failure mode — a GC-paused
+    // executor declared lost takes its localCheckpoint blocks with it,
+    // killing even the PAIR-GRAPH build upstream of the CC loop — needs
+    // exactly this, library-wide).
+    val chains = Seq(300L to 312L, 400L to 404L)
+    val pairs = chains.flatMap(c => c.sliding(2).map(p => (p(1), p.head)))
+      .toDF("id1", "id2")
+    val expected = chains.flatMap(c => c.map(_ -> c.min)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-conf-ckpt")
+    spark.conf.set(graft.Lineage.CheckpointDirConf, dir.toString)
+    try {
+      val minLabel = Dedup.dupClusters(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val star = Dedup.dupClustersStar(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(minLabel === expected)
+      assert(star === expected)
+      // a non-CC operator's internal truncation flips too (jaccardPairs is
+      // the stage that actually died at 1000x)
+      val jp = Dedup.jaccardPairs(docs, "doc_id", "text").count()
+      assert(jp >= 1L)
+      val wrote = java.nio.file.Files.walk(dir)
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "conf-driven reliable mode wrote no checkpoint files")
+    } finally spark.conf.unset(graft.Lineage.CheckpointDirConf)
+  }
+
   test("tp11 scrub-then-clean: fully-scrubbed docs vanish, the scrub changes real outcomes") {
     val d = "/root/testdata/sf0.001"
     val tp11 = graft.queries.Corpus.all("q_tp11_clean_scrubbed")(spark, d)
