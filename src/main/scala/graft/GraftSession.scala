@@ -19,6 +19,23 @@ object GraftSession {
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // Reducer sizing above the harness floor: GRAFT_INITIAL_PARTITIONS
+      // seeds AQE partition coalescing with N initial shuffle partitions;
+      // the 64 MB advisory target (overridable via GRAFT_ADVISORY_BYTES)
+      // then coalesces each stage DOWN to its data volume —
+      // parallelismFirst=false so the advisory size actually governs
+      // instead of being ignored in favor of max parallelism. This is the
+      // per-stage, executor-memory-aware sizing a real cluster runs with
+      // (the qpart three-point table proves no global constant works:
+      // fixed 256 wins 1.34x on the spilling 1000x stage, loses 3.4x at
+      // 100x, OOMs the full 1000x chain). Unset = the measured local[32]
+      // default: cores partitions, stage-count-stable plans.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("GRAFT_INITIAL_PARTITIONS", cores.toString))
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        if (sys.env.contains("GRAFT_INITIAL_PARTITIONS")) "false" else "true")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("GRAFT_ADVISORY_BYTES", "64m"))
       // AQE skew-join at harness scale: the default 256MB skew threshold
       // is sized for cluster executors; local hot partitions (e.g. one
       // canonical URL holding 80% of a 20M-row frame — q_t25b's planted

@@ -598,7 +598,8 @@ object Dedup {
       maxIters: Int = 20,
       checkpointDir: Option[String] = None): DataFrame = {
     val ckpt = resolveCheckpointDir(pairs, checkpointDir)
-    ckpt.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    ckpt.foreach(graft.Lineage.ensureCheckpointDir(pairs.sparkSession, _,
+      force = checkpointDir.isDefined))
     def truncate(df: DataFrame): DataFrame =
       if (ckpt.isDefined) df.checkpoint(true) else df.truncateLineage()
     val edges = truncate(
@@ -687,7 +688,8 @@ object Dedup {
       maxIters: Int = 25,
       checkpointDir: Option[String] = None): DataFrame = {
     val ckpt = resolveCheckpointDir(pairs, checkpointDir)
-    ckpt.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    ckpt.foreach(graft.Lineage.ensureCheckpointDir(pairs.sparkSession, _,
+      force = checkpointDir.isDefined))
     def truncate(df: DataFrame): DataFrame =
       if (ckpt.isDefined) df.checkpoint(true) else df.truncateLineage()
     val raw = pairs.select(col("id1").as("u"), col("id2").as("v"))

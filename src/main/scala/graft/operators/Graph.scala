@@ -154,7 +154,8 @@ object Graph {
       scale: Long = 1000000000000L,
       redistributeDangling: Boolean = false,
       checkpointDir: Option[String] = None): DataFrame = {
-    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    checkpointDir.foreach(
+      graft.Lineage.ensureCheckpointDir(edges.sparkSession, _, force = true))
     val p = prepare(edges, srcCol, dstCol, wCol, scale)
     val (r, _) = iterate(p, rounds, trackDeltas = false,
       redistribute = redistributeDangling, checkpointDir = checkpointDir)
@@ -205,7 +206,8 @@ object Graph {
       scale: Long = 1000000L,
       checkpointDir: Option[String] = None): DataFrame = {
     require(rounds >= 1, s"hits needs rounds >= 1 (got $rounds)")
-    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    checkpointDir.foreach(
+      graft.Lineage.ensureCheckpointDir(edges.sparkSession, _, force = true))
     val e = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"),
         col(wCol).cast("long").as("w"))
@@ -266,7 +268,8 @@ object Graph {
       rounds: Int,
       scale: Long = 1000000000000L,
       checkpointDir: Option[String] = None): Seq[(Int, Long)] = {
-    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    checkpointDir.foreach(
+      graft.Lineage.ensureCheckpointDir(edges.sparkSession, _, force = true))
     val p = prepare(edges, srcCol, dstCol, wCol, scale)
     val (_, deltas) = iterate(p, rounds, trackDeltas = true,
       checkpointDir = checkpointDir)

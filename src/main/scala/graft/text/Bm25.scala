@@ -2,7 +2,8 @@ package graft.text
 
 import org.apache.spark.sql.DataFrame
 
-import graft.Lineage.TruncateOps
+import graft.Lineage
+import graft.functions.Exact
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -22,14 +23,32 @@ import org.apache.spark.sql.types.DoubleType
   * per-term document frequencies come from one single-row aggregate over
   * the materialized statistics, broadcast back for scoring.
   *
+  * The columnar shape spends one projection column plus one aggregate
+  * expression PER DISTINCT QUERY TERM, so its plan width is linear in the
+  * term count — past [[MaxColumnarTerms]] distinct terms (codegen method /
+  * constant-pool limits territory, and far beyond any interactive query)
+  * `topK` falls back to the explode-based postings shape, whose plan width
+  * is constant in the term count. Both shapes floor each (doc, term)
+  * weight to 1e-6 units independently and sum the floors exactly, so they
+  * are bit-equal (spec-asserted) — the fallback trades one extra tokenize
+  * scan for a plan that cannot outgrow codegen.
+  *
   * Determinism: tf/df/dl are integers; avgdl is an exact integer-sum
   * quotient; the only per-row transcendental is ln(), identical-input across
   * engines; each per-term weight is floored to 1e-6 units independently and
   * the floors are summed as longs — exactly the floor-scaled exact-sum the
-  * exploded (doc, term)-row shape computed, so a BM25 top-k stays
+  * exploded (doc, term)-row shape computes, so a BM25 top-k stays
   * oracle-checkable bit-exactly (order-independent, engine-identical).
   */
 object Bm25 {
+
+  /** Distinct-term budget for the one-pass columnar plan. 64 terms means
+    * 64 array-filter projection columns and 64 conditional-sum aggregates —
+    * comfortably inside whole-stage-codegen limits (measured well past the
+    * ~100-expression region where generated methods start splitting), while
+    * any larger literal term set is batch scoring, where the explode shape's
+    * constant plan width is the right trade. */
+  val MaxColumnarTerms = 64
 
   def topK(
       docs: DataFrame,
@@ -43,15 +62,31 @@ object Bm25 {
     // distinct: the exploded shape collapsed duplicate query terms into one
     // (doc, term) group; the columnar shape must not double-count them
     val qterms = terms.distinct
+    if (qterms.length <= MaxColumnarTerms) topKColumnar(docs, idCol, textCol, qterms, k1, b, k)
+    else topKExploded(docs, idCol, textCol, qterms, k1, b, k)
+  }
+
+  private[text] def topKColumnar(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      qterms: Seq[String],
+      k1: Double,
+      b: Double,
+      k: Int): DataFrame = {
     val tfCols = qterms.zipWithIndex.map { case (t, i) =>
       size(filter(col("toks"), x => x === lit(t))).cast("double").as(s"tf_$i")
     }
-    val perDoc = docs
-      .select(
-        col(idCol).as("doc_id"),
-        TextFunctions.tokens(TextFunctions.normText(col(textCol))).as("toks"))
-      .select(col("doc_id") +: size(col("toks")).cast("double").as("dl") +: tfCols: _*)
-      .truncateLineage()
+    // transient truncation: the statistics frame is the intra-query reuse
+    // point (scored pass + stats aggregate read it) and is garbage the
+    // moment the query returns — localCheckpoint even in reliable mode; a
+    // lost executor fails only this query and a retry recomputes it.
+    val perDoc = Lineage.truncateTransient(
+      docs
+        .select(
+          col(idCol).as("doc_id"),
+          TextFunctions.tokens(TextFunctions.normText(col(textCol))).as("toks"))
+        .select(col("doc_id") +: size(col("toks")).cast("double").as("dl") +: tfCols: _*))
     val statCols =
       count(lit(1)).cast("double").as("n_docs") +:
         (sum(col("dl").cast("long")).cast("double") /
@@ -76,6 +111,46 @@ object Bm25 {
       .filter(qterms.indices.map(i => col(s"tf_$i") > 0.0).reduce(_ || _))
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), (micro.cast(DoubleType) / lit(unit)).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** The constant-plan-width shape: explode to skinny (doc, term) rows
+    * filtered to the query terms before any shuffle (map-side postings).
+    * Costs a second tokenize scan for N/avgdl, which is why the columnar
+    * shape is preferred up to [[MaxColumnarTerms]]. */
+  private[text] def topKExploded(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      qterms: Seq[String],
+      k1: Double,
+      b: Double,
+      k: Int): DataFrame = {
+    val withLen = docs
+      .select(
+        col(idCol).as("doc_id"),
+        TextFunctions.tokens(TextFunctions.normText(col(textCol))).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("double").as("dl"))
+    val stats = withLen.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl").cast("long")).cast("double") /
+        count(lit(1)).cast("double")).as("avgdl"))
+    val tf = withLen
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(qterms: _*)) // postings pruned at map side
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("w",
+        col("idf") * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")) * k1))
+      .groupBy("doc_id")
+      .agg(Exact.floorSum(col("w"), 6).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(k)
   }

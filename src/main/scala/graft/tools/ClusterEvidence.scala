@@ -240,6 +240,60 @@ object ClusterEvidence {
           s"CC result diverged after executor kill: base=$base kill=$hit")
         println("[cluster] cckill OK: job survived executor loss with identical labels")
 
+      case "qkill" =>
+        // Recompute-through-loss AT SCALE (VERDICT r14 #2): run a corpus
+        // query in RELIABLE mode (spark.graft.checkpointDir — the
+        // library-wide truncation switch, not a per-operator argument) and
+        // SIGKILL one executor once the checkpoint dir holds enough
+        // checkpointed RDDs that the pipeline is genuinely mid-flight
+        // (past the first truncation points; for q_dd6 the CC loop adds
+        // one rdd-* per iteration, so a threshold above the pair-graph
+        // build's count lands the kill inside the loop). The job must
+        // complete on the surviving + relaunched executors by recomputing
+        // lost shuffle/cached blocks from the reliable checkpoint files,
+        // and the signature must equal the uninterrupted runs'
+        // (local[32] AND the r14 no-kill local-cluster run).
+        val q = if (args.length > 2) args(2) else "q_dd6_dup_clusters"
+        val afterRdds = sys.env.getOrElse("GRAFT_KILL_AFTER_RDDS", "8").toInt
+        val ckdir = java.nio.file.Files.createTempDirectory("graft_qkill_ckpt")
+        spark.conf.set(graft.Lineage.CheckpointDirConf, ckdir.toString)
+        println(s"[cluster] qkill $q reliable dir=$ckdir killAfterRdds=$afterRdds")
+        def rddDirs(): Int = Option(ckdir.toFile.listFiles()).toSeq.flatten
+          .flatMap(f => Option(f.listFiles()).toSeq.flatten)
+          .count(_.getName.startsWith("rdd-"))
+        val killedAt = new java.util.concurrent.atomic.AtomicInteger(-1)
+        val killer = new Thread(() => {
+          val t1 = System.currentTimeMillis()
+          var last = -1
+          // progress line whenever the count moves, so the log records how
+          // far the pipeline was when the kill landed
+          while (rddDirs() < afterRdds && System.currentTimeMillis() - t1 < 5400000) {
+            val c = rddDirs()
+            if (c != last) { println(s"[cluster] qkill ckpt rdds=$c"); last = c }
+            Thread.sleep(500)
+          }
+          val at = rddDirs()
+          killedAt.set(at)
+          killOneExecutor(s"qkill (at $at checkpointed RDDs)")
+        })
+        killer.setDaemon(true)
+        killer.start()
+        val rowQ = time(s"$q reliable with executor kill") {
+          val df = graft.queries.Corpus.all(q)(spark, d)
+          df.select(
+              xxhash64(to_json(struct(df.columns.sorted.map(col).toSeq: _*))).as("h"))
+            .agg(count(lit(1)).as("n"), coalesce(sum(col("h")), lit(0L)).as("sig"))
+            .collect()(0)
+        }
+        killer.join(1000)
+        val ckBytes = java.nio.file.Files.walk(ckdir)
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(p => p.toFile.length()).sum()
+        println(s"[cluster] qkill $q n=${rowQ.getLong(0)} sig=${rowQ.getLong(1)} " +
+          s"killedAtRdds=${killedAt.get()} finalRdds=${rddDirs()} " +
+          f"ckptGB=${ckBytes / 1e9}%.1f liveExecutors=${liveExecutors(spark)}")
+        assert(killedAt.get() >= 0, "executor kill never fired — raise the run or lower the threshold")
+
       case "streamkill" =>
         import org.apache.spark.sql.{Dataset, Row}
         val C = graft.queries.Corpus

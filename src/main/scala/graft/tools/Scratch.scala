@@ -126,14 +126,35 @@ object Scratch {
       case "qpart" =>
         // Run corpus queries with an overridden spark.sql.shuffle.partitions
         // (a RUNTIME conf — what a deployment sizes to data volume): the
-        // end-to-end companion to `dpart`'s single-stage A/B.
-        val qp = args(2).toInt
-        spark.conf.set("spark.sql.shuffle.partitions", qp.toString)
+        // end-to-end companion to `dpart`'s single-stage A/B. Pass "aqe"
+        // instead of a number to leave the session's AQE sizing in charge
+        // (pair with GRAFT_INITIAL_PARTITIONS / GRAFT_ADVISORY_BYTES) —
+        // the r15 directive's arm. Wall AND spill per query, so the A/B
+        // shows whether the sizing removed the I/O, not just the seconds.
+        val qpLabel = args(2)
+        if (qpLabel != "aqe")
+          spark.conf.set("spark.sql.shuffle.partitions", qpLabel.toInt.toString)
+        val spillMq = new java.util.concurrent.atomic.AtomicLong()
+        val spillDq = new java.util.concurrent.atomic.AtomicLong()
+        val evQ = new java.util.concurrent.atomic.AtomicLong()
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            evQ.incrementAndGet()
+            if (te.taskMetrics != null) {
+              spillMq.addAndGet(te.taskMetrics.memoryBytesSpilled)
+              spillDq.addAndGet(te.taskMetrics.diskBytesSpilled)
+            }
+          }
+        })
         args.drop(3).foreach { q =>
-          time(s"$q @$qp partitions") {
+          val m0 = (spillMq.get, spillDq.get)
+          time(s"$q @$qpLabel partitions") {
             graft.queries.Corpus.all(q)(spark, d)
               .write.format("noop").mode("overwrite").save()
           }
+          drainTaskEvents(evQ)
+          println(f"[scratch] qpart $q @$qpLabel spill mem ${(spillMq.get - m0._1) / 1e6}%.0f MB" +
+            f" / disk ${(spillDq.get - m0._2) / 1e6}%.0f MB")
         }
 
       case "pairmass" =>
@@ -685,6 +706,38 @@ object Scratch {
         }
         println(s"[scratch] staging1000docs ready at $out1k")
 
+      case "staging100events" =>
+        // r14 directive #5: the streaming tier one order past the 10x
+        // measurement. Events x100 with the staging10full shift recipe —
+        // event_id +k*1e9 and user_id +k*10M per copy, timestamps
+        // untouched (same time range, 100x the event mass and 100x the
+        // distinct users: watermark/session/dedup state grows in exactly
+        // the dimension the state stores are keyed on). Read AND written
+        // through Tables.events so the TIMESTAMP(NANOS) source normalizes
+        // to micros once; every other table rides along at 1x so the dir
+        // serves as a full SPARK_GRAFT_SF_DIR for the 16-query q_e family.
+        val outEv = "/tmp/sf100events"
+        val EvRecipe = "events100-v1-shift"
+        if (!stagingReady(outEv, EvRecipe)) {
+          rebuildDir(outEv)
+          time("build events x100") {
+            Tables.events(spark, d)
+              .withColumn("k", explode(sequence(lit(0), lit(99))))
+              .withColumn("event_id", col("event_id") + col("k") * 1000000000L)
+              .withColumn("user_id", col("user_id") + col("k") * 10000000L)
+              .drop("k")
+              .repartition(32)
+              .write.mode("overwrite").parquet(s"$outEv/events.parquet")
+          }
+          for (t <- Seq("region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "documents", "embeddings")) {
+            org.apache.commons.io.FileUtils.copyDirectory(
+              new java.io.File(s"$d/$t.parquet"), new java.io.File(s"$outEv/$t.parquet"))
+          }
+          markReady(outEv, EvRecipe)
+        }
+        println(s"[scratch] staging100events ready at $outEv")
+
       case "staging100emb" =>
         // Round-11 directive: a 100x EMBEDDINGS staging (sf0.1 x 100 = 200k
         // vectors) — the geometry-dependent tier (IVF cell balance, PQ
@@ -1029,6 +1082,101 @@ object Scratch {
           val overlap = fused.toSet.intersect(truthFused.toSet).size
           println(f"[scratch] hybrid100 nprobe=$nprobe " +
             f"scan=${scanned.toDouble / nHy}%.4f vecRecall@50=$vecRecall%.2f " +
+            f"fusedTop20Overlap=$overlap/20")
+        }
+
+      case "hybrid1000" =>
+        // r14 directive #4: the composed RAG capstone one order past
+        // hybrid100 — documents x1000 (5M docs, v3 stop-preserving) joined
+        // to embeddings x1000 (2M vectors, xxhash-decorrelated v2 recipe;
+        // both shift ids by the same +k*10M, so doc_id==vec_id alignment
+        // survives and the corpus is the 2M docs carrying text AND
+        // embeddings, under a 5M-doc lexical scan). Same measurement as
+        // hybrid100: per-leg walls (the one-pass BM25 leg must stay
+        // ~linear: <= ~10x the 19.5s 100x leg), IVF recall of the exact
+        // vector top-50 at nlist=sqrt(n), and fusion survival (fused
+        // top-20 overlap vs the exact-leg hybrid).
+        val outHk = "/tmp/sfhybrid1000"
+        val HyRecipe1k = "hybrid1000-docsv3-embhardv2"
+        require(stagingReady("/tmp/sf1000docs", DocsRecipe),
+          "run staging1000docs first (v3 documents x1000)")
+        require(stagingReady("/tmp/sfhardemb1k", "emb-hard-v2-xxrot-xxsign-mod997-x1000"),
+          "run staginghardemb1k first (hard embeddings x1000)")
+        if (!stagingReady(outHk, HyRecipe1k)) {
+          rebuildDir(outHk)
+          org.apache.commons.io.FileUtils.copyDirectory(
+            new java.io.File("/tmp/sf1000docs/documents.parquet"),
+            new java.io.File(s"$outHk/documents.parquet"))
+          org.apache.commons.io.FileUtils.copyDirectory(
+            new java.io.File("/tmp/sfhardemb1k/embeddings.parquet"),
+            new java.io.File(s"$outHk/embeddings.parquet"))
+          markReady(outHk, HyRecipe1k)
+        }
+        import org.apache.spark.sql.expressions.Window
+        val embHk = Tables.embeddings(spark, outHk)
+          .select(col("vec_id").as("doc_id"), col("embedding"))
+        val corpusHk = time("join corpus (docs x1000 into emb x1000)") {
+          Tables.documents(spark, outHk).select("doc_id", "text")
+            .join(embHk, "doc_id").localCheckpoint(true)
+        }
+        val nHk = corpusHk.count()
+        println(s"[scratch] hybrid1000 corpus n=$nHk")
+        val qvHk = graft.queries.Corpus.queryVector(spark, outHk)
+        def rrfMicroK(r: Option[Int]): Long =
+          r.map(x => math.floor(1000000.0 / (60.0 + x)).toLong).getOrElse(0L)
+        def fuseTop20K(lex: Seq[(Long, Int)], vec: Seq[(Long, Int)]): Seq[Long] = {
+          val lm = lex.toMap; val vm = vec.toMap
+          (lm.keySet ++ vm.keySet).toSeq
+            .map(id => (id, rrfMicroK(lm.get(id)) + rrfMicroK(vm.get(id))))
+            .sortBy { case (id, sc) => (-sc, id) }.take(20).map(_._1)
+        }
+        val lexHk: Seq[(Long, Int)] = time("BM25 leg (1000x tokenize scan, df-bound postings)") {
+          graft.text.Bm25.topK(corpusHk, "doc_id", "text",
+              Seq("sparkx0", "mergex0", "windowx0", "streamx0"), k = 50)
+            .withColumn("r_lex", row_number().over(
+              Window.orderBy(col("bm25").desc, col("doc_id"))).cast("int"))
+            .select("doc_id", "r_lex")
+            .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+        }
+        println(s"[scratch] lex leg: ${lexHk.length} docs")
+        val vecTruthHk: Seq[Long] = time("exact vector leg (truth)") {
+          graft.similarity.Ann.exactTopKReproducible(
+              corpusHk, "doc_id", "embedding", qvHk.map(_.toDouble), 50)
+            .select("doc_id").collect().map(_.getLong(0)).toSeq
+        }
+        val truthFusedK = fuseTop20K(lexHk,
+          vecTruthHk.zipWithIndex.map { case (id, i) => (id, i + 1) })
+        val nlistHk = math.max(16, math.sqrt(nHk.toDouble).round.toInt)
+        val idxHk = time(s"IVF fit nlist=$nlistHk (sampled Lloyd)") {
+          graft.similarity.Ivf.fit(
+            corpusHk.select("doc_id", "embedding"), "embedding",
+            nlist = nlistHk, maxSample = 16384)
+        }
+        val assignedHk = time("assign corpus") {
+          val a = graft.similarity.Ivf.assign(
+            corpusHk.select("doc_id", "embedding"), "embedding", idxHk)
+            .localCheckpoint(true)
+          a.count(); a
+        }
+        val cellsHk = assignedHk.groupBy("cell").count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val truthSetHk = vecTruthHk.toSet
+        for (nprobe <- Seq(1, 4, 8, 16, 32, 64, 128)) {
+          val probed = graft.similarity.Ivf.probeCells(idxHk, qvHk, nprobe)
+          val scanned = probed.map(c => cellsHk.getOrElse(c, 0L)).sum
+          val got: Seq[Long] = time(s"IVF leg nprobe=$nprobe") {
+            assignedHk.filter(col("cell").isin(probed: _*))
+              .select(col("doc_id"),
+                graft.similarity.Ann.cosineCol(spark, col("embedding"), qvHk).as("cosine"))
+              .orderBy(col("cosine").desc, col("doc_id")).limit(50)
+              .collect().map(_.getLong(0)).toSeq
+          }
+          val vecRecall = got.toSet.intersect(truthSetHk).size / 50.0
+          val fused = fuseTop20K(lexHk,
+            got.zipWithIndex.map { case (id, i) => (id, i + 1) })
+          val overlap = fused.toSet.intersect(truthFusedK.toSet).size
+          println(f"[scratch] hybrid1000 nprobe=$nprobe " +
+            f"scan=${scanned.toDouble / nHk}%.4f vecRecall@50=$vecRecall%.2f " +
             f"fusedTop20Overlap=$overlap/20")
         }
 

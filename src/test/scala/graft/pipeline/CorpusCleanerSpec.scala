@@ -140,6 +140,15 @@ class CorpusCleanerSpec extends SparkSpec {
       .toDF("id1", "id2")
     val expected = chains.flatMap(c => c.map(_ -> c.min)).toMap
     val dir = java.nio.file.Files.createTempDirectory("graft-cc-conf-ckpt")
+    // Lineage.truncate will point the shared session's SparkContext
+    // checkpoint dir at the temp dir; remember the prior dir so the
+    // finally can put it back — otherwise every later test in this JVM
+    // calling .checkpoint silently writes under this test's temp path
+    // (ADVICE r14). When no prior dir existed there is nothing to restore
+    // (Spark has no unset); the temp dir is left on disk so a stray
+    // .checkpoint cannot fail, and reliable-mode tests elsewhere re-point
+    // via their own conf.
+    val priorCkptDir = spark.sparkContext.getCheckpointDir
     spark.conf.set(graft.Lineage.CheckpointDirConf, dir.toString)
     try {
       val minLabel = Dedup.dupClusters(pairs)
@@ -155,7 +164,28 @@ class CorpusCleanerSpec extends SparkSpec {
       val wrote = java.nio.file.Files.walk(dir)
         .filter(java.nio.file.Files.isRegularFile(_)).count()
       assert(wrote > 0, "conf-driven reliable mode wrote no checkpoint files")
-    } finally spark.conf.unset(graft.Lineage.CheckpointDirConf)
+      // setCheckpointDir must be called AT MOST ONCE per (session, dir):
+      // Spark mints a fresh UUID subdir per call, so the dozens of
+      // truncation points above (two CC loops + jaccardPairs internals)
+      // re-pointing per call would scatter one subdir each (ADVICE r14).
+      val uuidSubdirs = Option(dir.toFile.listFiles()).toSeq.flatten
+        .count(_.isDirectory)
+      assert(uuidSubdirs === 1,
+        s"expected one checkpoint UUID subdir, got $uuidSubdirs")
+      // transient intra-query truncation stays LOCAL even in reliable
+      // mode: BM25's per-doc stats frame is garbage once the query
+      // returns, so it must not buy durable storage (ADVICE r14)
+      val filesBefore = java.nio.file.Files.walk(dir)
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      graft.text.Bm25.topK(docs, "doc_id", "text", Seq("quick", "fox"), k = 3).collect()
+      val filesAfter = java.nio.file.Files.walk(dir)
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(filesAfter === filesBefore,
+        "BM25's transient truncation wrote reliable checkpoint files")
+    } finally {
+      spark.conf.unset(graft.Lineage.CheckpointDirConf)
+      priorCkptDir.foreach(spark.sparkContext.setCheckpointDir)
+    }
   }
 
   test("tp11 scrub-then-clean: fully-scrubbed docs vanish, the scrub changes real outcomes") {
