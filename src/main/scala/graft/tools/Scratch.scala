@@ -731,8 +731,11 @@ object Scratch {
           }
           for (t <- Seq("region", "nation", "customer", "supplier", "part",
             "orders", "lineitem", "documents", "embeddings")) {
-            org.apache.commons.io.FileUtils.copyDirectory(
-              new java.io.File(s"$d/$t.parquet"), new java.io.File(s"$outEv/$t.parquet"))
+            // testdata parquet may be a single file rather than a directory
+            val src = new java.io.File(s"$d/$t.parquet")
+            val dst = new java.io.File(s"$outEv/$t.parquet")
+            if (src.isDirectory) org.apache.commons.io.FileUtils.copyDirectory(src, dst)
+            else org.apache.commons.io.FileUtils.copyFile(src, dst)
           }
           markReady(outEv, EvRecipe)
         }
