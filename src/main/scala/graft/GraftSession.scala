@@ -19,21 +19,29 @@ object GraftSession {
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
-      // Reducer sizing above the harness floor: GRAFT_INITIAL_PARTITIONS
-      // seeds AQE partition coalescing with N initial shuffle partitions;
-      // the 64 MB advisory target (overridable via GRAFT_ADVISORY_BYTES)
-      // then coalesces each stage DOWN to its data volume —
-      // parallelismFirst=false so the advisory size actually governs
-      // instead of being ignored in favor of max parallelism. This is the
-      // per-stage, executor-memory-aware sizing a real cluster runs with
-      // (the qpart three-point table proves no global constant works:
-      // fixed 256 wins 1.34x on the spilling 1000x stage, loses 3.4x at
-      // 100x, OOMs the full 1000x chain). Unset = the measured local[32]
-      // default: cores partitions, stage-count-stable plans.
+      // Reducer sizing is AQE's job, not a constant's (r15 directive #1
+      // closed the r14 qpart question): seed partition coalescing WIDE
+      // (8x cores by default — GRAFT_INITIAL_PARTITIONS overrides) and
+      // let the 64 MB advisory target (GRAFT_ADVISORY_BYTES) coalesce
+      // each stage DOWN to its data volume — parallelismFirst=false so
+      // the advisory size actually governs instead of being ignored in
+      // favor of max parallelism. This is the per-stage,
+      // data-volume-aware sizing a real cluster runs with, and it is
+      // MEASURED to dominate the old fixed-cores default: at 100x
+      // (nothing spills) seeded AQE is 1.27x FASTER than fixed-32
+      // (347.1 vs 440.4 s, same host); at 1000x it completes the q_tp1
+      // chain 1.14x faster than fixed-32 where a blanket fixed-256
+      // OOMs. Two sizing caveats from the same measurement: (a) seed
+      // width should track the biggest stage, not the max (init=1024 at
+      // 100x pays map-side bucket overhead for nothing — 509.6 s); (b)
+      // the advisory is COMPRESSED shuffle bytes, so on chains with
+      // 4-8x decompression ratios a 64 MB advisory still spills at
+      // 1000x (386 GB); adv=16m cuts that 8.7x at the cost of 4x the
+      // reduce tasks — size adv ~= executorMemPerTask / decompression
+      // ratio on a real deployment (PERF.md r15 directive #1 table).
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        sys.env.getOrElse("GRAFT_INITIAL_PARTITIONS", cores.toString))
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-        if (sys.env.contains("GRAFT_INITIAL_PARTITIONS")) "false" else "true")
+        sys.env.getOrElse("GRAFT_INITIAL_PARTITIONS", (cores * 8).toString))
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         sys.env.getOrElse("GRAFT_ADVISORY_BYTES", "64m"))
       // AQE skew-join at harness scale: the default 256MB skew threshold

@@ -72,6 +72,19 @@ object ClusterEvidence {
       .appName("graft-cluster-evidence")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
+      // Mirror GraftSession's r15 reducer-sizing default on real
+      // executors: seed coalescing at 8x the cluster's total cores and
+      // let the advisory target size each stage (same env overrides).
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("GRAFT_INITIAL_PARTITIONS", {
+          val totalCores = "local-cluster\\[(\\d+),(\\d+),\\d+\\]".r
+            .findFirstMatchIn(master).map(m => m.group(1).toInt * m.group(2).toInt)
+            .getOrElse(16)
+          (totalCores * 8).toString
+        }))
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("GRAFT_ADVISORY_BYTES", "64m"))
       .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64m")
       .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "5")
       .config("spark.sql.session.timeZone", "UTC")

@@ -132,8 +132,13 @@ object Scratch {
         // the r15 directive's arm. Wall AND spill per query, so the A/B
         // shows whether the sizing removed the I/O, not just the seconds.
         val qpLabel = args(2)
-        if (qpLabel != "aqe")
+        if (qpLabel != "aqe") {
+          // a NUMERIC arm means "fixed N reducers": disable coalescing so
+          // the session's seeded-AQE default (r15) can't re-size it — the
+          // fixed arm must stay a true baseline for the A/B
           spark.conf.set("spark.sql.shuffle.partitions", qpLabel.toInt.toString)
+          spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        }
         val spillMq = new java.util.concurrent.atomic.AtomicLong()
         val spillDq = new java.util.concurrent.atomic.AtomicLong()
         val evQ = new java.util.concurrent.atomic.AtomicLong()
@@ -235,6 +240,9 @@ object Scratch {
         val prunedD2 = time("pruned-index checkpoint (shared input)")(
           shD2.join(hotD2, Seq("shingle"), "left_anti").localCheckpoint(true))
         val baseD2 = prunedD2.select("doc", "shingle")
+        // fixed-N arms: keep AQE coalescing out of the loop so `parts`
+        // means what it says under the r15 seeded-AQE session default
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
         for (parts <- args.drop(2).map(_.toInt).toSeq match {
           case s if s.nonEmpty => s; case _ => Seq(32, 128, 256) }) {
           spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
