@@ -41,7 +41,29 @@ object GraftSession {
       // ratio on a real deployment (PERF.md r15 directive #1 table).
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         sys.env.getOrElse("GRAFT_INITIAL_PARTITIONS", (cores * 8).toString))
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // parallelismFirst=true is NOT the "ignore the advisory" mode its
+      // name suggests: it sets the coalescing floor to defaultParallelism
+      // partitions, and the per-partition target stays
+      // min(total/defaultParallelism, advisory) — so on any stage bigger
+      // than cores x advisory (every stage that matters at 100 TB) the
+      // advisory governs identically to parallelismFirst=false. It only
+      // changes SMALL stages (< ~2 GB at 32 cores), where coalescing to
+      // the full 64 MB advisory serializes high-compute-per-byte work:
+      // measured at sf0.1, parallelismFirst=false collapsed the shared
+      // daily frame's shuffles to 1-3 partitions and cost the window/agg
+      // family 3-5x (q_w1 5.65->1.16 s, q_j2 8.01->1.68 s when restored;
+      // OPTIMIZATION_r15.md). The 1000x q_tp1 chain wall is unchanged
+      // (PERF.md r15 A/B) because there the advisory binds either way.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("GRAFT_PARALLELISM_FIRST", "true"))
+      // The 1 MB default floor re-serializes tiny-bytes/high-compute
+      // stages (a 6 MB compressed shuffle -> 6 tasks); 64k lets the
+      // parallelism-first target (total/defaultParallelism) govern down
+      // to genuinely negligible stages. Scale-neutral: only stages under
+      // cores x 1 MB total even see this knob. Measured: another 1.32x
+      // on the window family at sf0.1 (33.5 -> 25.4 s subset total).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("GRAFT_MIN_PARTITION_SIZE", "64k"))
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         sys.env.getOrElse("GRAFT_ADVISORY_BYTES", "64m"))
       // AQE skew-join at harness scale: the default 256MB skew threshold

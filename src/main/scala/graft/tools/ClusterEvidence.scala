@@ -82,7 +82,12 @@ object ClusterEvidence {
             .getOrElse(16)
           (totalCores * 8).toString
         }))
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // parallelism floor + small-stage target, same reasoning and env
+      // overrides as GraftSession (advisory still governs big stages)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("GRAFT_PARALLELISM_FIRST", "true"))
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("GRAFT_MIN_PARTITION_SIZE", "64k"))
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         sys.env.getOrElse("GRAFT_ADVISORY_BYTES", "64m"))
       .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64m")

@@ -123,6 +123,32 @@ object Scratch {
           graft.queries.Corpus.all(name)(spark, d).explain("formatted")
         }
 
+      case "explainexec" =>
+        // plan audit AFTER execution: run the query through the noop sink
+        // (the bench's own action), then print the FINAL adaptive plan —
+        // the only form in which AQE decisions (AQEShuffleRead coalescing,
+        // runtime join rewrites, skew splits) are visible. `explain` on an
+        // unexecuted frame prints isFinalPlan=false with none of that.
+        args.drop(2).foreach { name =>
+          val df = graft.queries.Corpus.all(name)(spark, d)
+          df.write.format("noop").mode("overwrite").save()
+          df.collect() // finalizes THIS frame's own QueryExecution
+          println(s"===== $name (final adaptive plan) =====")
+          df.explain("formatted")
+          // formatted explain prints AQEShuffleRead as just "coalesced" —
+          // surface the actual post-coalescing partition counts
+          import org.apache.spark.sql.execution.SparkPlan
+          import org.apache.spark.sql.execution.adaptive.{
+            AdaptiveSparkPlanExec, AQEShuffleReadExec, QueryStageExec}
+          def reads(p: SparkPlan): Seq[Int] = p.collect {
+            case a: AQEShuffleReadExec => Seq(a.partitionSpecs.length)
+            case s: QueryStageExec => reads(s.plan)
+            case ap: AdaptiveSparkPlanExec => reads(ap.executedPlan)
+          }.flatten
+          println(s"[scratch] $name AQEShuffleRead partition counts: " +
+            reads(df.queryExecution.executedPlan).mkString(", "))
+        }
+
       case "qpart" =>
         // Run corpus queries with an overridden spark.sql.shuffle.partitions
         // (a RUNTIME conf — what a deployment sizes to data volume): the
