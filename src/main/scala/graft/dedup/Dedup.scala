@@ -611,6 +611,7 @@ object Dedup {
         .withColumn("label", col("id")))
     var iters = 0
     var changed = 1L
+    var prevMat = labels // previous round's materialized frame, released below
     while (changed > 0 && iters < maxIters) {
       // merge hints on every loop join: edges/labels/nbrMin all SCALE WITH
       // THE GRAPH, and AQE's runtime broadcast conversion (sized by
@@ -622,23 +623,31 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("label").as("nlabel"))
           .hint("merge"), "dst")
         .groupBy("src").agg(min("nlabel").as("nmin"))
-      val step = labels
+      // Materialize the JOINED frame (id, label, nmin) — not the projected
+      // next-labels frame — so the convergence count below is a plain
+      // filter over it: `nmin < label` holds exactly when this round
+      // improves a label (least(label, coalesce(nmin, label)) < label ⇔
+      // nmin < label; NULL nmin compares false). The previous shape
+      // re-joined next labels against the old labels per round just to
+      // count improvements — one full merge join (two exchanges + sorts,
+      // graph-sized at every scale) per round for a loop-control scalar
+      // (OPTIMIZATION_r15.md: q_dd6/q_dd12/q_tp2 measured).
+      val joined = labels
         .join(nbrMin.select(col("src").as("id"), col("nmin")).hint("merge"),
           Seq("id"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
       // Truncate lineage every few iterations: a cached-only loop keeps
       // chaining the logical plan, so explain/recovery on the result would
       // replay the whole iteration history (and analysis cost grows per
       // iteration). localCheckpoint cuts the plan at materialized blocks —
       // the repo's stage-boundary pattern (CorpusCleaner.scala).
-      val next =
-        if (iters % 5 == 4) truncate(step)
-        else step.cache() // materialized by the `changed` count below
-      changed = next.join(labels.select(col("id"), col("label").as("old"))
-          .hint("merge"), "id")
-        .filter(col("label") < col("old")).count()
-      labels.unpersist()
-      labels = next
+      val step =
+        if (iters % 5 == 4) truncate(joined)
+        else joined.cache() // materialized by the `changed` count below
+      changed = step.filter(col("nmin") < col("label")).count()
+      prevMat.unpersist()
+      prevMat = step
+      labels = step.select(
+        col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
       iters += 1
     }
     lastCcRounds = iters

@@ -149,6 +149,38 @@ object Scratch {
             reads(df.queryExecution.executedPlan).mkString(", "))
         }
 
+      case "stageprof" =>
+        // per-stage wall/task/IO breakdown for one or more queries — the
+        // no-UI stand-in for the stage page (guide §7.1): which stages a
+        // query's wall actually goes to, with task counts and shuffle bytes
+        val rows = java.util.Collections.synchronizedList(
+          new java.util.ArrayList[String]())
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onStageCompleted(
+                ev: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+              val si = ev.stageInfo
+              val wall = (for {
+                a <- si.completionTime; b <- si.submissionTime
+              } yield (a - b) / 1000.0).getOrElse(-1.0)
+              val m = si.taskMetrics
+              rows.add(f"${si.stageId}%5d ${si.numTasks}%5d ${wall}%7.2fs " +
+                f"in=${m.inputMetrics.bytesRead / 1e6}%8.1fMB " +
+                f"sr=${m.shuffleReadMetrics.totalBytesRead / 1e6}%8.1fMB " +
+                f"sw=${m.shuffleWriteMetrics.bytesWritten / 1e6}%8.1fMB " +
+                f"spill=${m.diskBytesSpilled / 1e6}%6.0fMB  ${si.name.takeWhile(_ != '\n').take(70)}")
+            }
+          })
+        args.drop(2).foreach { q =>
+          rows.clear()
+          time(s"stageprof $q")(
+            graft.queries.Corpus.all(q)(spark, d)
+              .write.format("noop").mode("overwrite").save())
+          Thread.sleep(1500) // listener bus drain
+          println(s"===== stages for $q (stageId tasks wall io) =====")
+          rows.forEach(r => println(r))
+        }
+
       case "qpart" =>
         // Run corpus queries with an overridden spark.sql.shuffle.partitions
         // (a RUNTIME conf — what a deployment sizes to data volume): the
