@@ -68,8 +68,21 @@ object Tables {
         throw new IllegalArgumentException(
           s"events.ts: expected TIMESTAMP / TIMESTAMP_NTZ / legacy long nanos, got $other")
     }
-  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+  /** documents/embeddings carry the corpus's heaviest per-row compute
+    * (tokenize/shingle/hash; vector kernels) and are consumed by
+    * whole-table scans, so they get the same scan-parallelism guard as
+    * [[salesLines]] — a single-row-group fixture file otherwise runs the
+    * entire tokenize/cosine stage 2-3-way on a 32-core host (measured:
+    * q_dd8's pair build 3 tasks / 2.2 s per stage, q_dd13's tokenize 2
+    * tasks — OPTIMIZATION_r15.md). At production scale scans have >> cores
+    * splits and the guard is a no-op, so parquet filter pushdown on real
+    * deployments is unaffected; the few pushable fixture filters
+    * (doc_id < 60, vec_id = 0) trade a pushed scan of a tiny file for the
+    * repartition — measured noise at bench scale. */
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    parallelized(spark, table(spark, dir, "documents"))
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    parallelized(spark, table(spark, dir, "embeddings"))
 
   /** Local-bench parallelism guard: the testdata parquet is one row group,
     * so the scan (and everything before the first shuffle — broadcast joins,
