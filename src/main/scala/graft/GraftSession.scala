@@ -57,13 +57,19 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         sys.env.getOrElse("GRAFT_PARALLELISM_FIRST", "true"))
       // The 1 MB default floor re-serializes tiny-bytes/high-compute
-      // stages (a 6 MB compressed shuffle -> 6 tasks); 64k lets the
-      // parallelism-first target (total/defaultParallelism) govern down
-      // to genuinely negligible stages. Scale-neutral: only stages under
-      // cores x 1 MB total even see this knob. Measured: another 1.32x
-      // on the window family at sf0.1 (33.5 -> 25.4 s subset total).
+      // stages (a 6 MB compressed shuffle -> 6 tasks on 32 cores); a
+      // smaller floor lets the parallelism-first target
+      // (total/defaultParallelism) govern further down. Only stages under
+      // cores x 1 MB total bytes even see this knob, so it is invisible
+      // at 100 TB stage sizes. 256k is the measured balance on both
+      // gauges (OPTIMIZATION_r15.md): the sf0.1 window/agg subset runs
+      // 27.2 s @1m -> 20.4 @64k -> 18.6 @256k, while the 100x q_tp1
+      // chain runs ~116-131 s @1m -> ~128-154 @256k -> 186 @64k on a
+      // host paying ~20x on first-touch allocation (more reduce tasks =
+      // more fresh task buffers; a healthy host does not pay this).
+      // Allocation-crippled deployments can restore 1m via the env knob.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("GRAFT_MIN_PARTITION_SIZE", "64k"))
+        sys.env.getOrElse("GRAFT_MIN_PARTITION_SIZE", "256k"))
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         sys.env.getOrElse("GRAFT_ADVISORY_BYTES", "64m"))
       // AQE skew-join at harness scale: the default 256MB skew threshold

@@ -3536,9 +3536,23 @@ object Corpus {
       .withColumn("bucket",
         (conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long")
           % kBuckets).cast("int"))
-    val raw = grams.groupBy("bucket").agg(count(lit(1)).as("cr"))
-    val tgt = grams.filter(col("source").isin(target: _*))
-      .groupBy("bucket").agg(count(lit(1)).as("ct"))
+    // Corpus-wide and target-slice bucket counts FUSED into one
+    // conditional aggregate: previously `raw` and `tgt` were separate
+    // groupBys over the same gram stream, i.e. two full tokenize+explode
+    // passes where one suffices (a count over a slice is a conditional
+    // count over the whole — guide §2.3, aggregate before you shuffle).
+    // `ct` is 0 instead of absent for target-free buckets; the lam formula
+    // already coalesced NULL ct to 0, so every number is bit-identical.
+    // (A (doc, bucket) count-matrix single-pass variant was measured WORSE
+    // at 100x — fixture docs are short, so per-doc counts are ~1 and the
+    // matrix is as big as the gram stream plus a materialization:
+    // 36.1 s vs 25.8 s. Negative result recorded in OPTIMIZATION_r15.md.)
+    val bucketCounts = grams.groupBy("bucket").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("source").isin(target: _*), 1L).otherwise(0L)).as("ct"))
+      .truncateTransientLineage() // tiny (≤ kBuckets rows); read 3x below
+    val raw = bucketCounts.select("bucket", "cr")
+    val tgt = bucketCounts.select("bucket", "ct")
     val totals = raw.agg(sum("cr").as("rtot")).crossJoin(tgt.agg(sum("ct").as("ttot")))
     // λ[k] = floor(1e6 · ln( (ct+1)/(T+K) · (R+K)/(cr+1) )), evaluated as
     // one double ratio with an identical operation order in the oracle

@@ -87,7 +87,7 @@ object ClusterEvidence {
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         sys.env.getOrElse("GRAFT_PARALLELISM_FIRST", "true"))
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("GRAFT_MIN_PARTITION_SIZE", "64k"))
+        sys.env.getOrElse("GRAFT_MIN_PARTITION_SIZE", "256k"))
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         sys.env.getOrElse("GRAFT_ADVISORY_BYTES", "64m"))
       .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64m")
